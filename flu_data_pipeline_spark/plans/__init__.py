@@ -1,0 +1,22 @@
+"""Query plans.
+
+``registry`` collects every implemented query/operator as a
+:class:`QueryDef` — a Spark DataFrame builder plus (where SQL-expressible)
+the equivalent DuckDB oracle SQL. ``__spark_entry__.py`` exposes this
+registry to the correctness driver.
+
+Modules register on import; import them all here so
+``from flu_data_pipeline_spark.plans import registry`` sees the full
+inventory.
+"""
+
+from flu_data_pipeline_spark.plans import (  # noqa: F401
+    dedup_queries,
+    events_queries,
+    relational,
+    similarity_queries,
+    text_queries,
+)
+from flu_data_pipeline_spark.plans.registry import REGISTRY, QueryDef, register
+
+__all__ = ["REGISTRY", "QueryDef", "register"]

@@ -1,0 +1,53 @@
+"""Registry of oracle-checked queries.
+
+Each entry pairs a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with the equivalent ANSI SQL that DuckDB runs on the same parquet tables.
+The driver hash-compares the two (row count + schema + order-insensitive
+value hash), so:
+
+- every computed column is aliased identically on both sides;
+- result sets are deterministic (no unpinned LIMIT over ties, no
+  nondeterministic "first" without an explicit ordering);
+- float aggregates avoid projecting raw ns timestamps (Spark truncates
+  parquet ns → µs; DuckDB keeps ns) — truncate to hour/day instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QueryDef:
+    name: str
+    builder: Builder
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = False  # include in bench.py headline set
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[Builder], Builder]:
+    """Decorator: add a builder to the registry under ``name``."""
+
+    def wrap(fn: Builder) -> Builder:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QueryDef(name, fn, oracle, doc or (fn.__doc__ or ""), tags, bench)
+        return fn
+
+    return wrap

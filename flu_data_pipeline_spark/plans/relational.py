@@ -1,0 +1,640 @@
+"""Core relational operator inventory (SURVEY.md §2) on the driver testdata.
+
+Each query re-expresses one or more reference operators (ids in ``tags``)
+as an idiomatic Spark plan, paired with the DuckDB oracle SQL. The flu
+report queries (api/app.py:215-346) are mirrored structurally on the TPC-H
+tables: identical operator shapes (LEFT JOIN → filter → multi-key groupBy →
+AVG + COUNT(DISTINCT) → HAVING → ORDER BY ... LIMIT), different column names.
+
+Float policy (§4.3.5): big SUMs rounded to 2dp and AVGs to 6dp *in the
+query on both sides*, so cross-engine aggregation-order ulps can't flip the
+driver's value hash. COUNT/SUM-of-int are cast to BIGINT on the DuckDB side
+(DuckDB widens to HUGEINT, Spark stays long).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flu_data_pipeline_spark.catalog import load_table
+from flu_data_pipeline_spark.plans.registry import register
+
+
+# ---------------------------------------------------------------------------
+# Report-query mirrors (api/app.py:215-346 shapes on TPC-H tables)
+# ---------------------------------------------------------------------------
+
+@register(
+    "report_weekly_trends",
+    oracle="""
+    SELECT CAST(date_trunc('week', o.o_orderdate) AS DATE) AS week_start,
+           l.l_returnflag AS returnflag,
+           ROUND(AVG(l.l_extendedprice), 6) AS avg_price,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+    FROM orders o
+    LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag IS NOT NULL
+    GROUP BY 1, 2
+    HAVING AVG(l.l_extendedprice) IS NOT NULL
+    ORDER BY week_start DESC, returnflag
+    LIMIT 20
+    """,
+    doc="Weekly-trends report shape (api/app.py:219-233): LEFT JOIN → "
+    "IS NOT NULL filter → multi-key groupBy → AVG + COUNT(DISTINCT) → "
+    "HAVING → ORDER BY DESC,ASC → LIMIT 20.",
+    tags=("J5", "P5", "A7", "A8", "A9", "A10", "O4", "O7"),
+    bench=True,
+)
+def report_weekly_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    joined = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey, "left")
+    return (
+        joined.filter(F.col("l_returnflag").isNotNull())
+        .groupBy(
+            F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week_start"),
+            F.col("l_returnflag").alias("returnflag"),
+        )
+        .agg(
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+        .filter(F.col("avg_price").isNotNull())
+        .orderBy(F.desc("week_start"), F.asc("returnflag"))
+        .limit(20)
+    )
+
+
+@register(
+    "report_regional_impact",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers,
+           ROUND(AVG(s.s_acctbal), 6) AS avg_acctbal,
+           ROUND(AVG(CASE WHEN s.s_acctbal > 0 THEN s.s_acctbal END), 6)
+               AS avg_positive_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_acctbal > 0 OR s.s_acctbal < -500
+    GROUP BY n.n_name
+    ORDER BY avg_acctbal DESC NULLS LAST
+    """,
+    doc="Healthcare-impact report shape (api/app.py:257-301): inner join dim "
+    "→ disjunctive range filter → groupBy → AVGs + COUNT(DISTINCT) → "
+    "ORDER BY DESC NULLS LAST. Dim side broadcast.",
+    tags=("J6", "P6", "A7", "A8", "A10", "O5"),
+)
+def report_regional_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supplier.filter((F.col("s_acctbal") > 0) | (F.col("s_acctbal") < -500))
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey, "inner")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 6).alias("avg_acctbal"),
+            F.round(
+                F.avg(F.when(F.col("s_acctbal") > 0, F.col("s_acctbal"))), 6
+            ).alias("avg_positive_acctbal"),
+        )
+        .orderBy(F.col("avg_acctbal").desc_nulls_last())
+    )
+
+
+@register(
+    "report_historical_summary",
+    oracle="""
+    WITH yearly AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS year,
+               o_orderkey, o_totalprice
+        FROM orders
+    ), win AS (
+        SELECT year,
+               MAX(o_totalprice) OVER (PARTITION BY year) AS peak_price,
+               AVG(o_totalprice) OVER (PARTITION BY year) AS avg_price,
+               FIRST_VALUE(o_orderkey) OVER (
+                   PARTITION BY year
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS peak_orderkey
+        FROM yearly
+    )
+    SELECT DISTINCT year,
+           CAST(FLOOR(year / 10) * 10 AS INT) AS decade_year,
+           peak_orderkey,
+           ROUND(peak_price, 6) AS peak_price,
+           ROUND(avg_price, 6) AS avg_price,
+           ROUND(peak_price - avg_price, 6) AS peak_vs_avg_diff
+    FROM win
+    ORDER BY year DESC
+    """,
+    doc="Historics pipeline shape (flu_data_airflow_v2.py:420-437 + "
+    "api/app.py:303-346): per-year windowed max/avg/argmax (idxmax "
+    "first-occurrence tie-break → ORDER BY val DESC, key ASC), decade "
+    "floor-div, then DISTINCT collapse and ORDER BY year DESC.",
+    tags=("A4", "A5", "A6", "F8", "F9", "O6", "D1"),
+)
+def report_historical_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    yearly = orders.select(
+        F.year("o_orderdate").cast("int").alias("year"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    w = Window.partitionBy("year")
+    wo = w.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        yearly.withColumn("peak_price_raw", F.max("o_totalprice").over(w))
+        .withColumn("avg_price_raw", F.avg("o_totalprice").over(w))
+        .withColumn("peak_orderkey", F.first("o_orderkey").over(wo))
+        .select(
+            "year",
+            (F.floor(F.col("year") / 10) * 10).cast("int").alias("decade_year"),
+            "peak_orderkey",
+            F.round("peak_price_raw", 6).alias("peak_price"),
+            F.round("avg_price_raw", 6).alias("avg_price"),
+            F.round(F.col("peak_price_raw") - F.col("avg_price_raw"), 6).alias(
+                "peak_vs_avg_diff"
+            ),
+        )
+        .distinct()
+        .orderBy(F.desc("year"))
+    )
+
+
+@register(
+    "export_table_nation",
+    oracle="SELECT * FROM nation LIMIT 1000",
+    doc="CSV-export path (api/app.py:348-376): full scan of an allowlisted "
+    "table capped at 1000 rows (nation has 25 → deterministic).",
+    tags=("S8", "S9", "O7"),
+)
+def export_table_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "nation").limit(1000)
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter / predicates
+# ---------------------------------------------------------------------------
+
+@register(
+    "proj_filter_notin",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           l_returnflag AS returnflag, l_quantity AS qty
+    FROM lineitem
+    WHERE l_returnflag NOT IN ('A', 'N')
+    """,
+    doc="NOT-IN filter + projection + rename (flu_data_airflow_v2.py:100-103 "
+    "Statewide/Unassigned removal shape). Filter pushes to the parquet scan.",
+    tags=("P1", "P2", "P3"),
+)
+def proj_filter_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(~F.col("l_returnflag").isin("A", "N"))
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_quantity").alias("qty"),
+        )
+    )
+
+
+@register(
+    "filter_conj_eq",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_partkey AS partkey,
+           l_extendedprice AS price
+    FROM lineitem
+    WHERE l_returnflag = 'A' AND l_linestatus = 'F'
+      AND l_quantity = 10 AND l_linenumber = 1
+    """,
+    doc="Conjunctive 4-predicate equality slice "
+    "(flu_data_airflow_v2.py:166-171 latest-week filter shape).",
+    tags=("P4",),
+)
+def filter_conj_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "A")
+        & (F.col("l_linestatus") == "F")
+        & (F.col("l_quantity") == 10)
+        & (F.col("l_linenumber") == 1)
+    ).select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_extendedprice").alias("price"),
+    )
+
+
+@register(
+    "filter_null_or_range",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE (value > 10 OR event_type = 'error') AND props IS NOT NULL
+    """,
+    doc="Disjunctive range filter + IS NOT NULL (api/app.py:271,228).",
+    tags=("P5", "P6"),
+)
+def filter_null_or_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        ((F.col("value") > 10) | (F.col("event_type") == "error"))
+        & F.col("props").isNotNull()
+    ).select("event_id", "event_type", "value")
+
+
+@register(
+    "null_profile",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(value) AS BIGINT) AS n_value_notnull,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           ROUND(AVG(value), 6) AS avg_value,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM events
+    """,
+    doc="Profiling/validation stats block (flu_data_airflow_v2.py:127-139, "
+    "A11): count / non-null count / distinct / mean / min / max in one agg.",
+    tags=("P7", "A11"),
+)
+def null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_value_notnull"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_left_broadcast",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey, c.c_name AS cust_name,
+           c.c_mktsegment AS segment, o.o_totalprice AS totalprice
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="Left outer equi-join fact←dim (flu_data_airflow_v2.py:368,372): "
+    "dim side broadcast — no shuffle of the fact at scale.",
+    tags=("J1", "J2", "J3", "J4"),
+    bench=True,
+)
+def join_left_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left"
+    ).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("c_name").alias("cust_name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+
+
+@register(
+    "join_anti_orphans",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS cust_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Anti-join / set-difference validation "
+    "(flu_data_airflow_v2.py:83-95): customers with no orders.",
+    tags=("J7", "D3"),
+)
+def join_anti_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("cust_name"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / windows
+# ---------------------------------------------------------------------------
+
+@register(
+    "string_agg_sorted",
+    oracle="""
+    SELECT r.r_name AS region,
+           string_agg(DISTINCT n.n_name, ', ' ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="Ordered-distinct string aggregation (flu_data_airflow_v2.py:335 "
+    "ACH-merge): concat_ws ∘ array_sort ∘ collect_set — collect_set drops "
+    "nulls like pandas dropna().unique(); array_sort pins the "
+    "nondeterministic set order (§4.3.4).",
+    tags=("A1", "U3"),
+)
+def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.concat_ws(", ", F.array_sort(F.collect_set("n_name"))).alias("nations")
+        )
+    )
+
+
+@register(
+    "keep_first_per_key",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           CAST(o_orderdate AS DATE) AS first_orderdate,
+           o_orderpriority AS first_priority
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ) = 1
+    """,
+    doc="Keyed keep-first dedup / first-non-null collapse "
+    "(flu_data_airflow_v2.py:376,409 — D2/A2): pandas 'first' semantics "
+    "made deterministic with an explicit (date, key) ordering (§4.3.1).",
+    tags=("D2", "A2"),
+)
+def keep_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").cast("date").alias("first_orderdate"),
+            F.col("o_orderpriority").alias("first_priority"),
+        )
+    )
+
+
+@register(
+    "group_mean_as_window",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           l_suppkey AS suppkey, l_quantity AS qty,
+           ROUND(AVG(l_quantity) OVER (PARTITION BY l_suppkey, l_returnflag), 6)
+               AS supp_avg_qty,
+           ROUND(MAX(l_extendedprice) OVER (PARTITION BY l_suppkey, l_returnflag), 6)
+               AS supp_max_price
+    FROM lineitem
+    """,
+    doc="groupby().transform('mean'/'max') — aggregate broadcast back to "
+    "every row via whole-partition window (flu_data_airflow_v2.py:395,427).",
+    tags=("A3", "A4", "A5"),
+)
+def group_mean_as_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey", "l_returnflag")
+    return li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_quantity").alias("qty"),
+        F.round(F.avg("l_quantity").over(w), 6).alias("supp_avg_qty"),
+        F.round(F.max("l_extendedprice").over(w), 6).alias("supp_max_price"),
+    )
+
+
+@register(
+    "surrogate_key_by_name",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_name) AS INT) AS nation_id,
+           n_name AS nation_name
+    FROM nation
+    """,
+    doc="Surrogate key by sorted position (flu_data_airflow_v2.py:329,339 — "
+    "W1). Single-partition window: acceptable ONLY for tiny dims (25 rows); "
+    "large tables must use a distributed id scheme instead.",
+    tags=("W1",),
+)
+def surrogate_key_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.select(
+        F.row_number().over(Window.orderBy("n_name")).cast("int").alias("nation_id"),
+        F.col("n_name").alias("nation_name"),
+    )
+
+
+@register(
+    "dedup_distinct_pairs",
+    oracle="""
+    SELECT DISTINCT l_returnflag AS returnflag, l_linestatus AS linestatus
+    FROM lineitem
+    """,
+    doc="Full-row dedup on a projection (flu_data_airflow_v2.py:329,352 — "
+    "D1). Partial (map-side) distinct happens before the shuffle.",
+    tags=("D1",),
+)
+def dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Scalar function battery
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_derivations",
+    oracle="""
+    SELECT event_id,
+           CAST(substr(CAST(CAST(ts AS DATE) AS VARCHAR), 1, 4) AS INT) AS year,
+           CAST(
+             substr(CAST(CAST(ts AS DATE) AS VARCHAR), 1, 4)
+             || lpad(CAST(weekofyear(ts) AS VARCHAR), 2, '0')
+           AS INT) AS epiweek_id,
+           CAST(FLOOR(CAST(substr(CAST(CAST(ts AS DATE) AS VARCHAR), 1, 4) AS INT) / 10) * 10
+                AS INT) AS decade_year,
+           CAST(ts AS DATE) AS event_date
+    FROM events
+    """,
+    doc="Scalar battery (F3-F8): string-slice year, zero-pad + concat "
+    "epiweek id, casts, floor-div decade (flu_data_airflow_v2.py:350,423-424).",
+    tags=("F3", "F4", "F5", "F6", "F8"),
+)
+def scalar_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    date_str = F.col("ts").cast("date").cast("string")
+    year_str = F.substring(date_str, 1, 4)
+    return ev.select(
+        "event_id",
+        year_str.cast("int").alias("year"),
+        F.concat(
+            year_str, F.lpad(F.weekofyear("ts").cast("string"), 2, "0")
+        ).cast("int").alias("epiweek_id"),
+        (F.floor(year_str.cast("int") / 10) * 10).cast("int").alias("decade_year"),
+        F.col("ts").cast("date").alias("event_date"),
+    )
+
+
+@register(
+    "case_when_ratio_fill",
+    oracle="""
+    SELECT l_partkey AS partkey,
+           ROUND(COALESCE(SUM(CASE WHEN l_returnflag = 'R'
+                                   THEN l_extendedprice END), 0), 2)
+               AS returned_price,
+           ROUND(SUM(l_extendedprice), 2) AS total_price,
+           ROUND(CASE WHEN SUM(l_extendedprice) = 0 THEN 0
+                      ELSE COALESCE(SUM(CASE WHEN l_returnflag = 'R'
+                                             THEN l_extendedprice END), 0)
+                           / SUM(l_extendedprice) END, 6) AS returned_ratio
+    FROM lineitem
+    GROUP BY l_partkey
+    """,
+    doc="Conditional pivot + fillna(0) + guarded ratio "
+    "(flu_data_airflow_v2.py:404-415 — F10/F11/F12): CASE WHEN measure "
+    "pivot, null-fill, divide-by-zero pinned to 0 (§4.3.2).",
+    tags=("F10", "F11", "F12", "U2"),
+)
+def case_when_ratio_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")))
+    total = F.sum("l_extendedprice")
+    return (
+        li.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.round(F.coalesce(returned, F.lit(0)), 2).alias("returned_price"),
+            F.round(total, 2).alias("total_price"),
+            F.round(
+                F.when(total == 0, 0).otherwise(F.coalesce(returned, F.lit(0)) / total),
+                6,
+            ).alias("returned_ratio"),
+        )
+    )
+
+
+@register(
+    "clean_cast_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(NULLIF(TRIM(regexp_extract(props, '"k":\\s*([0-9]+)', 1)), '')
+                AS DOUBLE) AS k_value
+    FROM events
+    """,
+    doc="Percent-cleaner semantics (flu_data_airflow_v2.py:142-154 — F13): "
+    "extract numeric substring, blank → null, cast-with-null-on-junk. "
+    "Native expressions, no UDF (§2.10 policy).",
+    tags=("F13", "U1"),
+)
+def clean_cast_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    extracted = F.regexp_extract("props", r'"k":\s*([0-9]+)', 1)
+    return ev.select(
+        "event_id",
+        F.when(F.trim(extracted) == "", F.lit(None))
+        .otherwise(extracted)
+        .cast("double")
+        .alias("k_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classic analytics (bench headliners)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY returnflag, linestatus
+    """,
+    doc="TPC-H Q1-shape pricing summary: the partial→final hash aggregate "
+    "benchmark. Filter pushes to the scan; map-side combine before shuffle.",
+    tags=("A7", "A10", "F9", "O1"),
+    bench=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@register(
+    "top_revenue_orders",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           c.c_mktsegment AS segment
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), c.c_mktsegment
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-shape 3-way join + agg + top-k "
+    "(TakeOrderedAndProject physical op; orderkey tiebreak pins ties).",
+    tags=("J6", "A7", "O2", "O3"),
+    bench=True,
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("orderkey", "revenue", "orderdate", "segment")
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )

@@ -1,0 +1,158 @@
+"""Text-analysis suite over the ``documents`` corpus.
+
+Extension mandate (BASELINE.json): token counting, quality scoring,
+language-ID heuristic, document fingerprinting — all as native Spark
+expressions (no Python in the hot path), each DuckDB-oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flu_data_pipeline_spark.catalog import load_table
+from flu_data_pipeline_spark.functions.hashing import hash64, hash64_sql
+from flu_data_pipeline_spark.plans.registry import register
+
+#: tiny English-stopword list for the language-ID / quality heuristics
+#: (public common-words list; deliberately small and fixed for determinism)
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "by", "at", "from", "that", "this", "be",
+)
+
+_TOKENS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_STOPLIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS}) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars,
+           ROUND(CAST(length(text) AS DOUBLE) / len({_TOKENS}), 6)
+               AS avg_token_len
+    FROM documents
+    """,
+    doc="Token counting (whitespace tokenizer) + char stats. BPE-ish "
+    "subword estimate is a separate query (text_quality_score).",
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(tokens).alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+        F.round(F.length("text").cast("double") / F.size(tokens), 6).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(len({_TOKENS}) AS INT) AS n_tokens,
+               CAST(len(list_filter({_TOKENS},
+                        t -> list_contains({_STOPLIST}, t))) AS INT)
+                   AS n_stopwords,
+               CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                    AS INT) AS n_punct,
+               CAST(length(text) AS INT) AS n_chars
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, n_stopwords, n_punct,
+           ROUND(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+           CASE WHEN n_tokens >= 5
+                 AND CAST(n_stopwords AS DOUBLE) / n_tokens >= 0.05
+                 AND CAST(n_punct AS DOUBLE) / n_chars < 0.2
+                THEN 1 ELSE 0 END AS is_quality
+    FROM feats
+    """,
+    doc="Quality scoring: length / punctuation-ratio / stopword-ratio "
+    "features + a boolean gate — the standard pretraining-corpus filter "
+    "shape, fully native (codegen) per row.",
+    tags=("text",),
+    bench=True,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size(tokens)
+    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), r"[\p{Punct}]", ""))
+    ).cast("int")
+    n_chars = F.length("text").cast("int")
+    stop_ratio = n_stop.cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / n_chars
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        n_punct.alias("n_punct"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.when(
+            (n_tokens >= 5) & (stop_ratio >= 0.05) & (punct_ratio < 0.2), 1
+        ).otherwise(0).alias("is_quality"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN CAST(len(list_filter({_TOKENS},
+                             t -> list_contains({_STOPLIST}, t))) AS DOUBLE)
+                     / len({_TOKENS}) >= 0.1
+                THEN 'en' ELSE 'unknown' END AS predicted_lang
+    FROM documents
+    """,
+    doc="Language-ID heuristic: English-stopword hit-rate ≥ 10% → 'en'. "
+    "(n-gram frequency profile heuristic; per-language stopword tables "
+    "extend the CASE.)",
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    hit_rate = (
+        F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t))).cast("double")
+        / F.size(tokens)
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(hit_rate >= 0.1, "en").otherwise("unknown").alias("predicted_lang"),
+    )
+
+
+_NORMALIZED_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {hash64_sql(_NORMALIZED_SQL)} AS fingerprint
+    FROM documents
+    """,
+    doc="Document fingerprint: 56-bit portable hash of the "
+    "whitespace-normalized text (md5-prefix — identical in Spark and "
+    "DuckDB). Used as the join key for exact dedup at scale.",
+    tags=("text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", hash64(normalized).alias("fingerprint"))

@@ -13,6 +13,8 @@ inventory.
 from flu_data_pipeline_spark.plans import (  # noqa: F401
     dedup_queries,
     events_queries,
+    flu_reports,
+    flu_tables,
     relational,
     similarity_queries,
     text_queries,

@@ -19,6 +19,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flu_data_pipeline_spark.catalog import load_table
+from flu_data_pipeline_spark.functions.hashing import (
+    HASH64_MOD,
+    MINHASH_COEFFS,
+    hash64_sql,
+)
+from flu_data_pipeline_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_near_pairs,
+)
 from flu_data_pipeline_spark.plans.registry import register
 
 
@@ -144,3 +155,176 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (portable-hash family → identical signatures in DuckDB)
+# ---------------------------------------------------------------------------
+
+NUM_HASHES = 12
+BAND_SIZE = 3
+
+_SHINGLED_DISTINCT_SQL = f"""
+    shingled AS (
+        SELECT doc_id, shingle
+        FROM (SELECT doc_id, unnest({_SHINGLES_SQL.format(n=3)}) AS shingle
+              FROM documents)
+        GROUP BY doc_id, shingle
+    ),
+    based AS (
+        SELECT doc_id, {hash64_sql('shingle')} % {HASH64_MOD} AS base_h
+        FROM shingled
+    )
+"""
+
+_SIG_AGGS_SQL = ",\n               ".join(
+    f"MIN((base_h * {a} + {b}) % {HASH64_MOD}) AS h{i}"
+    for i, (a, b) in enumerate(MINHASH_COEFFS[:NUM_HASHES])
+)
+
+_SIG_SQL = f"""
+    sig AS (
+        SELECT doc_id,
+               {_SIG_AGGS_SQL}
+        FROM based GROUP BY doc_id
+    )
+"""
+
+_BANDS_SQL = "\n        UNION ALL\n".join(
+    "        SELECT doc_id, {b} AS band_idx, ".format(b=b)
+    + " || '_' || ".join(
+        f"CAST(h{b * BAND_SIZE + j} AS VARCHAR)" for j in range(BAND_SIZE)
+    )
+    + " AS band_key FROM sig"
+    for b in range(NUM_HASHES // BAND_SIZE)
+)
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH {_SHINGLED_DISTINCT_SQL}, {_SIG_SQL}
+    SELECT * FROM sig
+    """,
+    doc="Per-document MinHash signature (12 universal hashes over 3-word "
+    "shingles, md5-prefix base hash). Strong oracle: every signature "
+    "component must match DuckDB bit-for-bit.",
+    tags=("dedup", "minhash"),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "doc_id", "text", NUM_HASHES)
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SHINGLED_DISTINCT_SQL}, {_SIG_SQL},
+    bands AS (
+{_BANDS_SQL}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+    """,
+    doc="Banded-LSH candidate pairs (4 bands x 3 rows): docs agreeing on a "
+    "full band. The shuffle key is the band bucket - no O(n^2) cross join.",
+    tags=("dedup", "minhash"),
+    bench=True,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", NUM_HASHES)
+    pairs = lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BAND_SIZE)
+    return pairs.select(
+        F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit signatures; xor/bit_count exist in both engines)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+_TOKENS_HASHED_SQL = f"""
+    tok AS (
+        SELECT doc_id, token
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+              FROM documents)
+        GROUP BY doc_id, token
+    ),
+    th AS (SELECT doc_id, {hash64_sql('token')} AS th FROM tok)
+"""
+
+_BIT_SUMS_SQL = ",\n               ".join(
+    f"CAST(SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s{j}"
+    for j in range(SIMHASH_BITS)
+)
+
+_SIMHASH_EXPR_SQL = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+    for j in range(SIMHASH_BITS)
+)
+
+_SIMHASH_SIG_SQL = f"""
+    sums AS (
+        SELECT doc_id,
+               {_BIT_SUMS_SQL}
+        FROM th GROUP BY doc_id
+    ),
+    simsig AS (
+        SELECT doc_id, CAST({_SIMHASH_EXPR_SQL} AS BIGINT) AS simhash FROM sums
+    )
+"""
+
+
+@register(
+    "dedup_simhash_signatures",
+    oracle=f"""
+    WITH {_TOKENS_HASHED_SQL}, {_SIMHASH_SIG_SQL}
+    SELECT * FROM simsig
+    """,
+    doc="16-bit SimHash per document: signed per-bit majority over distinct "
+    "token hashes. Bit-exact against DuckDB.",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", SIMHASH_BITS)
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_TOKENS_HASHED_SQL}, {_SIMHASH_SIG_SQL},
+    sliced AS (
+        SELECT doc_id, simhash, 0 AS band_idx, (simhash >> 0) & 15 AS band_key FROM simsig
+        UNION ALL
+        SELECT doc_id, simhash, 1, (simhash >> 4) & 15 FROM simsig
+        UNION ALL
+        SELECT doc_id, simhash, 2, (simhash >> 8) & 15 FROM simsig
+        UNION ALL
+        SELECT doc_id, simhash, 3, (simhash >> 12) & 15 FROM simsig
+    )
+    SELECT id_a, id_b, hamming FROM (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sliced a
+        JOIN sliced b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                     AND a.doc_id < b.doc_id
+    )
+    WHERE hamming <= 3
+    """,
+    doc="SimHash near-dup pairs: banded buckets (4 x 4-bit slices; "
+    "pigeonhole guarantees recall for hamming <= 3) then exact "
+    "xor+bit_count filter.",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash(docs, "doc_id", "text", SIMHASH_BITS)
+    pairs = simhash_near_pairs(sig, "doc_id", SIMHASH_BITS, bands=4, max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))

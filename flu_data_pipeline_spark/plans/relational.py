@@ -638,3 +638,152 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("orderkey"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / UDTF-style explode / pivot / rollup / percentiles
+# (beyond-reference extensions noted in SURVEY §2.4/§2.7: union, intersect,
+# cube/rollup, percentile — all native Spark)
+# ---------------------------------------------------------------------------
+
+@register(
+    "set_ops_customers",
+    oracle="""
+    SELECT custkey FROM (
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    )
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_nationkey = 3
+    """,
+    doc="Set algebra: UNION (distinct) then EXCEPT (distinct) - "
+    "union/exceptAll were absent from the reference (SURVEY D-) but are "
+    "core relational surface.",
+    tags=("D3", "set-ops"),
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    rich = cust.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    nation3 = cust.filter(F.col("c_nationkey") == 3).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return building.union(rich).distinct().subtract(nation3)
+
+
+@register(
+    "explode_part_words",
+    oracle="""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+    GROUP BY word
+    """,
+    doc="UDTF-style explode (F2): split part names to words, one row per "
+    "word, frequency count. Generate + partial-agg before shuffle.",
+    tags=("F2", "A7"),
+)
+def explode_part_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split(F.col("p_name"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "pivot_qty_by_flag",
+    oracle="""
+    SELECT l_linestatus AS linestatus,
+           ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,
+           ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,
+           ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    doc="Pivot (wide aggregation): sum of quantity per linestatus x "
+    "returnflag with explicit pivot values (no extra pass to discover "
+    "them).",
+    tags=("pivot", "A7"),
+)
+def pivot_qty_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_linestatus").alias("linestatus"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals (grand total + per-flag subtotals + leaf "
+    "groups); null group keys mark subtotal rows in both engines.",
+    tags=("rollup", "A7"),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "percentiles_by_type",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           CAST(COUNT(value) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles (median/p90) per group - "
+    "percentile was absent from the reference (SURVEY §2.4 'not present'); "
+    "Spark `percentile` == DuckDB `quantile_cont`.",
+    tags=("percentile", "A7"),
+)
+def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.count("value").alias("n"),
+    )
+
+
+@register(
+    "approx_sketches",
+    oracle=None,  # approx sketches are engine-specific; rows-only check
+    doc="Approximate aggregates (HLL distinct count + approx percentile): "
+    "sketch results differ across engines by design, so this entry takes "
+    "the driver's weaker rows-only check; exact twins are oracle-checked "
+    "in null_profile / percentiles_by_type.",
+    tags=("sketch", "A8"),
+)
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_p50"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -137,3 +137,69 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= 0.95)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (the scale path: candidates limited to one hash bucket)
+# ---------------------------------------------------------------------------
+
+from flu_data_pipeline_spark.operators.similarity import (  # noqa: E402
+    lsh_bucket,
+    lsh_bucket_sql,
+)
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding, {lsh_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id, embedding, bucket FROM bucketed WHERE vec_id < 5),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_cos_sql('q.embedding', 'c.embedding')} AS cos_raw
+        FROM q JOIN bucketed c
+          ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cos_sim
+    FROM pairs
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+    ) <= 3
+    """,
+    doc="ANN via random-hyperplane LSH: 4 deterministic hyperplanes -> "
+    "16 buckets; candidates share the query's bucket; exact cosine re-rank "
+    "within the bucket (top-3). Signature computed in one scan projection; "
+    "the join shuffles only on the bucket key.",
+    tags=("similarity", "lsh"),
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", lsh_bucket(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    cos = cosine(F.col("q_emb"), F.col("c_emb"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q_bucket") == F.col("c_bucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )

@@ -1,0 +1,104 @@
+"""Multimodal column plumbing (extension mandate, BASELINE.json).
+
+Images / audio / video are opaque ``binary`` columns plus a typed metadata
+struct. The Spark-side plumbing — schema, partition-friendly layout, Arrow
+batch shape through ``mapInPandas`` — is real and tested; the actual codec
+step is STUBBED (``decode_stub``) because no image/audio libraries exist in
+this container: it either raises ``NotImplementedError`` (strict mode) or
+produces a deterministic fake feature vector (test mode), with the exact
+UDF signature a real decoder would have.
+
+Design notes for 100 TB:
+- blobs stay in parquet binary columns; metadata is a separate small
+  struct column so metadata-only queries never touch blob bytes (column
+  pruning skips them at the scan);
+- decode runs inside ``mapInPandas`` — one Arrow batch in, one out, no
+  per-row Python; batch size bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``;
+- partition by (modality, date) so a modality-specific job prunes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: metadata struct carried beside every blob
+MEDIA_META = T.StructType(
+    [
+        T.StructField("modality", T.StringType(), True),  # image|audio|video|text
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("checksum_md5", T.StringType(), True),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("modality", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def attach_binary(df: DataFrame, text_col: str = "text", modality: str = "text") -> DataFrame:
+    """Wrap a payload column as (blob binary, meta struct) — the canonical
+    multimodal row shape. Metadata is computed native-side (no Python)."""
+    blob = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("blob", blob).withColumn(
+        "meta",
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit("text/plain; charset=utf-8").alias("mime"),
+            F.octet_length(blob).cast("long").alias("n_bytes"),
+            F.md5(blob).alias("checksum_md5"),
+        ),
+    )
+
+
+def decode_stub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    strict: bool = False,
+    feature_dim: int = 8,
+) -> DataFrame:
+    """Batch 'decode' through ``mapInPandas`` with the real UDF shape.
+
+    strict=True raises NotImplementedError (no codec libs in this
+    container); strict=False emits a deterministic fake feature vector
+    derived from blob length + checksum bytes, so the distributed plumbing
+    (Arrow batches, schema, partitioning) is exercised end to end.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "media decode requires codec libraries not present in "
+                    "this environment; plug a real decoder in here"
+                )
+            feats = []
+            for _, row in pdf.iterrows():
+                checksum = row["meta"]["checksum_md5"]
+                n = int(row["meta"]["n_bytes"])
+                feats.append(
+                    [float((int(checksum[i * 2 : i * 2 + 2], 16) + n) % 251)
+                     for i in range(feature_dim)]
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "modality": [m["modality"] for m in pdf["meta"]],
+                    "n_bytes": [int(m["n_bytes"]) for m in pdf["meta"]],
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(_decode, DECODED_SCHEMA)

@@ -15,6 +15,7 @@ from flu_data_pipeline_spark.plans import (  # noqa: F401
     events_queries,
     flu_reports,
     flu_tables,
+    multimodal_queries,
     relational,
     similarity_queries,
     text_queries,

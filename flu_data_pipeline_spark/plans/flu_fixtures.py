@@ -25,30 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
-# ACH mapping (reference flu_data_airflow_v2.py:49-59) — exploded form with
-# list position, so keep-first dedup order (row_id, pos) is reproducible.
+# ACH mapping (reference flu_data_airflow_v2.py:49-59; single source of
+# truth in schemas.py) — exploded form with list position, so keep-first
+# dedup order (row_id, pos) is reproducible.
 # ---------------------------------------------------------------------------
 
-ACH_TO_COUNTIES: dict[str, list[str]] = {
-    "Better Health Together": ["Spokane", "Stevens", "Pend Oreille", "Ferry"],
-    "Cascade Pacific Action Alliance": ["Thurston", "Mason", "Grays Harbor", "Pacific", "Lewis"],
-    "Elevate Health": ["Yakima", "Kittitas"],
-    "Greater Health Now": ["Spokane"],
-    "Healthier Here": ["King"],
-    "North Sound": ["Whatcom", "Skagit", "Snohomish", "San Juan", "Island"],
-    "Olympic Community of Health": ["Clallam", "Jefferson", "Kitsap"],
-    "Southwest Washington": ["Clark", "Skamania", "Klickitat", "Cowlitz", "Wahkiakum"],
-    "Thriving Together NCW": ["Chelan", "Douglas", "Grant", "Okanogan"],
-}
-
-WA_COUNTIES: list[str] = [
-    "Adams", "Asotin", "Benton", "Chelan", "Clallam", "Clark", "Columbia", "Cowlitz",
-    "Douglas", "Ferry", "Franklin", "Garfield", "Grant", "Grays Harbor", "Island",
-    "Jefferson", "King", "Kitsap", "Kittitas", "Klickitat", "Lewis", "Lincoln",
-    "Mason", "Okanogan", "Pacific", "Pend Oreille", "Pierce", "San Juan", "Skagit",
-    "Skamania", "Snohomish", "Spokane", "Stevens", "Thurston", "Wahkiakum",
-    "Walla Walla", "Whatcom", "Whitman", "Yakima",
-]
+from flu_data_pipeline_spark.schemas import ACH_TO_COUNTIES, WA_COUNTIES  # noqa: E402
 
 ACH_MAP_ROWS: list[tuple[str, str, int]] = [
     (loc, county, pos)

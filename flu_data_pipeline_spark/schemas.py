@@ -125,21 +125,15 @@ FLUVIEW_RAW = T.StructType(
 # ---------------------------------------------------------------------------
 
 ACH_TO_COUNTIES: dict[str, list[str]] = {
-    "Better Health Together": ["Adams", "Ferry", "Lincoln", "Pend Oreille", "Spokane", "Stevens"],
-    "Cascade Pacific Action Alliance": [
-        "Cowlitz", "Grays Harbor", "Lewis", "Mason", "Pacific", "Thurston", "Wahkiakum",
-    ],
-    "Elevate Health": ["Pierce"],
-    "Greater Columbia ACH": [
-        "Asotin", "Benton", "Columbia", "Franklin", "Garfield", "Kittitas", "Walla Walla",
-        "Whitman", "Yakima",
-    ],
-    "Greater Health Now": ["Spokane"],
-    "HealthierHere": ["King"],
-    "North Central ACH": ["Chelan", "Douglas", "Grant", "Okanogan"],
-    "North Sound ACH": ["Island", "San Juan", "Skagit", "Snohomish", "Whatcom"],
+    "Better Health Together": ["Spokane", "Stevens", "Pend Oreille", "Ferry"],
+    "Cascade Pacific Action Alliance": ["Thurston", "Mason", "Grays Harbor", "Pacific", "Lewis"],
+    "Elevate Health": ["Yakima", "Kittitas"],
+    "Greater Health Now": ["Spokane"],  # urban Spokane — dual-ACH with Better Health Together
+    "Healthier Here": ["King"],
+    "North Sound": ["Whatcom", "Skagit", "Snohomish", "San Juan", "Island"],
     "Olympic Community of Health": ["Clallam", "Jefferson", "Kitsap"],
-    "SWACH": ["Clark", "Klickitat", "Skamania"],
+    "Southwest Washington": ["Clark", "Skamania", "Klickitat", "Cowlitz", "Wahkiakum"],
+    "Thriving Together NCW": ["Chelan", "Douglas", "Grant", "Okanogan"],
 }
 
 WA_COUNTIES: list[str] = [

@@ -1,0 +1,99 @@
+"""Structured Streaming ingest (extension — SURVEY §2.9: the reference is
+pure daily batch; this upgrades its idempotent daily refresh to continuous).
+
+Two pieces:
+
+- :func:`streaming_hourly_rollup`: the event-time windowed aggregation —
+  the streaming twin of the batch ``events_hourly_rollup`` query. Watermark
+  bounds state (late rows beyond the horizon are dropped), tumbling window
+  + append mode emit finalized windows only.
+- :func:`streaming_idempotent_sink`: landing-dir stream → ``foreachBatch``
+  anti-join append, i.e. the continuous version of the reference's
+  ``ON CONFLICT DO NOTHING`` load (flu_data_airflow_v2.py:598-733).
+
+At scale: the stateful agg shuffles on (window, key) like its batch twin;
+state store size = windows-in-watermark x key cardinality. foreachBatch
+keeps exactly-once per micro-batch through the anti-join (duplicates across
+retries land on existing PKs and are dropped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-source stream over a landing directory (json-lines), schema
+    pinned — the streaming analogue of the reference's daily re-download."""
+    return spark.readStream.schema(EVENTS_STREAM_SCHEMA).json(landing_dir)
+
+
+def streaming_hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h event-time window: count + sum per (window, event_type).
+    Append output mode emits a window once the watermark passes its end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_rollup_to_memory(
+    spark: SparkSession, landing_dir: str, table_name: str = "stream_rollup"
+) -> StreamingQuery:
+    """Drive the rollup once over everything currently in the landing dir
+    (availableNow trigger) into an in-memory sink; used by tests and as the
+    local smoke path. ``complete`` mode so unclosed windows are visible."""
+    events = read_event_stream(spark, landing_dir)
+    agg = streaming_hourly_rollup(events)
+    return (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_idempotent_sink(
+    stream: DataFrame,
+    target_path: str,
+    pk_cols: tuple[str, ...],
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Continuous ON-CONFLICT-DO-NOTHING: every micro-batch is anti-joined
+    against the target before append (exactly-once across retries)."""
+    from flu_data_pipeline_spark.sources.writers import idempotent_append
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        idempotent_append(batch_df.sparkSession, batch_df, target_path, pk_cols)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

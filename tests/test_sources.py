@@ -1,0 +1,94 @@
+"""Sources layer: landing fetch, schema-pinned reads, idempotent append
+(S6 ≡ ON CONFLICT DO NOTHING), PK/FK validation checks."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from flu_data_pipeline_spark.catalog import load_table
+from flu_data_pipeline_spark.schemas import CENSUS_RAW, FLUVIEW_RAW
+from flu_data_pipeline_spark.sources.readers import (
+    fetch_to_landing,
+    read_csv,
+    read_json_records,
+)
+from flu_data_pipeline_spark.sources.writers import (
+    idempotent_append,
+    validate_foreign_key,
+    validate_primary_key,
+    write_table,
+)
+
+from .conftest import SF_ORACLE
+
+
+def test_fetch_and_read_csv(spark, tmp_path):
+    payload = b'County Name,Population Density 2020\nKing,1000.5\nFerry,3.2\n,\n'
+    path = fetch_to_landing(
+        "https://example.invalid/census.csv", str(tmp_path), "census.csv",
+        fetcher=lambda url: payload,
+    )
+    df = read_csv(spark, path, CENSUS_RAW)
+    rows = {r["County Name"]: r["Population Density 2020"] for r in df.collect()}
+    assert rows == {"King": 1000.5, "Ferry": 3.2, None: None}
+
+
+def test_read_json_records(spark):
+    recs = [
+        {"region": "wa", "epiweek": 202001, "wili": 2.5, "num_ili": 10, "num_patients": 400},
+        {"region": "wa", "epiweek": 202002, "wili": 3.1},  # missing fields → null
+    ]
+    df = read_json_records(spark, recs, FLUVIEW_RAW)
+    assert df.count() == 2
+    assert df.filter(F.col("num_ili").isNull()).count() == 1
+
+
+def test_idempotent_append(spark, tmp_path):
+    target = str(tmp_path / "orders_tbl")
+    orders = load_table(spark, SF_ORACLE, "orders").limit(500)
+    n1 = idempotent_append(spark, orders, target, ("o_orderkey",))
+    assert n1 == 500
+    # re-run: same input → no-op (the reference's ON CONFLICT DO NOTHING)
+    n2 = idempotent_append(spark, orders, target, ("o_orderkey",))
+    assert n2 == 0
+    assert spark.read.parquet(target).count() == 500
+    # overlapping increment: only genuinely-new keys land
+    more = load_table(spark, SF_ORACLE, "orders").limit(800)
+    n3 = idempotent_append(spark, more, target, ("o_orderkey",))
+    assert n3 == 300
+    total = spark.read.parquet(target)
+    assert total.count() == 800
+    assert total.select("o_orderkey").distinct().count() == 800
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    target = str(tmp_path / "events_tbl")
+    ev = load_table(spark, SF_ORACLE, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    write_table(ev, target, partition_by=("event_type",))
+    assert os.path.isdir(os.path.join(target, "event_type=click"))
+    one = spark.read.parquet(target).filter(F.col("event_type") == "click")
+    # partition pruning: only the click directory is scanned
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert one.count() > 0
+    assert "PartitionFilters" in plan or "event_type" in plan
+
+
+def test_pk_fk_validation(spark):
+    from flu_data_pipeline_spark.plans.flu_fixtures import census_df, fluview_df
+    from flu_data_pipeline_spark.plans.flu_tables import (
+        build_county_region,
+        build_illness,
+        preprocess_rhino,
+    )
+    from flu_data_pipeline_spark.plans.flu_fixtures import rhino_df
+
+    rhino_pre = preprocess_rhino(rhino_df(spark))
+    cr = build_county_region(census_df(spark), rhino_pre)
+    illness = build_illness(rhino_pre, cr, fluview_df(spark))
+    assert validate_primary_key(cr, "county_region") == 0
+    assert validate_primary_key(illness, "illness") == 0
+    assert validate_foreign_key(illness, cr, "county_id") == 0

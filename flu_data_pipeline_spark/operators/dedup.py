@@ -26,9 +26,17 @@ from pyspark.sql import functions as F
 from flu_data_pipeline_spark.functions.hashing import HASH64_MOD, MINHASH_COEFFS, hash64
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array (lowercased, whitespace-split), native."""
-    tokens = F.split(F.lower(F.trim(col)), r"\s+")
+def tokenize(col: Column) -> Column:
+    """Lowercased whitespace tokens. ALWAYS materialize this as its own
+    projected column before building shingles/features from it: expression
+    trees that reference the split result multiple times inside
+    higher-order-function lambdas re-evaluate the regex split per
+    reference (no CSE across lambda boundaries) — O(len²) per row."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def shingles_from_tokens(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array from a *materialized* token-array column."""
     return F.filter(
         F.transform(
             tokens,
@@ -39,6 +47,12 @@ def shingles(col: Column, n: int = 3) -> Column:
         ),
         lambda x: x.isNotNull(),
     )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Shingles straight from raw text — convenience for small inputs; on
+    large corpora project :func:`tokenize` first (see its docstring)."""
+    return shingles_from_tokens(tokenize(col), n)
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -60,7 +74,11 @@ def minhash_signatures(
     if num_hashes > len(MINHASH_COEFFS):
         raise ValueError(f"at most {len(MINHASH_COEFFS)} hash functions supported")
     shingled = (
-        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"))
+        df.select(F.col(id_col), tokenize(F.col(text_col)).alias("tokens"))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_from_tokens(F.col("tokens"), shingle_n)).alias("shingle"),
+        )
         .distinct()
         .withColumn("base_h", hash64(F.col("shingle")) % HASH64_MOD)
     )
@@ -117,7 +135,7 @@ def simhash(
     tokens = (
         df.select(
             F.col(id_col),
-            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+            F.explode(tokenize(F.col(text_col))).alias("token"),
         )
         .distinct()
         .withColumn("th", hash64(F.col("token")))

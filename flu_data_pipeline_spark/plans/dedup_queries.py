@@ -27,8 +27,10 @@ from flu_data_pipeline_spark.functions.hashing import (
 from flu_data_pipeline_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
+    shingles_from_tokens,
     simhash,
     simhash_near_pairs,
+    tokenize,
 )
 from flu_data_pipeline_spark.plans.registry import register
 
@@ -59,23 +61,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(col, n: int = 3):
-    """Word n-gram shingle array from raw text (lowercased, \\s+ split)."""
-    tokens = F.split(F.lower(F.trim(col)), r"\s+")
-    # slide an n-window over the token array; Spark-native, no UDF
-    return F.filter(
-        F.transform(
-            tokens,
-            lambda _, i: F.when(
-                i + n <= F.size(tokens),
-                F.concat_ws(" ", F.slice(tokens, i + 1, n)),
-            ),
-        ),
-        lambda x: x.isNotNull(),
-    )
-
-
-# DuckDB equivalent of _shingles for the oracle side
+# DuckDB equivalent of shingles_from_tokens∘tokenize for the oracle side
 _SHINGLES_SQL = """
     list_filter(
       list_transform(
@@ -127,7 +113,11 @@ _SHINGLES_SQL = """
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     shingled = (
-        docs.select("doc_id", F.explode(_shingles(F.col("text"), 3)).alias("shingle"))
+        docs.select("doc_id", tokenize(F.col("text")).alias("tokens"))
+        .select(
+            "doc_id",
+            F.explode(shingles_from_tokens(F.col("tokens"), 3)).alias("shingle"),
+        )
         .distinct()
     )
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from flu_data_pipeline_spark.catalog import load_table
 from flu_data_pipeline_spark.functions.hashing import hash64, hash64_sql
+from flu_data_pipeline_spark.operators.dedup import tokenize
 from flu_data_pipeline_spark.plans.registry import register
 
 #: tiny English-stopword list for the language-ID / quality heuristics
@@ -41,12 +42,14 @@ _STOPLIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    return docs.select(
+    # tokens materialized once (regex split is O(len); re-splitting per
+    # reference would double the scan cost)
+    base = docs.select("doc_id", "text", tokenize(F.col("text")).alias("tokens"))
+    return base.select(
         "doc_id",
-        F.size(tokens).alias("n_tokens"),
+        F.size("tokens").alias("n_tokens"),
         F.length("text").cast("int").alias("n_chars"),
-        F.round(F.length("text").cast("double") / F.size(tokens), 6).alias(
+        F.round(F.length("text").cast("double") / F.size("tokens"), 6).alias(
             "avg_token_len"
         ),
     )
@@ -83,10 +86,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    docs = docs.select("doc_id", "text", tokenize(F.col("text")).alias("tokens"))
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_tokens = F.size(tokens)
-    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t)))
+    n_tokens = F.size("tokens")
+    n_stop = F.size(F.filter("tokens", lambda t: F.array_contains(stop_arr, t)))
     n_punct = (
         F.length("text")
         - F.length(F.regexp_replace(F.col("text"), r"[\p{Punct}]", ""))
@@ -124,11 +127,11 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    docs = docs.select("doc_id", "lang", tokenize(F.col("text")).alias("tokens"))
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     hit_rate = (
-        F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t))).cast("double")
-        / F.size(tokens)
+        F.size(F.filter("tokens", lambda t: F.array_contains(stop_arr, t))).cast("double")
+        / F.size("tokens")
     )
     return docs.select(
         "doc_id",

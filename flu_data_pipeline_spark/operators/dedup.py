@@ -64,29 +64,63 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 12, shingle_n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    shingle_n: int = 3,
+    spread: bool = True,
 ) -> DataFrame:
     """Per-document MinHash signature columns ``h0..h{num_hashes-1}``.
 
-    One shuffle (groupBy id); the md5 base hash is computed once per
-    shingle and reused by all hash functions (linear congruential family).
+    **Zero shuffles**: MIN is duplicate-insensitive, so each signature
+    component is ``array_min`` over a per-row array of universal-hash
+    values — the whole computation stays inside whole-stage codegen on the
+    scan side (the naive explode → distinct → groupBy design shuffles the
+    exploded shingle set twice). The md5 base hash is materialized once per
+    shingle (its own projection — HOF lambdas don't CSE across columns)
+    and reused by all hash functions of the linear-congruential family.
+
+    Documents with fewer than ``shingle_n`` tokens have no shingles and
+    produce no output row (matching explode semantics / the SQL oracle).
+
+    ``spread=True`` round-robins (id, text) across shuffle partitions
+    before hashing: the signature math is CPU-bound and map-side, so a
+    low-partition-count scan (one small parquet file locally; a skewed
+    file layout at scale) would otherwise serialize it. This shuffle moves
+    only raw text — strictly less than what an explode-based design
+    shuffles — and is the *only* exchange in signature computation.
     """
     if num_hashes > len(MINHASH_COEFFS):
         raise ValueError(f"at most {len(MINHASH_COEFFS)} hash functions supported")
-    shingled = (
+    if spread:
+        # explicit numPartitions: AQE would coalesce a bytes-tiny exchange
+        # to 1 partition and serialize the CPU-bound hash stage
+        df = df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
+    base = (
         df.select(F.col(id_col), tokenize(F.col(text_col)).alias("tokens"))
+        # cheap no-shingle filter (≥ n tokens ⟺ ≥ 1 shingle): filtering on
+        # size(sh) instead gets predicate-pushed below the repartition and
+        # re-runs the whole shingle build serially on the scan side
+        .filter(F.size("tokens") >= shingle_n)
         .select(
             F.col(id_col),
-            F.explode(shingles_from_tokens(F.col("tokens"), shingle_n)).alias("shingle"),
+            shingles_from_tokens(F.col("tokens"), shingle_n).alias("sh"),
         )
-        .distinct()
-        .withColumn("base_h", hash64(F.col("shingle")) % HASH64_MOD)
+        .select(
+            F.col(id_col),
+            F.transform("sh", lambda s: hash64(s) % HASH64_MOD).alias("base_h"),
+        )
     )
-    aggs = [
-        F.min((F.col("base_h") * a + b) % HASH64_MOD).alias(f"h{i}")
+    sigs = [
+        F.array_min(
+            F.transform("base_h", lambda h: (h * a + b) % HASH64_MOD)
+        ).alias(f"h{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
     ]
-    return shingled.groupBy(id_col).agg(*aggs)
+    return base.select(F.col(id_col), *sigs)
 
 
 def lsh_candidate_pairs(
@@ -100,17 +134,23 @@ def lsh_candidate_pairs(
     AQE skew-join splitting at scale.
     """
     n_bands = num_hashes // band_size
-    bands = [
-        sig.select(
-            F.col(id_col),
-            F.lit(b).alias("band_idx"),
-            F.concat_ws(
-                "_", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
-            ).alias("band_key"),
-        )
-        for b in range(n_bands)
-    ]
-    banded = reduce(DataFrame.unionByName, bands)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            "_",
+                            *[F.col(f"h{b * band_size + j}") for j in range(band_size)],
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(F.col(id_col), F.col("band.band_idx"), F.col("band.band_key"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -128,25 +168,48 @@ def lsh_candidate_pairs(
 
 
 def simhash(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16, spread: bool = True
 ) -> DataFrame:
     """B-bit SimHash per document: bit j set iff the signed majority of
-    distinct-token hash bits at position j is positive."""
-    tokens = (
-        df.select(
-            F.col(id_col),
-            F.explode(tokenize(F.col(text_col))).alias("token"),
+    distinct-token hash bits at position j is positive.
+
+    **Zero shuffles**: the distinct-token set is ``array_distinct`` over
+    the per-row token array and each per-bit signed sum is an
+    ``aggregate`` over the materialized token-hash array — all map-side
+    (the naive explode → distinct → groupBy design shuffles the token set
+    twice). Per-bit majorities stay identical to the exploded form because
+    both operate on the same distinct-token multiset.
+
+    ``spread``: see :func:`minhash_signatures` — parallelizes the
+    CPU-bound hash work when the scan has few partitions.
+    """
+    if spread:
+        df = df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
         )
-        .distinct()
-        .withColumn("th", hash64(F.col("token")))
+    hashed = (
+        # null text must drop the row (explode/unnest semantics, matching
+        # the SQL oracle) — the array fold would otherwise emit simhash=0
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.array_distinct(tokenize(F.col(text_col))).alias("toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.transform("toks", lambda t: hash64(t)).alias("th"),
+        )
     )
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.aggregate(
+            "th",
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         ).alias(f"s{j}")
         for j in range(bits)
     ]
-    summed = tokens.groupBy(id_col).agg(*bit_sums)
+    summed = hashed.select(F.col(id_col), *bit_sums)
     sig = reduce(
         lambda acc, j: acc
         + F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long")),
@@ -164,20 +227,23 @@ def simhash_near_pairs(
     a band), then exact hamming ≤ max_hamming via xor+bit_count."""
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    sliced = reduce(
-        DataFrame.unionByName,
-        [
-            sig.select(
-                F.col(id_col),
-                F.col("simhash"),
-                F.lit(b).alias("band_idx"),
-                F.shiftright(F.col("simhash"), b * band_bits)
-                .bitwiseAND(F.lit(mask))
-                .alias("band_key"),
+    sliced = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
             )
-            for b in range(bands)
-        ],
-    )
+        ).alias("band"),
+    ).select(F.col(id_col), F.col("simhash"), F.col("band.band_idx"), F.col("band.band_key"))
     a = sliced.alias("a")
     b = sliced.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

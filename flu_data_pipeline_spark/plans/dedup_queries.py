@@ -22,6 +22,7 @@ from flu_data_pipeline_spark.catalog import load_table
 from flu_data_pipeline_spark.functions.hashing import (
     HASH64_MOD,
     MINHASH_COEFFS,
+    hash64,
     hash64_sql,
 )
 from flu_data_pipeline_spark.operators.dedup import (
@@ -79,19 +80,19 @@ _SHINGLES_SQL = """
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH shingled AS (
-        SELECT doc_id, DISTINCT_SHINGLE AS shingle
+        SELECT doc_id, {hash64_sql('shingle')} AS sh
         FROM (
-            SELECT doc_id, unnest({_SHINGLES_SQL.format(n=3)}) AS DISTINCT_SHINGLE
+            SELECT doc_id, unnest({_SHINGLES_SQL.format(n=3)}) AS shingle
             FROM documents
         )
-        GROUP BY doc_id, DISTINCT_SHINGLE
+        GROUP BY doc_id, sh
     ), sizes AS (
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM shingled GROUP BY doc_id
     ), inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(COUNT(*) AS BIGINT) AS n_common
         FROM shingled a JOIN shingled b
-          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT i.doc_a, i.doc_b,
@@ -104,20 +105,29 @@ _SHINGLES_SQL = """
           / (sa.n_shingles + sb.n_shingles - i.n_common) >= 0.2
     """,
     doc="N-gram (3-word shingle) Jaccard near-dup: explode distinct "
-    "shingles → self-join on shingle (inverted index, no O(n²) cross "
-    "join) → |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.2. The shingle join is the "
-    "classic distributed candidate-pair generation.",
+    "shingles → self-join on the shingle's 56-bit portable hash (inverted "
+    "index, no O(n²) cross join; shuffling 8-byte hashes instead of "
+    "shingle strings cuts exchange volume ~5×) → |A∩B| / (|A|+|B|-|A∩B|) "
+    "≥ 0.2. Both engines hash identically, so collisions (≈n²/2^56) "
+    "cannot diverge the oracle.",
     tags=("dedup",),
     bench=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # round-robin (id, text) first: shingling + hashing are CPU-bound and
+    # the scan may have too few partitions to parallelize them (see
+    # minhash_signatures docstring)
     shingled = (
-        docs.select("doc_id", tokenize(F.col("text")).alias("tokens"))
+        docs.repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+        .select("doc_id", tokenize(F.col("text")).alias("tokens"))
         .select(
             "doc_id",
             F.explode(shingles_from_tokens(F.col("tokens"), 3)).alias("shingle"),
         )
+        .select("doc_id", hash64(F.col("shingle")).alias("sh"))
         .distinct()
     )
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -126,7 +136,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(

@@ -243,10 +243,12 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash (16-bit signatures; xor/bit_count exist in both engines)
+# SimHash (32-bit signatures; xor/bit_count exist in both engines).
+# 16 bits saturates at ~5k docs (hamming<=3 admits ~half of all pairs);
+# 32 bits keeps banded-LSH selective well past 1M docs.
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 32
 
 _TOKENS_HASHED_SQL = f"""
     tok AS (
@@ -287,7 +289,7 @@ _SIMHASH_SIG_SQL = f"""
     WITH {_TOKENS_HASHED_SQL}, {_SIMHASH_SIG_SQL}
     SELECT * FROM simsig
     """,
-    doc="16-bit SimHash per document: signed per-bit majority over distinct "
+    doc="32-bit SimHash per document: signed per-bit majority over distinct "
     "token hashes. Bit-exact against DuckDB.",
     tags=("dedup", "simhash"),
 )
@@ -301,13 +303,13 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_TOKENS_HASHED_SQL}, {_SIMHASH_SIG_SQL},
     sliced AS (
-        SELECT doc_id, simhash, 0 AS band_idx, (simhash >> 0) & 15 AS band_key FROM simsig
+        SELECT doc_id, simhash, 0 AS band_idx, (simhash >> 0) & 255 AS band_key FROM simsig
         UNION ALL
-        SELECT doc_id, simhash, 1, (simhash >> 4) & 15 FROM simsig
+        SELECT doc_id, simhash, 1, (simhash >> 8) & 255 FROM simsig
         UNION ALL
-        SELECT doc_id, simhash, 2, (simhash >> 8) & 15 FROM simsig
+        SELECT doc_id, simhash, 2, (simhash >> 16) & 255 FROM simsig
         UNION ALL
-        SELECT doc_id, simhash, 3, (simhash >> 12) & 15 FROM simsig
+        SELECT doc_id, simhash, 3, (simhash >> 24) & 255 FROM simsig
     )
     SELECT id_a, id_b, hamming FROM (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -318,7 +320,7 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE hamming <= 3
     """,
-    doc="SimHash near-dup pairs: banded buckets (4 x 4-bit slices; "
+    doc="SimHash near-dup pairs: banded buckets (4 x 8-bit slices; "
     "pigeonhole guarantees recall for hamming <= 3) then exact "
     "xor+bit_count filter.",
     tags=("dedup", "simhash"),

@@ -55,7 +55,14 @@ def get_spark(
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast only truly small build sides. A fat threshold forces
+        # fact-sized tables through a serial driver-side broadcast build —
+        # measurably slower than a parallel shuffle join even at sf0.1 —
+        # and would OOM the driver outright at cluster scale. Known-small
+        # dims are broadcast explicitly (F.broadcast) in the plans; AQE's
+        # runtime join re-selection can still upgrade a shuffle join whose
+        # post-filter build side turns out tiny.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(2 * 1024 * 1024))
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -15,10 +15,12 @@ from flu_data_pipeline_spark.plans import (  # noqa: F401
     events_queries,
     flu_reports,
     flu_tables,
+    join_queries,
     multimodal_queries,
     relational,
     similarity_queries,
     text_queries,
+    window_queries,
 )
 from flu_data_pipeline_spark.plans.registry import REGISTRY, QueryDef, register
 

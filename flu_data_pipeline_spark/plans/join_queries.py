@@ -1,0 +1,182 @@
+"""Temporal / non-equi join suite: as-of, band range join, interval join.
+
+The reference's joins are all equi-joins (SURVEY.md §2.3); these queries
+supply the non-equi surface a time-series / feature-store workload needs,
+each with a DuckDB oracle (DuckDB has native ASOF JOIN — a strong
+independent check of the union+window implementation).
+
+Scale notes (100 TB):
+- as-of: one hash shuffle on the join keys (operators/joins.asof_join);
+  no range-join blow-up.
+- band lookup: tiny literal band table → broadcast nested-loop join; the
+  build side is rows-of-constants, never a shuffle.
+- interval join: equi user key + range containment → sort-merge join with
+  the range as a co-located post-filter — never a cartesian.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flu_data_pipeline_spark.catalog import load_table
+from flu_data_pipeline_spark.operators.joins import asof_join
+from flu_data_pipeline_spark.plans.registry import register
+from flu_data_pipeline_spark.plans.window_queries import SESSIONS_CTE_SQL, sessionized
+
+# acctbal bands: [lo, hi) — literal dimension, broadcastable by construction
+BANDS: list[tuple[str, float, float]] = [
+    ("negative", -1000.0, 0.0),
+    ("low", 0.0, 2500.0),
+    ("mid", 2500.0, 5000.0),
+    ("high", 5000.0, 7500.0),
+    ("top", 7500.0, 10000.0),
+]
+
+
+@register(
+    "asof_purchase_click",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+               MAX(event_id) AS click_event_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, CAST(floor(epoch(ts)) AS BIGINT)
+    ), purchases AS (
+        SELECT user_id, event_id, value,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts_s,
+           ROUND(p.value, 2) AS purchase_value,
+           c.click_event_id,
+           p.ts_s - c.ts_s AS asof_lag
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts_s >= c.ts_s
+    """,
+    doc="As-of join: for each purchase, the most recent click by the same "
+    "user at-or-before it. Spark side is the union+window single-shuffle "
+    "as-of (operators/joins.py); DuckDB side is native ASOF LEFT JOIN — "
+    "two independent algorithms must agree exactly. Clicks pre-deduped "
+    "per (user, second) by max event_id to pin tie semantics.",
+    tags=("join", "asof", "streaming"),
+    bench=True,
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_s")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.round("value", 2).alias("purchase_value"), "ts_s"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts_s",
+        right_ts="ts_s",
+        right_cols=["click_event_id"],
+    )
+    return joined.select(
+        "event_id", "user_id", "ts_s", "purchase_value", "click_event_id", "asof_lag"
+    )
+
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT '{n}' AS band, {lo} AS lo, {hi} AS hi" for n, lo, hi in BANDS
+)
+
+
+@register(
+    "range_band_join",
+    oracle=f"""
+    WITH bands AS ({_BANDS_SQL})
+    SELECT b.band,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(AVG(s.s_acctbal), 6) AS avg_acctbal
+    FROM supplier s JOIN bands b
+      ON s.s_acctbal >= b.lo AND s.s_acctbal < b.hi
+    GROUP BY b.band
+    """,
+    doc="Range (band-lookup) join: suppliers bucketed into literal "
+    "acctbal bands via non-equi predicates. The band table is a handful "
+    "of constants → broadcast nested-loop join, the right physical plan "
+    "for dimension-band lookups at any fact size.",
+    tags=("join", "range"),
+)
+def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    bands = spark.createDataFrame(BANDS, "band string, lo double, hi double")
+    return (
+        supplier.join(
+            F.broadcast(bands),
+            (supplier.s_acctbal >= bands.lo) & (supplier.s_acctbal < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "interval_session_errors",
+    oracle=f"""
+    WITH {SESSIONS_CTE_SQL},
+    big AS (
+        SELECT user_id, session_idx, n_events,
+               session_start_s, session_start_s + duration_s AS session_end_s
+        FROM sessions WHERE n_events >= 3
+    ), errors AS (
+        SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT b.user_id, b.session_idx, b.n_events,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_errors
+    FROM big b
+    LEFT JOIN errors e
+      ON e.user_id = b.user_id
+     AND e.ts_s >= b.session_start_s AND e.ts_s <= b.session_end_s
+    GROUP BY b.user_id, b.session_idx, b.n_events
+    """,
+    doc="Interval-containment join: error events landing inside ≥3-event "
+    "session windows of the same user. Equi user key + range predicate "
+    "→ co-located join with the containment as a post-filter (no "
+    "cartesian); the pattern for joining points to intervals at scale "
+    "when a partition key exists.",
+    tags=("join", "range", "sessionize"),
+)
+def interval_session_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sessions = sessionized(spark, sf_dir)
+    big = sessions.filter(F.col("n_events") >= 3).select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        "session_start_s",
+        (F.col("session_start_s") + F.col("duration_s")).alias("session_end_s"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user_id"),
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    return (
+        big.join(
+            errors,
+            (F.col("e_user_id") == F.col("user_id"))
+            & (F.col("ts_s") >= F.col("session_start_s"))
+            & (F.col("ts_s") <= F.col("session_end_s")),
+            "left",
+        )
+        .groupBy("user_id", "session_idx", "n_events")
+        .agg(F.count("event_id").alias("n_errors"))
+    )

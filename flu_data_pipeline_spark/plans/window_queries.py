@@ -1,0 +1,216 @@
+"""Window-function battery + sessionization.
+
+The reference's only window usages are whole-partition transforms and one
+ordered ``first`` (SURVEY.md §2.5) — this module supplies the standard
+analytic-window surface a real engine needs (lag/lead, rank family,
+ntile, rolling frames, cumulative aggregates, range frames) plus
+gaps-and-islands sessionization over the event stream, all
+DuckDB-oracle-checked.
+
+Scale notes (100 TB): every window here partitions by a high-cardinality
+key (custkey, user_id) — one hash shuffle per window ordering, no
+single-partition windows (the W1 pattern is banned outside tiny dims).
+Sessionization is two window passes over the same (user_id, ts) ordering:
+Catalyst plans them in a single Window stage chain after one exchange, and
+the same per-user logic is what ``applyInPandasWithState`` would run in
+the streaming variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flu_data_pipeline_spark.catalog import load_table
+from flu_data_pipeline_spark.plans.registry import register
+
+SESSION_GAP_S = 1800  # 30 min inactivity closes a session
+
+
+@register(
+    "window_lag_lead_rank",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           ROUND(o_totalprice, 2) AS price,
+           ROUND(LAG(o_totalprice) OVER w, 2) AS prev_price,
+           ROUND(LEAD(o_totalprice) OVER w, 2) AS next_price,
+           CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+                AS BIGINT) AS price_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)
+                AS BIGINT) AS priority_drank,
+           CAST(NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+                AS BIGINT) AS price_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Analytic window battery: lag/lead over the order sequence, "
+    "rank/dense_rank/ntile by price — absent from the reference "
+    "(SURVEY §2.5 'no lag/lead/rank/ntile'), standard engine surface. "
+    "All windows share the custkey partitioning → one shuffle.",
+    tags=("window", "W1"),
+)
+def window_lag_lead_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    by_price_desc = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    by_priority = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    by_price = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(F.lag("o_totalprice").over(seq), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(seq), 2).alias("next_price"),
+        F.rank().over(by_price_desc).cast("long").alias("price_rank"),
+        F.dense_rank().over(by_priority).cast("long").alias("priority_drank"),
+        F.ntile(4).over(by_price).cast("long").alias("price_quartile"),
+    )
+
+
+@register(
+    "window_rolling_stats",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           ROUND(AVG(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3_price,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS cum_spend,
+           CAST(COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS order_seq
+    FROM orders
+    """,
+    doc="Rolling frames: 3-order moving average (rowsBetween(-2, 0)), "
+    "cumulative spend and sequence number per customer — explicit frame "
+    "specs, which the reference never used (SURVEY §2.5).",
+    tags=("window", "frames"),
+)
+def window_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ma3 = seq.rowsBetween(-2, Window.currentRow)
+    cum = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.avg("o_totalprice").over(ma3), 6).alias("ma3_price"),
+        F.round(F.sum("o_totalprice").over(cum), 2).alias("cum_spend"),
+        F.count(F.lit(1)).over(cum).cast("long").alias("order_seq"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle=f"""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2)
+               AS value_1h,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS events_1h
+    FROM events
+    """,
+    doc="RANGE frame over event-time: per-user trailing-1-hour value sum / "
+    "event count (range on epoch seconds, not row count — frames follow "
+    "the time axis, unequal row counts per frame).",
+    tags=("window", "frames", "streaming"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    epoch_s = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_s)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("value_1h"),
+        F.count(F.lit(1)).over(w).cast("long").alias("events_1h"),
+    )
+
+
+# Shared CTE chain: per-(user, session) rollup — reused by the interval
+# join in join_queries.py so both oracles derive sessions identically.
+SESSIONS_CTE_SQL = f"""
+    ordered AS (
+        SELECT user_id, event_id, value,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+               LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+               ) AS prev_ts_s
+        FROM events
+    ), marked AS (
+        SELECT *, CASE WHEN prev_ts_s IS NULL
+                         OR ts_s - prev_ts_s > {SESSION_GAP_S}
+                       THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ), numbered AS (
+        SELECT *, CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS session_idx
+        FROM marked
+    ), sessions AS (
+        SELECT user_id, session_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(ts_s) AS session_start_s,
+               MAX(ts_s) - MIN(ts_s) AS duration_s,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM numbered
+        GROUP BY user_id, session_idx
+    )
+"""
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH {SESSIONS_CTE_SQL}
+    SELECT * FROM sessions
+    """,
+    doc="Gaps-and-islands sessionization (30-min inactivity gap): lag → "
+    "new-session flag → running sum as session id → per-session rollup. "
+    "Two windows + final agg share one (user_id) shuffle; the streaming "
+    "twin is applyInPandasWithState with a session-gap timeout.",
+    tags=("window", "sessionize", "streaming"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionized(spark, sf_dir)
+
+
+def sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, session) rollup — the Spark twin of SESSIONS_CTE_SQL,
+    shared with the interval join in join_queries.py."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    cum = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = (
+        ev.select(
+            "user_id", "event_id", "value", F.unix_timestamp("ts").alias("ts_s")
+        )
+        .withColumn("prev_ts_s", F.lag("ts_s").over(seq))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_ts_s").isNull()
+                | (F.col("ts_s") - F.col("prev_ts_s") > SESSION_GAP_S),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_idx", F.sum("is_new").over(cum).cast("long"))
+    )
+    return marked.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_s").alias("session_start_s"),
+        (F.max("ts_s") - F.min("ts_s")).alias("duration_s"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

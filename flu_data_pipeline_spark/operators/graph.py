@@ -1,0 +1,72 @@
+"""Connected components over an edge list (dedup-cluster resolution).
+
+Near-dup candidate pairs (MinHash/SimHash LSH) form a graph; the dedup
+*clusters* are its connected components, with the canonical document per
+cluster = the minimum doc id. This is the step that turns pairwise
+similarity output into actionable keep/drop sets for a training-data
+pipeline.
+
+Algorithm: iterative min-label propagation — every node repeatedly takes
+the minimum label among itself and its neighbors; converges in
+O(component diameter) rounds. Each round is one join + one groupBy on the
+node key (two hash shuffles), all distributed; no driver-side graph. For
+power-law graphs at 100 TB scale the alternating large-star/small-star
+variant (Kiveris et al., "Connected Components in MapReduce", SOCC'14)
+halves round counts; near-dup clusters are small-diameter so plain
+propagation is the right default.
+
+``localCheckpoint`` after each round truncates the lineage (otherwise the
+plan doubles per iteration and planning time dominates) and materializes
+the loop invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 20
+) -> DataFrame:
+    """Resolve connected components of the undirected graph given by
+    ``edges``. Returns (node, component) where component = min node id
+    reachable — only for nodes appearing in at least one edge.
+
+    Convergence is detected via the monotonically decreasing sum of
+    labels (cheaper than a change-count join); iteration stops early the
+    first round nothing improves.
+    """
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    und = und.localCheckpoint(eager=True)
+
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels, und["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("label").alias("component"))

@@ -330,3 +330,51 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = simhash(docs, "doc_id", "text", SIMHASH_BITS)
     pairs = simhash_near_pairs(sig, "doc_id", SIMHASH_BITS, bands=4, max_hamming=3)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Cluster resolution: candidate pairs -> connected components
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLED_DISTINCT_SQL}, {_SIG_SQL},
+    bands AS (
+{_BANDS_SQL}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, root) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, MIN(root) AS component
+    FROM reach GROUP BY node
+    """,
+    doc="Dedup clusters: connected components over the MinHash-LSH "
+    "candidate-pair graph via distributed min-label propagation "
+    "(operators/graph.py) — component id = min doc_id. The DuckDB oracle "
+    "computes the same closure with a recursive CTE: two different "
+    "algorithms must agree. Turns pairwise near-dup output into "
+    "keep/drop sets.",
+    tags=("dedup", "graph", "minhash"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", NUM_HASHES)
+    pairs = lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BAND_SIZE)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(F.col("node").alias("doc_id"), F.col("component"))

@@ -787,3 +787,60 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5).alias("approx_p50"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "join_semi_exists",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+    doc="Semi-join (EXISTS): customers with at least one urgent order. "
+    "left_semi never duplicates or widens the left side — the shuffle "
+    "carries only the join key from the right.",
+    tags=("J7", "semi-join"),
+)
+def join_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@register(
+    "cube_revenue",
+    oracle="""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grp_id,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over (returnflag, linestatus) with GROUPING id: all 2^2 "
+    "grouping sets in one pass (Expand + single aggregate exchange); "
+    "grp_id disambiguates subtotal rows from genuine-null keys.",
+    tags=("cube", "A7"),
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("grp_id"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select("returnflag", "linestatus", "grp_id", "sum_price", "n_rows")
+    )

@@ -203,3 +203,101 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN (inverted-file index: coarse quantize -> probe nearest lists)
+# ---------------------------------------------------------------------------
+
+K_IVF = 8     # coarse centroids
+NPROBE = 2    # inverted lists probed per query
+
+
+@register(
+    "ann_ivf",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS c_emb
+        FROM embeddings WHERE vec_id < {K_IVF}
+    ),
+    ranked AS (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               {_cos_sql('e.embedding', 'c.c_emb')} AS ccos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cos_sql('e.embedding', 'c.c_emb')} DESC, c.cent_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cent_id AS cluster_id FROM ranked WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, cent_id AS probe_cluster
+        FROM ranked
+        WHERE rn <= {NPROBE} AND vec_id >= 100 AND vec_id < 105
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_cos_sql('p.q_emb', 'a.embedding')} AS cos_raw
+        FROM probes p
+        JOIN assigned a ON a.cluster_id = p.probe_cluster
+                       AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cos_sim
+    FROM cand
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+    ) <= 3
+    """,
+    doc="IVF-style ANN: coarse-quantize every vector to its nearest of "
+    f"{K_IVF} centroids (deterministic 'trained' centroids = the first "
+    f"{K_IVF} vectors; production would k-means them), then probe the "
+    f"{NPROBE} nearest inverted lists per query and exact-rerank within "
+    "— the FAISS IVF-Flat search pattern. Candidate set is bounded by "
+    "probed-list sizes; assignments shuffle on cluster_id only. "
+    "Complements ann_lsh_bucketed (hash buckets) as the learned-"
+    "partition scale path. Measured recall@3 vs exact brute force is "
+    "~27% here — the testdata embeddings are unclustered random vectors "
+    "and the centroids untrained, the worst case for IVF; real corpora "
+    "with k-means centroids and larger nprobe recover 90%+.",
+    tags=("similarity", "ivf"),
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < K_IVF).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    ccos = cosine(F.col("embedding"), F.col("c_emb"))
+    wassign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    ranked = (
+        emb.join(F.broadcast(cents))
+        .select("vec_id", "embedding", "cent_id", ccos.alias("ccos"))
+        .withColumn("rn", F.row_number().over(wassign))
+    )
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", F.col("cent_id").alias("cluster_id")
+    )
+    probes = ranked.filter(
+        (F.col("rn") <= NPROBE) & (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cent_id").alias("probe_cluster"),
+    )
+    cand = F.broadcast(probes).join(
+        assigned,
+        (F.col("cluster_id") == F.col("probe_cluster"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    wtop = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )

@@ -159,3 +159,44 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return docs.select("doc_id", hash64(normalized).alias("fingerprint"))
+
+
+# GPT-2-style pretokenizer (simplified, RE2-safe, identical leftmost-first
+# semantics in Java regex and DuckDB's RE2): contractions, space-prefixed
+# letter runs, digit runs, punctuation runs.
+BPE_PAT = r"(?:'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+)"
+_BPE_SQL = BPE_PAT.replace("'", "''").replace("\\", "\\")
+
+
+@register(
+    "text_bpe_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_SQL}')) AS INT)
+               AS n_bpe_tokens,
+           CAST(len({_TOKENS}) AS INT) AS n_ws_tokens,
+           ROUND(CAST(len(regexp_extract_all(lower(text), '{_BPE_SQL}')) AS DOUBLE)
+                 / len({_TOKENS}), 6) AS subword_ratio
+    FROM documents
+    """,
+    doc="BPE-ish token counting: GPT-2-style pretokenizer regex "
+    "(contractions / space-letter runs / digit runs / punct runs) vs "
+    "whitespace tokens; subword_ratio estimates tokens-per-word for "
+    "training-cost accounting. Pure regexp_extract_all — no UDF.",
+    tags=("text", "bpe"),
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit(BPE_PAT), 0).alias("bpe"),
+        tokenize(F.col("text")).alias("ws"),
+    )
+    return base.select(
+        "doc_id",
+        F.size("bpe").alias("n_bpe_tokens"),
+        F.size("ws").alias("n_ws_tokens"),
+        F.round(F.size("bpe").cast("double") / F.size("ws"), 6).alias(
+            "subword_ratio"
+        ),
+    )

@@ -180,3 +180,54 @@ def interval_session_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_idx", "n_events")
         .agg(F.count("event_id").alias("n_errors"))
     )
+
+
+@register(
+    "asof_tolerance",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+               MAX(event_id) AS click_event_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, CAST(floor(epoch(ts)) AS BIGINT)
+    ), purchases AS (
+        SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        FROM events WHERE event_type = 'purchase'
+    ), matched AS (
+        SELECT p.event_id, p.user_id, p.ts_s,
+               c.click_event_id, p.ts_s - c.ts_s AS lag_s
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts_s >= c.ts_s
+    )
+    SELECT event_id, user_id, ts_s,
+           CASE WHEN lag_s <= 3600 THEN click_event_id END AS click_event_id,
+           CASE WHEN lag_s <= 3600 THEN lag_s END AS asof_lag
+    FROM matched
+    """,
+    doc="As-of join with a 1-hour tolerance (pandas merge_asof "
+    "tolerance= semantics): matches farther back than 3600s are nulled "
+    "— attribution windows, staleness bounds for feature lookups.",
+    tags=("join", "asof"),
+)
+def asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("ts_s")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_s")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_s"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts_s",
+        right_ts="ts_s",
+        right_cols=["click_event_id"],
+        tolerance=3600,
+    ).select("event_id", "user_id", "ts_s", "click_event_id", "asof_lag")

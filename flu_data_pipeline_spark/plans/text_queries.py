@@ -7,7 +7,7 @@ expressions (no Python in the hot path), each DuckDB-oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flu_data_pipeline_spark.catalog import load_table
@@ -199,4 +199,88 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.size("bpe").cast("double") / F.size("ws"), 6).alias(
             "subword_ratio"
         ),
+    )
+
+
+@register(
+    "sample_split_train_val",
+    oracle=f"""
+    SELECT CASE WHEN {hash64_sql('CAST(doc_id AS VARCHAR)')} % 100 < 90
+                THEN 'train' ELSE 'val' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_TOKENS})) AS BIGINT) AS n_tokens,
+           ROUND(AVG(length(text)), 6) AS avg_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Deterministic train/val split (90/10) by portable hash of the "
+    "doc id — reproducible across engines, runs, and partitionings "
+    "(never rand()-based: re-execution must not reshuffle the split). "
+    "Per-split doc/token accounting for training-cost budgeting.",
+    tags=("text", "sampling"),
+)
+def sample_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        hash64(F.col("doc_id").cast("string")) % 100 < 90, "train"
+    ).otherwise("val")
+    return (
+        docs.select(
+            split.alias("split"),
+            F.size(tokenize(F.col("text"))).alias("n_toks"),
+            F.length("text").alias("n_chars"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tokens AS (
+        SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tokens GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tokens GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term,
+           ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    WHERE tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) > 0
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY tf.doc_id
+        ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC, tf.term
+    ) <= 3
+    """,
+    doc="TF-IDF top-3 terms per document, fully native: term counts "
+    "(explode + groupBy), document frequency, idf = ln(N/df), ranked "
+    "window per doc. The df side is a term-keyed aggregate joined back "
+    "on term — both shuffles key on the term, colocated.",
+    tags=("text", "tfidf"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tokens = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), F.asc("term"))
+    return (
+        tf.join(df, "term")
+        .select("doc_id", "term", tfidf.alias("tfidf_raw"))
+        .filter(F.col("tfidf_raw") > 0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", F.round("tfidf_raw", 6).alias("tfidf"))
     )

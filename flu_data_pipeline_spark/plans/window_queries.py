@@ -214,3 +214,48 @@ def sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("ts_s") - F.min("ts_s")).alias("duration_s"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "events_session_window",
+    oracle=f"""
+    WITH {SESSIONS_CTE_SQL}
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(duration_s) AS BIGINT) AS total_duration_s,
+           ROUND(SUM(sum_value), 2) AS sum_value
+    FROM sessions GROUP BY user_id
+    """,
+    doc="Native session windows: groupBy(session_window(ts, '30 minutes')) "
+    "— Spark's built-in gap-merged session assignment, state-store-backed "
+    "under Structured Streaming (the scale path for streaming "
+    "sessionization; the gaps-and-islands twin events_sessionize is the "
+    "batch-window formulation). Verified equivalent to the islands CTE: "
+    "gap boundary is diff > gap on both. Rolled up per user; computed on "
+    "second-floored timestamps so the seconds-based oracle is exact.",
+    tags=("window", "sessionize", "streaming"),
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    floored = ev.select(
+        "user_id",
+        "value",
+        F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts"),
+    )
+    per_session = (
+        floored.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+                "duration_s"
+            ),
+            F.sum("value").alias("s_value"),
+        )
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("duration_s").cast("long").alias("total_duration_s"),
+        F.round(F.sum("s_value"), 2).alias("sum_value"),
+    )

@@ -97,3 +97,54 @@ def streaming_idempotent_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "0 seconds"
+) -> DataFrame:
+    """Stateful streaming sessionization via native session windows: the
+    state store merges/extends per-user sessions as micro-batches arrive
+    and emits a session once the watermark passes its close (last event +
+    gap). Streaming twin of the batch ``events_session_window`` /
+    ``events_sessionize`` queries — same gap semantics (split when
+    inter-event gap > 30 min).
+
+    State size = open sessions x user cardinality, bounded by the
+    watermark horizon — this is the scale path for continuous
+    sessionization (no per-key Python state loop; the state store is
+    JVM-side and incremental)."""
+    floored = events.select(
+        "user_id", "value", F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts")
+    )
+    return (
+        floored.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_sessionize_to_memory(
+    spark: SparkSession, landing_dir: str, table_name: str = "stream_sessions"
+) -> StreamingQuery:
+    """Drive streaming sessionization over the landing dir (availableNow).
+    Append mode: only sessions closed by the watermark are emitted — the
+    per-user tail session (still extendable) correctly stays in state."""
+    events = read_event_stream(spark, landing_dir)
+    sessions = streaming_sessionize(events)
+    return (
+        sessions.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

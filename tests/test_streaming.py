@@ -69,3 +69,45 @@ def test_streaming_idempotent_sink(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(target).count() == 500
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Emitted (watermark-closed) streaming sessions must equal the batch
+    session_window result for the same data; only the per-user tail
+    session may be withheld in state."""
+    from flu_data_pipeline_spark.streaming.ingest import run_sessionize_to_memory
+
+    landing, ev = _dump_events_jsonl(spark, tmp_path, n=1500)
+    q = run_sessionize_to_memory(spark, landing, "t_stream_sessions")
+    q.awaitTermination(120)
+    streamed = {
+        (str(r["session_start"]), r["user_id"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("t_stream_sessions").collect()
+    }
+    batch = (
+        ev.select(
+            "user_id", "value",
+            F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts"),
+        )
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id", "n_events", "sum_value",
+        )
+        .collect()
+    )
+    expected = {
+        (str(r["session_start"]), r["user_id"]): (r["n_events"], r["sum_value"])
+        for r in batch
+    }
+    assert len(streamed) > 0, "no sessions emitted - watermark never closed any"
+    for key, val in streamed.items():
+        assert expected.get(key) == val, f"session {key}: stream={val} batch={expected.get(key)}"
+    withheld = set(expected) - set(streamed)
+    # anything withheld must be a tail session (one per user at most)
+    users = [u for (_, u) in withheld]
+    assert len(users) == len(set(users)), "non-tail sessions withheld"

@@ -19,6 +19,7 @@ from flu_data_pipeline_spark.plans import (  # noqa: F401
     multimodal_queries,
     relational,
     similarity_queries,
+    skew_queries,
     text_queries,
     window_queries,
 )

@@ -102,3 +102,49 @@ def decode_stub(
             )
 
     return df.mapInPandas(_decode, DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("frame_offset", T.LongType(), True),
+        T.StructField("frame_bytes", T.BinaryType(), True),
+    ]
+)
+
+
+def frame_sample_stub(
+    df: DataFrame, id_col: str = "doc_id", n_frames: int = 4, strict: bool = False
+) -> DataFrame:
+    """UDTF-style 1→N frame sampling through ``mapInPandas``: each blob row
+    yields ``n_frames`` evenly spaced 'frames'. The real decoder (ffmpeg /
+    PIL) is STUBBED — frames here are deterministic byte slices at the
+    sampled offsets — but the distributed shape is exact: Arrow batches
+    in, a multiplied row count out, blob bytes never leave the executor.
+
+    At scale: frame explosion multiplies rows n_frames×; keep the frame
+    output partitioned by the id so a downstream per-video groupBy
+    (e.g. pooled features) needs no extra shuffle.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "frame sampling requires video codec libraries not "
+                    "present in this environment; plug ffmpeg/PIL in here"
+                )
+            out = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_bytes": []}
+            for _, row in pdf.iterrows():
+                blob = bytes(row["blob"])
+                n = max(len(blob), 1)
+                for i in range(n_frames):
+                    off = (i * n) // n_frames
+                    out["doc_id"].append(row[id_col])
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame_bytes"].append(blob[off : off + 16])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_sample, FRAME_SCHEMA)

@@ -39,3 +39,22 @@ def test_decode_stub_strict_raises(spark):
     with pytest.raises((Py4JJavaError, Exception)) as exc:
         decode_stub(docs, "doc_id", strict=True).collect()
     assert "NotImplementedError" in str(exc.value) or "media decode" in str(exc.value)
+
+
+def test_frame_sample_stub(spark):
+    from flu_data_pipeline_spark.multimodal.binary_ops import frame_sample_stub
+
+    docs = attach_binary(load_table(spark, SF_SMOKE, "documents").limit(25))
+    frames = frame_sample_stub(docs, "doc_id", n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 100  # 1 -> 4 multiplication
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    originals = {r["doc_id"]: bytes(r["blob"]) for r in docs.select("doc_id", "blob").collect()}
+    for doc_id, fr in by_doc.items():
+        assert sorted(f["frame_idx"] for f in fr) == [0, 1, 2, 3]
+        blob = originals[doc_id]
+        for f in fr:
+            off = f["frame_offset"]
+            assert bytes(f["frame_bytes"]) == blob[off : off + 16]

@@ -1,0 +1,168 @@
+"""Property-based operator tests: random inputs, independent pure-Python
+reference implementations (pandas merge_asof, union-find, a from-scratch
+minhash) — complementary to the DuckDB oracles, which only exercise the
+driver's fixed tables."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from flu_data_pipeline_spark.operators.dedup import minhash_signatures
+from flu_data_pipeline_spark.operators.graph import connected_components
+from flu_data_pipeline_spark.operators.joins import asof_join
+
+SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# --------------------------------------------------------------------------
+# asof_join vs pandas.merge_asof
+# --------------------------------------------------------------------------
+
+@st.composite
+def asof_case(draw):
+    keys = draw(st.lists(st.integers(0, 3), min_size=1, max_size=30))
+    left = [
+        (k, draw(st.integers(0, 1000)), i) for i, k in enumerate(keys)
+    ]
+    rkeys = draw(st.lists(st.integers(0, 3), min_size=0, max_size=30))
+    # unique (key, ts) on the right: the operator documents that exact
+    # right-side ties are ambiguous and must be pre-deduped
+    seen = set()
+    right = []
+    for j, k in enumerate(rkeys):
+        t = draw(st.integers(0, 1000))
+        if (k, t) not in seen:
+            seen.add((k, t))
+            right.append((k, t, 1000 + j))
+    tol = draw(st.one_of(st.none(), st.integers(1, 300)))
+    return left, right, tol
+
+
+@given(asof_case())
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas(spark, case):
+    left, right, tol = case
+    ldf = spark.createDataFrame(left, "k long, t long, lid long")
+    rdf = spark.createDataFrame(
+        right or [(99, -1, -1)], "k long, t long, rid long"
+    )
+    got = asof_join(
+        ldf, rdf, keys=["k"], left_ts="t", right_ts="t",
+        right_cols=["rid"], tolerance=tol,
+    ).collect()
+    got_map = {r["lid"]: (r["rid"], r["asof_lag"]) for r in got}
+
+    lp = pd.DataFrame(left, columns=["k", "t", "lid"]).sort_values("t", kind="stable")
+    rp = pd.DataFrame(right or [(99, -1, -1)], columns=["k", "t", "rid"]).sort_values(
+        "t", kind="stable"
+    )
+    merged = pd.merge_asof(
+        lp, rp, on="t", by="k", direction="backward",
+        tolerance=tol if tol is not None else None,
+    )
+    assert len(got) == len(left)
+    for _, row in merged.iterrows():
+        rid = None if pd.isna(row["rid"]) else int(row["rid"])
+        exp_lag = None
+        if rid is not None:
+            (rk, rt, _) = next(x for x in right if x[2] == rid)
+            exp_lag = int(row["t"]) - rt
+        assert got_map[int(row["lid"])] == (rid, exp_lag), (
+            f"lid={row['lid']}: spark={got_map[int(row['lid'])]} "
+            f"pandas=({rid}, {exp_lag})"
+        )
+
+
+# --------------------------------------------------------------------------
+# connected_components vs union-find
+# --------------------------------------------------------------------------
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, raw_edges):
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        edges = [(0, 1)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edf, "src", "dst").collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    comps: dict[int, list[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    expected = {n: min(members) for root, members in comps.items() for n in members}
+    assert got == expected
+
+
+# --------------------------------------------------------------------------
+# minhash_signatures vs a from-scratch python implementation
+# --------------------------------------------------------------------------
+
+def _py_minhash(text: str, num_hashes: int, n: int = 3):
+    from flu_data_pipeline_spark.functions.hashing import HASH64_MOD, MINHASH_COEFFS
+
+    toks = text.strip().lower().split()
+    sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    if not sh:
+        return None
+    base = [int(hashlib.md5(s.encode()).hexdigest()[:14], 16) % HASH64_MOD for s in sh]
+    return tuple(
+        min((h * a + b) % HASH64_MOD for h in base)
+        for a, b in MINHASH_COEFFS[:num_hashes]
+    )
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab x"),  # small alphabet → shingle collisions
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_minhash_matches_python(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: tuple(r[f"h{i}"] for i in range(6))
+        for r in minhash_signatures(df, "doc_id", "text", 6).collect()
+    }
+    for i, t in rows:
+        expected = _py_minhash(t, 6)
+        assert got.get(i) == expected, f"doc {i} ({t!r})"

@@ -104,12 +104,14 @@ _SHINGLES_SQL = """
     WHERE CAST(i.n_common AS DOUBLE)
           / (sa.n_shingles + sb.n_shingles - i.n_common) >= 0.2
     """,
-    doc="N-gram (3-word shingle) Jaccard near-dup: explode distinct "
-    "shingles → self-join on the shingle's 56-bit portable hash (inverted "
-    "index, no O(n²) cross join; shuffling 8-byte hashes instead of "
-    "shingle strings cuts exchange volume ~5×) → |A∩B| / (|A|+|B|-|A∩B|) "
-    "≥ 0.2. Both engines hash identically, so collisions (≈n²/2^56) "
-    "cannot diverge the oracle.",
+    doc="N-gram (3-word shingle) Jaccard near-dup: per-doc distinct "
+    "shingle-hash array is built MAP-SIDE (array_distinct over the hashed "
+    "shingle array — no distinct shuffle), set sizes ride along the "
+    "exploded rows (no separate sizes aggregate/joins), so the only "
+    "shuffles left are the inverted-index self-join on the 8-byte hash "
+    "and the pair-count aggregate → |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.2. "
+    "Both engines hash identically, so collisions (≈n²/2^56) cannot "
+    "diverge the oracle.",
     tags=("dedup",),
     bench=True,
 )
@@ -119,18 +121,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scan may have too few partitions to parallelize them (see
     # minhash_signatures docstring)
     shingled = (
-        docs.repartition(
-            spark.sparkContext.defaultParallelism, F.col("doc_id")
-        )
+        docs.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
         .select("doc_id", tokenize(F.col("text")).alias("tokens"))
         .select(
             "doc_id",
-            F.explode(shingles_from_tokens(F.col("tokens"), 3)).alias("shingle"),
+            F.array_distinct(
+                F.transform(
+                    shingles_from_tokens(F.col("tokens"), 3), lambda s: hash64(s)
+                )
+            ).alias("sh_arr"),
         )
-        .select("doc_id", hash64(F.col("shingle")).alias("sh"))
-        .distinct()
+        .select(
+            "doc_id",
+            F.size("sh_arr").alias("n_shingles"),
+            F.explode("sh_arr").alias("sh"),
+        )
     )
-    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingled.alias("a")
     b = shingled.alias("b")
     inter = (
@@ -140,20 +146,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.n_shingles").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     jac = F.col("n_common").cast("double") / (
-        F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")
+        F.col("na") + F.col("nb") - F.col("n_common")
     )
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.2)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    return inter.filter(jac >= 0.2).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 

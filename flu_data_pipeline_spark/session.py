@@ -63,6 +63,17 @@ def get_spark(
         # runtime join re-selection can still upgrade a shuffle join whose
         # post-filter build side turns out tiny.
         .config("spark.sql.autoBroadcastJoinThreshold", str(2 * 1024 * 1024))
+        # InferFiltersFromGenerate synthesizes size(<explode input>)>0 /
+        # isnotnull filters; predicate pushdown then substitutes the FULL
+        # generator expression and pushes it below repartitions to the
+        # scan — for HOF-heavy explode inputs (shingle/hash pipelines)
+        # that re-evaluates the whole chain a second time, serially on
+        # the scan's partitioning (measured 17x slowdown at sf0.1). Our
+        # explode inputs are never mostly-empty, so the rule only hurts.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -211,7 +211,7 @@ def flu_report_healthcare_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY year DESC
     """,
     doc="Historical-summary report end-to-end (api/app.py:307-317).",
-    tags=("flu", "report", "O6"),
+    tags=("flu", "report", "O6", "A12", "F14", "F15"),
 )
 def flu_report_historical_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _all_tables(spark)

@@ -389,7 +389,7 @@ def _fixture_tables(spark: SparkSession):
     "flu_county_region",
     oracle=f"WITH {FLU_CTES} SELECT * FROM county_region",
     doc="county_region dim derivation end-to-end (J1, A1, F7, W1, D1).",
-    tags=("flu", "J1", "A1", "F7", "W1", "D1"),
+    tags=("flu", "J1", "A1", "F7", "W1", "D1", "P3", "F1", "F2", "F13", "U1", "U3"),
 )
 def flu_county_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     rhino_pre, census, _ = _fixture_tables(spark)
@@ -438,7 +438,7 @@ def flu_healthcare(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"WITH {FLU_CTES} SELECT * FROM historics",
     doc="historics fact derivation (A4, A5, A6, F8, F9, D1) incl. the "
     "within-year max-wili tie resolved to the first occurrence.",
-    tags=("flu", "A4", "A5", "A6", "F8", "F9", "D1"),
+    tags=("flu", "A4", "A5", "A6", "F8", "F9", "D1", "U4"),
 )
 def flu_historics(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, _, fluview = _fixture_tables(spark)

@@ -844,3 +844,73 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("returnflag", "linestatus", "grp_id", "sum_price", "n_rows")
     )
+
+
+@register(
+    "stats_corr_covar",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           ROUND(stddev_samp(l_extendedprice), 6) AS price_stddev,
+           ROUND(var_samp(l_quantity), 6) AS qty_var
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates: Pearson correlation, sample covariance/"
+    "stddev/variance per group — single-pass distributed moments "
+    "(partial aggregation composes: each executor keeps (n, Σx, Σy, "
+    "Σxy, Σx², Σy²) and merges). Absent from the reference; standard "
+    "profiling surface.",
+    tags=("A11", "stats"),
+)
+def stats_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+    )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_id,
+               CASE WHEN CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS INT) < 10
+                    THEN NULL
+                    ELSE CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS INT) % 5
+               END AS grp
+        FROM events WHERE user_id = 0
+    )
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           COALESCE(CAST(a.grp AS VARCHAR), 'null') AS grp
+    FROM keyed a JOIN keyed b
+      ON a.grp IS NOT DISTINCT FROM b.grp AND a.event_id < b.event_id
+    """,
+    doc="Null-safe equi-join (<=> / IS NOT DISTINCT FROM): rows whose "
+    "derived key is NULL (k < 10) match each OTHER — a regular equi-join "
+    "would silently drop every NULL-keyed row. The null-safe key still "
+    "hash-partitions (NULL lands in a regular bucket under <=>), so the "
+    "join stays a shuffle hash join, not a nested loop.",
+    tags=("join", "null-safe"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") == 0)
+    k = F.regexp_extract("props", r'"k":\s*([0-9]+)', 1).cast("int")
+    keyed = ev.select(
+        "event_id", F.when(k < 10, F.lit(None)).otherwise(k % 5).alias("grp")
+    )
+    a = keyed.select(F.col("event_id").alias("id_a"), F.col("grp").alias("g_a"))
+    b = keyed.select(F.col("event_id").alias("id_b"), F.col("grp").alias("g_b"))
+    return a.join(
+        b, F.col("g_a").eqNullSafe(F.col("g_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select(
+        "id_a",
+        "id_b",
+        F.coalesce(F.col("g_a").cast("string"), F.lit("null")).alias("grp"),
+    )

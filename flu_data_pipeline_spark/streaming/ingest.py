@@ -148,3 +148,43 @@ def run_sessionize_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_purchase_click_join(
+    events: DataFrame, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound: each
+    purchase joins clicks by the same user within the preceding hour.
+    Both sides carry watermarks so the join state (buffered unmatched
+    rows) is bounded — without the time constraint a stream-stream join
+    would buffer forever. Matches emit as soon as both sides arrive
+    (inner join doesn't wait for the watermark); state for rows older
+    than watermark + interval is evicted.
+
+    Batch twin: the same join expressed over the static events table —
+    the test asserts identical results including matches whose two sides
+    arrive in different micro-batches."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "click_id", "p_user")

@@ -111,3 +111,66 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     # anything withheld must be a tail session (one per user at most)
     users = [u for (_, u) in withheld]
     assert len(users) == len(set(users)), "non-tail sessions withheld"
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (purchases x clicks, same user, click
+    within 1h before) equals the batch join, including pairs whose sides
+    land in different micro-batches."""
+    import json
+
+    from flu_data_pipeline_spark.streaming.ingest import (
+        read_event_stream,
+        streaming_purchase_click_join,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(3000)
+    rows = ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).collect()
+    rows.sort(key=lambda r: r.ts)  # time-split so pairs straddle batches
+    landing = str(tmp_path / "ssj")
+    os.makedirs(landing, exist_ok=True)
+    third = len(rows) // 3
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third] if i < 2 else rows[2 * third :]
+        with open(os.path.join(landing, f"part-{i}.json"), "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r.asDict()) + "\n")
+
+    joined = streaming_purchase_click_join(read_event_stream(spark, landing))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["purchase_id"], r["click_id"]) for r in spark.table("t_ssj").collect()
+    }
+
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert len(batch) > 0
+    assert streamed == batch

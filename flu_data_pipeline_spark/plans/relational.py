@@ -914,3 +914,36 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.coalesce(F.col("g_a").cast("string"), F.lit("null")).alias("grp"),
     )
+
+
+@register(
+    "json_extract_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+               AS n_with_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+               AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+               AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Structured JSON path: from_json(props, 'k INT') parses the props "
+    "column into a typed struct at the scan projection (single parse, "
+    "JVM-side Jackson — not regex), then standard aggregation. The "
+    "schema-on-read pattern for semi-structured event payloads.",
+    tags=("json", "F13", "A7"),
+)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )

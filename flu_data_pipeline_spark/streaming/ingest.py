@@ -188,3 +188,47 @@ def streaming_purchase_click_join(
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
     ).select("purchase_id", "click_id", "p_user")
+
+
+RUNNING_STATS_SCHEMA = "user_id long, n_events long, total_value double"
+_RUNNING_STATE_SCHEMA = "n long, total double"
+
+
+def streaming_running_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (event count, value total), state carried across micro-batches
+    in the state store, one updated row emitted per user per batch.
+
+    This is the escape hatch for stateful logic the built-in windowed/
+    session aggregations can't express (model-state updates, CUSUM
+    detectors, per-key rate limiters): arbitrary Python against a typed
+    GroupState, Arrow-batched per key group — never per row. Built-ins
+    (session_window, windowed aggs) remain the first choice; this
+    operator exists to prove the custom-state path end to end.
+
+    Output mode must be ``update``; the latest row per user equals the
+    batch groupBy count/sum (asserted in tests)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_STATS_SCHEMA,
+            stateStructType=_RUNNING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

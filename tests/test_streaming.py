@@ -174,3 +174,64 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     }
     assert len(batch) > 0
     assert streamed == batch
+
+
+def test_apply_in_pandas_with_state_running_stats(spark, tmp_path):
+    """Custom stateful op: per-user running stats accumulate across
+    micro-batches; the latest emitted row per user equals batch
+    count/sum."""
+    import json
+
+    from flu_data_pipeline_spark.streaming.ingest import (
+        EVENTS_STREAM_SCHEMA,
+        streaming_running_stats,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(2000)
+    rows = ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).collect()
+    rows.sort(key=lambda r: r.ts)
+    landing = str(tmp_path / "state")
+    os.makedirs(landing, exist_ok=True)
+    half = len(rows) // 2
+    for i, part in enumerate((rows[:half], rows[half:])):
+        with open(os.path.join(landing, f"p{i}.json"), "w") as f:
+            for r in part:
+                f.write(json.dumps(r.asDict()) + "\n")
+
+    # one file per trigger: without this, availableNow folds every file
+    # into a single micro-batch and state never crosses a batch boundary
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+    )
+    out = streaming_running_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_running")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # running counts are monotone: the max per user is the final state
+    emitted = {}
+    per_user = {}
+    for r in spark.table("t_running").collect():
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+        cur = emitted.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            emitted[r["user_id"]] = (r["n_events"], round(r["total_value"], 6))
+    # state must actually cross batches: most users get >1 update row
+    assert sum(1 for v in per_user.values() if len(v) > 1) > 0
+    batch = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.coalesce("value", F.lit(0.0))).alias("s"))
+        .collect()
+    }
+    assert emitted == batch

@@ -301,3 +301,46 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+@register(
+    "array_ops_battery",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(CAST(list_reduce(list_transform(embedding,
+                 v -> CAST(v AS DOUBLE)), (x, y) -> x + y) AS DOUBLE)
+                 / len(embedding), 6) AS mean_val,
+           ROUND(CAST(list_max(list_transform(embedding,
+                 v -> CAST(v AS DOUBLE))) AS DOUBLE), 6) AS max_val,
+           CAST(len(list_filter(list_transform(embedding,
+                 v -> CAST(v AS DOUBLE)), v -> v > 0)) AS INT) AS n_positive,
+           ROUND(CAST(list_transform(list_sort(list_transform(embedding,
+                 v -> CAST(v AS DOUBLE))), v -> v)[len(embedding)] AS DOUBLE), 6)
+                 AS sorted_last
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+    doc="Array higher-order-function battery over embedding vectors: "
+    "fold (mean), array_max, filter+size (positive count), array_sort "
+    "+ element_at — the vector-column manipulation surface, all "
+    "JVM-side, no UDF, float→double pinned before arithmetic on both "
+    "engines.",
+    tags=("array", "similarity"),
+)
+def array_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    dbl = F.transform("embedding", lambda v: v.cast("double"))
+    base = emb.select("vec_id", dbl.alias("e"))
+    return base.select(
+        "vec_id",
+        F.size("e").alias("dim"),
+        F.round(
+            F.aggregate("e", F.lit(0.0), lambda a, x: a + x) / F.size("e"), 6
+        ).alias("mean_val"),
+        F.round(F.array_max("e"), 6).alias("max_val"),
+        F.size(F.filter("e", lambda v: v > 0)).alias("n_positive"),
+        F.round(F.element_at(F.array_sort("e"), F.size("e")), 6).alias(
+            "sorted_last"
+        ),
+    )

@@ -284,3 +284,76 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", F.round("tfidf_raw", 6).alias("tfidf"))
     )
+
+
+@register(
+    "sample_stratified_topk",
+    oracle=f"""
+    SELECT lang, doc_id
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY {hash64_sql('CAST(doc_id AS VARCHAR)')}, doc_id
+    ) <= 10
+    """,
+    doc="Exact stratified sample: k=10 docs per language stratum, chosen "
+    "by portable-hash order — deterministic across engines/runs/"
+    "partitionings (a rand()-based sample would be neither reproducible "
+    "nor oracle-checkable). The per-stratum ranked window is the "
+    "balanced-sampling primitive for training-mix construction.",
+    tags=("text", "sampling"),
+)
+def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        hash64(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "doc_id")
+    )
+
+
+@register(
+    "udtf_split_sentences",
+    oracle="""
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS sent_idx,
+           TRIM(s) AS sentence
+    FROM (
+        SELECT doc_id,
+               unnest(string_split(text, '.')) AS s,
+               generate_subscripts(string_split(text, '.'), 1) AS i
+        FROM documents
+        WHERE doc_id < 200
+    )
+    WHERE TRIM(s) <> ''
+    """,
+    doc="Python UDTF (Spark 4 table function): one doc row → N sentence "
+    "rows with positional index, invoked via LATERAL in SQL. The native "
+    "twin is explode(split(...)) (F2) — this entry exercises the "
+    "arbitrary-Python table-function path for logic a regex can't "
+    "express (real sentence splitters, parsers). Restricted to 200 docs "
+    "— Python UDTFs are the slow path by design.",
+    tags=("text", "udtf", "F2"),
+)
+def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sent_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, doc_id, text):
+            for i, seg in enumerate((text or "").split(".")):
+                s = seg.strip()
+                if s:
+                    yield doc_id, i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).createOrReplaceTempView("udtf_docs_in")
+    return spark.sql(
+        "SELECT s.doc_id, s.sent_idx, s.sentence "
+        "FROM udtf_docs_in, LATERAL split_sentences(doc_id, text) s"
+    )

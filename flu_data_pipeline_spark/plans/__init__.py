@@ -20,7 +20,9 @@ from flu_data_pipeline_spark.plans import (  # noqa: F401
     relational,
     similarity_queries,
     skew_queries,
+    subquery_queries,
     text_queries,
+    timeseries_queries,
     window_queries,
 )
 from flu_data_pipeline_spark.plans.registry import REGISTRY, QueryDef, register

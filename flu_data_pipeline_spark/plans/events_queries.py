@@ -86,3 +86,48 @@ def events_user_daily_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@register(
+    "nested_map_struct",
+    oracle="""
+    WITH per AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COALESCE(MAX(CASE WHEN event_type = 'click' THEN n END), 0)
+                AS BIGINT) AS n_click,
+           CAST(COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN n END), 0)
+                AS BIGINT) AS n_purchase,
+           CAST(COUNT(*) AS INT) AS n_types,
+           CAST(MAX(n) AS BIGINT) AS max_type_count,
+           MIN(event_type) AS first_type
+    FROM per
+    GROUP BY user_id
+    """,
+    doc="Nested-type battery: per-user event counts collected into a "
+    "map<string,bigint> via struct entries (map_from_entries ∘ "
+    "collect_list ∘ struct), then consumed with element_at / map_keys / "
+    "map_values / size — the at-rest nested-column surface (feature "
+    "maps, typed metadata) exercised end-to-end with scalar, "
+    "engine-portable output. The DuckDB oracle states the same "
+    "semantics relationally (conditional aggregates), since the check "
+    "is on values, not plan shape.",
+    tags=("nested", "map", "struct", "A7"),
+)
+def nested_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")
+    )
+    zero = F.lit(0).cast("long")
+    return maps.select(
+        "user_id",
+        F.coalesce(F.element_at("m", F.lit("click")), zero).alias("n_click"),
+        F.coalesce(F.element_at("m", F.lit("purchase")), zero).alias("n_purchase"),
+        F.size("m").alias("n_types"),
+        F.array_max(F.map_values("m")).alias("max_type_count"),
+        F.element_at(F.array_sort(F.map_keys("m")), 1).alias("first_type"),
+    )

@@ -357,3 +357,36 @@ def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s.doc_id, s.sent_idx, s.sentence "
         "FROM udtf_docs_in, LATERAL split_sentences(doc_id, text) s"
     )
+
+
+@register(
+    "regexp_battery",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'ta[a-z]+')) AS INT) AS n_ta,
+           regexp_extract(text, 'ta[a-z]+') AS first_ta,
+           CAST(length(regexp_replace(text, '\s+', '_', 'g')) AS INT)
+               AS squashed_len,
+           CASE WHEN regexp_matches(text, 'spark') THEN 1 ELSE 0 END
+               AS has_spark
+    FROM documents
+    WHERE doc_id < 2000
+    """,
+    doc="Regex surface over document text: extract-all + count, "
+    "first-match extraction (empty string on no match in both engines), "
+    "global regexp_replace, and rlike boolean — all JVM-side "
+    "expressions inside whole-stage codegen; the pattern subset used "
+    "is dialect-portable (Java regex vs RE2).",
+    tags=("text", "regexp"),
+)
+def regexp_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("ta[a-z]+"), 0)).alias("n_ta"),
+        F.regexp_extract("text", "ta[a-z]+", 0).alias("first_ta"),
+        F.length(F.regexp_replace("text", r"\s+", "_")).cast("int").alias(
+            "squashed_len"
+        ),
+        F.when(F.col("text").rlike("spark"), 1).otherwise(0).alias("has_spark"),
+    )

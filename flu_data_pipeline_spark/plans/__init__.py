@@ -23,6 +23,7 @@ from flu_data_pipeline_spark.plans import (  # noqa: F401
     subquery_queries,
     text_queries,
     timeseries_queries,
+    warehouse_queries,
     window_queries,
 )
 from flu_data_pipeline_spark.plans.registry import REGISTRY, QueryDef, register

@@ -382,3 +382,61 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BAND_SIZE)
     cc = connected_components(pairs, "id_a", "id_b")
     return cc.select(F.col("node").alias("doc_id"), F.col("component"))
+
+
+@register(
+    "fuzzy_blocked_pairs",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey, p_name, p_size,
+               string_split(p_name, ' ')[1] AS blk
+        FROM part
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM p a JOIN p b
+      ON a.blk = b.blk AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+    doc="Entity resolution by blocking + edit distance: candidate pairs "
+    "share a blocking key (first name token, size), then exact "
+    "levenshtein <= 4 filters to near-matches. The blocking join is the "
+    "scale mechanism — pair generation is bounded per block instead of "
+    "O(n^2) over the table; at 100 TB the block key is what you'd "
+    "bucket/partition by. Ordered (id_a < id_b) emits each pair once.",
+    tags=("dedup", "fuzzy", "levenshtein"),
+)
+def fuzzy_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_size",
+        F.split("p_name", " ").getItem(0).alias("blk"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("blk").alias("blk_a"),
+        F.col("p_size").alias("size_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("p_size").alias("size_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("size_a") == F.col("size_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(F.levenshtein("name_a", "name_b") <= 4)
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+        )
+    )

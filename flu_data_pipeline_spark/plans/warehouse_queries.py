@@ -1,0 +1,202 @@
+"""Warehouse-modeling operators: SCD Type-2, unpivot, binning, robust stats.
+
+The reference's star schema is SCD Type-1 (full overwrite daily —
+dags/flu_data_airflow_v2.py:481-547 drops and recreates; 'No additional
+versioning logic is needed' per its documentation PDF). These queries add
+the standard warehouse surface beyond that: change-history dimensions
+(SCD2), wide→long reshaping (unpivot), equi-width histograms, and
+winsorized robust aggregates — all single-pass declarative plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flu_data_pipeline_spark.catalog import load_table
+from flu_data_pipeline_spark.plans.registry import register
+
+
+@register(
+    "scd2_priority_history",
+    oracle="""
+    WITH h AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey,
+               o_orderpriority,
+               LAG(o_orderpriority) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS prev
+        FROM orders
+    ), chg AS (
+        SELECT o_custkey, d, o_orderkey, o_orderpriority
+        FROM h WHERE prev IS NULL OR prev <> o_orderpriority
+    )
+    SELECT o_custkey, o_orderpriority AS priority,
+           d AS valid_from,
+           LEAD(d) OVER (
+               PARTITION BY o_custkey ORDER BY d, o_orderkey
+           ) AS valid_to,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY d, o_orderkey
+           ) AS INT) AS version_num
+    FROM chg
+    """,
+    doc="SCD Type-2 dimension build from an ordered change stream: per "
+    "customer, collapse consecutive equal attribute values (lag-compare) "
+    "into versioned rows with [valid_from, valid_to) intervals "
+    "(lead-close; open current version has NULL valid_to). Two windows "
+    "over the SAME partitioning key — Spark reuses one shuffle+sort for "
+    "both, so the whole history build costs a single exchange. Ordering "
+    "pinned by (date, orderkey) — orderkey unique breaks date ties "
+    "identically on both engines.",
+    tags=("scd2", "window", "W1"),
+)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+        "o_orderpriority",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    chg = (
+        orders.withColumn("prev", F.lag("o_orderpriority").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority")))
+        .drop("prev")
+    )
+    return chg.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("d").alias("valid_from"),
+        F.lead("d").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version_num"),
+    )
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+    SELECT measure,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(val), 6) AS avg_val,
+           ROUND(MAX(val), 6) AS max_val
+    FROM (SELECT l_quantity, l_extendedprice, l_discount FROM lineitem)
+    UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount))
+    GROUP BY measure
+    ORDER BY measure
+    """,
+    doc="Wide→long reshape (unpivot / melt): three lineitem measures into "
+    "(measure, val) rows, then per-measure stats. Spark's native "
+    "unpivot is an Expand node — one scan, rows×3 generated in the "
+    "same stage, no join or shuffle before the final aggregate.",
+    tags=("unpivot", "pivot", "A7"),
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("val"), 6).alias("avg_val"),
+            F.round(F.max("val"), 6).alias("max_val"),
+        )
+        .orderBy("measure")
+    )
+
+
+@register(
+    "histogram_equiwidth",
+    oracle="""
+    WITH b AS (
+        SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    )
+    SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 10.0)) AS INT),
+                 9) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS bucket_min,
+           ROUND(MAX(o_totalprice), 2) AS bucket_max
+    FROM orders, b
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Equi-width histogram: 10 buckets over the observed [min, max] "
+    "price range. The 1-row bounds aggregate broadcasts into the "
+    "binning expression (no second full-table pass materialized to the "
+    "driver); identical double arithmetic on both engines makes bucket "
+    "assignment exact, no tolerance needed.",
+    tags=("histogram", "binning", "A7", "A11"),
+)
+def histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo"))
+            / ((F.col("hi") - F.col("lo")) / 10.0)
+        ).cast("int"),
+        F.lit(9),
+    )
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "winsorize_stats",
+    oracle="""
+    WITH q AS (
+        SELECT ROUND(quantile_cont(o_totalprice, 0.01), 4) AS p01,
+               ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(LEAST(GREATEST(o_totalprice, p01), p99)), 6)
+               AS avg_winsorized,
+           CAST(SUM(CASE WHEN o_totalprice < p01 OR o_totalprice > p99
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+    FROM orders, q
+    """,
+    doc="Winsorized mean: clamp to the exact [p1, p99] interpolated "
+    "percentiles, then average — the robust-statistics pattern for "
+    "outlier-heavy measures. Thresholds rounded to 4dp in-query on "
+    "both engines so interpolation-order ulps can't flip a clamp "
+    "decision at the boundary. Spark computes exact percentile as a "
+    "single aggregate (no sort of the full table), broadcast into the "
+    "clamp expression.",
+    tags=("percentile", "stats", "A7", "A11"),
+)
+def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    q = orders.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.01)"), 4).alias("p01"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99"))
+    return orders.crossJoin(F.broadcast(q)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(clamped), 6).alias("avg_winsorized"),
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") < F.col("p01"))
+                | (F.col("o_totalprice") > F.col("p99")),
+                1,
+            ).otherwise(0)
+        ).alias("n_clamped"),
+    )

@@ -6,10 +6,12 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "...", "value": <total_sec>, "unit": "sec",
      "queries": {"q": sec, ...}, "sf": ...}
 
-Timing = full query execution to a count-style action (results are
-materialized, nothing collected to the driver beyond the count). A warmup
-pass per query amortizes first-touch JIT/IO so the numbers reflect steady
-plan execution.
+Timing = full query execution into Spark's ``noop`` sink — every output
+column is materialized on the executors and discarded, nothing is
+collected to the driver. (A bare ``count()`` would let Catalyst prune
+unreferenced computed columns and under-report projection-heavy queries.)
+A warmup pass per query amortizes first-touch JIT/IO so the numbers
+reflect steady plan execution.
 """
 
 from __future__ import annotations
@@ -33,16 +35,21 @@ def main() -> None:
     bench_queries = {n: q for n, q in REGISTRY.items() if q.bench}
     timings: dict[str, float] = {}
 
+    def run(qd) -> None:
+        # noop sink: full evaluation of every output column, zero driver
+        # transfer — count() would prune computed-but-unreferenced columns
+        qd.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     # warmup: trigger JVM/codegen/IO caches once
     for name, qd in bench_queries.items():
-        qd.builder(spark, sf_dir).count()
+        run(qd)
 
     # best-of-3: single runs swing ±50% from JIT/GC noise at these sizes
     for name, qd in bench_queries.items():
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            qd.builder(spark, sf_dir).count()
+            run(qd)
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 

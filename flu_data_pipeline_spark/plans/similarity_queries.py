@@ -344,3 +344,78 @@ def array_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sorted_last"
         ),
     )
+
+
+@register(
+    "centroid_cosine_matrix",
+    oracle="""
+    WITH pos AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ), cent AS (
+        SELECT label, pos, ROUND(AVG(val), 6) AS c
+        FROM pos GROUP BY 1, 2
+    ), vec AS (
+        SELECT label, list(c ORDER BY pos) AS centroid
+        FROM cent GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(
+               list_reduce(list_transform(generate_series(1, len(a.centroid)),
+                   i -> a.centroid[i] * b.centroid[i]), (x, y) -> x + y)
+               / (SQRT(list_reduce(list_transform(a.centroid, v -> v * v),
+                       (x, y) -> x + y))
+                  * SQRT(list_reduce(list_transform(b.centroid, v -> v * v),
+                         (x, y) -> x + y))),
+           6) AS cos_sim
+    FROM vec a JOIN vec b ON a.label < b.label
+    """,
+    doc="Per-class embedding centroids + pairwise cosine matrix: "
+    "posexplode to (label, dim, val), per-cell mean (rounded 6dp to pin "
+    "the order-dependent double sum), re-assemble ordered centroid "
+    "arrays, then all label pairs' cosine via zip_with/aggregate folds. "
+    "The class-separation diagnostic for embedding tables; the "
+    "per-dimension aggregate shuffles (label, dim) cells — never full "
+    "vectors — so it scales to billions of rows with a fixed-size "
+    "result.",
+    tags=("similarity", "array", "A7"),
+)
+def centroid_cosine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label",
+        F.posexplode(F.transform("embedding", lambda v: v.cast("double"))).alias(
+            "pos", "val"
+        ),
+    )
+    cent = pos.groupBy("label", "pos").agg(F.round(F.avg("val"), 6).alias("c"))
+    vec = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s["c"]).alias("centroid"))
+    )
+    a = vec.select(F.col("label").alias("label_a"), F.col("centroid").alias("ca"))
+    b = vec.select(F.col("label").alias("label_b"), F.col("centroid").alias("cb"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u * v), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                dot(F.col("ca"), F.col("cb"))
+                / (
+                    F.sqrt(dot(F.col("ca"), F.col("ca")))
+                    * F.sqrt(dot(F.col("cb"), F.col("cb")))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )

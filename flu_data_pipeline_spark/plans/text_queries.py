@@ -390,3 +390,44 @@ def regexp_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(F.col("text").rlike("spark"), 1).otherwise(0).alias("has_spark"),
     )
+
+
+@register(
+    "text_bigram_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS} AS t FROM documents
+    ), bg AS (
+        SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM toks WHERE len(t) >= 2
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bg
+    GROUP BY bigram
+    QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, bigram) <= 20
+    ORDER BY n DESC, bigram
+    """,
+    doc="Corpus-level top-20 bigram counts: adjacent-token pairs built "
+    "array-side (transform over an index sequence — one pass, no "
+    "self-join), exploded and counted. Partial aggregation combines "
+    "counts map-side before the single shuffle; top-k is "
+    "TakeOrderedAndProject with the (count DESC, bigram) tie pinned. "
+    "The n-gram statistics primitive for corpus analysis / LM data "
+    "prep.",
+    tags=("text", "ngram", "A7", "O3"),
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokenize(F.col("text")).alias("t")).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )

@@ -232,3 +232,30 @@ def streaming_running_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps one row per ``event_id`` and
+    evicts seen-keys state once the watermark passes — duplicates arriving
+    within the watermark horizon are dropped even across micro-batches.
+
+    This is the streaming twin of the batch exact-dedup query
+    (``dedup_exact``): at scale the seen-key state is (key, ts) only —
+    never payloads — and its size is bounded by arrival rate x horizon,
+    the property that makes continuous dedup feasible where an unbounded
+    ``dropDuplicates`` would grow state forever."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def streaming_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch broadcast-joins the static
+    dimension (re-read per batch, so slowly-changing dims pick up updates).
+    No watermark or join state needed — the static side is not streaming
+    state, which is why dimension enrichment should be expressed this way
+    rather than as a stream-stream join."""
+    return events.join(F.broadcast(dim), "event_type", "left").select(
+        "event_id", "user_id", "event_type", "category", "value"
+    )

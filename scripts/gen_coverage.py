@@ -58,7 +58,8 @@ _ID_RE = re.compile(r"^[SPJAWODFU]\d+$")
 TRAILER = """
 Streaming runtime (tested, not oracle-queries): windowed rollup,
 session windows, stream-stream interval join, applyInPandasWithState
-running stats, idempotent foreachBatch sink — `streaming/ingest.py`,
+running stats, dropDuplicatesWithinWatermark dedup, stream-static
+broadcast enrichment, idempotent foreachBatch sink — `streaming/ingest.py`,
 `tests/test_streaming.py`. Multimodal plumbing: blob+meta shape,
 mapInPandas decode + 1→N frame sampling — `multimodal/binary_ops.py`,
 `tests/test_multimodal.py`. Property-based operator checks vs pandas

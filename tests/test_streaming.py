@@ -235,3 +235,74 @@ def test_apply_in_pandas_with_state_running_stats(spark, tmp_path):
         .collect()
     }
     assert emitted == batch
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicates arriving in DIFFERENT micro-batches are dropped while
+    their keys are inside the watermark horizon."""
+    from flu_data_pipeline_spark.streaming.ingest import (
+        EVENTS_STREAM_SCHEMA,
+        streaming_dedup,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(400)
+    rows = ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).collect()
+    landing = str(tmp_path / "dedup")
+    os.makedirs(landing, exist_ok=True)
+    # file 0: all rows; file 1: the same first 200 rows again (replay)
+    with open(os.path.join(landing, "p0.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r.asDict()) + "\n")
+    with open(os.path.join(landing, "p1.json"), "w") as f:
+        for r in rows[:200]:
+            f.write(json.dumps(r.asDict()) + "\n")
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+    )
+    q = (
+        streaming_dedup(stream, watermark="30 days")
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [r["event_id"] for r in spark.table("t_dedup").collect()]
+    assert len(got) == len(set(got)) == 400
+
+
+def test_streaming_static_enrich(spark, tmp_path):
+    """Stream-static left join enriches every event; unmatched types get
+    null category (no state, no watermark required)."""
+    from flu_data_pipeline_spark.streaming.ingest import streaming_static_enrich
+
+    landing, ev = _dump_events_jsonl(spark, tmp_path, n=600)
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"), ("purchase", "revenue")],
+        ["event_type", "category"],
+    )
+    q = (
+        streaming_static_enrich(read_event_stream(spark, landing), dim)
+        .writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_enrich")
+    assert got.count() == 600
+    cats = {
+        (r["event_type"], r["category"]) for r in got.select("event_type", "category").distinct().collect()
+    }
+    assert ("click", "engagement") in cats and ("purchase", "revenue") in cats
+    # unmatched types survive with null category (left join semantics)
+    assert all(c is None for t, c in cats if t in ("signup", "error"))

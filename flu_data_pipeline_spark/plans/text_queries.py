@@ -431,3 +431,34 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@register(
+    "sample_weighted",
+    oracle=f"""
+    WITH m AS (SELECT MAX(n_chars) AS max_chars FROM documents)
+    SELECT doc_id, lang
+    FROM documents, m
+    WHERE CAST({hash64_sql("'wsamp|' || CAST(doc_id AS VARCHAR)")} % 1000000
+               AS DOUBLE) / 1000000.0
+          < CAST(n_chars AS DOUBLE) / max_chars
+    """,
+    doc="Length-weighted deterministic sample: P(select doc) = n_chars / "
+    "max(n_chars), decided by a portable-hash uniform draw per doc — "
+    "reproducible across runs, partitionings, and engines where "
+    "rand() would be neither (the same salted-hash-as-uniform trick "
+    "as the train/val split). The weighting primitive for "
+    "importance-sampling a training mix.",
+    tags=("text", "sampling"),
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.agg(F.max("n_chars").alias("max_chars"))
+    u = (
+        hash64(F.concat(F.lit("wsamp|"), F.col("doc_id").cast("string"))) % 1000000
+    ).cast("double") / 1000000.0
+    return (
+        docs.crossJoin(F.broadcast(m))
+        .filter(u < F.col("n_chars").cast("double") / F.col("max_chars"))
+        .select("doc_id", "lang")
+    )

@@ -200,3 +200,74 @@ def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_clamped"),
     )
+
+
+@register(
+    "argmax_battery",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey AS best_order,
+           ROUND(o_totalprice, 2) AS best_price
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey DESC
+    ) = 1
+    """,
+    doc="argmax as a single-pass aggregate: max_by with a composite "
+    "(value, key) struct pins ties exactly like an ordered window's "
+    "first row — but costs one hash aggregate (partial map-side, then "
+    "one shuffle of one row per customer) instead of a full "
+    "shuffle+sort of the table. The oracle deliberately uses the "
+    "window formulation: two different algorithms must produce "
+    "identical rows.",
+    tags=("argmax", "A6", "A7"),
+)
+def argmax_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias(
+            "best_order"
+        ),
+        F.round(F.max("o_totalprice"), 2).alias("best_price"),
+    )
+
+
+@register(
+    "ntile_equidepth",
+    oracle="""
+    WITH b AS (
+        SELECT o_totalprice,
+               NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM b
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="Equi-depth (quantile) binning via NTILE(10): near-equal bucket "
+    "populations with data-driven edges — the complement of "
+    "histogram_equiwidth's fixed-width bins. Deterministic because the "
+    "global ordering is pinned by the unique orderkey. Scale note: a "
+    "global NTILE is a single-partition sort — at 100 TB use "
+    "percentile-based edges (winsorize_stats pattern) instead; this "
+    "entry pins the small-data semantics.",
+    tags=("histogram", "binning", "window", "A7"),
+)
+def ntile_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

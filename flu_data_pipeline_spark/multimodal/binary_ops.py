@@ -148,3 +148,113 @@ def frame_sample_stub(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_sample, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("out_w", T.IntegerType(), True),
+        T.StructField("out_h", T.IntegerType(), True),
+        T.StructField("n_bytes_out", T.LongType(), True),
+        T.StructField("resized", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_stub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    target_w: int = 16,
+    target_h: int = 16,
+    strict: bool = False,
+) -> DataFrame:
+    """Image-resize plumbing through ``mapInPandas``: blob in, fixed-size
+    blob out. The codec (PIL/opencv) is STUBBED — the fake 'resize' is a
+    nearest-neighbor stride over the source bytes producing EXACTLY
+    ``target_w * target_h`` bytes (a grayscale stand-in), which is the
+    real operator's contract: constant output size regardless of input
+    size. Arrow batches in/out; bytes never leave the executor.
+
+    At scale: resize is the canonical pre-training image normalization —
+    constant output size makes downstream batch memory predictable, and
+    running it blob-local (no shuffle before or after; same partitioning
+    in = out) keeps it a pure map stage.
+    """
+
+    target_n = target_w * target_h
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "image resize requires codec libraries not present in "
+                    "this environment; plug PIL/opencv in here"
+                )
+            out = {"doc_id": [], "out_w": [], "out_h": [], "n_bytes_out": [], "resized": []}
+            for _, row in pdf.iterrows():
+                blob = bytes(row["blob"]) or b"\x00"
+                n = len(blob)
+                resized = bytes(blob[(i * n) // target_n] for i in range(target_n))
+                out["doc_id"].append(row[id_col])
+                out["out_w"].append(target_w)
+                out["out_h"].append(target_h)
+                out["n_bytes_out"].append(len(resized))
+                out["resized"].append(resized)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("chunk_idx", T.IntegerType(), True),
+        T.StructField("start_byte", T.LongType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("chunk", T.BinaryType(), True),
+    ]
+)
+
+
+def audio_chunk_stub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    chunk_bytes: int = 400,
+    hop_bytes: int = 240,
+    strict: bool = False,
+) -> DataFrame:
+    """Overlapping audio chunking (1→N) through ``mapInPandas``: each blob
+    yields windows of ``chunk_bytes`` every ``hop_bytes`` (overlap =
+    chunk - hop), tail window kept if non-empty — the exact shape of
+    real STFT/ASR framing, with the codec STUBBED (one byte stands in
+    for one sample; a real reader would decode PCM first).
+
+    At scale the multiplier is len/hop, so hop — not corpus size —
+    controls output volume; chunks stay partitioned by the id for
+    downstream per-utterance pooling without a shuffle.
+    """
+
+    def _chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "audio chunking requires codec libraries not present "
+                    "in this environment; plug soundfile/torchaudio in here"
+                )
+            out = {"doc_id": [], "chunk_idx": [], "start_byte": [], "n_samples": [], "chunk": []}
+            for _, row in pdf.iterrows():
+                blob = bytes(row["blob"])
+                idx = 0
+                for start in range(0, max(len(blob), 1), hop_bytes):
+                    piece = blob[start : start + chunk_bytes]
+                    if not piece:
+                        break
+                    out["doc_id"].append(row[id_col])
+                    out["chunk_idx"].append(idx)
+                    out["start_byte"].append(start)
+                    out["n_samples"].append(len(piece))
+                    out["chunk"].append(piece)
+                    idx += 1
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_chunk, CHUNK_SCHEMA)

@@ -61,7 +61,8 @@ session windows, stream-stream interval join, applyInPandasWithState
 running stats, dropDuplicatesWithinWatermark dedup, stream-static
 broadcast enrichment, idempotent foreachBatch sink — `streaming/ingest.py`,
 `tests/test_streaming.py`. Multimodal plumbing: blob+meta shape,
-mapInPandas decode + 1→N frame sampling — `multimodal/binary_ops.py`,
+mapInPandas decode, constant-size resize, overlapping audio chunking,
+1→N frame sampling — `multimodal/binary_ops.py`,
 `tests/test_multimodal.py`. Property-based operator checks vs pandas
 merge_asof / union-find / from-scratch minhash —
 `tests/test_operators_property.py`. Bucketed co-located join (zero

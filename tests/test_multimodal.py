@@ -58,3 +58,49 @@ def test_frame_sample_stub(spark):
         for f in fr:
             off = f["frame_offset"]
             assert bytes(f["frame_bytes"]) == blob[off : off + 16]
+
+
+def test_resize_stub_constant_output(spark):
+    from flu_data_pipeline_spark.multimodal.binary_ops import resize_stub
+
+    docs = attach_binary(load_table(spark, SF_SMOKE, "documents").limit(30))
+    out = resize_stub(docs, "doc_id", target_w=8, target_h=8).collect()
+    assert len(out) == 30
+    # resize contract: constant output size regardless of input size
+    assert all(r["n_bytes_out"] == 64 and len(bytes(r["resized"])) == 64 for r in out)
+    # nearest-neighbor stride is deterministic and sourced from the blob
+    originals = {
+        r["doc_id"]: bytes(r["blob"]) for r in docs.select("doc_id", "blob").collect()
+    }
+    for r in out:
+        blob = originals[r["doc_id"]]
+        n = len(blob)
+        expect = bytes(blob[(i * n) // 64] for i in range(64))
+        assert bytes(r["resized"]) == expect
+
+
+def test_audio_chunk_stub_overlap(spark):
+    from flu_data_pipeline_spark.multimodal.binary_ops import audio_chunk_stub
+
+    docs = attach_binary(load_table(spark, SF_SMOKE, "documents").limit(20))
+    chunks = audio_chunk_stub(docs, "doc_id", chunk_bytes=100, hop_bytes=60).collect()
+    originals = {
+        r["doc_id"]: bytes(r["blob"]) for r in docs.select("doc_id", "blob").collect()
+    }
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(originals)
+    for doc_id, ch in by_doc.items():
+        blob = originals[doc_id]
+        ch.sort(key=lambda r: r["chunk_idx"])
+        # count matches the hop formula (tail kept if non-empty)
+        expected_n = len(range(0, max(len(blob), 1), 60))
+        assert len(ch) == expected_n
+        for i, r in enumerate(ch):
+            assert r["start_byte"] == i * 60
+            assert bytes(r["chunk"]) == blob[i * 60 : i * 60 + 100]
+        # consecutive chunks overlap by chunk - hop = 40 bytes
+        for a, b in zip(ch, ch[1:]):
+            if a["n_samples"] == 100:
+                assert bytes(a["chunk"])[60:] == bytes(b["chunk"])[: a["n_samples"] - 60]

@@ -131,3 +131,90 @@ def nested_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(F.map_values("m")).alias("max_type_count"),
         F.element_at(F.array_sort(F.map_keys("m")), 1).alias("first_type"),
     )
+
+
+@register(
+    "events_funnel_stages",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts
+        FROM events
+    ), v AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS v_ts
+        FROM base GROUP BY user_id
+    ), c AS (
+        SELECT b.user_id,
+               MIN(CASE WHEN b.event_type = 'click' AND b.ts > v.v_ts
+                        THEN b.ts END) AS c_ts
+        FROM base b JOIN v ON b.user_id = v.user_id
+        GROUP BY b.user_id
+    ), p AS (
+        SELECT b.user_id,
+               MIN(CASE WHEN b.event_type = 'purchase' AND b.ts > c.c_ts
+                        THEN b.ts END) AS p_ts
+        FROM base b JOIN c ON b.user_id = c.user_id
+        GROUP BY b.user_id
+    )
+    SELECT v.user_id,
+           CAST(CASE WHEN p.p_ts IS NOT NULL THEN 3
+                     WHEN c.c_ts IS NOT NULL THEN 2
+                     WHEN v.v_ts IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS funnel_stage
+    FROM v
+    JOIN c ON v.user_id = c.user_id
+    JOIN p ON v.user_id = p.user_id
+    """,
+    doc="Ordered conversion funnel (view → later click → later purchase): "
+    "per user, each stage's timestamp is the min event AFTER the "
+    "previous stage's, so out-of-order events don't count. Expressed as "
+    "three chained conditional window minimums over ONE partitioning — "
+    "Spark reuses a single user_id exchange for all three stages (the "
+    "oracle states the same logic as chained aggregate-joins; both must "
+    "agree). Timestamps are µs-truncated on both engines (parquet ns "
+    "caveat) and never projected.",
+    tags=("funnel", "window", "A7"),
+)
+def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "v_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "c_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    return (
+        staged.groupBy("user_id")
+        .agg(
+            F.first("v_ts").alias("v_ts"),
+            F.first("c_ts").alias("c_ts"),
+            F.first("p_ts").alias("p_ts"),
+        )
+        .select(
+            "user_id",
+            F.when(F.col("p_ts").isNotNull(), 3)
+            .when(F.col("c_ts").isNotNull(), 2)
+            .when(F.col("v_ts").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("funnel_stage"),
+        )
+    )

@@ -61,3 +61,9 @@ def read_json_files(
 ) -> DataFrame:
     """JSON-lines landing scan with pinned schema."""
     return spark.read.schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet
+    (format choice is a storage detail, not a capability change)."""
+    return spark.read.orc(path)

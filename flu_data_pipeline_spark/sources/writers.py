@@ -146,3 +146,9 @@ def merge_upsert(
 
     shutil.rmtree(staging, ignore_errors=True)
     return n_updated, n_inserted
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — interchange with ORC-based warehouses; columnar with
+    predicate pushdown symmetrical to the parquet path."""
+    df.write.mode(mode).orc(path)

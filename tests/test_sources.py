@@ -167,3 +167,22 @@ def test_merge_upsert(spark, tmp_path):
     assert (n_upd2, n_ins2) == (300, 0)
     assert spark.read.parquet(target).count() == 600
     assert spark.read.parquet(target).filter("o_totalprice = -1.0").count() == 200
+
+
+def test_orc_roundtrip_pushdown(spark, tmp_path):
+    """ORC write/read roundtrip preserves values; predicate and projection
+    reach the ORC scan (pushdown parity with parquet)."""
+    from flu_data_pipeline_spark.sources.readers import read_orc
+    from flu_data_pipeline_spark.sources.writers import write_orc
+
+    target = str(tmp_path / "orders_orc")
+    orders = load_table(spark, SF_ORACLE, "orders").limit(1000)
+    write_orc(orders, target)
+    back = read_orc(spark, target)
+    assert back.count() == 1000
+    assert sorted(back.columns) == sorted(orders.columns)
+    q = back.filter("o_totalprice > 200000").select("o_orderkey", "o_totalprice")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200]
+    expected = orders.filter("o_totalprice > 200000").count()
+    assert q.count() == expected

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from flu_data_pipeline_spark.catalog import load_table
 from flu_data_pipeline_spark.plans.registry import register
+from flu_data_pipeline_spark.plans.window_queries import SESSIONS_CTE_SQL
 
 
 @register(
@@ -110,4 +111,145 @@ def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last(purchase_val, ignorenulls=True).over(w), 6).alias(
             "last_purchase_value"
         ),
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), c AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           CAST(d.day - c.cohort_day AS INT) AS day_offset,
+           CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
+    FROM d JOIN c ON d.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: users grouped by first-seen day, "
+    "activity counted per (cohort, day-offset) cell — the standard "
+    "product-analytics retention triangle. Active-day dedup happens "
+    "BEFORE the join (user x day, far smaller than raw events), the "
+    "cohort aggregate joins back on user_id, and every stage keys on "
+    "user_id so the shuffles share partitioning.",
+    tags=("timeseries", "cohort", "A7", "A8"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    c = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        d.join(c, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "events_daily_pct_change",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, ROUND(SUM(value), 2) AS revenue
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    )
+    SELECT day, revenue,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY day))
+                 / LAG(revenue) OVER (ORDER BY day), 6) AS pct_change
+    FROM daily
+    """,
+    doc="Period-over-period change: daily purchase revenue with "
+    "day-over-day percent delta via lag. Revenue is rounded 2dp BEFORE "
+    "the ratio so both engines divide identical values. The final "
+    "window is global but runs over the already-aggregated daily rows "
+    "(~1 row/day) — the agg shuffle did the heavy lifting, so the "
+    "single-partition tail is O(days), fine at any scale.",
+    tags=("timeseries", "window", "A7"),
+)
+def events_daily_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("revenue").over(w)
+    return daily.select(
+        "day",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("pct_change"),
+    )
+
+
+@register(
+    "sessions_peak_concurrency",
+    oracle=f"""
+    WITH {SESSIONS_CTE_SQL},
+    pts AS (
+        SELECT session_start_s AS t, 1 AS delta, user_id, session_idx
+        FROM sessions
+        UNION ALL
+        SELECT session_start_s + duration_s AS t, -1 AS delta,
+               user_id, session_idx
+        FROM sessions
+    ), run AS (
+        SELECT t, SUM(delta) OVER (
+            ORDER BY t, delta, user_id, session_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS concurrency
+        FROM pts
+    )
+    SELECT CAST(FLOOR(t / 86400.0) AS INT) AS epoch_day,
+           CAST(MAX(concurrency) AS INT) AS peak_concurrency
+    FROM run
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Interval-overlap analytics by sweep line: sessions (from the "
+    "shared gaps-and-islands derivation) become +1/-1 boundary events; "
+    "a running sum over the pinned global ordering is the instantaneous "
+    "concurrency, maxed per day. End-before-start at equal timestamps "
+    "(delta ascending) makes touching intervals non-overlapping — the "
+    "convention is pinned identically in both engines, with (user, "
+    "session) breaking remaining ties. The O(n log n) alternative to "
+    "the quadratic interval self-join. The running sum is a global "
+    "window over session BOUNDARIES (2 rows/session, already "
+    "aggregate-reduced); at 100 TB the same sweep distributes as a "
+    "range-partitioned sort + per-partition prefix sums with partition "
+    "offsets added in a second pass (parallel scan).",
+    tags=("timeseries", "sessionize", "window", "range"),
+)
+def sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.plans.window_queries import sessionized
+
+    sess = sessionized(spark, sf_dir).select(
+        "user_id",
+        "session_idx",
+        "session_start_s",
+        (F.col("session_start_s") + F.col("duration_s")).alias("session_end_s"),
+    )
+    starts = sess.select(
+        F.col("session_start_s").alias("t"), F.lit(1).alias("delta"),
+        "user_id", "session_idx",
+    )
+    ends = sess.select(
+        F.col("session_end_s").alias("t"), F.lit(-1).alias("delta"),
+        "user_id", "session_idx",
+    )
+    sweep = Window.orderBy("t", "delta", "user_id", "session_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = starts.unionByName(ends).select(
+        "t", F.sum("delta").over(sweep).alias("concurrency")
+    )
+    return (
+        run.groupBy(F.floor(F.col("t") / 86400.0).cast("int").alias("epoch_day"))
+        .agg(F.max("concurrency").cast("int").alias("peak_concurrency"))
+        .orderBy("epoch_day")
     )

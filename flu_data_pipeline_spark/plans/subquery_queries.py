@@ -225,3 +225,66 @@ def subq_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM {o})
         """
     )
+
+
+@register(
+    "subq_multi_exists_waiting",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+    doc="TPC-H Q21 shape (waiting-supplier): EXISTS and NOT EXISTS over "
+    "the same fact in one query — the NOT EXISTS correlates on two "
+    "outer relations (l1's orderkey and o's orderdate). Catalyst plans "
+    "the pair as a left-semi join stacked on a left-anti join, both on "
+    "orderkey, reusing the exchange; the adversarial case for "
+    "decorrelation since a naive engine re-scans lineitem per row. "
+    "Top-10 pinned by (numwait DESC, name).",
+    tags=("subquery", "J7", "A7", "O3"),
+)
+def subq_multi_exists_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _view(spark, sf_dir, "supplier")
+    li = _view(spark, sf_dir, "lineitem")
+    o = _view(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM {s} s
+        JOIN {li} l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN {o} o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+          AND EXISTS (
+              SELECT 1 FROM {li} l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM {li} l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 10
+        """
+    )

@@ -152,3 +152,31 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink — interchange with ORC-based warehouses; columnar with
     predicate pushdown symmetrical to the parquet path."""
     df.write.mode(mode).orc(path)
+
+
+def clustered_write(
+    df: DataFrame,
+    path: str,
+    cluster_by: tuple[str, ...],
+    n_files: int,
+) -> None:
+    """Compacted, clustered table layout: range-repartition into exactly
+    ``n_files`` files and sort rows by the cluster key inside each — the
+    write-side half of data skipping. Range partitioning gives disjoint
+    key ranges per file and the in-file sort tightens parquet row-group
+    min/max bounds, so later scans filtering on the cluster key prune
+    whole files/row groups.
+
+    This is also the small-files remedy: a shuffle-heavy job can leave
+    thousands of tiny outputs; an explicit file-count rewrite is the
+    standard compaction pass. At 100 TB pick n_files from target
+    file size (~128-512 MB each), and cluster by the dominant filter
+    column (e.g. epiweek/date prefix).
+    """
+    keys = [c for c in cluster_by]
+    (
+        df.repartitionByRange(n_files, *keys)
+        .sortWithinPartitions(*keys)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -166,3 +166,47 @@ def test_minhash_matches_python(spark, texts):
     for i, t in rows:
         expected = _py_minhash(t, 6)
         assert got.get(i) == expected, f"doc {i} ({t!r})"
+
+
+# --------------------------------------------------------------------------
+# merge_upsert vs a dict model
+# --------------------------------------------------------------------------
+
+@st.composite
+def merge_batches(draw):
+    n_batches = draw(st.integers(1, 3))
+    batches = []
+    for _ in range(n_batches):
+        rows = draw(
+            st.lists(
+                st.tuples(st.integers(0, 9), st.integers(-100, 100)),
+                min_size=1,
+                max_size=12,
+            )
+        )
+        batches.append(rows)
+    return batches
+
+
+@given(merge_batches())
+@settings(**SETTINGS)
+def test_merge_upsert_matches_dict_model(spark, tmp_path_factory, batches):
+    """Applying increments through merge_upsert leaves the table equal to a
+    plain dict replayed with last-write-wins per key. Within-batch
+    duplicate keys collapse to the operator's documented pick: the row
+    first in (value asc nulls last) order."""
+    from flu_data_pipeline_spark.sources.writers import merge_upsert
+
+    path = str(tmp_path_factory.mktemp("merge_prop") / "tbl")
+    model: dict[int, int] = {}
+    for rows in batches:
+        df = spark.createDataFrame(rows, "k long, v long")
+        merge_upsert(spark, df, path, ("k",))
+        collapsed = {}
+        for k, v in rows:
+            # operator keeps min (value asc) per key within a batch
+            if k not in collapsed or v < collapsed[k]:
+                collapsed[k] = v
+        model.update(collapsed)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == model

@@ -186,3 +186,34 @@ def test_orc_roundtrip_pushdown(spark, tmp_path):
     assert "PushedFilters: [" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200]
     expected = orders.filter("o_totalprice > 200000").count()
     assert q.count() == expected
+
+
+def test_clustered_write_layout(spark, tmp_path):
+    """clustered_write produces the requested file count with disjoint,
+    internally-sorted cluster-key ranges (the parquet min/max pruning
+    precondition)."""
+    import glob
+
+    from flu_data_pipeline_spark.sources.writers import clustered_write
+
+    target = str(tmp_path / "orders_clustered")
+    orders = load_table(spark, SF_ORACLE, "orders")
+    clustered_write(orders, target, ("o_totalprice",), n_files=8)
+
+    files = sorted(glob.glob(target + "/part-*.parquet"))
+    assert len(files) == 8
+    # per-file ranges must be disjoint and rows sorted within each file
+    ranges = []
+    total = 0
+    for f in files:
+        pdf = spark.read.parquet(f).select("o_totalprice").toPandas()
+        if pdf.empty:
+            continue
+        vals = pdf["o_totalprice"].tolist()
+        assert vals == sorted(vals), f"rows not sorted inside {f}"
+        ranges.append((min(vals), max(vals)))
+        total += len(vals)
+    assert total == orders.count()
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file key ranges overlap - no skipping possible"

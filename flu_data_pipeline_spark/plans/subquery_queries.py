@@ -288,3 +288,42 @@ def subq_multi_exists_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
         """
     )
+
+
+@register(
+    "subq_max_revenue_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q15 shape (top supplier view): per-supplier revenue "
+    "aggregate compared against a scalar MAX over the same aggregate — "
+    "Spark computes the CTE once and reuses it for both the join and "
+    "the subquery (ReuseExchange), so the fact is scanned once. "
+    "Revenue rounded 2dp before the equality so the max-comparison is "
+    "exact cross-engine.",
+    tags=("subquery", "A7"),
+)
+def subq_max_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _view(spark, sf_dir, "supplier")
+    li = _view(spark, sf_dir, "lineitem")
+    return spark.sql(
+        f"""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+            FROM {li} GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_rev
+        FROM {s} s JOIN rev r ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+        ORDER BY s.s_suppkey
+        """
+    )

@@ -462,3 +462,36 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(u < F.col("n_chars").cast("double") / F.col("max_chars"))
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "udaf_geomean_price",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(EXP(AVG(LN(l_extendedprice))), 6) AS geomean_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_extendedprice > 0
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Custom UDAF via Arrow grouped-agg pandas_udf: geometric mean per "
+    "group — the escape hatch for aggregates Spark lacks natively "
+    "(the reference's groupby().apply UDAFs, SURVEY §2.10 U3/U4, are "
+    "the same surface). Logs are sorted before summing inside the UDF "
+    "so the float fold is partition-order-independent; the oracle "
+    "states it as EXP(AVG(LN)) and must agree to 6dp. Arrow-batched "
+    "per group — never row-at-a-time Python.",
+    tags=("udaf", "pandas-udf", "A7", "U3"),
+)
+def udaf_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.functions.udafs import geomean
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    # grouped-agg pandas UDFs cannot share an agg with JVM aggregates -
+    # compute them separately and join on the (3-row) group keys
+    gm = li.groupBy("l_returnflag").agg(
+        F.round(geomean("l_extendedprice"), 6).alias("geomean_price")
+    )
+    cnt = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    return gm.join(cnt, "l_returnflag").orderBy("l_returnflag")

@@ -259,3 +259,39 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("duration_s").cast("long").alias("total_duration_s"),
         F.round(F.sum("s_value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "window_value_positions",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price,
+           ROUND(LAST_VALUE(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ), 2) AS last_price,
+           ROUND(NTH_VALUE(o_totalprice, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ), 2) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Positional value functions: first_value (default running frame), "
+    "last_value and nth_value over the FULL partition frame — the "
+    "default frame stops at CURRENT ROW, the classic last_value "
+    "footgun, pinned here explicitly. All three share one (custkey, "
+    "orderdate) sort.",
+    tags=("window", "frames", "W1"),
+)
+def window_value_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = seq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.first("o_totalprice").over(seq), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(full), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(full), 2).alias("second_price"),
+    )

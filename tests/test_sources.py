@@ -217,3 +217,28 @@ def test_clustered_write_layout(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, "file key ranges overlap - no skipping possible"
+
+
+def test_custom_python_datasource(spark):
+    """Spark 4 Python DataSource: registered format reads with its own
+    partition planning; contents are the deterministic id-derived rows."""
+    from flu_data_pipeline_spark.sources.pysource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthevents")
+        .option("rows", 300)
+        .option("partitions", 5)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    rows = sorted((r["event_id"], r["user_id"], r["event_type"], r["value"])
+                  for r in df.collect())
+    assert len(rows) == 300
+    types = ("view", "click", "purchase")
+    for eid, uid, et, val in rows[:50]:
+        assert uid == eid % 97
+        assert et == types[eid % 3]
+        assert val == (eid % 1000) / 10.0
+    # filters/projection still flow through the standard scan pipeline
+    assert df.filter("event_type = 'click'").count() == 100

@@ -991,3 +991,63 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+@register(
+    "market_share_by_year",
+    oracle="""
+    WITH vols AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS yr,
+               l.l_extendedprice * (1 - l.l_discount) AS vol,
+               n.n_name AS nation
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+    )
+    SELECT yr,
+           ROUND(ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN vol ELSE 0 END), 2)
+                 / ROUND(SUM(vol), 2), 6) AS mkt_share
+    FROM vols
+    GROUP BY yr
+    ORDER BY yr
+    """,
+    doc="TPC-H Q8 shape (market share): one nation's revenue fraction per "
+    "year across a 4-way join. The two sums ride the SAME aggregate "
+    "(conditional numerator), so the fraction costs one pass; dims "
+    "(supplier via nation) broadcast, the lineitem-orders join is the "
+    "only fact shuffle. Sums rounded 2dp before the division pins the "
+    "cross-engine ratio.",
+    tags=("J6", "A7", "subquery"),
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vols = (
+        li.hint("SHUFFLE_HASH")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            vol.alias("vol"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+    return (
+        vols.groupBy("yr")
+        .agg(
+            F.round(
+                F.round(
+                    F.sum(F.when(F.col("nation") == "NATION_3", F.col("vol")).otherwise(0.0)), 2
+                )
+                / F.round(F.sum("vol"), 2),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("yr")
+    )

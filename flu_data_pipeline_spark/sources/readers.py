@@ -39,11 +39,33 @@ def fetch_to_landing(
 
 
 def read_csv(
-    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
-    """Schema-pinned CSV scan (S1/S2). Malformed rows become nulls
-    (PERMISSIVE), mirroring the reference's tolerant cleaners."""
-    return spark.read.csv(path, schema=schema, header=header, mode="PERMISSIVE")
+    """Schema-pinned CSV scan (S1/S2) with an explicit malformed-record
+    policy — the row-level version of the reference's tolerant value
+    cleaner (flu_data_airflow_v2.py:142-154):
+
+    - ``PERMISSIVE`` (default): unparseable fields become null; pass
+      ``corrupt_col`` to additionally capture the raw offending line for
+      quarantine/audit (a dead-letter column, queryable like any other).
+    - ``DROPMALFORMED``: bad rows silently dropped.
+    - ``FAILFAST``: first bad row aborts the scan — for feeds where
+      malformation means upstream breakage, not noise.
+    """
+    reader_schema = schema
+    if corrupt_col is not None:
+        reader_schema = T.StructType(
+            list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+        )
+    opts = {"mode": mode}
+    if corrupt_col is not None:
+        opts["columnNameOfCorruptRecord"] = corrupt_col
+    return spark.read.options(**opts).csv(path, schema=reader_schema, header=header)
 
 
 def read_json_records(

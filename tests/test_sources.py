@@ -242,3 +242,33 @@ def test_custom_python_datasource(spark):
         assert val == (eid % 1000) / 10.0
     # filters/projection still flow through the standard scan pipeline
     assert df.filter("event_type = 'click'").count() == 100
+
+
+def test_csv_malformed_record_modes(spark, tmp_path):
+    """The three malformed-record policies: PERMISSIVE nulls + dead-letter
+    capture, DROPMALFORMED removal, FAILFAST abort."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from flu_data_pipeline_spark.sources.readers import read_csv
+
+    p = str(tmp_path / "feed.csv")
+    with open(p, "w") as f:
+        f.write("id,score\n1,10.5\n2,notanumber\n3,7.25\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), True),
+            T.StructField("score", T.DoubleType(), True),
+        ]
+    )
+    ok = read_csv(spark, p, schema, corrupt_col="_bad")
+    rows = {r["id"]: (r["score"], r["_bad"]) for r in ok.collect()}
+    assert rows[1] == (10.5, None) and rows[3] == (7.25, None)
+    assert rows[2][0] is None and "notanumber" in rows[2][1]
+
+    dropped = read_csv(spark, p, schema, mode="DROPMALFORMED")
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 3]
+
+    with pytest.raises(Exception) as exc:
+        read_csv(spark, p, schema, mode="FAILFAST").collect()
+    assert "Malformed" in str(exc.value) or "FAILFAST" in str(exc.value)

@@ -495,3 +495,91 @@ def udaf_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
     return gm.join(cnt, "l_returnflag").orderBy("l_returnflag")
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS} AS t FROM documents WHERE doc_id < 1000
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 48 AS INT) AS chunk_idx,
+           CAST(s - 1 AS INT) AS start_tok,
+           CAST(len(t[s:s + 63]) AS INT) AS n_tokens,
+           array_to_string(t[s:s + 63], ' ') AS chunk_text
+    FROM (
+        SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), 48)) AS s
+        FROM toks
+    )
+    """,
+    doc="Sliding-window document chunking for context-length-bounded "
+    "training: 64-token windows every 48 tokens (16-token overlap), "
+    "short tail kept — the 1→N segmentation every LLM data pipeline "
+    "runs before tokenized packing. Built array-side (slice over a "
+    "stride sequence, then one explode) — no self-join, no UDF; output "
+    "volume is len/stride x corpus, controlled by the stride.",
+    tags=("text", "ngram", "F2"),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, greatest(size(t) - 1, 0), 48), "
+                "s -> struct(s AS start_tok, slice(t, s + 1, 64) AS toks))"
+            )
+        ).alias("chunk_idx", "c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int"),
+        F.col("c.start_tok").cast("int").alias("start_tok"),
+        F.size("c.toks").alias("n_tokens"),
+        F.concat_ws(" ", "c.toks").alias("chunk_text"),
+    )
+
+
+@register(
+    "corpus_mix_stats",
+    oracle=f"""
+    WITH per AS (
+        SELECT lang, source,
+               CAST(SUM(len({_TOKENS})) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT lang, source, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6)
+               AS token_share
+    FROM per
+    """,
+    doc="Training-mixture accounting: token and doc counts per (lang, "
+    "source) cell with each cell's share of the total token budget — "
+    "the table a sampling-weights step consumes. The global-total "
+    "window runs over the already-aggregated cells (|langs| x "
+    "|sources| rows), so the single-partition tail is constant-size.",
+    tags=("text", "sampling", "A7"),
+)
+def corpus_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("lang", "source", tokenize(F.col("text")).alias("t"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("t")).cast("long").alias("n_tokens"),
+        )
+    )
+    total = Window.partitionBy()
+    return per.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(total), 6
+        ).alias("token_share"),
+    )

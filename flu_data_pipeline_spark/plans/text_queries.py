@@ -583,3 +583,103 @@ def corpus_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").cast("double") / F.sum("n_tokens").over(total), 6
         ).alias("token_share"),
     )
+
+
+@register(
+    "text_pack_bins",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, doc_id, CAST(len({_TOKENS}) AS INT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT lang, doc_id, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY lang
+                   ORDER BY {hash64_sql("'pack|' || CAST(doc_id AS VARCHAR)")},
+                            doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM t
+    )
+    SELECT lang, doc_id, n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 512.0) AS INT) AS bin_id
+    FROM c
+    """,
+    doc="Greedy sequence packing: docs fill 512-token bins in a "
+    "deterministic hash-shuffled order (running token sum, new bin when "
+    "the budget is crossed) — the packing step that turns chunked text "
+    "into fixed-budget training sequences. Packing is PER LANGUAGE "
+    "(stratified), so the running-sum window partitions by lang and "
+    "distributes; a global pack at 100 TB would instead pack within "
+    "partitions and merge tail bins.",
+    tags=("text", "sampling", "window"),
+)
+def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        "doc_id",
+        F.size(tokenize(F.col("text"))).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(
+            hash64(F.concat(F.lit("pack|"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / 512.0).cast("int").alias("bin_id"),
+    )
+
+
+@register(
+    "text_term_entropy",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM (
+            SELECT doc_id, unnest({_TOKENS}) AS term
+            FROM documents WHERE doc_id < 2000
+        )
+        GROUP BY doc_id, term
+    ), sized AS (
+        SELECT doc_id, term, c,
+               SUM(c) OVER (PARTITION BY doc_id) AS n
+        FROM tf
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_distinct_terms,
+           ROUND(-SUM((c / n) * LN(c / n)), 6) AS entropy
+    FROM sized
+    GROUP BY doc_id
+    """,
+    doc="Per-document term-distribution entropy (vocabulary richness / "
+    "gibberish detector — low entropy flags repetitive spam, a standard "
+    "pretraining quality signal): explode to (doc, term) counts, doc "
+    "totals via a window over the same partitioning (no second "
+    "aggregate-join), then -Σ p ln p.",
+    tags=("text", "A7"),
+)
+def text_term_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    tf = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c") / n
+    return (
+        tf.withColumn("term_h", -p * F.log(p))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_terms"),
+            F.round(F.sum("term_h"), 6).alias("entropy"),
+        )
+    )

@@ -174,6 +174,7 @@ def nested_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agree). Timestamps are µs-truncated on both engines (parquet ns "
     "caveat) and never projected.",
     tags=("funnel", "window", "A7"),
+    bench=True,
 )
 def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")

@@ -231,3 +231,55 @@ def asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["click_event_id"],
         tolerance=3600,
     ).select("event_id", "user_id", "ts_s", "click_event_id", "asof_lag")
+
+
+@register(
+    "join_full_outer_recon",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey AS k, ROUND(o_totalprice, 2) AS price
+        FROM orders WHERE o_orderstatus = 'F'
+    ), b AS (
+        SELECT o_orderkey AS k, ROUND(o_totalprice, 2) AS price
+        FROM orders WHERE o_totalprice > 100000
+    )
+    SELECT CASE WHEN a.k IS NULL THEN 'b_only'
+                WHEN b.k IS NULL THEN 'a_only'
+                WHEN a.price = b.price THEN 'match'
+                ELSE 'mismatch' END AS recon_status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(COALESCE(a.price, b.price)), 2) AS total_price
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Full-outer reconciliation — the dataset-diff pattern (source vs "
+    "target audit after a migration/load): every key classified as "
+    "match / mismatch / one-sided in a single full outer join, "
+    "aggregated to a recon summary. Completes the engine's join-type "
+    "surface (inner/left/semi/anti/null-safe/as-of/range/full).",
+    tags=("join", "full-outer", "J5", "A7"),
+)
+def join_full_outer_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("k_a"), F.round("o_totalprice", 2).alias("price_a")
+    )
+    b = orders.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_orderkey").alias("k_b"), F.round("o_totalprice", 2).alias("price_b")
+    )
+    joined = a.join(b, a.k_a == b.k_b, "full_outer")
+    status = (
+        F.when(F.col("k_a").isNull(), "b_only")
+        .when(F.col("k_b").isNull(), "a_only")
+        .when(F.col("price_a") == F.col("price_b"), "match")
+        .otherwise("mismatch")
+    )
+    return (
+        joined.groupBy(status.alias("recon_status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.coalesce("price_a", "price_b")), 2).alias("total_price"),
+        )
+        .orderBy("recon_status")
+    )

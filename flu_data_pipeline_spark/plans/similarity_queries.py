@@ -381,6 +381,7 @@ def array_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vectors — so it scales to billions of rows with a fixed-size "
     "result.",
     tags=("similarity", "array", "A7"),
+    bench=True,
 )
 def centroid_cosine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -418,4 +419,57 @@ def centroid_cosine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("cos_sim"),
         )
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH prep AS (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+        FROM embeddings WHERE vec_id < 200
+    ), scaled AS (
+        SELECT vec_id, e,
+               list_max(list_transform(e, v -> abs(v))) / 127.0 AS scale
+        FROM prep
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           ROUND(list_reduce(
+               list_transform(e, v -> abs(round(v / scale) * scale - v)),
+               (x, y) -> x + y) / len(e), 6) AS mean_abs_err,
+           CAST(list_max(list_transform(e, v -> abs(round(v / scale))))
+                AS INT) AS max_code
+    FROM scaled
+    WHERE scale > 0
+    """,
+    doc="Symmetric int8 quantization of embedding vectors (per-vector "
+    "absmax scale, codes in [-127, 127]) with reconstruction-error "
+    "audit — the storage/serving compression step for vector tables "
+    "(4x smaller, dot products on int8). All higher-order array "
+    "functions JVM-side; round-half-even on identical doubles makes "
+    "codes and error bit-comparable across engines.",
+    tags=("similarity", "array"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    e = F.transform("embedding", lambda v: v.cast("double"))
+    prep = emb.select("vec_id", e.alias("e"))
+    # internal name distinct from the output alias: the select below also
+    # emits round(...) AS scale, and lateral column alias resolution would
+    # silently substitute the ROUNDED value into the error lambdas
+    scaled = prep.withColumn(
+        "s_raw", F.array_max(F.transform("e", lambda v: F.abs(v))) / 127.0
+    ).filter(F.col("s_raw") > 0)
+    s = F.col("s_raw")
+    err = F.transform("e", lambda v: F.abs(F.round(v / s) * s - v))
+    codes = F.transform("e", lambda v: F.abs(F.round(v / s)))
+    return scaled.select(
+        "vec_id",
+        F.round("s_raw", 6).alias("scale"),
+        F.round(
+            F.aggregate(err, F.lit(0.0), lambda a, x: a + x) / F.size("e"), 6
+        ).alias("mean_abs_err"),
+        F.array_max(codes).cast("int").alias("max_code"),
     )

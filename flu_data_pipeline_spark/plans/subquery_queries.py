@@ -48,6 +48,7 @@ def _view(spark: SparkSession, sf_dir: str, name: str) -> str:
     "rewrites to a left-semi hash join on o_orderkey with the date "
     "predicate as join condition — no per-row subquery execution.",
     tags=("subquery", "J7"),
+    bench=True,
 )
 def subq_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _view(spark, sf_dir, "orders")

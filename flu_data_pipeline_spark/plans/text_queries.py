@@ -520,6 +520,7 @@ def udaf_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stride sequence, then one explode) — no self-join, no UDF; output "
     "volume is len/stride x corpus, controlled by the stride.",
     tags=("text", "ngram", "F2"),
+    bench=True,
 )
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)

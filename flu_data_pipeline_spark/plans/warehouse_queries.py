@@ -50,6 +50,7 @@ from flu_data_pipeline_spark.plans.registry import register
     "pinned by (date, orderkey) — orderkey unique breaks date ties "
     "identically on both engines.",
     tags=("scd2", "window", "W1"),
+    bench=True,
 )
 def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(

@@ -473,3 +473,47 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_abs_err"),
         F.array_max(codes).cast("int").alias("max_code"),
     )
+
+
+@register(
+    "array_predicate_battery",
+    oracle="""
+    SELECT vec_id,
+           CASE WHEN len(list_filter(list_transform(embedding,
+                    v -> CAST(v AS DOUBLE)), v -> v > 0.45)) > 0
+                THEN 1 ELSE 0 END AS has_large,
+           CASE WHEN len(list_filter(list_transform(embedding,
+                    v -> CAST(v AS DOUBLE)), v -> NOT (abs(v) <= 0.5))) = 0
+                THEN 1 ELSE 0 END AS all_bounded,
+           CAST(coalesce(list_position(list_transform(embedding,
+                    v -> CASE WHEN CAST(v AS DOUBLE) > 0.45 THEN 1 ELSE 0 END), 1),
+                0) AS INT) AS first_large_pos
+    FROM embeddings
+    WHERE vec_id < 300
+    """,
+    doc="Array-predicate battery: exists (any element above threshold), "
+    "forall (all within bounds), and first-match position over vector "
+    "columns — the filter-pushdown vocabulary for vector tables (e.g. "
+    "drop vectors with out-of-range dims before indexing), all "
+    "JVM-side HOFs inside codegen.",
+    tags=("array", "similarity"),
+)
+def array_predicate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    e = F.transform("embedding", lambda v: v.cast("double"))
+    base = emb.select("vec_id", e.alias("e"))
+    return base.select(
+        "vec_id",
+        F.when(F.exists("e", lambda v: v > 0.45), 1).otherwise(0).alias("has_large"),
+        F.when(F.forall("e", lambda v: F.abs(v) <= 0.5), 1)
+        .otherwise(0)
+        .alias("all_bounded"),
+        F.coalesce(
+            F.array_position(
+                F.transform("e", lambda v: F.when(v > 0.45, 1).otherwise(0)), 1
+            ),
+            F.lit(0),
+        )
+        .cast("int")
+        .alias("first_large_pos"),
+    )

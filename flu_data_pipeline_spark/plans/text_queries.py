@@ -684,3 +684,94 @@ def text_term_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("term_h"), 6).alias("entropy"),
         )
     )
+
+
+#: fixed query-term set for the BM25 demo (public constants, like STOPWORDS)
+BM25_TERMS = ("spark", "table", "query")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH docs_t AS (
+        SELECT doc_id, {_TOKENS} AS t FROM documents
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               AVG(CAST(len(t) AS DOUBLE)) AS avgdl
+        FROM docs_t
+    ), tf AS (
+        SELECT d.doc_id, CAST(len(d.t) AS DOUBLE) AS dl, q.term,
+               CAST(len(list_filter(d.t, x -> x = q.term)) AS DOUBLE) AS f
+        FROM docs_t d
+        CROSS JOIN (SELECT unnest({list(BM25_TERMS)!r}::VARCHAR[]) AS term) q
+    ), df AS (
+        SELECT term, CAST(SUM(CASE WHEN f > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS n_with
+        FROM tf GROUP BY term
+    ), scored AS (
+        SELECT tf.doc_id,
+               SUM(LN((s.n_docs - df.n_with + 0.5) / (df.n_with + 0.5) + 1)
+                   * tf.f * ({BM25_K1} + 1)
+                   / (tf.f + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+               ) AS score
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(score, 6) AS bm25
+    FROM scored
+    WHERE score > 0
+    QUALIFY ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) <= 25
+    ORDER BY bm25 DESC, doc_id
+    """,
+    doc="BM25 ranking for a fixed term set: corpus stats (N, avgdl) and "
+    "per-term document frequencies are tiny aggregates broadcast into a "
+    "per-doc score pass; term frequencies come from array filters on "
+    "the already-split token array (3 terms x docs — no inverted-index "
+    "shuffle needed at this query shape; a full search engine would "
+    "flip to the explode/posting-list layout of text_tfidf_top_terms). "
+    "Top-25 pinned on (rounded score, doc_id) so float ulps can't "
+    "reorder the cut.",
+    tags=("text", "tfidf", "A7", "O3"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs_t = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    stats = docs_t.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size("t").cast("double")).alias("avgdl"),
+    )
+    terms = docs.sparkSession.createDataFrame(
+        [(t,) for t in BM25_TERMS], "term string"
+    )
+    tf = (
+        docs_t.crossJoin(F.broadcast(terms))
+        .select(
+            "doc_id",
+            F.size("t").cast("double").alias("dl"),
+            "term",
+            F.size(F.expr("filter(t, x -> x = term)")).cast("double").alias("f"),
+        )
+    )
+    df_ = tf.groupBy("term").agg(
+        F.sum(F.when(F.col("f") > 0, 1).otherwise(0)).cast("double").alias("n_with")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("n_with") + 0.5) / (F.col("n_with") + 0.5) + 1
+    )
+    denom = F.col("f") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("f") * (BM25_K1 + 1) / denom).alias("score"))
+        .filter(F.col("score") > 0)
+    )
+    w = Window.orderBy(F.desc(F.round("score", 6)), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+    )

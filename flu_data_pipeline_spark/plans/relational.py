@@ -1051,3 +1051,41 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+@register(
+    "date_math_battery",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(isodow(o_orderdate) AS INT) AS iso_weekday,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+           CAST(DATE '2026-01-01' - CAST(o_orderdate AS DATE) AS INT)
+               AS days_until_2026
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+    doc="Date-arithmetic surface beyond the reference's F3-F8 derivations: "
+    "month arithmetic with end-of-month clamping (Jan 31 + 1mo = Feb "
+    "29), last_day, ISO weekday/week number (Spark weekday()+1 = DuckDB "
+    "isodow — both pinned ISO, dodging the 1=Sunday dayofweek trap), "
+    "quarter truncation, and day differences. All codegen scalar "
+    "expressions with identical calendar semantics cross-engine.",
+    tags=("F3", "F6", "F8", "date"),
+)
+def date_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.add_months(d, 1).alias("next_month"),
+        F.last_day(d).alias("month_end"),
+        (F.weekday(d) + 1).cast("int").alias("iso_weekday"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+        F.datediff(F.lit("2026-01-01").cast("date"), d).cast("int").alias(
+            "days_until_2026"
+        ),
+    )

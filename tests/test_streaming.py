@@ -306,3 +306,54 @@ def test_streaming_static_enrich(spark, tmp_path):
     assert ("click", "engagement") in cats and ("purchase", "revenue") in cats
     # unmatched types survive with null category (left join semantics)
     assert all(c is None for t, c in cats if t in ("signup", "error"))
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Rows arriving behind the watermark for an already-closed window are
+    DROPPED from the aggregation (late-data policy), while in-horizon
+    rows still merge."""
+    from flu_data_pipeline_spark.streaming.ingest import (
+        EVENTS_STREAM_SCHEMA,
+        streaming_hourly_rollup,
+    )
+
+    def row(eid, ts, et="view", val=1.0):
+        return {"event_id": eid, "ts": ts, "user_id": 1,
+                "event_type": et, "value": val, "props": "{}"}
+
+    landing = str(tmp_path / "late")
+    os.makedirs(landing, exist_ok=True)
+    # batch 0: two rows in hour 10:00
+    with open(os.path.join(landing, "p0.json"), "w") as f:
+        f.write(json.dumps(row(1, "2024-01-01T10:00:00.000Z")) + "\n")
+        f.write(json.dumps(row(2, "2024-01-01T10:30:00.000Z")) + "\n")
+    # batch 1: advance event time far ahead -> watermark = 20:00 - 2h = 18:00
+    with open(os.path.join(landing, "p1.json"), "w") as f:
+        f.write(json.dumps(row(3, "2024-01-01T20:00:00.000Z")) + "\n")
+    # batch 2: a LATE row for the long-closed 10:00 window (behind the
+    # 18:00 watermark -> must be dropped) plus an in-horizon 19:00 row
+    with open(os.path.join(landing, "p2.json"), "w") as f:
+        f.write(json.dumps(row(4, "2024-01-01T10:45:00.000Z")) + "\n")
+        f.write(json.dumps(row(5, "2024-01-01T19:00:00.000Z")) + "\n")
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+    )
+    q = (
+        streaming_hourly_rollup(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        str(r["hour_start"]): r["n_events"]
+        for r in spark.table("t_late").collect()
+    }
+    # the 10:00 window closed with ONLY the two on-time rows; the late
+    # event_id=4 was dropped, not merged and not re-emitted
+    assert got.get("2024-01-01 10:00:00") == 2, got

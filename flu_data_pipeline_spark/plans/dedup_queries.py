@@ -515,3 +515,57 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.filter(containment >= 0.5).select(
         "doc_a", "doc_b", F.round(containment, 6).alias("containment")
     )
+
+
+@register(
+    "dedup_cluster_reps",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLED_DISTINCT_SQL}, {_SIG_SQL},
+    bands AS (
+{_BANDS_SQL}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, root) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, MIN(root) AS component
+        FROM reach GROUP BY node
+    )
+    SELECT component AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM comp
+    GROUP BY component
+    """,
+    doc="Dedup decision table: each near-dup cluster collapsed to its "
+    "canonical representative (min doc_id = the component label) with "
+    "the kept/dropped accounting — the final artifact a corpus-dedup "
+    "pass hands to the filter step. Rolls up the dedup_components "
+    "output; at scale the drop-set joins back as a broadcast/bloom "
+    "anti-filter on the corpus.",
+    tags=("dedup", "graph", "minhash"),
+)
+def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", NUM_HASHES)
+    pairs = lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BAND_SIZE)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.groupBy(F.col("component").alias("keep_doc_id")).agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )

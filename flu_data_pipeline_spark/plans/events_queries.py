@@ -219,3 +219,65 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("funnel_stage"),
         )
     )
+
+
+@register(
+    "events_burst_collapse",
+    oracle="""
+    WITH seq AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+               LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+               ) AS prev_s
+        FROM events
+    ), marked AS (
+        SELECT *, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 5
+                       THEN 1 ELSE 0 END AS is_new
+        FROM seq
+    ), numbered AS (
+        SELECT *, CAST(SUM(is_new) OVER (
+                  PARTITION BY user_id, event_type
+                  ORDER BY ts_s, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS burst_idx
+        FROM marked
+    )
+    SELECT user_id, event_type, burst_idx,
+           CAST(MIN(CASE WHEN is_new = 1 THEN event_id END) AS BIGINT)
+               AS keep_event_id,
+           CAST(COUNT(*) AS BIGINT) AS burst_size
+    FROM numbered
+    GROUP BY user_id, event_type, burst_idx
+    """,
+    doc="Burst collapse (telemetry debounce): rapid-fire repeats of the "
+    "same (user, event_type) within a 5s inter-event gap collapse to "
+    "their first event — double-click / retry-storm cleaning before "
+    "counting. Same gaps-and-islands machinery as sessionization at a "
+    "tighter gap; all three windows and the final rollup share one "
+    "(user, type) partitioning → one shuffle.",
+    tags=("window", "sessionize", "dedup", "A7"),
+)
+def events_burst_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id", "event_type").orderBy("ts_s", "event_id")
+    cum = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = (
+        ev.select(
+            "event_id", "user_id", "event_type",
+            F.unix_timestamp("ts").alias("ts_s"),
+        )
+        .withColumn("prev_s", F.lag("ts_s").over(seq))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_s").isNull() | (F.col("ts_s") - F.col("prev_s") > 5), 1
+            ).otherwise(0),
+        )
+        .withColumn("burst_idx", F.sum("is_new").over(cum).cast("long"))
+    )
+    return marked.groupBy("user_id", "event_type", "burst_idx").agg(
+        F.min(F.when(F.col("is_new") == 1, F.col("event_id"))).alias("keep_event_id"),
+        F.count(F.lit(1)).alias("burst_size"),
+    )

@@ -253,3 +253,43 @@ def sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("concurrency").cast("int").alias("peak_concurrency"))
         .orderBy("epoch_day")
     )
+
+
+@register(
+    "events_daily_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               ROUND(SUM(value), 2) AS daily_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, daily_value,
+           ROUND((daily_value - AVG(daily_value) OVER (PARTITION BY event_type))
+                 / STDDEV_SAMP(daily_value) OVER (PARTITION BY event_type),
+                 6) AS zscore
+    FROM daily
+    """,
+    doc="Daily-value anomaly scores: each (type, day) cell's z-score "
+    "against its type's distribution — the alerting primitive for "
+    "metric monitoring. Daily sums rounded 2dp before the moments so "
+    "both engines standardize identical values (sample stddev on both). "
+    "The stats windows run over the aggregated daily grid, not raw "
+    "events, and share the event_type partitioning.",
+    tags=("timeseries", "stats", "window", "A7"),
+)
+def events_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("daily_value"))
+    w = Window.partitionBy("event_type")
+    return daily.select(
+        "event_type",
+        "day",
+        "daily_value",
+        F.round(
+            (F.col("daily_value") - F.avg("daily_value").over(w))
+            / F.stddev_samp("daily_value").over(w),
+            6,
+        ).alias("zscore"),
+    )

@@ -281,3 +281,40 @@ def events_burst_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("is_new") == 1, F.col("event_id"))).alias("keep_event_id"),
         F.count(F.lit(1)).alias("burst_size"),
     )
+
+
+@register(
+    "grouped_map_normalize",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                 / STDDEV_SAMP(value) OVER (PARTITION BY event_type),
+                 6) AS norm_value
+    FROM events
+    WHERE value IS NOT NULL
+    """,
+    doc="Grouped-map applyInPandas (the full-group pandas surface, "
+    "distinct from scalar/grouped-agg pandas UDFs and from "
+    "applyInPandasWithState): per event_type, z-normalize values with "
+    "arbitrary pandas/numpy code — the pattern for group-local ML "
+    "preprocessing (scalers, per-entity model scoring) when native "
+    "windows can't express the kernel. The oracle states the same "
+    "normalization with window functions; both must agree to 6dp, "
+    "which also proves the UDF's sorted-fold determinism.",
+    tags=("udaf", "pandas-udf", "window", "stats"),
+)
+def grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.functions.udafs import (
+        NORMALIZED_SCHEMA,
+        normalize_per_group,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    out = (
+        ev.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(normalize_per_group, NORMALIZED_SCHEMA)
+    )
+    return out.select(
+        "event_id", "event_type", F.round("norm_value", 6).alias("norm_value")
+    )

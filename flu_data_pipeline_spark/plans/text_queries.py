@@ -485,8 +485,9 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("udaf", "pandas-udf", "A7", "U3"),
 )
 def udaf_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flu_data_pipeline_spark.functions.udafs import geomean
+    from flu_data_pipeline_spark.functions.udafs import make_geomean
 
+    geomean = make_geomean()
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
     # grouped-agg pandas UDFs cannot share an agg with JVM aggregates -
     # compute them separately and join on the (3-row) group keys
@@ -774,4 +775,38 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 25)
         .select("doc_id", F.round("score", 6).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
+    )
+
+
+@register(
+    "text_feature_hashing",
+    oracle=f"""
+    WITH terms AS (
+        SELECT doc_id, unnest({_TOKENS}) AS term
+        FROM documents WHERE doc_id < 1000
+    )
+    SELECT doc_id,
+           CAST({hash64_sql('term')} % 1024 AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS weight
+    FROM terms
+    GROUP BY 1, 2
+    """,
+    doc="Hashing-trick vectorizer: terms map to a fixed 1024-bucket "
+    "feature space via the portable hash (no vocabulary build, no "
+    "global dictionary shuffle — the property that makes the hashing "
+    "trick THE scalable text featurizer), counts per (doc, bucket) as "
+    "sparse feature weights. Bucket ids are bit-identical across "
+    "engines, so collisions land identically and the check is exact.",
+    tags=("text", "tfidf", "A7"),
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    terms = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    return (
+        terms.groupBy(
+            "doc_id", (hash64(F.col("term")) % 1024).cast("int").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
     )

@@ -1089,3 +1089,34 @@ def date_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_until_2026"
         ),
     )
+
+
+@register(
+    "set_ops_bag_semantics",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT l_returnflag FROM lineitem WHERE l_quantity > 25
+        INTERSECT ALL
+        SELECT l_returnflag FROM lineitem WHERE l_discount > 0.03
+    )
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Bag (multiset) set operations — INTERSECT ALL keeps "
+    "min(multiplicity) per value, the semantics DISTINCT-based set ops "
+    "destroy. Complements set_ops_customers' distinct algebra; Spark "
+    "plans intersectAll as an aggregated count-compare, not a "
+    "full materialized cross-check.",
+    tags=("set-ops", "D3", "A7"),
+)
+def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 25).select("l_returnflag")
+    b = li.filter(F.col("l_discount") > 0.03).select("l_returnflag")
+    return (
+        a.intersectAll(b)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag")
+    )

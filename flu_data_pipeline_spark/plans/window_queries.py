@@ -295,3 +295,40 @@ def window_value_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("o_totalprice").over(full), 2).alias("last_price"),
         F.round(F.nth_value("o_totalprice", 2).over(full), 2).alias("second_price"),
     )
+
+
+@register(
+    "sequence_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey, o_orderpriority AS cur,
+               LAG(o_orderpriority) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS prev
+        FROM orders
+    )
+    SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY prev, cur
+    ORDER BY prev, cur
+    """,
+    doc="First-order transition matrix over per-customer order sequences "
+    "(which priority follows which) — the Markov-chain counting "
+    "primitive for behavioral sequence mining. One lag window per "
+    "entity ordering, then a global count per (prev, cur) cell; the "
+    "matrix is |states|^2 regardless of data size.",
+    tags=("window", "W1", "A7"),
+)
+def sequence_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            F.col("o_orderpriority").alias("cur"),
+            F.lag("o_orderpriority").over(seq).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev", "cur")
+    )

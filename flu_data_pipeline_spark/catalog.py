@@ -14,6 +14,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flu_data_pipeline_spark.session import ensure_session_defaults
+
 TESTDATA_TABLES = (
     "region",
     "nation",
@@ -36,7 +38,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark reads
     as long (``spark.sql.legacy.parquet.nanosAsLong``); converted here to a
     µs timestamp via integer division (ns→µs truncation — sub-µs digits are
-    never projected by engine queries, so DuckDB parity holds)."""
+    never projected by engine queries, so DuckDB parity holds).
+
+    Runtime confs are (re)applied here so a stock, externally-built
+    session can read the nanos parquet — ``nanosAsLong`` is runtime-
+    settable and must be on before the read is analyzed."""
+    ensure_session_defaults(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.typeName() == "long":

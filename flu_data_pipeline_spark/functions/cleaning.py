@@ -5,8 +5,9 @@ Column expressions:
 
 - ``clean_percent`` reproduces ``clean_percentage``
   (flu_data_airflow_v2.py:142-154): NaN/None → null, empty or whitespace
-  string → null, parseable → double, unparseable → null. With ANSI mode off,
-  ``cast('double')`` returns null for junk — exactly the try/except.
+  string → null, parseable → double, unparseable → null. ``try_cast`` gives
+  null-on-junk regardless of ``spark.sql.ansi.enabled`` — exactly the
+  reference's try/except, and portable to any harness-built session.
 - ``empty_to_null`` is the standalone empty-string → null normalizer used on
   ingest (reference cleans at :142-154 and regex-replaces blanks at :336).
 """
@@ -28,5 +29,6 @@ def empty_to_null(col: Column | str) -> Column:
 
 
 def clean_percent(col: Column | str) -> Column:
-    """String percent column → DoubleType with null for blank/junk values."""
-    return empty_to_null(_as_col(col)).cast("double")
+    """String percent column → DoubleType with null for blank/junk values
+    (e.g. ``'suppressed'``), independent of ANSI mode."""
+    return empty_to_null(_as_col(col)).try_cast("double")

@@ -40,9 +40,19 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # Arrow-batched pandas decode stub: not SQL-expressible
     doc="mapInPandas batch 'decode' (stubbed codec, real Arrow plumbing): "
     "blob+meta in, (id, modality, n_bytes, feature array) out. The rows-"
-    "only check validates schema + batch shape end to end.",
+    "only check validates schema + batch shape end to end. The registered "
+    "result projects the array into sortable scalar columns (n_dims + "
+    "JSON form) so rows-only canonicalization (pandas sort) works; "
+    "library users get the raw array via decode_stub.",
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = attach_binary(load_table(spark, sf_dir, "documents"))
-    return decode_stub(docs, "doc_id", strict=False)
+    feats = decode_stub(docs, "doc_id", strict=False)
+    return feats.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        F.size("feature").alias("n_dims"),
+        F.to_json(F.col("feature")).alias("feature_json"),
+    )

@@ -14,10 +14,13 @@ value hash), so:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+from flu_data_pipeline_spark.session import ensure_session_defaults
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -47,7 +50,20 @@ def register(
     def wrap(fn: Builder) -> Builder:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QueryDef(name, fn, oracle, doc or (fn.__doc__ or ""), tags, bench)
-        return fn
+
+        # Session portability: builders are called by external harnesses
+        # with sessions we didn't configure (ANSI on, host timezone, no
+        # nanos-parquet handling). Apply the engine's runtime confs to
+        # whatever session arrives, so semantics never depend on who
+        # built it (CORRECTNESS_r01: 17/19 failures were this coupling).
+        @functools.wraps(fn)
+        def portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_defaults(spark)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QueryDef(
+            name, portable, oracle, doc or (fn.__doc__ or ""), tags, bench
+        )
+        return portable
 
     return wrap

@@ -15,6 +15,73 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+#: Correctness- and perf-load-bearing confs that are runtime-settable
+#: (`spark.conf.set` on an already-built session). Every registered query
+#: builder applies these to the session it is handed (see
+#: plans/registry.py), so the engine's semantics do NOT depend on who
+#: built the SparkSession — a stock session (ANSI on, host timezone, no
+#: nanos handling) behaves identically to one from :func:`get_spark`.
+ENGINE_RUNTIME_CONFS: dict[str, str] = {
+    # parquet TIMESTAMP(NANOS) (events.ts) is otherwise unreadable: read
+    # as long ns-since-epoch; catalog.load_table converts to timestamp.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Pin date/timestamp semantics so results hash-match the DuckDB
+    # oracle regardless of host timezone.
+    "spark.sql.session.timeZone": "UTC",
+    # The engine's SQL dialect is non-ANSI: CAST('junk' AS DOUBLE) → null,
+    # x/0 → null — the reference's try/except cleaner semantics
+    # (flu_data_airflow_v2.py:142-154). Cleaners additionally use
+    # try_cast so the core paths hold even if this conf is rejected.
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Broadcast only truly small build sides (see get_spark rationale).
+    "spark.sql.autoBroadcastJoinThreshold": str(2 * 1024 * 1024),
+    # InferFiltersFromGenerate pushes full generator expressions below
+    # repartitions into the scan (measured 17x on HOF-heavy explodes).
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+}
+
+
+def ensure_session_defaults(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an externally-built session.
+
+    Idempotent and cheap; called by every registered builder and by
+    :func:`flu_data_pipeline_spark.catalog.load_table` so harnesses that
+    hand us their own default-config SparkSession still get reference
+    semantics. Non-settable confs are skipped rather than failing the
+    query (the expression-level guards — try_cast, explicit UTC-safe
+    projections — keep core semantics intact either way).
+
+    A single sentinel conf.get short-circuits the ~12 py4j round-trips
+    when the session is already configured (builders are called in tight
+    best-of-N bench loops; the apply must not show up in query timings).
+    """
+    sentinel = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        if spark.conf.get(sentinel, "unset") == ENGINE_RUNTIME_CONFS[sentinel]:
+            return spark
+    except Exception:
+        pass
+    for key, value in ENGINE_RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass
+    # Respect an explicitly tuned shuffle partitioning; only replace
+    # Spark's stock 200 default, which is wrong for local correctness
+    # runs (200 tiny tasks) and for any tuned cluster alike.
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
+            )
+    except Exception:
+        pass
+    return spark
+
 
 def get_spark(
     app_name: str = "flu_data_pipeline_spark",

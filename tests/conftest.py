@@ -27,6 +27,39 @@ def spark():
     yield s
 
 
+#: What a harness-built SparkSession looks like with none of our confs:
+#: ANSI on, nanos parquet unreadable, host (non-UTC) timezone, stock
+#: shuffle/broadcast sizing, no optimizer exclusions. The driver-parity
+#: gate forces these before EVERY query; builders must recover via
+#: ensure_session_defaults (CORRECTNESS_r01: 17/19 failures were
+#: session coupling invisible to an engine-session-only suite).
+STOCK_CONFS = {
+    "spark.sql.ansi.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "false",
+    "spark.sql.session.timeZone": "America/New_York",
+    "spark.sql.shuffle.partitions": "200",
+    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+}
+
+
+def stockify(s):
+    """Reset a session to driver-stock confs (undo engine runtime confs)."""
+    for k, v in STOCK_CONFS.items():
+        s.conf.set(k, v)
+    try:
+        s.conf.unset("spark.sql.optimizer.excludedRules")
+    except Exception:
+        pass
+    return s
+
+
+@pytest.fixture(scope="session")
+def spark_stock(spark):
+    """Separate SQLConf namespace on the shared context, simulating the
+    driver's own default-config session."""
+    return spark.newSession()
+
+
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()

@@ -1,6 +1,9 @@
 """Mirror of the driver's t2 correctness gate: every registry query with an
 oracle is hash-compared against DuckDB at sf0.01; oracle-less queries get a
-rows-run smoke check."""
+rows+canonicalize check. The gate runs on a SIMULATED DRIVER SESSION —
+stock confs (ANSI on, non-UTC tz, no nanos handling) are re-forced before
+every single query, so any builder that depends on who built the
+SparkSession fails here, not in CORRECTNESS_r{N}."""
 
 from __future__ import annotations
 
@@ -8,24 +11,36 @@ import pytest
 
 from flu_data_pipeline_spark.plans import REGISTRY
 
-from .conftest import SF_ORACLE, compare_query
+from .conftest import SF_ORACLE, compare_query, stockify
 
 WITH_ORACLE = sorted(n for n, q in REGISTRY.items() if q.oracle)
 NO_ORACLE = sorted(n for n, q in REGISTRY.items() if not q.oracle)
 
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
-def test_oracle_match(spark, duck, name):
+def test_oracle_match(spark_stock, duck, name):
     qd = REGISTRY[name]
-    compare_query(spark, duck, name, qd.builder, qd.oracle)
+    compare_query(stockify(spark_stock), duck, name, qd.builder, qd.oracle)
 
 
 @pytest.mark.parametrize("name", NO_ORACLE)
-def test_rows_only(spark, name):
+def test_rows_only(spark_stock, name):
     qd = REGISTRY[name]
-    df = qd.builder(spark, SF_ORACLE)
-    assert df.count() >= 0
-    assert len(df.columns) > 0
+    df = qd.builder(stockify(spark_stock), SF_ORACLE)
+    # Mirror the driver's rows-only canonicalization: toPandas + sort by
+    # every column — unsortable column types (arrays/maps at top level)
+    # must fail here like they fail there.
+    pdf = df.toPandas()
+    assert len(pdf.columns) > 0
+    pdf.sort_values(by=list(pdf.columns))
+    assert len(pdf) >= 0
+
+
+def test_engine_session_still_green(spark, duck):
+    """get_spark()'s own session stays a first-class citizen: spot-check a
+    representative oracle query on the engine-built session too."""
+    qd = REGISTRY["report_weekly_trends"]
+    compare_query(spark, duck, qd.name, qd.builder, qd.oracle)
 
 
 def test_serving_edge_format_and_fold():

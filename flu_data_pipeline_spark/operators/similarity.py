@@ -19,7 +19,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 EMBED_DIM = 64
-N_PLANES = 4  # 16 buckets over the test corpus; raise for bigger corpora
+
+#: Default plane count sized for the TEST corpus (2^4 = 16 buckets over
+#: ~5k vectors ≈ 300 rows/bucket). This is a tuning parameter, not a
+#: constant of the algorithm — size it with :func:`make_planes`.
+N_PLANES = 4
 
 
 def _plane_component(j: int, d: int) -> float:
@@ -28,9 +32,22 @@ def _plane_component(j: int, d: int) -> float:
     return h / 2**32 - 0.5
 
 
-PLANES: list[list[float]] = [
-    [_plane_component(j, d) for d in range(EMBED_DIM)] for j in range(N_PLANES)
-]
+def make_planes(n_planes: int, dim: int = EMBED_DIM) -> list[list[float]]:
+    """Deterministic random-hyperplane family (no RNG: md5-seeded, so the
+    same family is reproducible in any engine, including the SQL oracle).
+
+    Sizing contract for scale: with corpus size N and a target candidate
+    bucket of B rows, use ``n_planes = ceil(log2(N / B))`` — 2^n_planes
+    buckets of ~B expected rows. E.g. N=1e10 embeddings, B=50k →
+    n_planes≈18 (262k buckets). The bucket key is what the candidate
+    self-join shuffles on, so B bounds per-task join work; recall drops
+    as n_planes grows — band multiple independent families (OR over
+    bands, like MinHash-LSH banding) to recover it.
+    """
+    return [[_plane_component(j, d) for d in range(dim)] for j in range(n_planes)]
+
+
+PLANES: list[list[float]] = make_planes(N_PLANES)
 
 
 def dot_literal(vec: Column, plane: list[float]) -> Column:
@@ -47,10 +64,13 @@ def dot_literal(vec: Column, plane: list[float]) -> Column:
     )
 
 
-def lsh_bucket(vec: Column) -> Column:
-    """Random-hyperplane signature: bit j = sign(vec · plane_j)."""
+def lsh_bucket(vec: Column, planes: list[list[float]] | None = None) -> Column:
+    """Random-hyperplane signature: bit j = sign(vec · plane_j).
+
+    ``planes`` defaults to the test-sized family; at scale pass
+    ``make_planes(ceil(log2(N / target_bucket_rows)))``."""
     bucket = F.lit(0)
-    for j, plane in enumerate(PLANES):
+    for j, plane in enumerate(planes or PLANES):
         bucket = bucket + F.when(dot_literal(vec, plane) > 0, F.lit(2**j)).otherwise(
             F.lit(0)
         )
@@ -70,9 +90,9 @@ def dot_literal_sql(vec_expr: str, plane: list[float]) -> str:
     )
 
 
-def lsh_bucket_sql(vec_expr: str) -> str:
+def lsh_bucket_sql(vec_expr: str, planes: list[list[float]] | None = None) -> str:
     terms = [
         f"(CASE WHEN {dot_literal_sql(vec_expr, plane)} > 0 THEN {2**j} ELSE 0 END)"
-        for j, plane in enumerate(PLANES)
+        for j, plane in enumerate(planes or PLANES)
     ]
     return "CAST(" + " + ".join(terms) + " AS INT)"

@@ -64,6 +64,11 @@ def ts_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.sequence("d0", "d1")).alias("day"))
     )
     types = ev.select("event_type").distinct()
+    # Bounded crossJoin: |types| is a small enum (~10) and |days| is the
+    # observed date span (~365/yr) — the grid is O(10k)/year regardless of
+    # fact cardinality, so broadcasting it is safe at any corpus scale.
+    # A gapfill over an UNBOUNDED key (e.g. user_id × day) must instead
+    # range-join each key's own [min, max] span — never this grid.
     grid = types.crossJoin(days)
     return (
         F.broadcast(grid)

@@ -34,6 +34,49 @@ def write_table(
     writer.parquet(path)
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    isolation_level: str = "NONE",
+    truncate: bool = True,
+    options: dict[str, str] | None = None,
+) -> None:
+    """JDBC bulk-load sink — literal parity with the reference's
+    staging-COPY → INSERT Postgres load (flu_data_airflow_v2.py:589-733),
+    expressed as Spark's parallel JDBC write.
+
+    Scale contract:
+    - ``num_partitions`` caps concurrent DB connections (each partition
+      opens one); repartition down before hammering a single Postgres.
+    - ``batchsize`` controls rows per round-trip (the COPY-ish path).
+    - ``isolation_level=NONE`` skips transactional overhead for bulk
+      loads, matching COPY semantics.
+    - ``truncate=True`` + mode='overwrite' issues TRUNCATE instead of
+      DROP/CREATE, preserving the reference's DDL (indexes, PKs).
+
+    No JDBC driver jars ship in this environment, so runtime use needs
+    ``spark.jars`` configured; the wiring is still exercised in tests
+    (the save must reach JDBC driver resolution).
+    """
+    out = df.repartition(num_partitions) if num_partitions else df
+    writer = (
+        out.write.format("jdbc")
+        .mode(mode)
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .option("isolationLevel", isolation_level)
+        .option("truncate", str(truncate).lower())
+    )
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV interchange sink (S4) — kept only where interchange parity
     matters; parquet is the at-rest format."""

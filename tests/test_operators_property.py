@@ -210,3 +210,39 @@ def test_merge_upsert_matches_dict_model(spark, tmp_path_factory, batches):
         model.update(collapsed)
     got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert got == model
+
+
+def test_lsh_plane_family_parameterized(spark, duck):
+    """make_planes(n) scales the bucket space (2^n keys) and the generated
+    DuckDB SQL stays bit-identical with the Spark expression for a
+    non-default family — the knob a 100 TB corpus needs (n_planes ≈
+    log2(N / target_bucket_rows))."""
+    from pyspark.sql import functions as F
+
+    from flu_data_pipeline_spark.catalog import load_table
+    from flu_data_pipeline_spark.operators.similarity import (
+        lsh_bucket,
+        lsh_bucket_sql,
+        make_planes,
+    )
+
+    from .conftest import SF_ORACLE
+
+    planes6 = make_planes(6)
+    assert len(planes6) == 6 and len(planes6[0]) == 64
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    got = {
+        r["vec_id"]: r["bucket"]
+        for r in emb.select(
+            "vec_id", lsh_bucket(F.col("embedding"), planes6).alias("bucket")
+        ).collect()
+    }
+    want = dict(
+        duck.execute(
+            f"SELECT vec_id, {lsh_bucket_sql('embedding', planes6)} AS bucket "
+            "FROM embeddings"
+        ).fetchall()
+    )
+    assert got == want
+    n_default = emb.select(lsh_bucket(F.col("embedding")).alias("b")).distinct().count()
+    assert len(set(got.values())) > n_default  # finer partitioning

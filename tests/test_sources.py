@@ -292,3 +292,23 @@ def test_delete_rows(spark, tmp_path):
     n2 = delete_rows(spark, target, doomed, ("o_orderkey",))
     assert n2 == 0
     assert spark.read.parquet(target).count() == 250
+
+
+def test_write_jdbc_wiring_reaches_driver_resolution(spark):
+    """S5 JDBC sink: no driver jars exist here, so a correct JDBC plan must
+    fail at *driver resolution* (proving url/dbtable/options wiring went
+    through Spark's JDBC path, not an earlier API error)."""
+    import pytest as _pytest
+
+    from flu_data_pipeline_spark.sources.writers import write_jdbc
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    with _pytest.raises(Exception) as ei:
+        write_jdbc(
+            df,
+            url="jdbc:postgresql://localhost:5432/flu",
+            table="flu_raw",
+            num_partitions=2,
+        )
+    msg = str(ei.value)
+    assert "driver" in msg.lower() or "ClassNotFound" in msg

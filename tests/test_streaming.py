@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import functions as F
 
@@ -16,6 +17,16 @@ from flu_data_pipeline_spark.streaming.ingest import (
 )
 
 from .conftest import SF_SMOKE
+
+
+def pin_file_order(landing: str, *names: str) -> None:
+    """FileStreamSource orders micro-batches by file modification time;
+    files written back-to-back can tie at fs timestamp granularity and
+    process out of order (observed as suite-load flakiness). Pin strictly
+    increasing mtimes so batch order matches write order."""
+    base = int(time.time()) - 100
+    for i, name in enumerate(names):
+        os.utime(os.path.join(landing, name), (base + i * 10, base + i * 10))
 
 
 def _dump_events_jsonl(spark, tmp_path, n=2000):
@@ -201,6 +212,7 @@ def test_apply_in_pandas_with_state_running_stats(spark, tmp_path):
         with open(os.path.join(landing, f"p{i}.json"), "w") as f:
             for r in part:
                 f.write(json.dumps(r.asDict()) + "\n")
+    pin_file_order(landing, "p0.json", "p1.json")
 
     # one file per trigger: without this, availableNow folds every file
     # into a single micro-batch and state never crosses a batch boundary
@@ -260,6 +272,7 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     with open(os.path.join(landing, "p1.json"), "w") as f:
         for r in rows[:200]:
             f.write(json.dumps(r.asDict()) + "\n")
+    pin_file_order(landing, "p0.json", "p1.json")
 
     stream = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
@@ -330,11 +343,21 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # batch 1: advance event time far ahead -> watermark = 20:00 - 2h = 18:00
     with open(os.path.join(landing, "p1.json"), "w") as f:
         f.write(json.dumps(row(3, "2024-01-01T20:00:00.000Z")) + "\n")
-    # batch 2: a LATE row for the long-closed 10:00 window (behind the
-    # 18:00 watermark -> must be dropped) plus an in-horizon 19:00 row
+    # batch 2: keep event time high. The late-record filter evaluates
+    # against the watermark as of the PREVIOUS batch's commit (observed:
+    # a late row landing in the batch right after the advance can still
+    # merge while the window state is being evicted), so the advance must
+    # be fully committed one batch before the late row arrives.
     with open(os.path.join(landing, "p2.json"), "w") as f:
+        f.write(json.dumps(row(6, "2024-01-01T20:30:00.000Z")) + "\n")
+    # batch 3: a LATE row for the long-closed 10:00 window (behind the
+    # >=18:00 watermark -> must be dropped) plus an in-horizon 19:00 row
+    with open(os.path.join(landing, "p3.json"), "w") as f:
         f.write(json.dumps(row(4, "2024-01-01T10:45:00.000Z")) + "\n")
         f.write(json.dumps(row(5, "2024-01-01T19:00:00.000Z")) + "\n")
+
+    # late row must not process before the watermark-advancing files
+    pin_file_order(landing, "p0.json", "p1.json", "p2.json", "p3.json")
 
     stream = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
@@ -349,7 +372,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish within 180s"
     got = {
         str(r["hour_start"]): r["n_events"]
         for r in spark.table("t_late").collect()

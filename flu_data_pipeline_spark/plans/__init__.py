@@ -11,6 +11,7 @@ inventory.
 """
 
 from flu_data_pipeline_spark.plans import (  # noqa: F401
+    curation_queries,
     dedup_queries,
     events_queries,
     flu_reports,

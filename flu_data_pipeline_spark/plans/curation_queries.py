@@ -1,0 +1,347 @@
+"""Corpus-curation queries: the filtering/decontamination battery a
+training-data pipeline runs between raw crawl and tokenizer.
+
+Everything is native DataFrame expressions over the ``documents`` table —
+no Python in the hot path — and every hash-dependent decision uses the
+portable md5-prefix hash so the DuckDB oracle reproduces it bit-for-bit.
+
+Scale notes (100 TB):
+- contamination check: distinct (shingle-hash, doc) explode + hash-join —
+  the standard decontamination sweep; cost bounded by shingle-bucket
+  sizes, never O(train × val).
+- repetition / scrub / length filters: pure map-side per-document
+  expressions; the only shuffles are the final small aggregates.
+- domain mix: groupBy(source) + a broadcast 1-row total — no window over
+  an unpartitioned frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flu_data_pipeline_spark.catalog import load_table
+from flu_data_pipeline_spark.functions.hashing import hash64, hash64_sql
+from flu_data_pipeline_spark.operators.dedup import shingles_from_tokens, tokenize
+from flu_data_pipeline_spark.plans.registry import register
+
+# DuckDB equivalent of shingles_from_tokens∘tokenize (same as dedup oracle)
+_SHINGLES_SQL = """
+    list_filter(
+      list_transform(
+        range(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) + 1),
+        i -> CASE WHEN i + {n} - 1 <= len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                  THEN array_to_string(
+                         regexp_split_to_array(lower(trim(text)), '\\s+')[i : i + {n} - 1],
+                         ' ')
+             END),
+      x -> x IS NOT NULL)
+"""
+
+_SPLIT_SQL = f"{hash64_sql('CAST(doc_id AS VARCHAR)')} % 100 < 90"
+
+
+def _split_col() -> F.Column:
+    return hash64(F.col("doc_id").cast("string")) % 100 < 90
+
+
+@register(
+    "curation_contamination_check",
+    oracle=f"""
+    WITH shingled AS (
+        SELECT doc_id, {_SPLIT_SQL} AS is_train,
+               {hash64_sql('shingle')} AS sh
+        FROM (SELECT doc_id, unnest({_SHINGLES_SQL.format(n=5)}) AS shingle
+              FROM documents)
+        GROUP BY doc_id, is_train, sh
+    ), val_sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        FROM shingled WHERE NOT is_train GROUP BY doc_id
+    ), train_hashes AS (
+        SELECT DISTINCT sh FROM shingled WHERE is_train
+    ), hits AS (
+        SELECT v.doc_id, CAST(COUNT(DISTINCT v.sh) AS BIGINT) AS n_shared
+        FROM shingled v JOIN train_hashes t ON v.sh = t.sh
+        WHERE NOT v.is_train
+        GROUP BY v.doc_id
+    )
+    SELECT s.doc_id, s.n_shingles, h.n_shared,
+           ROUND(CAST(h.n_shared AS DOUBLE) / s.n_shingles, 6) AS share_ratio,
+           (CAST(h.n_shared AS DOUBLE) / s.n_shingles >= 0.5) AS contaminated
+    FROM val_sizes s JOIN hits h ON s.doc_id = h.doc_id
+    """,
+    doc="Train/val contamination sweep (decontamination, the Lee et al. "
+    "dedup-for-LMs setting): deterministic 90/10 hash split, then every "
+    "val doc sharing >=1 distinct 5-gram shingle hash with ANY train doc "
+    "is reported with its overlap ratio; ratio >= 0.5 flags removal. "
+    "Candidate generation is an inverted-index join on the 8-byte "
+    "shingle hash (distinct per doc, map-side), never train x val "
+    "pairwise — the sweep that keeps eval sets out of 100 TB of "
+    "training text.",
+    tags=("curation", "dedup", "sampling"),
+)
+def curation_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = (
+        docs.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .select(
+            "doc_id",
+            _split_col().alias("is_train"),
+            tokenize(F.col("text")).alias("tokens"),
+        )
+        .select(
+            "doc_id",
+            "is_train",
+            F.array_distinct(
+                F.transform(
+                    shingles_from_tokens(F.col("tokens"), 5), lambda s: hash64(s)
+                )
+            ).alias("sh_arr"),
+        )
+        .select(
+            "doc_id",
+            "is_train",
+            F.size("sh_arr").alias("n_shingles"),
+            F.explode("sh_arr").alias("sh"),
+        )
+    )
+    train_hashes = shingled.filter("is_train").select("sh").distinct()
+    hits = (
+        shingled.filter(~F.col("is_train"))
+        .join(train_hashes, "sh")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count_distinct("sh").alias("n_shared"))
+    )
+    ratio = F.col("n_shared").cast("double") / F.col("n_shingles")
+    return hits.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        "n_shared",
+        F.round(ratio, 6).alias("share_ratio"),
+        (ratio >= 0.5).alias("contaminated"),
+    )
+
+
+@register(
+    "curation_repetition_ratio",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES_SQL.format(n=3)} AS arr FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(arr) AS BIGINT) AS n_trigrams,
+           CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - CAST(len(list_distinct(arr)) AS DOUBLE) / len(arr), 6)
+               AS repetition_ratio
+    FROM sh
+    WHERE len(arr) >= 10
+    ORDER BY repetition_ratio DESC, doc_id
+    LIMIT 25
+    """,
+    doc="Gopher-style intra-document repetition signal: 1 - distinct/total "
+    "word trigrams, top-25 most repetitive docs (ties pinned by doc_id). "
+    "Entirely map-side per row (size/array_distinct on the shingle "
+    "array); the only shuffle is the top-k, which compiles to "
+    "TakeOrderedAndProject — no per-doc state anywhere.",
+    tags=("curation", "text"),
+)
+def curation_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # Filter on token count, NOT on size(arr): a predicate over the shingle
+    # column gets pushed below the projections with the whole HOF chain
+    # inlined (split re-run per lambda element — O(len²) at the scan,
+    # measured 6x here). n_trigrams == n_tokens - 2, so size(tokens) >= 12
+    # is the same cut expressed on the cheap column. Round-robin
+    # repartition first: the shingle stage is CPU-bound and the scan may
+    # have too few partitions to parallelize it.
+    arr = (
+        docs.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .select("doc_id", tokenize(F.col("text")).alias("tokens"))
+        .filter(F.size("tokens") >= 12)
+        .select("doc_id", shingles_from_tokens(F.col("tokens"), 3).alias("arr"))
+    )
+    rep = 1.0 - F.size(F.array_distinct("arr")).cast("double") / F.size("arr")
+    return (
+        arr
+        .select(
+            "doc_id",
+            F.size("arr").cast("long").alias("n_trigrams"),
+            F.size(F.array_distinct("arr")).cast("long").alias("n_distinct"),
+            F.round(rep, 6).alias("repetition_ratio"),
+        )
+        .orderBy(F.desc("repetition_ratio"), F.asc("doc_id"))
+        .limit(25)
+    )
+
+
+#: sources excluded from the training mix (license / quality policy stand-in)
+DOMAIN_BLOCKLIST = ("src7", "src13")
+
+
+@register(
+    "curation_domain_mix",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM per_src)
+    SELECT p.source, p.n_docs, p.n_tokens,
+           ROUND(CAST(p.n_docs AS DOUBLE) / t.total_docs, 6) AS doc_share,
+           (p.source IN {DOMAIN_BLOCKLIST!r}) AS blocked
+    FROM per_src p CROSS JOIN tot t
+    """,
+    doc="Training-mix accounting + domain blocklist: per-source doc/token "
+    "volumes, share of corpus, and the keep/drop policy bit. The share "
+    "denominator is a broadcast 1-row aggregate (crossJoin of a "
+    "singleton — never a global window); at scale this is the report "
+    "that decides sampling weights per domain.",
+    tags=("curation", "text"),
+)
+def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.select(
+        "source", F.size(tokenize(F.col("text"))).alias("n_toks")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )
+    total = per_src.agg(F.sum("n_docs").cast("long").alias("total_docs"))
+    return per_src.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs").cast("double") / F.col("total_docs"), 6).alias(
+            "doc_share"
+        ),
+        F.col("source").isin(*DOMAIN_BLOCKLIST).alias("blocked"),
+    )
+
+
+@register(
+    "curation_length_outliers",
+    oracle="""
+    WITH bounds AS (
+        SELECT lang,
+               quantile_cont(n_chars, 0.05) AS lo,
+               quantile_cont(n_chars, 0.95) AS hi
+        FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN d.n_chars < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_short,
+           CAST(SUM(CASE WHEN d.n_chars > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_long,
+           CAST(SUM(CASE WHEN d.n_chars BETWEEN b.lo AND b.hi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept
+    FROM documents d JOIN bounds b ON d.lang = b.lang
+    GROUP BY d.lang
+    """,
+    doc="Per-language length-outlier filter: docs outside the exact "
+    "[p05, p95] of their language's n_chars are dropped (short = "
+    "boilerplate, long = concatenation junk). Exact interpolated "
+    "percentiles per lang (small group count) broadcast back onto the "
+    "corpus — the filter itself is a map-side comparison, so the "
+    "expensive part is one percentile aggregate over (lang, n_chars), "
+    "not a global sort.",
+    tags=("curation", "text"),
+)
+def curation_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(bounds), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_chars") < F.col("lo")).cast("long")).alias("n_short"),
+            F.sum((F.col("n_chars") > F.col("hi")).cast("long")).alias("n_long"),
+            F.sum(
+                (
+                    (F.col("n_chars") >= F.col("lo"))
+                    & (F.col("n_chars") <= F.col("hi"))
+                ).cast("long")
+            ).alias("n_kept"),
+        )
+    )
+
+
+# PII patterns: RE2-and-Java-compatible (no lookaround), identical strings
+# on both engines. The synthetic corpus contains no digits or '@', so all
+# match counts pin to ZERO — the oracle verifies exactly that, and the
+# md5(redacted) == md5(text) equality proves the scrub is a byte-level
+# no-op on clean text (the interesting half of a scrubber's contract).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register(
+    "curation_pii_scrub",
+    oracle=f"""
+    WITH scrubbed AS (
+        SELECT source,
+               len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_email,
+               len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phone,
+               len(regexp_extract_all(text, '{PII_IPV4}')) AS n_ip,
+               (md5(regexp_replace(regexp_replace(regexp_replace(text,
+                    '{PII_EMAIL}', '<EMAIL>', 'g'),
+                    '{PII_PHONE}', '<PHONE>', 'g'),
+                    '{PII_IPV4}', '<IP>', 'g')) <> md5(text)) AS changed
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+           CAST(SUM(n_ip) AS BIGINT) AS n_ips,
+           CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_changed
+    FROM scrubbed GROUP BY source
+    """,
+    doc="PII scrub pass (emails / phone numbers / IPv4): per-source match "
+    "counts plus an md5 proof that redaction leaves clean text "
+    "byte-identical. All regexp_count/regexp_replace — JVM codegen, no "
+    "Python; at 100 TB this is a pure map stage that pipelines with the "
+    "scan. This corpus is digit-free so every count pins to 0 — the "
+    "no-op half of the scrubber contract; the match half is covered by "
+    "unit fixtures (tests/test_curation.py).",
+    tags=("curation", "text"),
+)
+def curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IPV4,
+        "<IP>",
+    )
+    scrubbed = docs.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0))).alias(
+            "n_email"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), F.lit(0))).alias(
+            "n_phone"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(PII_IPV4), F.lit(0))).alias(
+            "n_ip"
+        ),
+        (F.md5(redacted) != F.md5("text")).alias("changed"),
+    )
+    return scrubbed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("long").alias("n_emails"),
+        F.sum("n_phone").cast("long").alias("n_phones"),
+        F.sum("n_ip").cast("long").alias("n_ips"),
+        F.sum(F.col("changed").cast("long")).alias("n_docs_changed"),
+    )

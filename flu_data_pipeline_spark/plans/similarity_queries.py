@@ -544,3 +544,57 @@ def array_predicate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("first_large_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative k-means (Lloyd's) with an exact unrolled SQL oracle
+# ---------------------------------------------------------------------------
+
+from flu_data_pipeline_spark.operators.clustering import (  # noqa: E402
+    assign_best,
+    kmeans_fit,
+    kmeans_oracle_sql,
+)
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+
+
+@register(
+    "kmeans_cluster_summary",
+    # iters+1 in the oracle: asg{N} is the assignment under c{N-1}, so the
+    # final assignment pass (under the 3-times-updated centroids) is asg4
+    oracle=kmeans_oracle_sql(
+        "embeddings", "embedding", "vec_id", k=_KMEANS_K, iters=_KMEANS_ITERS + 1
+    )
+    + f"""
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(dist), 6) AS mean_sqdist
+    FROM asg{_KMEANS_ITERS + 1}
+    GROUP BY cluster
+    """,
+    doc="Lloyd's k-means, 3 iterations, k=8, over the embedding corpus — "
+    "the iterative-algorithm pattern on Spark: per pass, assignment is a "
+    "broadcast of the k-row centroid table + per-row argmin via "
+    "min(struct(dist, cluster)), and the update is one "
+    "groupBy(cluster, dim) average; only the k x dim centroid matrix "
+    "ever reaches the driver (the MLlib KMeans shape). The oracle is the "
+    "SAME iteration chain unrolled as SQL CTEs — exact, not rows-only: "
+    "deterministic init (k lowest ids), pinned fold order, lowest-index "
+    "tie-break, 6dp centroid rounding per iteration.",
+    tags=("similarity", "clustering", "iterative"),
+)
+def kmeans_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(
+        emb, "embedding", "vec_id", k=_KMEANS_K, iters=_KMEANS_ITERS
+    )
+    return (
+        assign_best(emb, "embedding", "vec_id", centroids)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("dist"), 6).alias("mean_sqdist"),
+        )
+    )

@@ -246,3 +246,19 @@ def test_lsh_plane_family_parameterized(spark, duck):
     assert got == want
     n_default = emb.select(lsh_bucket(F.col("embedding")).alias("b")).distinct().count()
     assert len(set(got.values())) > n_default  # finer partitioning
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """All-identical vectors: every row ties to cluster 0 (lowest index),
+    so cluster 1 goes empty and must carry its previous centroid through
+    the update instead of vanishing."""
+    from flu_data_pipeline_spark.operators.clustering import assign_best, kmeans_fit
+
+    rows = [(i, [1.0, 2.0, 3.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, "embedding", "vec_id", k=2, iters=2)
+    assert len(cents) == 2
+    assert cents[0] == [1.0, 2.0, 3.0]
+    assert cents[1] == [1.0, 2.0, 3.0]  # carried, not dropped
+    got = assign_best(df, "embedding", "vec_id", cents).collect()
+    assert all(r["cluster"] == 0 and r["dist"] == 0.0 for r in got)

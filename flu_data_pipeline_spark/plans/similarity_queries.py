@@ -598,3 +598,100 @@ def kmeans_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("dist"), 6).alias("mean_sqdist"),
         )
     )
+
+
+# sqdist between a vector and a centroid list, pinned fold order (oracle)
+_SQDIST_IVF_SQL = (
+    "list_reduce(list_transform(range(1, 64 + 1), "
+    "i -> (CAST({v}[i] AS DOUBLE) - {c}[i]) * (CAST({v}[i] AS DOUBLE) - {c}[i])), "
+    "(x, y) -> x + y)"
+)
+
+
+@register(
+    "ann_ivf_kmeans",
+    oracle=kmeans_oracle_sql(
+        "embeddings", "embedding", "vec_id", k=_KMEANS_K, iters=_KMEANS_ITERS + 1
+    )
+    + f""",
+    emb AS (
+        SELECT e.vec_id, e.embedding, a.cluster AS cluster_id
+        FROM embeddings e JOIN asg{_KMEANS_ITERS + 1} a ON a.id = e.vec_id
+    ),
+    probes AS (
+        SELECT e.vec_id AS query_id, e.embedding AS q_emb,
+               c.cluster AS probe_cluster
+        FROM embeddings e CROSS JOIN c{_KMEANS_ITERS} c
+        WHERE e.vec_id >= 100 AND e.vec_id < 105
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY {_SQDIST_IVF_SQL.format(v='e.embedding', c='c.c')}, c.cluster
+        ) <= 2
+    ),
+    cand AS (
+        SELECT p.query_id, m.vec_id AS neighbor_id,
+               {_cos_sql('p.q_emb', 'm.embedding')} AS cos_raw
+        FROM probes p
+        JOIN emb m ON m.cluster_id = p.probe_cluster
+                  AND m.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cos_sim
+    FROM cand
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+    ) <= 3
+    """,
+    doc="IVF-Flat with a TRAINED coarse quantizer: centroids come from 3 "
+    "Lloyd iterations (kmeans_fit), every vector is quantized to its "
+    "nearest centroid (sqdist, lowest-index ties), queries probe the 2 "
+    "nearest inverted lists and exact-rerank by cosine within them — "
+    "the production FAISS IVF shape that ann_ivf approximates with "
+    "untrained centroids. Oracle replays training AND search exactly "
+    "(unrolled CTEs). Assignments shuffle on cluster_id only; probe "
+    "fan-out is nprobe x list size.",
+    tags=("similarity", "ivf", "clustering"),
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.operators.clustering import centroid_df, sqdist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, "embedding", "vec_id", k=_KMEANS_K, iters=_KMEANS_ITERS)
+    assigned = (
+        assign_best(emb, "embedding", "vec_id", cents)
+        .select("vec_id", "cluster")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select("vec_id", "embedding", F.col("cluster").alias("cluster_id"))
+    )
+    cdf = centroid_df(spark, cents)
+    wprobe = Window.partitionBy("query_id").orderBy(F.asc("cdist"), F.asc("cluster"))
+    probes = (
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+        .join(F.broadcast(cdf))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            "cluster",
+            sqdist(F.col("embedding"), F.col("c")).alias("cdist"),
+        )
+        .withColumn("prn", F.row_number().over(wprobe))
+        .filter(F.col("prn") <= 2)
+        .select("query_id", "q_emb", F.col("cluster").alias("probe_cluster"))
+    )
+    cand = F.broadcast(probes).join(
+        assigned,
+        (F.col("cluster_id") == F.col("probe_cluster"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    wtop = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )

@@ -13,6 +13,7 @@ inventory.
 from flu_data_pipeline_spark.plans import (  # noqa: F401
     curation_queries,
     dedup_queries,
+    dq_queries,
     events_queries,
     flu_reports,
     flu_tables,

@@ -11,6 +11,7 @@ inventory.
 """
 
 from flu_data_pipeline_spark.plans import (  # noqa: F401
+    cdc_queries,
     curation_queries,
     dedup_queries,
     dq_queries,

@@ -283,3 +283,151 @@ def join_full_outer_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("recon_status")
     )
+
+
+@register(
+    "regional_trade_revenue",
+    oracle="""
+    SELECT n_name AS nation,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND s_nationkey = c_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) <  DATE '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, nation
+    """,
+    doc="TPC-H Q5-shape regional trade volume: 6-way join where revenue "
+    "only counts when the supplier and customer share a nation. Join "
+    "strategy by size class: region/nation are explicit broadcasts, "
+    "the region filter prunes customers BEFORE the orders join (smaller "
+    "build side), the date filter pushes into the orders scan, and the "
+    "same-nation condition rides the supplier equi-join (never a "
+    "post-join filter over a wider join). lineitem joins last so the "
+    "biggest table shuffles exactly once, on l_orderkey.",
+    tags=("join", "J6", "A7", "A10", "O6"),
+    bench=True,
+)
+def regional_trade_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    customer = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    # region+date pruned orders⋈customer first: the build side entering the
+    # lineitem join is ~1/5 · 1/6 of orders, not all of it
+    oc = orders.join(
+        customer, F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "c_nationkey", "n_name")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    lis = li.join(
+        supplier, F.col("l_suppkey") == F.col("s_suppkey")
+    )  # supplier ≤ dims scale; AQE upgrades to broadcast under threshold
+    return (
+        lis.join(
+            oc,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+@register(
+    "product_profit_by_nation",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+           CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity) * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, yr
+    ORDER BY nation, yr
+    """,
+    doc="TPC-H Q9-shape product-line profit by supplier nation and order "
+    "year (supply cost proxied as 0.6·p_retailprice·l_quantity — the "
+    "testdata has no partsupp table). The LIKE-filtered part (~13% "
+    "selectivity) broadcasts and prunes lineitem FIRST, so only "
+    "matching line items reach the orders join; supplier/nation "
+    "broadcast; orders joins on the already-reduced fact. Profit is "
+    "summed in integer cents (floor per row — floor of an identical "
+    "IEEE double is engine-deterministic; half-rounding of negative "
+    "profits is not) so the aggregate is exact under any sum order.",
+    tags=("join", "J6", "A7", "A10", "F9"),
+    bench=True,
+)
+def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("yr")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    # integer-cents sum: exact under any partial-aggregation order
+    profit_cents = F.floor(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), "yr")
+        .agg((F.sum(profit_cents).cast("double") / 100.0).alias("profit"))
+        .orderBy("nation", "yr")
+    )

@@ -1,0 +1,201 @@
+"""Data-layout operators: Z-order (Morton) clustering for scan pruning.
+
+At 100 TB the fastest query is the one that never reads the data: file
+formats keep per-file min/max column statistics, so a write-time layout
+that clusters rows into tight multi-dimensional rectangles lets readers
+prune files on predicates over ANY clustered dimension. Sorting by a
+single key gives perfect pruning on that key and none on the others;
+interleaving the bits of several keys (Z-order / Morton curve — the
+layout behind Delta/Iceberg ``OPTIMIZE ZORDER BY``) trades a little
+per-key locality for pruning on all of them.
+
+These queries compute the layout and PROVE the trade numerically from
+per-bucket min/max spans — the same statistics a reader's pruning
+decision uses. Write-side realization in Spark is
+``df.repartitionByRange(N, zcol).sortWithinPartitions(zcol)`` followed by
+a parquet write; the physical write is exercised in
+``tests/test_sources.py`` patterns, while the layout math below is
+oracle-checked (pure integer arithmetic — exact on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flu_data_pipeline_spark.catalog import load_table
+from flu_data_pipeline_spark.plans.registry import register
+
+_BITS = 8  # 8 bits/dim → 16-bit Morton code, 256 z-buckets of 256 cells
+
+
+def _morton_sql(bx: str, by: str, spark_side: bool) -> str:
+    """16-bit Morton interleave of two 8-bit bin columns as pure integer
+    arithmetic. Spark spells shifts as functions, DuckDB as operators —
+    same math, bit-identical results."""
+    terms = []
+    for i in range(_BITS):
+        if spark_side:
+            terms.append(
+                f"shiftleft(shiftright({bx}, {i}) & 1, {2 * i + 1})"
+                f" + shiftleft(shiftright({by}, {i}) & 1, {2 * i})"
+            )
+        else:
+            terms.append(
+                f"((({bx} >> {i}) & 1) << {2 * i + 1})"
+                f" + ((({by} >> {i}) & 1) << {2 * i})"
+            )
+    return " + ".join(terms)
+
+
+#: 0..255 equi-width bin of a key given its (broadcast) min/max — the
+#: LEAST guard keeps the max value inside the top bin.
+def _bin_sql(col: str, lo: str, hi: str) -> str:
+    return (
+        f"CAST(LEAST(255, "
+        f"FLOOR(({col} - {lo}) * 256.0 / ({hi} - {lo} + 1))) AS INT)"
+    )
+
+
+_ORACLE_BINNED = f"""
+    WITH bounds AS (
+        SELECT MIN(l_partkey) AS pk_lo, MAX(l_partkey) AS pk_hi,
+               MIN(l_suppkey) AS sk_lo, MAX(l_suppkey) AS sk_hi
+        FROM lineitem
+    ), binned AS (
+        SELECT {_bin_sql("l_partkey", "pk_lo", "pk_hi")} AS bx,
+               {_bin_sql("l_suppkey", "sk_lo", "sk_hi")} AS by_
+        FROM lineitem, bounds
+    ), coded AS (
+        SELECT bx, by_, {_morton_sql("bx", "by_", spark_side=False)} AS z
+        FROM binned
+    )
+"""
+
+
+def _binned_coded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bounds = li.agg(
+        F.min("l_partkey").alias("pk_lo"),
+        F.max("l_partkey").alias("pk_hi"),
+        F.min("l_suppkey").alias("sk_lo"),
+        F.max("l_suppkey").alias("sk_hi"),
+    )
+    # 1-row bounds broadcast onto the scan — no shuffle of the fact
+    binned = li.join(F.broadcast(bounds)).select(
+        F.expr(_bin_sql("l_partkey", "pk_lo", "pk_hi")).alias("bx"),
+        F.expr(_bin_sql("l_suppkey", "sk_lo", "sk_hi")).alias("by_"),
+    )
+    return binned.withColumn(
+        "z", F.expr(_morton_sql("bx", "by_", spark_side=True))
+    )
+
+
+@register(
+    "zorder_layout",
+    oracle=_ORACLE_BINNED
+    + """
+    SELECT CAST(z >> 8 AS INT) AS bucket_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(bx) AS min_bx, MAX(bx) AS max_bx,
+           MIN(by_) AS min_by, MAX(by_) AS max_by
+    FROM coded
+    GROUP BY bucket_id
+    ORDER BY bucket_id
+    """,
+    doc="Z-order layout statistics: lineitem keys binned to 8 bits per "
+    "dimension, Morton-interleaved to a 16-bit code, grouped into 256 "
+    "z-buckets (code >> 8) — each bucket is one would-be file under "
+    "OPTIMIZE ZORDER BY (l_partkey, l_suppkey). Emits per-bucket "
+    "min/max of both bin coordinates: the file-statistics rectangle a "
+    "reader prunes against. Buckets cover ≤16×16 of the 256×256 grid, "
+    "so a point predicate on EITHER key eliminates ≥15/16 of files. "
+    "Pure integer arithmetic end-to-end (floor bins, bit interleave) — "
+    "bit-identical across engines; the 1-row bounds aggregate "
+    "broadcasts onto the scan, so the fact never shuffles except for "
+    "the 256-group aggregate.",
+    tags=("layout", "zorder", "A10", "F8"),
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    coded = _binned_coded(spark, sf_dir)
+    return (
+        coded.groupBy(
+            F.shiftright("z", 8).cast("int").alias("bucket_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("bx").alias("min_bx"),
+            F.max("bx").alias("max_bx"),
+            F.min("by_").alias("min_by"),
+            F.max("by_").alias("max_by"),
+        )
+        .orderBy("bucket_id")
+    )
+
+
+@register(
+    "zorder_pruning_gain",
+    oracle=_ORACLE_BINNED
+    + f"""
+    , z_spans AS (
+        SELECT CAST(z >> 8 AS INT) AS b,
+               MAX(bx) - MIN(bx) + 1 AS span_x,
+               MAX(by_) - MIN(by_) + 1 AS span_y
+        FROM coded GROUP BY b
+    ), lin_spans AS (
+        SELECT CAST(bx AS INT) AS b,
+               MAX(bx) - MIN(bx) + 1 AS span_x,
+               MAX(by_) - MIN(by_) + 1 AS span_y
+        FROM coded GROUP BY b
+    )
+    SELECT layout, n_buckets, avg_span_x, avg_span_y FROM (
+        SELECT 'zorder' AS layout,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               ROUND(AVG(span_x), 6) AS avg_span_x,
+               ROUND(AVG(span_y), 6) AS avg_span_y
+        FROM z_spans
+        UNION ALL
+        SELECT 'single_key', CAST(COUNT(*) AS BIGINT),
+               ROUND(AVG(span_x), 6), ROUND(AVG(span_y), 6)
+        FROM lin_spans
+    ) ORDER BY layout
+    """,
+    doc="Quantifies the Z-order trade against a single-key sort layout "
+    "over the same 256-cell bin grid: average per-bucket span (max-min+1 "
+    "of the bin coordinate, i.e. the fraction of the key range a "
+    "reader must consider) in each dimension. Single-key layout: "
+    "span_x = 1 (perfect on the sort key) but span_y ≈ 256 (useless on "
+    "the other). Z-order: both ≈ 16 — balanced pruning on every "
+    "clustered dimension, the reason ZORDER BY exists.",
+    tags=("layout", "zorder", "A7"),
+)
+def zorder_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    coded = _binned_coded(spark, sf_dir).localCheckpoint()
+    z_spans = coded.groupBy(
+        F.shiftright("z", 8).cast("int").alias("b")
+    ).agg(
+        (F.max("bx") - F.min("bx") + 1).alias("span_x"),
+        (F.max("by_") - F.min("by_") + 1).alias("span_y"),
+    )
+    lin_spans = coded.groupBy(F.col("bx").cast("int").alias("b")).agg(
+        (F.max("bx") - F.min("bx") + 1).alias("span_x"),
+        (F.max("by_") - F.min("by_") + 1).alias("span_y"),
+    )
+
+    def summarize(spans: DataFrame, label: str) -> DataFrame:
+        return spans.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.round(F.avg("span_x"), 6).alias("avg_span_x"),
+            F.round(F.avg("span_y"), 6).alias("avg_span_y"),
+        ).select(
+            F.lit(label).alias("layout"),
+            "n_buckets",
+            "avg_span_x",
+            "avg_span_y",
+        )
+
+    return (
+        summarize(z_spans, "zorder")
+        .unionByName(summarize(lin_spans, "single_key"))
+        .orderBy("layout")
+    )

@@ -70,3 +70,67 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels.select("node", F.col("label").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    damping: float = 0.85,
+    iterations: int = 3,
+    round_dp: int = 8,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list, fixed iteration count.
+
+    Every iteration is the classic distributed formulation: join ranks
+    onto out-normalized edges (shuffle on ``src``), sum contributions per
+    ``dst`` (shuffle on ``dst``), left-join back onto the node set so
+    rank mass reaches nodes with no in-edges. Works unchanged on a
+    billion-edge list — the graph never exists driver-side; the only
+    driver scalar is the one-time node count.
+
+    Determinism contract (for exact cross-engine oracles): ranks are
+    rounded to ``round_dp`` decimals after EVERY iteration, which quashes
+    float sum-order ulps exactly like the k-means oracle pattern
+    (plans/similarity_queries.py). Mass from dangling nodes (no
+    out-edges) is dropped, not redistributed — both engines implement
+    the same convention, and the trade graph has none.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()  # one-time scalar; not a per-iteration collect
+    out_w = edges.groupBy(src).agg(F.sum(weight).alias("w_out"))
+    norm = (
+        edges.join(out_w, src)
+        .select(
+            F.col(src).alias("e_src"),
+            F.col(dst).alias("e_dst"),
+            (F.col(weight) / F.col("w_out")).alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.withColumn("rank", F.lit(round(1.0 / n, round_dp)))
+    for _ in range(iterations):
+        contrib = (
+            norm.join(ranks, norm["e_src"] == ranks["node"])
+            .groupBy("e_dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["e_dst"], "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit((1.0 - damping) / n)
+                    + damping * F.coalesce("mass", F.lit(0.0)),
+                    round_dp,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

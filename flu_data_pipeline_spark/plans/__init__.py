@@ -18,6 +18,7 @@ from flu_data_pipeline_spark.plans import (  # noqa: F401
     events_queries,
     flu_reports,
     flu_tables,
+    graph_queries,
     layout_queries,
     join_queries,
     multimodal_queries,

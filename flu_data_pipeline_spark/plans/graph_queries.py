@@ -1,0 +1,112 @@
+"""Graph analytics over relational-derived edge lists: PageRank.
+
+Companion to the connected-components dedup resolver
+(``operators/graph.py``): PageRank is the standard importance measure a
+curation pipeline uses to weight interlinked documents/domains (e.g.
+CommonCrawl host graphs). Here the verifiable instance is the
+nation-level trade graph (customer nation → supplier nation, weighted by
+line-item count), but the operator is the distributed edges⋈ranks
+formulation that runs unchanged on a billion-edge host graph.
+
+Scale notes (100 TB): each iteration = one shuffle on src (ranks join),
+one on dst (contribution sum); the node set and normalized edges are
+checkpointed loop invariants. No driver-side graph, no per-iteration
+collect — convergence here is a fixed iteration count (the oracle-exact
+choice; the components operator shows the early-exit variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flu_data_pipeline_spark.catalog import load_table
+from flu_data_pipeline_spark.operators.graph import pagerank
+from flu_data_pipeline_spark.plans.registry import register
+
+_D = 0.85
+_ITERS = 3
+
+#: One PageRank step as SQL: prev CTE -> next CTE. Mirrors
+#: operators/graph.pagerank exactly: (1-d)/n + d·Σ p·rank, rounded to
+#: 8dp per iteration so float sum order can never diverge engines.
+def _step_sql(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+        SELECT nodes.node,
+               ROUND((1.0 - {_D}) / n + {_D} * COALESCE(m.mass, 0.0), 8)
+                   AS rank
+        FROM nodes CROSS JOIN nn LEFT JOIN (
+            SELECT dst, SUM(p * rank) AS mass
+            FROM nrm JOIN {prev} ON nrm.src = {prev}.node
+            GROUP BY dst
+        ) m ON nodes.node = m.dst
+    )"""
+
+
+_ORACLE = (
+    """
+    WITH e AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(COUNT(*) AS DOUBLE) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY src, dst
+    ), nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION SELECT dst FROM e
+        )
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+    ), nrm AS (
+        SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS p FROM e
+    ), r0 AS (
+        SELECT node, ROUND(1.0 / n, 8) AS rank FROM nodes, nn
+    ), """
+    + ", ".join(_step_sql(f"r{i}", f"r{i + 1}") for i in range(_ITERS))
+    + f"""
+    SELECT n_name AS nation, rank
+    FROM r{_ITERS} JOIN nation ON node = n_nationkey
+    ORDER BY rank DESC, nation
+    """
+)
+
+
+@register(
+    "pagerank_trade_graph",
+    oracle=_ORACLE,
+    doc="Weighted PageRank (3 iterations, damping 0.85) over the "
+    "customer-nation → supplier-nation trade graph, edge weight = "
+    "line-item count. The operator (operators/graph.py:pagerank) is "
+    "the distributed formulation — per iteration one src-shuffle "
+    "(ranks⋈edges) and one dst-shuffle (contribution sum), node set "
+    "and out-normalized edges checkpointed as loop invariants — sized "
+    "for billion-edge host graphs; the 25-node instance makes it "
+    "exactly checkable. Oracle = fully unrolled DuckDB CTEs with ranks "
+    "rounded to 8dp each iteration (k-means oracle pattern), so the "
+    "iterative algorithm is hash-compared exactly, not statistically.",
+    tags=("graph", "pagerank", "J6", "A7"),
+)
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    ranks = pagerank(edges, damping=_D, iterations=_ITERS, round_dp=8)
+    return (
+        ranks.join(F.broadcast(nation), ranks["node"] == nation["n_nationkey"])
+        .select(F.col("n_name").alias("nation"), "rank")
+        .orderBy(F.col("rank").desc(), "nation")
+    )

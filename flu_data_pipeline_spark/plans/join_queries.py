@@ -336,9 +336,16 @@ def regional_trade_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # region+date pruned orders⋈customer first: the build side entering the
     # lineitem join is ~1/5 · 1/6 of orders, not all of it
-    oc = orders.join(
-        customer, F.col("o_custkey") == F.col("c_custkey")
-    ).select("o_orderkey", "c_nationkey", "n_name")
+    # SHUFFLE_HASH: oc is the date+region-pruned side (~1/30 of orders) —
+    # hash build beats SMJ's two sorts (measured 1.2× at sf0.1) and the
+    # build side shrinks with shuffle.partitions, so it scales; an
+    # explicit broadcast would be faster HERE but oc grows with the fact
+    # at 100 TB, so it is deliberately not broadcast.
+    oc = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey", "n_name")
+        .hint("SHUFFLE_HASH")
+    )
     supplier = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey"
     )
@@ -426,7 +433,12 @@ def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        # orders is fact-sized at scale: never broadcast; SHUFFLE_HASH
+        # avoids SMJ sorts (measured 1.2× at sf0.1), build side scales
+        # with shuffle.partitions
+        .join(
+            orders.hint("SHUFFLE_HASH"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
         .groupBy(F.col("n_name").alias("nation"), "yr")
         .agg((F.sum(profit_cents).cast("double") / 100.0).alias("profit"))
         .orderBy("nation", "yr")

@@ -19,6 +19,7 @@ from flu_data_pipeline_spark.plans import (  # noqa: F401
     flu_reports,
     flu_tables,
     graph_queries,
+    incremental_queries,
     layout_queries,
     join_queries,
     multimodal_queries,

@@ -24,6 +24,7 @@ from flu_data_pipeline_spark.plans import (  # noqa: F401
     join_queries,
     multimodal_queries,
     relational,
+    sketch_queries,
     similarity_queries,
     skew_queries,
     subquery_queries,

@@ -1,0 +1,244 @@
+"""Deterministic sketch structures: count-min sketch, Bloom filter.
+
+``approx_sketches`` (relational.py) exercises Spark's builtin HLL /
+approx-percentile, which are engine-specific and only rows-checkable.
+These queries instead build the two classic sketches from first
+principles on the portable md5-prefix hash family
+(``functions/hashing.py``) — bit-identical in DuckDB — so the sketch
+CONTENTS are hash-compared exactly, not statistically: the oracle proves
+the estimate algebra, including its characteristic one-sided error.
+
+Scale notes (100 TB):
+- CMS: the sketch is d×w counters (4×1024 here) built by ONE
+  groupBy(row, bucket) over the token stream — map-side combine shrinks
+  every partition to ≤ d·w rows before the shuffle, so sketch build cost
+  is a constant-size aggregate regardless of corpus size. Point queries
+  join the d candidate counters, never the stream.
+- Bloom: the filter is the distinct set-bit list (≤ m rows, here 8192)
+  — broadcastable by construction. Probing is a broadcast join on bit
+  position: the big probe side never shuffles. This is the manual form
+  of Spark's runtime bloom-filter join pruning
+  (``spark.sql.optimizer.runtime.bloomFilter.enabled``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flu_data_pipeline_spark.catalog import load_table
+from flu_data_pipeline_spark.functions.hashing import (
+    minhash_value,
+    minhash_value_sql,
+)
+from flu_data_pipeline_spark.operators.dedup import tokenize
+from flu_data_pipeline_spark.plans.registry import register
+
+_TOKENS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+_CMS_D = 4  # hash rows
+_CMS_W = 1024  # buckets per row
+_TOPK = 20
+
+_BLOOM_M = 8192  # bits
+_BLOOM_K = 3  # hashes per key
+
+
+@register(
+    "cms_term_frequency",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_TOKENS}) AS term FROM documents
+    ), exact AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM toks GROUP BY term
+    ), buckets AS (
+        SELECT term, row_i,
+               CASE row_i
+                   {" ".join(f"WHEN {i} THEN {minhash_value_sql('term', i)} % {_CMS_W}" for i in range(_CMS_D))}
+               END AS bucket
+        FROM toks CROSS JOIN (
+            SELECT unnest(range({_CMS_D})) AS row_i
+        )
+    ), sketch AS (
+        SELECT row_i, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        FROM buckets GROUP BY row_i, bucket
+    ), top_terms AS (
+        SELECT term, exact_n FROM exact
+        ORDER BY exact_n DESC, term LIMIT {_TOPK}
+    ), est AS (
+        SELECT t.term, t.exact_n, MIN(s.c) AS cms_est
+        FROM top_terms t
+        JOIN (
+            SELECT term, row_i,
+                   CASE row_i
+                       {" ".join(f"WHEN {i} THEN {minhash_value_sql('term', i)} % {_CMS_W}" for i in range(_CMS_D))}
+                   END AS bucket
+            FROM top_terms CROSS JOIN (
+                SELECT unnest(range({_CMS_D})) AS row_i
+            )
+        ) q ON q.term = t.term
+        JOIN sketch s ON s.row_i = q.row_i AND s.bucket = q.bucket
+        GROUP BY t.term, t.exact_n
+    )
+    SELECT term, exact_n, cms_est,
+           CAST(cms_est - exact_n AS BIGINT) AS overcount
+    FROM est ORDER BY exact_n DESC, term
+    """,
+    doc="Count-min sketch over the document token stream: d=4 portable "
+    "universal hashes × w=1024 buckets, sketch built by one "
+    "groupBy(row, bucket) whose map-side combine caps every partition's "
+    "shuffle output at d·w counters regardless of corpus size. The "
+    "top-20 exact terms are then point-queried: estimate = min over "
+    "the d counters. Oracle recomputes the identical sketch in DuckDB "
+    "(same md5-prefix hash family), so the estimates — including CMS's "
+    "guaranteed non-negative overcount — are hash-compared exactly. "
+    "overcount = cms_est − exact_n ≥ 0 by construction.",
+    tags=("sketch", "A8", "text"),
+)
+def cms_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        """(term) → (term, row_i, bucket) for the d hash rows — built as
+        an inline array of structs so it stays one projection, no join."""
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row_i"),
+                    (minhash_value("term", i) % _CMS_W).alias("bucket"),
+                )
+                for i in range(_CMS_D)
+            ]
+        )
+        return df.select("term", F.explode(rows).alias("rb")).select(
+            "term", "rb.row_i", "rb.bucket"
+        )
+
+    sketch = (
+        bucketed(toks)
+        .groupBy("row_i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.col("exact_n").desc(), "term").limit(_TOPK)
+    est = (
+        bucketed(top.select("term"))
+        .join(top, "term")
+        .join(F.broadcast(sketch), ["row_i", "bucket"])
+        .groupBy("term", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "term",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overcount"),
+    ).orderBy(F.col("exact_n").desc(), "term")
+
+
+_BLOOM_POS = {
+    "spark": lambda col: [
+        (minhash_value(col, i) % _BLOOM_M) for i in range(_BLOOM_K)
+    ],
+    "sql": lambda expr: [
+        f"{minhash_value_sql(expr, i)} % {_BLOOM_M}" for i in range(_BLOOM_K)
+    ],
+}
+
+
+@register(
+    "bloom_semi_prune",
+    oracle=f"""
+    WITH build AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ), bits AS (
+        SELECT DISTINCT CASE i
+            {" ".join(f"WHEN {i} THEN {p}" for i, p in enumerate(_BLOOM_POS["sql"]("CAST(k AS VARCHAR)")))}
+        END AS pos
+        FROM build CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS i)
+    ), probe AS (
+        SELECT c_custkey AS k FROM customer
+    ), probe_pos AS (
+        SELECT k, CASE i
+            {" ".join(f"WHEN {i} THEN {p}" for i, p in enumerate(_BLOOM_POS["sql"]("CAST(k AS VARCHAR)")))}
+        END AS pos
+        FROM probe CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS i)
+    ), hits AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_set
+        FROM probe_pos WHERE pos IN (SELECT pos FROM bits)
+        GROUP BY k
+    ), passed AS (
+        SELECT k FROM hits WHERE n_set = {_BLOOM_K}
+    ), truth AS (
+        SELECT k FROM probe WHERE k IN (SELECT k FROM build)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS n_probe,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM build) AS n_build,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM passed) AS n_pass,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM passed)
+             - (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS false_pos
+    """,
+    doc="Bloom-filter semi-join pruning, built from first principles: "
+    "m=8192 bits, k=3 portable hashes. The filter is the distinct "
+    "set-bit list of the build side (urgent-order customers) — "
+    "broadcastable by construction, ≤ m rows no matter how many build "
+    "keys. Probing is explode-k-positions + broadcast join + count==k, "
+    "so the probe side never shuffles: the manual form of Spark's "
+    "runtime bloom-filter join pruning. The summary row pins exact "
+    "membership (semi-join truth) against bloom passes; false_pos ≥ 0 "
+    "is the sketch's one-sided error, reproduced exactly by the "
+    "oracle's identical hash family.",
+    tags=("sketch", "J7", "A8"),
+)
+def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    build = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    probe = customer.select(F.col("c_custkey").alias("k"))
+
+    def positions(df: DataFrame) -> DataFrame:
+        ks = F.col("k").cast("string")
+        return df.select(
+            "k",
+            F.explode(
+                F.array(*[(minhash_value(ks, i) % _BLOOM_M) for i in range(_BLOOM_K)])
+            ).alias("pos"),
+        )
+
+    bits = positions(build).select("pos").distinct()
+    hits = (
+        positions(probe)
+        .join(F.broadcast(bits), "pos")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+    )
+    passed = hits.filter(F.col("n_set") == _BLOOM_K)
+    truth = probe.join(build, "k", "left_semi")
+
+    def one(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    return (
+        one(probe, "n_probe")
+        .crossJoin(one(build, "n_build"))
+        .crossJoin(one(bits, "n_bits_set"))
+        .crossJoin(one(passed, "n_pass"))
+        .crossJoin(one(truth, "n_true"))
+        .select(
+            "n_probe",
+            "n_build",
+            "n_bits_set",
+            "n_pass",
+            "n_true",
+            (F.col("n_pass") - F.col("n_true")).alias("false_pos"),
+        )
+    )

@@ -114,7 +114,11 @@ def pagerank(
         )
         .localCheckpoint(eager=True)
     )
-    ranks = nodes.withColumn("rank", F.lit(round(1.0 / n, round_dp)))
+    # initial rank rounded by Spark's own ROUND (HALF_UP) so it matches
+    # SQL oracles exactly; Python's builtin round is banker's
+    ranks = nodes.withColumn(
+        "rank", F.round(F.lit(1.0) / F.lit(float(n)), round_dp)
+    )
     for _ in range(iterations):
         contrib = (
             norm.join(ranks, norm["e_src"] == ranks["node"])

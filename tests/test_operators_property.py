@@ -262,3 +262,159 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert cents[1] == [1.0, 2.0, 3.0]  # carried, not dropped
     got = assign_best(df, "embedding", "vec_id", cents).collect()
     assert all(r["cluster"] == 0 and r["dist"] == 0.0 for r in got)
+
+
+# --------------------------------------------------------------------------
+# pagerank vs a pure-Python reference
+# --------------------------------------------------------------------------
+
+@st.composite
+def weighted_edges(draw):
+    n_edges = draw(st.integers(1, 25))
+    return [
+        (
+            draw(st.integers(0, 6)),
+            draw(st.integers(0, 6)),
+            float(draw(st.integers(1, 9))),
+        )
+        for _ in range(n_edges)
+    ]
+
+
+@given(weighted_edges())
+@settings(**{**SETTINGS, "max_examples": 3})
+def test_pagerank_matches_python(spark, raw_edges):
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from flu_data_pipeline_spark.operators.graph import pagerank
+
+    def round_half_up(x: float, dp: int) -> float:
+        # Spark's ROUND = HALF_UP over the shortest decimal repr
+        # (BigDecimal.valueOf); Python's builtin round is banker's —
+        # mirrors Spark exactly via Decimal(repr(x))
+        return float(Decimal(repr(x)).quantize(Decimal(f"1e-{dp}"), ROUND_HALF_UP))
+
+    # collapse duplicate (src,dst) edges the way groupBy-built edge lists do
+    agg = defaultdict(float)
+    for s, d, w in raw_edges:
+        agg[(s, d)] += w
+    edges = [(s, d, w) for (s, d), w in agg.items()]
+
+    damping, iters, dp = 0.85, 3, 8
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    out_w = defaultdict(float)
+    for s, _, w in edges:
+        out_w[s] += w
+    ranks = {v: round_half_up(1.0 / n, dp) for v in nodes}
+    for _ in range(iters):
+        mass = defaultdict(float)
+        for s, d, w in edges:
+            mass[d] += (w / out_w[s]) * ranks[s]
+        ranks = {
+            v: round_half_up((1.0 - damping) / n + damping * mass.get(v, 0.0), dp)
+            for v in nodes
+        }
+
+    df = spark.createDataFrame(edges, "src int, dst int, weight double")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, damping=damping, iterations=iters, round_dp=dp).collect()
+    }
+    assert set(got) == set(ranks)
+    for v in nodes:
+        assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
+    # rank mass is conserved up to damping leakage: each rank ≥ teleport
+    # floor (itself rounded, since ranks are rounded per iteration)
+    floor = round_half_up((1.0 - damping) / n, dp) - 1e-9
+    assert all(r >= floor for r in got.values())
+
+
+# --------------------------------------------------------------------------
+# CMS / Bloom vs from-scratch Python references (full-corpus guarantees the
+# top-k query output can't show: no undercount anywhere, no false negatives)
+# --------------------------------------------------------------------------
+
+def _hash64_py(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:14], 16)
+
+
+def _uhash_py(s: str, i: int) -> int:
+    from flu_data_pipeline_spark.functions.hashing import HASH64_MOD, MINHASH_COEFFS
+
+    a, b = MINHASH_COEFFS[i]
+    return ((_hash64_py(s) % HASH64_MOD) * a + b) % HASH64_MOD
+
+
+def test_cms_matches_python_and_never_undercounts(spark):
+    import re
+    from collections import Counter, defaultdict
+
+    from flu_data_pipeline_spark.catalog import load_table
+    from flu_data_pipeline_spark.plans import REGISTRY
+    from flu_data_pipeline_spark.plans.sketch_queries import _CMS_D, _CMS_W
+
+    from .conftest import SF_SMOKE
+
+    texts = [
+        r["text"]
+        for r in load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    ]
+    toks = [t for x in texts for t in re.split(r"\s+", x.strip().lower())]
+    exact = Counter(toks)
+    sketch: dict[tuple[int, int], int] = defaultdict(int)
+    for t in toks:
+        for i in range(_CMS_D):
+            sketch[(i, _uhash_py(t, i) % _CMS_W)] += 1
+
+    def est(term: str) -> int:
+        return min(sketch[(i, _uhash_py(term, i) % _CMS_W)] for i in range(_CMS_D))
+
+    # one-sided error must hold for EVERY term in the corpus
+    assert all(est(t) >= c for t, c in exact.items())
+
+    got = REGISTRY["cms_term_frequency"].builder(spark, SF_SMOKE).collect()
+    assert len(got) > 0
+    for r in got:
+        assert r["exact_n"] == exact[r["term"]]
+        assert r["cms_est"] == est(r["term"])
+        assert r["overcount"] >= 0
+
+
+def test_bloom_no_false_negatives(spark):
+    from flu_data_pipeline_spark.catalog import load_table
+    from flu_data_pipeline_spark.plans import REGISTRY
+    from flu_data_pipeline_spark.plans.sketch_queries import _BLOOM_K, _BLOOM_M
+
+    from .conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    build = {
+        r[0]
+        for r in orders.filter("o_orderpriority = '1-URGENT'")
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    probe = [r[0] for r in cust.select("c_custkey").collect()]
+    bits = {
+        _uhash_py(str(k), i) % _BLOOM_M for k in build for i in range(_BLOOM_K)
+    }
+    passed = {
+        k
+        for k in probe
+        if all(_uhash_py(str(k), i) % _BLOOM_M in bits for i in range(_BLOOM_K))
+    }
+    truth = {k for k in probe if k in build}
+    # the bloom guarantee: every true member passes
+    assert truth <= passed
+
+    row = REGISTRY["bloom_semi_prune"].builder(spark, SF_SMOKE).collect()[0]
+    assert row["n_probe"] == len(probe)
+    assert row["n_build"] == len(build)
+    assert row["n_bits_set"] == len(bits)
+    assert row["n_pass"] == len(passed)
+    assert row["n_true"] == len(truth)
+    assert row["false_pos"] == len(passed) - len(truth) >= 0

@@ -34,6 +34,26 @@ def write_table(
     writer.parquet(path)
 
 
+def write_partition_overwrite(
+    df: DataFrame, path: str, partition_by: tuple[str, ...]
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present in
+    ``df``, leaving all others untouched — the incremental-load companion
+    to ``cdc_snapshot_diff``/``incremental_state_merge``. At 100 TB a
+    daily batch touches a handful of date partitions; static overwrite
+    would truncate the whole table, append would duplicate reruns. This
+    is idempotent per partition: replaying the same batch converges.
+
+    Uses the per-write ``partitionOverwriteMode=dynamic`` option so the
+    session-level conf (which defaults to static) is untouched."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

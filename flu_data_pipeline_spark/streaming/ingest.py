@@ -15,6 +15,14 @@ At scale: the stateful agg shuffles on (window, key) like its batch twin;
 state store size = windows-in-watermark x key cardinality. foreachBatch
 keeps exactly-once per micro-batch through the anti-join (duplicates across
 retries land on existing PKs and are dropped).
+
+Custom state: ``applyInPandasWithState`` (streaming_running_stats) is the
+supported arbitrary-state path here. Spark 4's successor API
+(``transformWithStateInPandas`` — typed value/list/map state, timers,
+RocksDB-backed) is the right upgrade on a real cluster, but its Python
+state server requires ``google.protobuf``, which this environment does
+not ship (verified: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE on
+import), so the engine deliberately stays on the v1 API.
 """
 
 from __future__ import annotations

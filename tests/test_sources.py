@@ -312,3 +312,33 @@ def test_write_jdbc_wiring_reaches_driver_resolution(spark):
         )
     msg = str(ei.value)
     assert "driver" in msg.lower() or "ClassNotFound" in msg
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """write_partition_overwrite replaces only the partitions present in
+    the incoming batch; replaying the batch is idempotent."""
+    from flu_data_pipeline_spark.sources.writers import write_partition_overwrite
+
+    path = str(tmp_path / "dpo")
+    full = spark.createDataFrame(
+        [(1, "2025-01", 10.0), (2, "2025-01", 20.0), (3, "2025-02", 30.0)],
+        "id long, month string, v double",
+    )
+    write_partition_overwrite(full, path, ("month",))
+
+    # today's batch: rewrites 2025-02 only (new value + new row)
+    batch = spark.createDataFrame(
+        [(3, "2025-02", 99.0), (4, "2025-02", 40.0)],
+        "id long, month string, v double",
+    )
+    for _ in range(2):  # replay → same result (idempotent per partition)
+        write_partition_overwrite(batch, path, ("month",))
+        got = {
+            (r["id"], r["month"]): r["v"] for r in spark.read.parquet(path).collect()
+        }
+        assert got == {
+            (1, "2025-01"): 10.0,
+            (2, "2025-01"): 20.0,
+            (3, "2025-02"): 99.0,
+            (4, "2025-02"): 40.0,
+        }

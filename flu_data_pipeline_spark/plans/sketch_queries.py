@@ -28,6 +28,9 @@ from pyspark.sql import functions as F
 
 from flu_data_pipeline_spark.catalog import load_table
 from flu_data_pipeline_spark.functions.hashing import (
+    HASH64_MOD,
+    MINHASH_COEFFS,
+    hash64,
     minhash_value,
     minhash_value_sql,
 )
@@ -86,46 +89,67 @@ _BLOOM_K = 3  # hashes per key
     FROM est ORDER BY exact_n DESC, term
     """,
     doc="Count-min sketch over the document token stream: d=4 portable "
-    "universal hashes × w=1024 buckets, sketch built by one "
-    "groupBy(row, bucket) whose map-side combine caps every partition's "
-    "shuffle output at d·w counters regardless of corpus size. The "
+    "universal hashes × w=1024 buckets. The stream is first collapsed "
+    "to its (term, count) frequency vector — a CMS over a stream equals "
+    "the CMS over its frequency vector — so md5 runs once per VOCAB "
+    "entry, and the d buckets derive from that single hash by modular "
+    "arithmetic. Sketch build is one groupBy(row, bucket) whose "
+    "map-side combine caps every partition's shuffle output at d·w "
+    "counters regardless of corpus size. The "
     "top-20 exact terms are then point-queried: estimate = min over "
     "the d counters. Oracle recomputes the identical sketch in DuckDB "
     "(same md5-prefix hash family), so the estimates — including CMS's "
     "guaranteed non-negative overcount — are hash-compared exactly. "
     "overcount = cms_est − exact_n ≥ 0 by construction.",
     tags=("sketch", "A8", "text"),
+    bench=True,
 )
 def cms_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
 
+    # Aggregate the token stream to (term, exact_n) FIRST: the CMS over a
+    # stream equals the CMS over its frequency vector (counters add
+    # exact_n instead of 1), so every downstream md5 runs once per VOCAB
+    # entry, not once per token occurrence — at 100 TB the vocabulary is
+    # orders of magnitude smaller than the stream, and this groupBy is
+    # map-side combined anyway.
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .withColumn("h", hash64("term") % HASH64_MOD)  # md5 ONCE per term
+        .localCheckpoint()  # sketch + top-k branches share one computation
+    )
+
     def bucketed(df: DataFrame) -> DataFrame:
-        """(term) → (term, row_i, bucket) for the d hash rows — built as
-        an inline array of structs so it stays one projection, no join."""
+        """(term, h, …) → one row per hash row with its bucket; the d
+        buckets derive from the single 'h' by cheap modular arithmetic —
+        no further hashing."""
         rows = F.array(
             *[
                 F.struct(
                     F.lit(i).alias("row_i"),
-                    (minhash_value("term", i) % _CMS_W).alias("bucket"),
+                    (
+                        (F.col("h") * MINHASH_COEFFS[i][0] + MINHASH_COEFFS[i][1])
+                        % HASH64_MOD
+                        % _CMS_W
+                    ).alias("bucket"),
                 )
                 for i in range(_CMS_D)
             ]
         )
-        return df.select("term", F.explode(rows).alias("rb")).select(
-            "term", "rb.row_i", "rb.bucket"
-        )
+        return df.select(
+            "term", "exact_n", F.explode(rows).alias("rb")
+        ).select("term", "exact_n", "rb.row_i", "rb.bucket")
 
     sketch = (
-        bucketed(toks)
+        bucketed(exact)
         .groupBy("row_i", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("exact_n").alias("c"))
     )
-    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
     top = exact.orderBy(F.col("exact_n").desc(), "term").limit(_TOPK)
     est = (
-        bucketed(top.select("term"))
-        .join(top, "term")
+        bucketed(top)
         .join(F.broadcast(sketch), ["row_i", "bucket"])
         .groupBy("term", "exact_n")
         .agg(F.min("c").alias("cms_est"))

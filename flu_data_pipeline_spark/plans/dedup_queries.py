@@ -569,3 +569,104 @@ def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cluster_size"),
         (F.count(F.lit(1)) - 1).alias("n_dropped"),
     )
+
+
+_JACCARD_TRUTH_SQL = f"""
+    jsh AS (
+        SELECT doc_id, {hash64_sql('shingle')} AS sh
+        FROM (
+            SELECT doc_id, unnest({_SHINGLES_SQL.format(n=3)}) AS shingle
+            FROM documents
+        )
+        GROUP BY doc_id, sh
+    ), jsizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        FROM jsh GROUP BY doc_id
+    ), jinter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM jsh a JOIN jsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), truth AS (
+        SELECT i.doc_a, i.doc_b
+        FROM jinter i
+        JOIN jsizes sa ON sa.doc_id = i.doc_a
+        JOIN jsizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.n_common AS DOUBLE)
+              / (sa.n_shingles + sb.n_shingles - i.n_common) >= 0.2
+    )
+"""
+
+
+@register(
+    "dedup_lsh_eval",
+    oracle=f"""
+    WITH {_SHINGLED_DISTINCT_SQL}, {_SIG_SQL},
+    bands AS (
+{_BANDS_SQL}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    ), {_JACCARD_TRUTH_SQL},
+    joined AS (
+        SELECT COALESCE(t.doc_a, c.doc_a) AS doc_a,
+               (t.doc_a IS NOT NULL) AS in_truth,
+               (c.doc_a IS NOT NULL) AS in_cand
+        FROM truth t FULL OUTER JOIN cand c
+          ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT CAST(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+           CAST(SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+           CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           ROUND(CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / SUM(CASE WHEN in_cand THEN 1 ELSE 0 END), 6) AS precision,
+           ROUND(CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / SUM(CASE WHEN in_truth THEN 1 ELSE 0 END), 6) AS recall
+    FROM joined
+    """,
+    doc="Retrieval-quality evaluation of the banded-LSH candidate "
+    "generator against exact n-gram-Jaccard truth (threshold 0.2): "
+    "TP/precision/recall in one summary row via a full-outer join of "
+    "the two pair sets. With 4 bands × 3 rows the theoretical candidate "
+    "probability is 1-(1-s³)⁴ — low recall at s≈0.2 and near-1 for "
+    "true near-dups — and this query MEASURES that curve's integral on "
+    "real data, deterministically on both engines (shared hash family). "
+    "The production knob it informs: more/narrower bands raise recall "
+    "at the cost of candidate volume; both pair sets stay "
+    "bucket-bounded, never all-pairs.",
+    tags=("dedup", "minhash", "quality"),
+)
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    sig = minhash_signatures(docs, "doc_id", "text", NUM_HASHES)
+    cand = lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BAND_SIZE).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    t, c = truth.alias("t"), cand.alias("c")
+    joined = t.join(
+        c,
+        (F.col("t.doc_a") == F.col("c.doc_a"))
+        & (F.col("t.doc_b") == F.col("c.doc_b")),
+        "full_outer",
+    ).select(
+        F.col("t.doc_a").isNotNull().alias("in_truth"),
+        F.col("c.doc_a").isNotNull().alias("in_cand"),
+    )
+    tp = F.sum((F.col("in_truth") & F.col("in_cand")).cast("int"))
+    return joined.agg(
+        F.sum(F.col("in_truth").cast("int")).alias("n_truth"),
+        F.sum(F.col("in_cand").cast("int")).alias("n_cand"),
+        tp.alias("tp"),
+        F.round(tp.cast("double") / F.sum(F.col("in_cand").cast("int")), 6).alias(
+            "precision"
+        ),
+        F.round(tp.cast("double") / F.sum(F.col("in_truth").cast("int")), 6).alias(
+            "recall"
+        ),
+    )

@@ -608,12 +608,11 @@ _SQDIST_IVF_SQL = (
 )
 
 
-@register(
-    "ann_ivf_kmeans",
-    oracle=kmeans_oracle_sql(
-        "embeddings", "embedding", "vec_id", k=_KMEANS_K, iters=_KMEANS_ITERS + 1
-    )
-    + f""",
+# IVF-kmeans search pipeline as reusable CTEs (shared by ann_ivf_kmeans
+# and the recall evaluation): emb = cluster-assigned vectors, probes =
+# 2 nearest lists per query (vec_id 100..104), cand = in-list exact
+# cosine, approx = reranked top-3.
+_IVF_KMEANS_SEARCH_SQL = f""",
     emb AS (
         SELECT e.vec_id, e.embedding, a.cluster AS cluster_id
         FROM embeddings e JOIN asg{_KMEANS_ITERS + 1} a ON a.id = e.vec_id
@@ -634,12 +633,26 @@ _SQDIST_IVF_SQL = (
         FROM probes p
         JOIN emb m ON m.cluster_id = p.probe_cluster
                   AND m.vec_id <> p.query_id
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id, cos_raw
+        FROM cand
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+        ) <= 3
     )
+"""
+
+
+@register(
+    "ann_ivf_kmeans",
+    oracle=kmeans_oracle_sql(
+        "embeddings", "embedding", "vec_id", k=_KMEANS_K, iters=_KMEANS_ITERS + 1
+    )
+    + _IVF_KMEANS_SEARCH_SQL
+    + """
     SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cos_sim
-    FROM cand
-    QUALIFY ROW_NUMBER() OVER (
-        PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
-    ) <= 3
+    FROM approx
     """,
     doc="IVF-Flat with a TRAINED coarse quantizer: centroids come from 3 "
     "Lloyd iterations (kmeans_fit), every vector is quantized to its "
@@ -694,4 +707,87 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(wtop))
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+@register(
+    "ann_recall_eval",
+    oracle=kmeans_oracle_sql(
+        "embeddings", "embedding", "vec_id", k=_KMEANS_K, iters=_KMEANS_ITERS + 1
+    )
+    + _IVF_KMEANS_SEARCH_SQL
+    + f""",
+    brute AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id >= 100 AND q.vec_id < 105
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC, c.vec_id
+        ) <= 3
+    )
+    SELECT b.query_id,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS recall_at_k
+    FROM brute b
+    LEFT JOIN approx a
+      ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """,
+    doc="recall@3 of the trained-IVF ANN (2-probe) against exact "
+    "brute-force cosine truth, per query vector: left-join the exact "
+    "top-3 onto the IVF result and count hits. The production metric "
+    "for the nprobe/nlist trade — more probes raise recall and "
+    "candidate volume; this query pins the measurement exactly on both "
+    "engines (training, quantization, search, and truth all replayed "
+    "in unrolled SQL). Companion to dedup_lsh_eval on the text side.",
+    tags=("similarity", "ivf", "quality"),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    brute = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    approx = ann_ivf_kmeans(spark, sf_dir).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    hit = F.col("a_nid").isNotNull()
+    return (
+        brute.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(hit.cast("int")).alias("n_hit"),
+            F.round(
+                F.sum(hit.cast("int")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
     )

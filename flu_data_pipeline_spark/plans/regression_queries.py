@@ -1,0 +1,152 @@
+"""In-engine model fitting: ordinary least squares as aggregates.
+
+A feature/analytics pipeline fits cheap models where the data lives
+instead of collecting to a driver: OLS is exactly expressible as a
+single-pass aggregate because the normal equations need only moment sums
+(n, Σx, Σy, Σxy, Σx², …), which merge associatively — the same algebra
+that makes partial aggregation work. One shuffle of constant-size state
+per group, no iteration, no driver math beyond none at all: the solve
+itself is in-query arithmetic.
+
+Two entries: the builtin ``regr_*`` aggregates (simple regression, also
+native in DuckDB — independent implementations must agree), and the
+2-feature closed form via Cramer's rule on the centered moment matrix —
+the pattern that generalizes to any small-d regression at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flu_data_pipeline_spark.catalog import load_table
+from flu_data_pipeline_spark.plans.registry import register
+
+
+@register(
+    "ols_simple_regr",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY returnflag
+    """,
+    doc="Simple OLS (price ~ quantity) per return flag via the builtin "
+    "regr_slope/intercept/r2 aggregates — single-pass distributed "
+    "moments with map-side partial merge, one constant-size state per "
+    "group. Spark and DuckDB implement these independently, so "
+    "agreement at 6dp is a genuine cross-check of the moment algebra.",
+    tags=("stats", "regression", "A7", "A11"),
+)
+def ols_simple_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6).alias(
+                "intercept"
+            ),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+#: Centered second moments from raw sums (textbook shortcut): the whole
+#: 2-feature fit needs only these nine numbers per group.
+_MOMENTS_SQL = """
+        SELECT l_returnflag AS returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(l_quantity) AS s1, SUM(l_discount) AS s2,
+               SUM(l_extendedprice) AS sy,
+               SUM(l_quantity * l_quantity) AS s11,
+               SUM(l_discount * l_discount) AS s22,
+               SUM(l_quantity * l_discount) AS s12,
+               SUM(l_quantity * l_extendedprice) AS s1y,
+               SUM(l_discount * l_extendedprice) AS s2y,
+               SUM(l_extendedprice * l_extendedprice) AS syy
+        FROM lineitem
+        GROUP BY l_returnflag
+"""
+
+
+@register(
+    "ols_normal_equations",
+    oracle=f"""
+    WITH m AS (
+{_MOMENTS_SQL}
+    ), c AS (
+        SELECT returnflag, n,
+               s11 - s1 * s1 / n AS a11,
+               s22 - s2 * s2 / n AS a22,
+               s12 - s1 * s2 / n AS a12,
+               s1y - s1 * sy / n AS b1,
+               s2y - s2 * sy / n AS b2,
+               syy - sy * sy / n AS tss,
+               s1 / n AS m1, s2 / n AS m2, sy / n AS my
+        FROM m
+    ), solved AS (
+        SELECT returnflag, n, tss, m1, m2, my, b1, b2,
+               (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) AS beta1,
+               (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) AS beta2
+        FROM c
+    )
+    SELECT returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND(beta1, 6) AS beta_qty,
+           ROUND(beta2, 6) AS beta_disc,
+           ROUND(my - beta1 * m1 - beta2 * m2, 6) AS intercept,
+           ROUND((beta1 * b1 + beta2 * b2) / tss, 6) AS r2
+    FROM solved
+    ORDER BY returnflag
+    """,
+    doc="2-feature OLS (price ~ quantity + discount) per return flag, "
+    "solved in closed form: one aggregate pass collects the nine moment "
+    "sums, Cramer's rule on the centered 2×2 normal matrix yields the "
+    "coefficients, and R² = explained/total from the same sums — no "
+    "second pass, no iteration, no driver-side linear algebra. The "
+    "exact distributed-ML pattern for any small-d fit at 100 TB: "
+    "per-group state is O(d²) floats regardless of row count. Both "
+    "engines run the identical arithmetic on identical sums.",
+    tags=("stats", "regression", "A7", "A11"),
+)
+def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q, d, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    m = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(d).alias("s2"),
+        F.sum(y).alias("sy"),
+        F.sum(q * q).alias("s11"),
+        F.sum(d * d).alias("s22"),
+        F.sum(q * d).alias("s12"),
+        F.sum(q * y).alias("s1y"),
+        F.sum(d * y).alias("s2y"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    a11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    a22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    a12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    b1 = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    b2 = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    tss = F.col("syy") - F.col("sy") * F.col("sy") / n
+    det = a11 * a22 - a12 * a12
+    beta1 = (b1 * a22 - b2 * a12) / det
+    beta2 = (b2 * a11 - b1 * a12) / det
+    m1, m2, my = F.col("s1") / n, F.col("s2") / n, F.col("sy") / n
+    return m.select(
+        "returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(beta1, 6).alias("beta_qty"),
+        F.round(beta2, 6).alias("beta_disc"),
+        F.round(my - beta1 * m1 - beta2 * m2, 6).alias("intercept"),
+        F.round((beta1 * b1 + beta2 * b2) / tss, 6).alias("r2"),
+    ).orderBy("returnflag")

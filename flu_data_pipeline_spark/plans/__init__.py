@@ -16,6 +16,7 @@ from flu_data_pipeline_spark.plans import (  # noqa: F401
     dedup_queries,
     dq_queries,
     events_queries,
+    experiment_queries,
     flu_reports,
     flu_tables,
     graph_queries,

@@ -298,3 +298,48 @@ def events_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zscore"),
     )
+
+
+@register(
+    "rolling_distinct_users",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (
+        SELECT DISTINCT day FROM act
+    )
+    SELECT d.day AS day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS users_7d
+    FROM days d
+    JOIN act a ON a.day BETWEEN d.day - 6 AND d.day
+    GROUP BY 1
+    """,
+    doc="Trailing-7-day distinct active users per observed day. Spark has no "
+    "COUNT(DISTINCT) OVER RANGE window; the naive form is a non-equi range "
+    "self-join (BroadcastNestedLoop — quadratic). Scalable formulation: "
+    "dedup to (day, user) pairs map-side, then EXPLODE each pair onto the "
+    "<=7 target days it contributes to (sequence(day, day+6)) — bounded "
+    "fan-out = window length — restrict to observed days via a broadcast "
+    "semi-join on the tiny day grid, and finish with one hash "
+    "count-distinct shuffle keyed by target day. Every join is equi; cost "
+    "is O(window_len x distinct pairs) regardless of total data size.",
+    tags=("timeseries", "window", "A8", "dedup"),
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    days = act.select("day").distinct()
+    fanned = act.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "target_day"
+        ),
+        "user_id",
+    )
+    return (
+        fanned.join(
+            F.broadcast(days),
+            fanned.target_day == days.day,
+            "left_semi",
+        )
+        .groupBy(F.col("target_day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+    )

@@ -272,3 +272,46 @@ def ntile_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "custdist_orders_per_customer",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY n_orders
+    """,
+    doc="TPC-H Q13 shape: order-count distribution over ALL customers, "
+    "including zero-order ones. The filter lives in the LEFT JOIN's ON "
+    "clause (a WHERE would silently drop the never-ordered customers — "
+    "the classic outer-join bug this entry pins). Plan: one shuffle on "
+    "custkey shared by the join and the first aggregation (co-partitioned "
+    "— Catalyst reuses the exchange), then a second aggregation over the "
+    "tiny count-histogram. Both stages are partial-agg (map-side combine) "
+    "so the final shuffle carries one row per (custkey) / (n_orders).",
+    tags=("warehouse", "A7", "A10", "J2"),
+)
+def custdist_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    joined = cust.join(
+        orders,
+        (orders.o_custkey == cust.c_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_orders")
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )

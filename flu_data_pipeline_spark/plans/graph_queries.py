@@ -110,3 +110,118 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), "rank")
         .orderBy(F.col("rank").desc(), "nation")
     )
+
+
+@register(
+    "triangle_count_cosupply",
+    oracle="""
+    WITH sp AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), pairs AS (
+        SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+               CAST(COUNT(*) AS DOUBLE) AS shared
+        FROM sp a
+        JOIN sp b ON a.l_partkey = b.l_partkey
+                 AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+    ), m AS (
+        SELECT AVG(shared) AS avg_shared FROM pairs
+    ), e AS (
+        SELECT u, v FROM pairs, m WHERE shared > 1.1 * avg_shared
+    ), deg AS (
+        SELECT x AS node, COUNT(*) AS d FROM (
+            SELECT u AS x FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY x
+    ), tri AS (
+        SELECT COUNT(*) AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(tri.c AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+    doc="Distributed triangle counting over the supplier co-supply graph "
+    "(edge = two suppliers sharing a part, kept when the shared-part "
+    "count exceeds 1.1x the graph mean — a data-relative sparsifier "
+    "that is SF-invariant and float-safe on both engines). The Spark "
+    "side uses the degree-ordered orientation (Schank's node-iterator): "
+    "orient every edge from its lower-(degree,id) endpoint, enumerate "
+    "wedges by self-joining oriented edges on source, then close them "
+    "against the oriented edge set — wedge work is sum(out_deg^2) with "
+    "out-degree bounded by sqrt(2m) on any graph, the standard "
+    "O(m^1.5) bound that survives power-law skew where the naive "
+    "orientation explodes on hub nodes. The oracle counts the same "
+    "triangles by id-ordering (orientation-invariant total). Scale "
+    "note: the per-part pair fan-out is quadratic in suppliers-per-"
+    "part; at 100 TB cap or salt the heaviest parts first "
+    "(skew_salted_term_counts pattern).",
+    tags=("graph", "triangle", "J6", "A7", "A8"),
+)
+def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select("l_partkey", "l_suppkey").distinct()
+    a, b = sp.alias("a"), sp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("shared"))
+    )
+    avg = pairs.agg(F.avg("shared").alias("avg_shared"))
+    e = (
+        pairs.crossJoin(F.broadcast(avg))
+        .filter(F.col("shared") > 1.1 * F.col("avg_shared"))
+        .select("u", "v")
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # Orient u→v by (degree, id): src = lower endpoint under that key.
+    ed = (
+        e.join(deg.withColumnsRenamed({"node": "u", "d": "du"}), "u")
+        .join(deg.withColumnsRenamed({"node": "v", "d": "dv"}), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.src") == F.col("y.src"))
+        & (
+            (F.col("x.dst_deg") < F.col("y.dst_deg"))
+            | (
+                (F.col("x.dst_deg") == F.col("y.dst_deg"))
+                & (F.col("x.dst") < F.col("y.dst"))
+            )
+        ),
+    ).select(F.col("x.dst").alias("w_src"), F.col("y.dst").alias("w_dst"))
+    closed = wedges.join(
+        oriented.alias("z"),
+        (F.col("w_src") == F.col("z.src")) & (F.col("w_dst") == F.col("z.dst")),
+        "left_semi",
+    )
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_tri))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )

@@ -17,7 +17,7 @@ cheap aggregations, never a per-event shuffle of the raw stream.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flu_data_pipeline_spark.catalog import load_table
@@ -97,4 +97,172 @@ def abtest_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(c1 / n1, 6).alias("rate_treatment"),
         F.round(c1 / n1 - c0 / n0, 6).alias("abs_lift"),
         F.round(z, 6).alias("z_score"),
+    )
+
+
+@register(
+    "eval_auc_purchase",
+    oracle="""
+    WITH base AS (
+        SELECT value AS s,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ), per AS (
+        SELECT s, SUM(y) AS np, COUNT(*) - SUM(y) AS nn
+        FROM base GROUP BY s
+    ), cum AS (
+        SELECT np, nn,
+               COALESCE(SUM(nn) OVER (
+                   ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cneg
+        FROM per
+    ), tot AS (
+        SELECT CAST(SUM(np) AS DOUBLE) AS n_pos,
+               CAST(SUM(nn) AS DOUBLE) AS n_neg
+        FROM per
+    )
+    SELECT ROUND(SUM(np * (cneg + 0.5 * nn)) / (n_pos * n_neg), 6) AS auc,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg
+    FROM cum, tot
+    GROUP BY n_pos, n_neg
+    """,
+    doc="Exact ROC-AUC of `value` as a score for the purchase event, via "
+    "the Mann-Whitney rank-sum identity with average-rank tie handling: "
+    "AUC = sum over distinct scores of n_pos(s)*(negatives_below(s) + "
+    "0.5*n_neg(s)) / (N_pos*N_neg). The stream first collapses to one "
+    "row PER DISTINCT SCORE (map-side combine), so the ordered prefix "
+    "sum runs over score cardinality, not row count. Float-exact by "
+    "construction: every summand is an integer multiple of 0.5 "
+    "(exactly representable), so the sum is order-independent and the "
+    "engines cannot diverge. Scale note: the prefix window is a single "
+    "global sort over distinct scores — when score cardinality is "
+    "unbounded, quantize scores to fixed-width buckets first (the "
+    "standard approximate-AUC everyone ships) and this plan is "
+    "unchanged; the quantization IS the accuracy/scale knob.",
+    tags=("experiment", "eval", "A7", "W1"),
+)
+def eval_auc_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("value").isNotNull()).select(
+        F.col("value").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    per = base.groupBy("s").agg(
+        F.sum("y").alias("np"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("nn"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.withColumn("cneg", F.coalesce(F.sum("nn").over(w), F.lit(0)))
+    tot = per.agg(
+        F.sum("np").cast("double").alias("n_pos"),
+        F.sum("nn").cast("double").alias("n_neg"),
+    )
+    return (
+        cum.agg(
+            F.sum(
+                F.col("np") * (F.col("cneg") + 0.5 * F.col("nn"))
+            ).alias("num")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(F.col("num") / (F.col("n_pos") * F.col("n_neg")), 6).alias(
+                "auc"
+            ),
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            F.col("n_neg").cast("bigint").alias("n_neg"),
+        )
+    )
+
+
+@register(
+    "drift_value_histogram",
+    oracle="""
+    WITH labeled AS (
+        SELECT value AS x,
+               CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                    THEN 'ref' ELSE 'cur' END AS half
+        FROM events WHERE value IS NOT NULL
+    ), bounds AS (
+        SELECT MIN(x) AS mn, MAX(x) AS mx FROM labeled WHERE half = 'ref'
+    ), binned AS (
+        SELECT LEAST(GREATEST(CAST(FLOOR((x - mn) * 10.0 / (mx - mn))
+                                   AS INT), 0), 9) AS bin,
+               half
+        FROM labeled, bounds
+    ), counts AS (
+        SELECT bin,
+               CAST(COUNT(*) FILTER (half = 'ref') AS BIGINT) AS n_ref,
+               CAST(COUNT(*) FILTER (half = 'cur') AS BIGINT) AS n_cur
+        FROM binned GROUP BY bin
+    ), tot AS (
+        SELECT CAST(SUM(n_ref) AS DOUBLE) AS t_ref,
+               CAST(SUM(n_cur) AS DOUBLE) AS t_cur
+        FROM counts
+    )
+    SELECT bin, n_ref, n_cur,
+           n_ref / t_ref AS p_ref,
+           n_cur / t_cur AS q_cur,
+           (n_cur / t_cur - n_ref / t_ref)
+               * (n_cur / t_cur - n_ref / t_ref)
+               / (n_ref / t_ref) AS chi2_term,
+           ABS(n_cur / t_cur - n_ref / t_ref) AS tvd_term
+    FROM counts, tot
+    """,
+    doc="Distribution-drift monitor: equi-width 10-bin histogram of "
+    "`value` with edges from the REFERENCE half's min/max (first 15 "
+    "days), compared against the current half — per-bin proportions "
+    "plus chi-square and total-variation contributions. Deliberately "
+    "ln-free (no PSI/KL): +,-,*,/ are correctly-rounded IEEE in both "
+    "engines so raw doubles hash-match, while libm vs JVM `log` can "
+    "differ in the last ulp. Plan: one scan, map-side bin assignment "
+    "against a broadcast 1-row min/max aggregate, one 10-group "
+    "aggregation — drift over 100 TB costs one pass and shuffles 10 "
+    "rows.",
+    tags=("experiment", "dq", "drift", "A7", "histogram"),
+)
+def drift_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    labeled = ev.filter(F.col("value").isNotNull()).select(
+        F.col("value").alias("x"),
+        F.when(
+            F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), "ref"
+        )
+        .otherwise("cur")
+        .alias("half"),
+    )
+    bounds = labeled.filter(F.col("half") == "ref").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    binned = labeled.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("x") - F.col("mn")) * 10.0 / (F.col("mx") - F.col("mn"))
+                ).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(9),
+        ).alias("bin"),
+        "half",
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("half") == "ref", 1)).alias("n_ref"),
+        F.count(F.when(F.col("half") == "cur", 1)).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("double").alias("t_ref"),
+        F.sum("n_cur").cast("double").alias("t_cur"),
+    )
+    p = F.col("n_ref") / F.col("t_ref")
+    q = F.col("n_cur") / F.col("t_cur")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        p.alias("p_ref"),
+        q.alias("q_cur"),
+        ((q - p) * (q - p) / p).alias("chi2_term"),
+        F.abs(q - p).alias("tvd_term"),
     )

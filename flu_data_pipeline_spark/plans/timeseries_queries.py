@@ -343,3 +343,74 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("target_day").alias("day"))
         .agg(F.countDistinct("user_id").alias("users_7d"))
     )
+
+
+@register(
+    "ts_ewma_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               ROUND(SUM(value), 2) AS daily_value
+        FROM events GROUP BY 1, 2
+    ), series AS (
+        SELECT event_type,
+               list(daily_value ORDER BY day) AS vals,
+               list(day ORDER BY day) AS days
+        FROM daily GROUP BY event_type
+    ), idx AS (
+        SELECT event_type, days, vals,
+               unnest(generate_series(1, len(vals))) AS i
+        FROM series
+    )
+    SELECT event_type, days[i] AS day, vals[i] AS daily_value,
+           list_reduce(
+               list_prepend(CAST(vals[1] AS DOUBLE),
+                            CAST(vals[2:i] AS DOUBLE[])),
+               (acc, x) -> 0.3 * x + 0.7 * acc
+           ) AS ewma
+    FROM idx
+    """,
+    doc="Exponentially weighted moving average (alpha=0.3) of the daily "
+    "value series per event type. EWMA is a sequential recurrence "
+    "(y_i = a*x_i + (1-a)*y_{i-1}) Spark windows cannot express "
+    "natively; here each group's series is collected into an ordered "
+    "array (bounded: days per entity, not raw events — the groupBy "
+    "collapse happens first) and the prefix fold runs as the "
+    "F.aggregate higher-order function, JVM-side, zero UDFs. Both "
+    "engines execute the IDENTICAL fold order on identical 2dp-rounded "
+    "inputs, so raw-double results hash-match (mul/add are "
+    "correctly-rounded IEEE). Scale note: per-key state is one "
+    "array of days — fine for bounded series; unbounded streams use "
+    "the closed-form weighted-prefix trick or applyInPandasWithState "
+    "(streaming/ingest.py).",
+    tags=("timeseries", "window", "hof", "A7"),
+)
+def ts_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("daily_value"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", "daily_value"))
+        ).alias("pairs")
+    )
+    exploded = series.select(
+        "event_type",
+        F.col("pairs.daily_value").alias("vals"),
+        F.posexplode(F.col("pairs")).alias("pos", "pair"),
+    )
+    return exploded.select(
+        "event_type",
+        F.col("pair.day").alias("day"),
+        F.col("pair.daily_value").alias("daily_value"),
+        F.when(F.col("pos") == 0, F.col("vals").getItem(0))
+        .otherwise(
+            F.aggregate(
+                F.slice(F.col("vals"), 2, F.col("pos")),
+                F.col("vals").getItem(0).cast("double"),
+                lambda acc, x: 0.3 * x + 0.7 * acc,
+            )
+        )
+        .alias("ewma"),
+    )

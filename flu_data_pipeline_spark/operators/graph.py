@@ -72,6 +72,53 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS over an undirected edge list: returns
+    (node, dist) for every node within ``max_hops`` of any source node,
+    dist = minimum hop count.
+
+    Distributed frontier expansion: each hop joins the *current frontier*
+    (nodes first reached last hop — not the whole visited set) against the
+    symmetrized edges (one shuffle on the node key), then min-merges into
+    the visited set. Frontier-only expansion is what keeps hop ``i`` work
+    proportional to the frontier boundary, not the visited volume — the
+    property that matters on a billion-edge graph. ``sources`` is a
+    DataFrame with a ``node`` column (never a driver-side list), so seeds
+    can themselves be query-derived at scale.
+
+    ``localCheckpoint`` per hop truncates lineage (same rationale as
+    :func:`connected_components`).
+    """
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = sym.union(sym.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    sym = sym.localCheckpoint(eager=True)
+
+    visited = sources.select("node").distinct().withColumn("dist", F.lit(0))
+    frontier = visited.localCheckpoint(eager=True)
+    visited = frontier
+    for hop in range(1, max_hops + 1):
+        reached = (
+            sym.join(frontier, sym["s"] == frontier["node"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+        )
+        frontier = (
+            reached.join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        visited = visited.union(frontier).localCheckpoint(eager=True)
+    return visited
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

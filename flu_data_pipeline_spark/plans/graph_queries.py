@@ -21,8 +21,57 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flu_data_pipeline_spark.catalog import load_table
-from flu_data_pipeline_spark.operators.graph import pagerank
+from flu_data_pipeline_spark.operators.graph import bfs_hops, pagerank
 from flu_data_pipeline_spark.plans.registry import register
+
+#: Shared oracle fragment: the sparsified supplier co-supply graph.
+#: Edge = two suppliers sharing a part, kept when the shared-part count
+#: exceeds 1.1x the graph mean (data-relative, SF-invariant, float-safe:
+#: the comparison is count vs AVG(count) — both exact small integers /
+#: their exact mean on either engine). Used by triangle counting and BFS
+#: so both query the *same* graph.
+_COSUPPLY_EDGES_SQL = """
+    sp AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), pairs AS (
+        SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+               CAST(COUNT(*) AS DOUBLE) AS shared
+        FROM sp a
+        JOIN sp b ON a.l_partkey = b.l_partkey
+                 AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+    ), m AS (
+        SELECT AVG(shared) AS avg_shared FROM pairs
+    ), e AS (
+        SELECT u, v FROM pairs, m WHERE shared > 1.1 * avg_shared
+    )"""
+
+
+def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :data:`_COSUPPLY_EDGES_SQL`: undirected (u < v)
+    supplier pairs. The per-part pair fan-out is quadratic in
+    suppliers-per-part; at 100 TB cap or salt the heaviest parts first
+    (skew_salted_term_counts pattern)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select("l_partkey", "l_suppkey").distinct()
+    a, b = sp.alias("a"), sp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("shared"))
+    )
+    avg = pairs.agg(F.avg("shared").alias("avg_shared"))
+    return (
+        pairs.crossJoin(F.broadcast(avg))
+        .filter(F.col("shared") > 1.1 * F.col("avg_shared"))
+        .select("u", "v")
+    )
 
 _D = 0.85
 _ITERS = 3
@@ -114,21 +163,9 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "triangle_count_cosupply",
-    oracle="""
-    WITH sp AS (
-        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
-    ), pairs AS (
-        SELECT a.l_suppkey AS u, b.l_suppkey AS v,
-               CAST(COUNT(*) AS DOUBLE) AS shared
-        FROM sp a
-        JOIN sp b ON a.l_partkey = b.l_partkey
-                 AND a.l_suppkey < b.l_suppkey
-        GROUP BY 1, 2
-    ), m AS (
-        SELECT AVG(shared) AS avg_shared FROM pairs
-    ), e AS (
-        SELECT u, v FROM pairs, m WHERE shared > 1.1 * avg_shared
-    ), deg AS (
+    oracle="WITH "
+    + _COSUPPLY_EDGES_SQL
+    + """, deg AS (
         SELECT x AS node, COUNT(*) AS d FROM (
             SELECT u AS x FROM e UNION ALL SELECT v FROM e
         ) GROUP BY x
@@ -161,26 +198,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "triangle", "J6", "A7", "A8"),
 )
 def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    sp = li.select("l_partkey", "l_suppkey").distinct()
-    a, b = sp.alias("a"), sp.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_partkey") == F.col("b.l_partkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).cast("double").alias("shared"))
-    )
-    avg = pairs.agg(F.avg("shared").alias("avg_shared"))
-    e = (
-        pairs.crossJoin(F.broadcast(avg))
-        .filter(F.col("shared") > 1.1 * F.col("avg_shared"))
-        .select("u", "v")
-    )
+    e = _cosupply_edges(spark, sf_dir)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -224,4 +242,74 @@ def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_nodes.crossJoin(F.broadcast(n_edges))
         .crossJoin(F.broadcast(n_tri))
         .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+#: One BFS hop as SQL: visited-so-far CTE -> next CTE. Mirrors
+#: operators/graph.bfs_hops: expand only the hop-(h-1) frontier through
+#: the symmetrized edges, min-merge into the visited set.
+def _hop_sql(prev: str, cur: str, hop: int) -> str:
+    return f"""{cur} AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT sym.dst AS node, {hop} AS dist
+            FROM sym JOIN {prev} f ON sym.src = f.node AND f.dist = {hop - 1}
+        ) GROUP BY node
+    )"""
+
+
+_BFS_HOPS = 3
+
+_BFS_ORACLE = (
+    "WITH "
+    + _COSUPPLY_EDGES_SQL
+    + """, sym AS (
+        SELECT u AS src, v AS dst FROM e
+        UNION ALL
+        SELECT v AS src, u AS dst FROM e
+    ), h0 AS (
+        SELECT MIN(u) AS node, 0 AS dist FROM e
+    ), """
+    + ", ".join(_hop_sql(f"h{i}", f"h{i + 1}", i + 1) for i in range(_BFS_HOPS))
+    + f"""
+    SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(node) AS min_suppkey, MAX(node) AS max_suppkey
+    FROM h{_BFS_HOPS}
+    GROUP BY dist
+    ORDER BY dist
+    """
+)
+
+
+@register(
+    "bfs_khop_cosupply",
+    oracle=_BFS_ORACLE,
+    doc="K-hop BFS (k=3) over the sparsified supplier co-supply graph "
+    "(same edge set as triangle_count_cosupply, via the shared "
+    "_cosupply_edges helper), seeded at the minimum supplier key. The "
+    "operator (operators/graph.py:bfs_hops) is distributed frontier "
+    "expansion: each hop joins only the newly-reached frontier against "
+    "the symmetrized edge list (one shuffle on the node key) and "
+    "anti-joins the visited set — per-hop work tracks the frontier "
+    "boundary, not the visited volume, which is what survives a "
+    "billion-edge graph. Seeds are a 1-row DataFrame (no driver-side "
+    "node list). Output is per-level reach counts with min/max node "
+    "pins. Oracle = unrolled DuckDB CTEs, one per hop, expanding "
+    "exactly the same frontier (pagerank/k-means unrolled-iteration "
+    "pattern).",
+    tags=("graph", "bfs", "J1", "A10", "D3"),
+)
+def bfs_khop_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _cosupply_edges(spark, sf_dir)
+    seeds = e.agg(F.min("u").alias("node"))
+    visited = bfs_hops(e, seeds, src="u", dst="v", max_hops=_BFS_HOPS)
+    return (
+        visited.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_suppkey"),
+            F.max("node").alias("max_suppkey"),
+        )
+        .orderBy("dist")
     )

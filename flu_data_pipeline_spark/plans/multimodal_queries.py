@@ -35,24 +35,51 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The stub "decoder" emits feature[i] = (hex_pair_i(md5(blob)) + n_bytes)
+#: % 251 (multimodal/binary_ops.py:decode_stub) — deterministic from the
+#: blob, so the whole mapInPandas path has an exact SQL twin: the oracle
+#: recomputes every feature value from md5(text) with integer arithmetic.
+_DECODE_DIM = 8
+_DECODE_FEATURE_SQL = ", ".join(
+    "CAST((CAST('0x' || substr(md5(text), {lo}, 2) AS INT) "
+    "+ octet_length(encode(text))) % 251 AS DOUBLE) AS f{i}".format(
+        lo=2 * i + 1, i=i
+    )
+    for i in range(_DECODE_DIM)
+)
+
+
 @register(
     "multimodal_decode_features",
-    oracle=None,  # Arrow-batched pandas decode stub: not SQL-expressible
+    oracle=f"""
+    SELECT doc_id,
+           'text' AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           {_DECODE_DIM} AS n_dims,
+           {_DECODE_FEATURE_SQL}
+    FROM documents
+    """,
     doc="mapInPandas batch 'decode' (stubbed codec, real Arrow plumbing): "
-    "blob+meta in, (id, modality, n_bytes, feature array) out. The rows-"
-    "only check validates schema + batch shape end to end. The registered "
-    "result projects the array into sortable scalar columns (n_dims + "
-    "JSON form) so rows-only canonicalization (pandas sort) works; "
+    "blob+meta in, (id, modality, n_bytes, feature array) out. The Spark "
+    "side runs the genuine Arrow-batched decode UDF end to end; because "
+    "the stub's fake features are a pure function of md5(blob)+length, "
+    "the oracle recomputes them in SQL — so the batch plumbing is hash-"
+    "compared exactly, not just rows-counted. The registered result "
+    "projects the array into scalar f0..f7 columns (sortable, and "
+    "float32→float64 exact since every value is an integer < 251); "
     "library users get the raw array via decode_stub.",
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = attach_binary(load_table(spark, sf_dir, "documents"))
-    feats = decode_stub(docs, "doc_id", strict=False)
+    feats = decode_stub(docs, "doc_id", strict=False, feature_dim=_DECODE_DIM)
     return feats.select(
         "doc_id",
         "modality",
         "n_bytes",
         F.size("feature").alias("n_dims"),
-        F.to_json(F.col("feature")).alias("feature_json"),
+        *[
+            F.col("feature")[i].cast("double").alias(f"f{i}")
+            for i in range(_DECODE_DIM)
+        ],
     )

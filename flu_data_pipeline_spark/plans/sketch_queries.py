@@ -1,8 +1,9 @@
-"""Deterministic sketch structures: count-min sketch, Bloom filter.
+"""Deterministic sketch structures: count-min sketch, Bloom filter,
+HyperLogLog.
 
 ``approx_sketches`` (relational.py) exercises Spark's builtin HLL /
 approx-percentile, which are engine-specific and only rows-checkable.
-These queries instead build the two classic sketches from first
+These queries instead build the classic sketches from first
 principles on the portable md5-prefix hash family
 (``functions/hashing.py``) — bit-identical in DuckDB — so the sketch
 CONTENTS are hash-compared exactly, not statistically: the oracle proves
@@ -265,4 +266,135 @@ def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_true",
             (F.col("n_pass") - F.col("n_true")).alias("false_pos"),
         )
+    )
+
+
+# --- HyperLogLog on the portable hash ---------------------------------
+# m = 2^8 = 256 registers; the 56-bit portable hash splits into
+# bucket = h >> 48 (top 8 bits) and w = h & (2^48 - 1). The register
+# value is rho(w) = leading zeros of the 48-bit word + 1 = 49 -
+# length(bin(w)) (minimal-width bin on BOTH engines), 49 when w = 0.
+# The harmonic denominator is kept EXACT by integer scaling:
+# z_scaled = sum(2^(49 - r)) + empty_buckets * 2^49 (max 256 * 2^49 =
+# 2^57 < int64), so the only float op is one literal/int division —
+# IEEE-identical on both engines. No engine-side ROUND anywhere
+# (HALF_UP-vs-half-away boundary divergence); raw doubles are safe.
+_HLL_B = 8
+_HLL_M = 1 << _HLL_B  # 256 registers
+_HLL_W = 56 - _HLL_B  # 48-bit register word
+_HLL_POW_W = 1 << _HLL_W
+#: alpha_m * m^2 * 2^(W+1), precomputed so each engine does ONE division
+_HLL_C = (0.7213 / (1 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * (1 << (_HLL_W + 1))
+
+
+@register(
+    "hll_distinct_by_nation",
+    oracle=f"""
+    WITH v AS (
+        SELECT n_name AS nation, l_partkey AS pk,
+               CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 14)
+                    AS BIGINT) AS h
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+    ), b AS (
+        SELECT nation, h // {_HLL_POW_W} AS bucket,
+               CASE WHEN h % {_HLL_POW_W} = 0 THEN {_HLL_W + 1}
+                    ELSE {_HLL_W + 1} - length(bin(h % {_HLL_POW_W}))
+               END AS rho
+        FROM v
+    ), reg AS (
+        SELECT nation, bucket, MAX(rho) AS r FROM b GROUP BY nation, bucket
+    ), agg AS (
+        SELECT nation,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets_hit,
+               CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_W + 1} - r))
+                    + ({_HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << {_HLL_W + 1})
+                    AS BIGINT) AS z_scaled
+        FROM reg GROUP BY nation
+    ), ex AS (
+        SELECT nation, CAST(COUNT(DISTINCT pk) AS BIGINT) AS exact_distinct
+        FROM v GROUP BY nation
+    )
+    SELECT agg.nation, n_buckets_hit, z_scaled,
+           {_HLL_C!r} / z_scaled AS hll_estimate,
+           exact_distinct,
+           ({_HLL_C!r} / z_scaled - exact_distinct) / exact_distinct * 100.0
+               AS err_pct
+    FROM agg JOIN ex ON agg.nation = ex.nation
+    ORDER BY agg.nation
+    """,
+    doc="HyperLogLog distinct-part estimate per supplier nation, built "
+    "from first principles on the portable 56-bit md5-prefix hash: "
+    "256 registers (top 8 hash bits), rho = leading-zero count of the "
+    "48-bit remainder + 1 via length(bin(w)) — identical minimal-width "
+    "bin on both engines. Register build is ONE groupBy(nation, bucket) "
+    "MAX — map-side combine caps every partition's shuffle output at "
+    "groups x 256 rows regardless of fact size, the whole point of HLL "
+    "at 100 TB (registers also merge associatively across partitions / "
+    "days, unlike COUNT(DISTINCT)'s expand-shuffle). Exactness: the "
+    "harmonic denominator is integer-scaled (z_scaled = sum 2^(49-r), "
+    "exact in int64), so the only float op is one literal/integer "
+    "division — IEEE-identical cross-engine, no rounding needed. The "
+    "exact COUNT(DISTINCT) rides along so the oracle also pins HLL's "
+    "~6.5% (1.04/sqrt(256)) error envelope as data.",
+    tags=("sketch", "A8", "A10", "J6"),
+)
+def hll_distinct_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    v = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("l_partkey").alias("pk"),
+            hash64(F.col("l_partkey").cast("string")).alias("h"),
+        )
+    )
+    b = v.select(
+        "nation",
+        "pk",
+        F.expr(f"h div {_HLL_POW_W}").alias("bucket"),
+        F.when(F.col("h") % _HLL_POW_W == 0, F.lit(_HLL_W + 1))
+        .otherwise(
+            F.lit(_HLL_W + 1) - F.length(F.bin(F.col("h") % _HLL_POW_W))
+        )
+        .alias("rho"),
+    )
+    reg = b.groupBy("nation", "bucket").agg(F.max("rho").alias("r"))
+    agg = reg.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_buckets_hit"),
+        (
+            F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_W + 1} - r)"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << (_HLL_W + 1)).cast("long")
+        )
+        .cast("bigint")
+        .alias("z_scaled"),
+    )
+    ex = v.groupBy("nation").agg(
+        F.countDistinct("pk").alias("exact_distinct")
+    )
+    est = F.lit(_HLL_C) / F.col("z_scaled")
+    return (
+        agg.join(ex, "nation")
+        .select(
+            "nation",
+            "n_buckets_hit",
+            "z_scaled",
+            est.alias("hll_estimate"),
+            "exact_distinct",
+            (
+                (est - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                * F.lit(100.0)
+            ).alias("err_pct"),
+        )
+        .orderBy("nation")
     )

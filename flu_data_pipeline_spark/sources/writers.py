@@ -278,3 +278,38 @@ def delete_rows(
     spark.read.parquet(staging).write.mode("overwrite").parquet(path)
     shutil.rmtree(staging, ignore_errors=True)
     return n_before - n_after
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    buckets: int,
+    bucket_cols: tuple[str, ...],
+    sort_cols: tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table (hash-partitioned ON DISK by join key).
+
+    The 100 TB co-located-join story: two tables bucketed into the same
+    bucket count on their join key satisfy the join's distribution
+    requirement straight off the scan, so the sort-merge join runs with
+    ZERO Exchange — the fact-to-fact shuffle (the single most expensive
+    stage at scale, paid per query) is paid once at write time instead.
+    ``sortBy`` additionally pre-sorts each bucket file so the SMJ's sort
+    can also be elided when each bucket holds one file.
+
+    Registered in the session catalog via ``saveAsTable`` (bucket
+    metadata lives in the catalog, not the parquet footer); at scale the
+    same call targets a real metastore. Read back with
+    ``spark.table(table)`` — a plain ``spark.read.parquet(path)`` sees
+    the files but not the bucket spec.
+    """
+    (
+        df.write.mode(mode)
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+        .saveAsTable(table)
+    )

@@ -342,3 +342,49 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
             (3, "2025-02"): 99.0,
             (4, "2025-02"): 40.0,
         }
+
+
+def test_bucketed_smb_join_no_exchange(spark, tmp_path):
+    """Both sides bucketed by the join key into the same bucket count →
+    the executed sort-merge join contains NO Exchange: the per-query
+    fact-to-fact shuffle is traded for a one-time bucketed write."""
+    from flu_data_pipeline_spark.sources.writers import write_bucketed
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    try:
+        write_bucketed(
+            orders, "orders_b", str(tmp_path / "orders_b"), 8, ("o_orderkey",)
+        )
+        write_bucketed(
+            li, "lineitem_b", str(tmp_path / "lineitem_b"), 8, ("l_orderkey",)
+        )
+        a, b = spark.table("orders_b"), spark.table("lineitem_b")
+        # hint forces SMJ (at sf0.001 the small side would be broadcast;
+        # at real scale both sides are facts and SMJ is what AQE picks)
+        joined = a.hint("merge").join(
+            b, a["o_orderkey"] == b["l_orderkey"]
+        ).agg(F.sum("l_quantity").alias("qty"), F.count(F.lit(1)).alias("n"))
+        got = joined.collect()[0]
+
+        # The one-row final aggregate keeps its SinglePartition exchange;
+        # the join itself must introduce NO repartitioning — the bucketed
+        # scans already satisfy the SMJ's hash-distribution requirement.
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "BroadcastExchange" not in plan, plan
+
+        plain = (
+            orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+            .agg(F.sum("l_quantity").alias("qty"), F.count(F.lit(1)).alias("n"))
+            .collect()[0]
+        )
+        assert got["n"] == plain["n"] and got["qty"] == plain["qty"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

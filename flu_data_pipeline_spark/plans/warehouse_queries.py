@@ -315,3 +315,47 @@ def custdist_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("n_orders").agg(
         F.count(F.lit(1)).alias("custdist")
     )
+
+
+@register(
+    "bitmask_active_quarters",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(bit_or(1 << (CAST(quarter(o_orderdate) AS INT) - 1))
+                    AS INT) AS quarter_mask
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT quarter_mask,
+           CAST(bit_count(quarter_mask) AS INT) AS n_quarters,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM per_cust GROUP BY quarter_mask ORDER BY quarter_mask
+    """,
+    doc="Bitmap presence encoding: per customer, OR together one bit per "
+    "calendar quarter with orders (bit i = Qi+1), then histogram the "
+    "16 possible masks with their popcounts. The bitmap-index idiom for "
+    "set-membership rollups: bit_or is associative/commutative, so the "
+    "per-customer mask map-side combines like any sum — presence over "
+    "an arbitrary category set costs ONE int column instead of a "
+    "count-distinct expand, and mask algebra (AND/OR of cohorts) stays "
+    "cheap downstream at 100 TB. Both engines compute identical "
+    "shiftleft/bit_or/bit_count integer semantics.",
+    tags=("warehouse", "A10", "F8", "bitmap"),
+)
+def bitmask_active_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.expr(
+            "cast(bit_or(shiftleft(1, cast(quarter(o_orderdate) as int) - 1))"
+            " as int)"
+        ).alias("quarter_mask")
+    )
+    return (
+        per_cust.groupBy("quarter_mask")
+        .agg(
+            F.bit_count("quarter_mask").cast("int").alias("n_quarters"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .select("quarter_mask", "n_quarters", "n_customers")
+        .orderBy("quarter_mask")
+    )

@@ -29,6 +29,7 @@ from flu_data_pipeline_spark.plans import (  # noqa: F401
     sketch_queries,
     similarity_queries,
     skew_queries,
+    streaming_queries,
     subquery_queries,
     text_queries,
     timeseries_queries,

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from flu_data_pipeline_spark.plans.registry import register
+from flu_data_pipeline_spark.plans.window_queries import SESSIONS_CTE_SQL
 
 #: events.parquet schema under nanosAsLong (ts = ns-since-epoch long)
 _EVENTS_NANOS_SCHEMA = T.StructType(
@@ -44,6 +45,31 @@ _EVENTS_NANOS_SCHEMA = T.StructType(
         T.StructField("props", T.StringType(), True),
     ]
 )
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream (nanos ts → µs timestamp,
+    exactly like catalog.load_table). The listing is glob-pinned to the
+    events file because the sibling tables' schemas differ."""
+    stream = (
+        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(agg: DataFrame, name: str) -> None:
+    """Drive a streaming aggregation over everything currently present
+    (availableNow) into a complete-mode memory sink named ``name``."""
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 @register(
@@ -67,16 +93,7 @@ _EVENTS_NANOS_SCHEMA = T.StructType(
     tags=("streaming", "A7", "S3"),
 )
 def stream_hourly_rollup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the file stream source wants a directory; pin the listing to the
-    # events file (the other tables' schemas differ)
-    stream = (
-        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ev = stream.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = _read_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
@@ -92,12 +109,54 @@ def stream_hourly_rollup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "stream_hourly_rollup_exact_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    _run_to_memory(agg, name)
     return spark.table(name)
+
+
+@register(
+    "stream_session_window_exact",
+    oracle=f"""
+    WITH {SESSIONS_CTE_SQL}
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(duration_s) AS BIGINT) AS total_duration_s,
+           ROUND(SUM(sum_value), 2) AS sum_value
+    FROM sessions GROUP BY user_id
+    """,
+    doc="Structured Streaming session windows driven to completion: "
+    "readStream -> session_window(ts, '30 minutes') per user (the "
+    "state-store-backed gap-merge), availableNow, complete mode. "
+    "Streaming allows one aggregation per query, so the stream emits "
+    "per-(user, session) rows and the per-user rollup is a batch agg "
+    "over the emitted memory table — the oracle is the identical "
+    "gaps-and-islands CTE used by the batch twin events_session_window, "
+    "so streaming session assignment is hash-compared exactly.",
+    tags=("streaming", "window", "sessionize"),
+)
+def stream_session_window_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events_stream(spark, sf_dir)
+    floored = ev.select(
+        "user_id",
+        "value",
+        F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts"),
+    )
+    per_session = (
+        floored.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).alias("duration_s"),
+            F.sum("value").alias("s_value"),
+        )
+    )
+    name = "stream_session_window_exact_sink"
+    _run_to_memory(per_session, name)
+    return spark.table(name).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("duration_s").cast("long").alias("total_duration_s"),
+        F.round(F.sum("s_value"), 2).alias("sum_value"),
+    )

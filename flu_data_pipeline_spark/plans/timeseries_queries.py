@@ -414,3 +414,140 @@ def ts_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("ewma"),
     )
+
+
+@register(
+    "ts_linear_interpolate",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, value FROM events
+    ), bounds AS (
+        SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev
+    ), days AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+        FROM bounds
+    ), types AS (
+        SELECT DISTINCT event_type FROM ev
+    ), obs AS (
+        SELECT event_type, day, ROUND(SUM(value), 2) AS v
+        FROM ev WHERE dayofmonth(day) % 3 = 1
+        GROUP BY 1, 2
+    ), grid AS (
+        SELECT t.event_type, d.day, o.v
+        FROM types t CROSS JOIN days d
+        LEFT JOIN obs o ON o.event_type = t.event_type AND o.day = d.day
+    ), anchored AS (
+        SELECT event_type, day, v,
+               MAX(CASE WHEN v IS NOT NULL THEN day END) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prev_day,
+               MIN(CASE WHEN v IS NOT NULL THEN day END) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_day
+        FROM grid
+    )
+    SELECT a.event_type, a.day,
+           CAST(a.v IS NOT NULL AS INT) AS observed,
+           CASE
+               WHEN a.v IS NOT NULL THEN a.v
+               WHEN a.prev_day IS NULL THEN n.v
+               WHEN a.next_day IS NULL THEN p.v
+               ELSE p.v + (n.v - p.v)
+                    * (CAST(a.day - a.prev_day AS DOUBLE)
+                       / CAST(a.next_day - a.prev_day AS DOUBLE))
+           END AS interp_value
+    FROM anchored a
+    LEFT JOIN obs p ON p.event_type = a.event_type AND p.day = a.prev_day
+    LEFT JOIN obs n ON n.event_type = a.event_type AND n.day = a.next_day
+    """,
+    doc="Group-wise linear interpolation over a gapped daily series: the "
+    "observed anchor set (every ~3rd day's rounded daily value-sum — a "
+    "deterministic sparsifier) is densified against the calendar spine, "
+    "then each gap cell finds its bracketing anchors via cumulative "
+    "MAX/MIN-over-window of the observed day (NO vendor IGNORE NULLS — "
+    "portable to any engine) and joins their values back for "
+    "v0 + (v1-v0)*(Δd/Δspan). Edges backfill/carry the nearest anchor. "
+    "One window shuffle per direction on the (type, day) grid — the "
+    "grid is dims x days, tiny next to the fact scan that feeds it; "
+    "anchor joins broadcast. Interp arithmetic is pinned-order IEEE on "
+    "2dp-rounded anchors, so raw doubles hash-match cross-engine.",
+    tags=("timeseries", "gapfill", "interpolate"),
+)
+def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "event_type", "value"
+    )
+    bounds = ev.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    obs = (
+        ev.filter(F.dayofmonth("day") % 3 == 1)
+        .groupBy("event_type", "day")
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(obs, ["event_type", "day"], "left")
+    )
+    w_back = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    anchored = grid.select(
+        "event_type",
+        "day",
+        "v",
+        F.max(obs_day).over(w_back).alias("prev_day"),
+        F.min(obs_day).over(w_fwd).alias("next_day"),
+    )
+    p = obs.select(
+        F.col("event_type").alias("p_type"),
+        F.col("day").alias("p_day"),
+        F.col("v").alias("p_v"),
+    )
+    n = obs.select(
+        F.col("event_type").alias("n_type"),
+        F.col("day").alias("n_day"),
+        F.col("v").alias("n_v"),
+    )
+    frac = F.datediff("day", "prev_day").cast("double") / F.datediff(
+        "next_day", "prev_day"
+    ).cast("double")
+    return (
+        anchored.join(
+            F.broadcast(p),
+            (F.col("event_type") == F.col("p_type"))
+            & (F.col("prev_day") == F.col("p_day")),
+            "left",
+        )
+        .join(
+            F.broadcast(n),
+            (F.col("event_type") == F.col("n_type"))
+            & (F.col("next_day") == F.col("n_day")),
+            "left",
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("v").isNotNull().cast("int").alias("observed"),
+            F.when(F.col("v").isNotNull(), F.col("v"))
+            .when(F.col("prev_day").isNull(), F.col("n_v"))
+            .when(F.col("next_day").isNull(), F.col("p_v"))
+            .otherwise(F.col("p_v") + (F.col("n_v") - F.col("p_v")) * frac)
+            .alias("interp_value"),
+        )
+    )

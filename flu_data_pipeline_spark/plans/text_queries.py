@@ -810,3 +810,53 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("weight"))
     )
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    WITH posting AS (
+        SELECT DISTINCT term, doc_id FROM (
+            SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+        )
+    ), agg AS (
+        SELECT term,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               array_to_string(list_sort(list(doc_id))[1:20], ',')
+                   AS postings_head
+        FROM posting GROUP BY term
+    )
+    SELECT term, df, postings_head
+    FROM agg
+    ORDER BY df DESC, term
+    LIMIT 100
+    """,
+    doc="Inverted-index build (the search-export structure BM25/TF-IDF "
+    "queries assume): distinct (term, doc) postings -> per-term document "
+    "frequency + the sorted posting list's first 20 doc ids as a CSV "
+    "string (arrays stay out of the result schema — harness "
+    "canonicalizers can't sort list cells; the full list is one "
+    "`slice` away for library users). Top-100 terms by (df, term). "
+    "Scale shape: explode -> map-side-distinct -> ONE groupBy(term) "
+    "shuffle carrying 8-byte ids; collect_list is bounded per term by "
+    "df, and the head-truncation keeps the export row small even for "
+    "stopword-grade terms. At 100 TB the same plan partitions the "
+    "posting lists by term range (writer-side sortWithinPartitions) "
+    "for segment-file export.",
+    tags=("text", "A8", "U3", "O3"),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    posting = (
+        docs.select(
+            "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
+        )
+        .distinct()
+    )
+    agg = posting.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20), ","
+        ).alias("postings_head"),
+    )
+    return agg.orderBy(F.col("df").desc(), "term").limit(100)

@@ -266,3 +266,75 @@ def drift_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((q - p) * (q - p) / p).alias("chi2_term"),
         F.abs(q - p).alias("tvd_term"),
     )
+
+
+@register(
+    "eval_pr_curve_purchase",
+    oracle="""
+    WITH base AS (
+        SELECT value AS s,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ), per AS (
+        SELECT s, SUM(y) AS np, COUNT(*) - SUM(y) AS nn
+        FROM base GROUP BY s
+    ), cum AS (
+        SELECT s,
+               CAST(SUM(np) OVER (
+                   ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS tp,
+               CAST(SUM(nn) OVER (
+                   ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS fp
+        FROM per
+    ), tot AS (
+        SELECT CAST(SUM(np) AS BIGINT) AS n_pos FROM per
+    )
+    SELECT s AS threshold, tp, fp,
+           CAST(tp AS DOUBLE) / (tp + fp) AS precision_at,
+           CAST(tp AS DOUBLE) / n_pos AS recall_at
+    FROM cum, tot
+    """,
+    doc="Precision-recall curve of `value` scoring the purchase event: "
+    "one operating point per DISTINCT score threshold (predict positive "
+    "when s >= t). The stream collapses to per-score (pos, neg) counts "
+    "first (map-side combine, like eval_auc_purchase), then one "
+    "descending prefix-sum window over score cardinality yields "
+    "TP/FP at every threshold simultaneously — the whole curve in one "
+    "pass, no per-threshold rescans. precision/recall are single "
+    "divisions of exact int64 counts (IEEE-identical cross-engine, no "
+    "rounding needed). Same scale knob as the AUC: unbounded score "
+    "cardinality -> quantize scores, plan unchanged.",
+    tags=("experiment", "eval", "A7", "W1"),
+)
+def eval_pr_curve_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("value").isNotNull()).select(
+        F.col("value").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    per = base.groupBy("s").agg(
+        F.sum("y").alias("np"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("nn"),
+    )
+    w = (
+        Window.orderBy(F.col("s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per.select(
+        "s",
+        F.sum("np").over(w).cast("bigint").alias("tp"),
+        F.sum("nn").over(w).cast("bigint").alias("fp"),
+    )
+    tot = per.agg(F.sum("np").cast("bigint").alias("n_pos"))
+    return cum.crossJoin(F.broadcast(tot)).select(
+        F.col("s").alias("threshold"),
+        "tp",
+        "fp",
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias(
+            "precision_at"
+        ),
+        (F.col("tp").cast("double") / F.col("n_pos")).alias("recall_at"),
+    )

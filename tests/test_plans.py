@@ -1,0 +1,88 @@
+"""Physical-plan regression tests: pin the plan properties that make the
+headline queries scale — predicate pushdown into the parquet scan, column
+pruning, broadcast vs shuffled-hash join selection, map-side partial
+aggregation, and top-k compilation. These are the `.explain("formatted")`
+checks from SURVEY §4 turned into assertions so a refactor can't silently
+trade the right plan for a working-but-wrong-at-100TB one.
+
+Plan text comes from ``queryExecution().executedPlan().toString()``
+*before* any action — under AQE that is the initial plan (what static
+planning chose), which is exactly where scan pushdown / hint / partial-agg
+properties live.
+"""
+
+from __future__ import annotations
+
+from flu_data_pipeline_spark.plans import REGISTRY
+
+from .conftest import SF_ORACLE
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].builder(spark, SF_ORACLE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark):
+    plan = plan_of(spark, "pricing_summary")
+    # the shipdate predicate must reach the parquet scan
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1][:300], plan
+    # two-phase aggregation: partial (map-side combine) before the shuffle
+    assert "partial_sum" in plan or "partial_avg" in plan, plan
+
+
+def test_pricing_summary_column_pruning(spark):
+    plan = plan_of(spark, "pricing_summary")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # the 16-column lineitem scan must NOT read unused wide columns
+    assert "l_comment" not in read_schema, read_schema
+
+
+def test_top_revenue_orders_takeordered_and_agg_below_join(spark):
+    plan = plan_of(spark, "top_revenue_orders")
+    # top-k compiles to TakeOrderedAndProject, never a global sort
+    assert "TakeOrderedAndProject" in plan, plan
+    # revenue aggregate runs BELOW the dim joins: the partial agg's
+    # grouping key is the lineitem orderkey, before customer appears
+    agg_pos = plan.find("partial_sum")
+    join_pos = plan.find("c_custkey")
+    assert agg_pos != -1 and join_pos != -1 and agg_pos > join_pos, plan
+
+
+def test_join_left_broadcast_uses_broadcast(spark):
+    plan = plan_of(spark, "join_left_broadcast")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_report_weekly_trends_shuffled_hash_join(spark):
+    plan = plan_of(spark, "report_weekly_trends")
+    # deliberate SHUFFLE_HASH on the smaller fact (SMJ's two sorts cost
+    # more; broadcast would serialize a fact through the driver at scale)
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_events_hourly_rollup_partial_agg(spark):
+    plan = plan_of(spark, "events_hourly_rollup")
+    assert "partial_" in plan, plan
+
+
+def test_hll_register_build_is_two_phase(spark):
+    plan = plan_of(spark, "hll_distinct_by_nation")
+    # register build must map-side combine (partial_max over buckets):
+    # the shuffle then carries <= groups x 256 rows per partition
+    assert "partial_max" in plan, plan
+
+
+def test_dedup_exact_shuffles_hash_not_text(spark):
+    plan = plan_of(spark, "dedup_exact")
+    # the groupBy key is the 8-byte content hash; the raw text column
+    # must not survive into the exchange below the aggregate
+    exchange_tail = plan.split("Exchange hashpartitioning")[1][:200]
+    assert "text#" not in exchange_tail, exchange_tail
+
+
+def test_ann_topk_cosine_broadcasts_queries(spark):
+    plan = plan_of(spark, "ann_topk_cosine")
+    assert "Broadcast" in plan, plan

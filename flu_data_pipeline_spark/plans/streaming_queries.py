@@ -59,13 +59,14 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _run_to_memory(agg: DataFrame, name: str) -> None:
-    """Drive a streaming aggregation over everything currently present
-    (availableNow) into a complete-mode memory sink named ``name``."""
+def _run_to_memory(agg: DataFrame, name: str, mode: str = "complete") -> None:
+    """Drive a streaming computation over everything currently present
+    (availableNow) into a memory sink named ``name`` — complete mode for
+    aggregations (all windows visible), append for joins."""
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -160,3 +161,46 @@ def stream_session_window_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("duration_s").cast("long").alias("total_duration_s"),
         F.round(F.sum("s_value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "stream_interval_join_exact",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id AS purchase_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT user_id, event_id AS click_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.purchase_id, c.click_id, p.user_id AS p_user
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts_s <= p.ts_s
+     AND c.ts_s >= p.ts_s - 3600
+    """,
+    doc="Stream-stream event-time interval join driven to completion: "
+    "purchases x clicks by the same user within the preceding hour "
+    "(streaming/ingest.py:streaming_purchase_click_join — watermarked "
+    "both sides so join state is bounded by the interval), availableNow, "
+    "append sink. The emitted pair set is hash-compared against the "
+    "batch interval join — matches whose sides arrive in different "
+    "micro-batches must still pair exactly. Timestamps are floored to "
+    "whole seconds on both engines (asof_purchase_click pattern) so the "
+    "parquet ns-vs-us boundary can't flip an interval endpoint.",
+    tags=("streaming", "join", "asof"),
+)
+def stream_interval_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.streaming.ingest import (
+        streaming_purchase_click_join,
+    )
+
+    ev = _read_events_stream(spark, sf_dir).withColumn(
+        "ts", F.timestamp_seconds(F.unix_timestamp("ts"))
+    )
+    joined = streaming_purchase_click_join(ev)
+    name = "stream_interval_join_exact_sink"
+    _run_to_memory(joined, name, mode="append")
+    return spark.table(name)

@@ -1120,3 +1120,68 @@ def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+    WITH l AS (
+        SELECT CAST(date_trunc('month', l_shipdate) AS DATE)
+                   AS ship_month, p_type,
+               CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000)
+                    AS BIGINT) AS rev4
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+    ), agg AS (
+        SELECT ship_month,
+               CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev4 ELSE 0 END)
+                    AS BIGINT) AS promo4,
+               CAST(SUM(rev4) AS BIGINT) AS total4
+        FROM l GROUP BY ship_month
+    )
+    SELECT ship_month,
+           promo4 / 10000.0 AS promo_rev,
+           total4 / 10000.0 AS total_rev,
+           CAST(promo4 AS DOUBLE) / total4 * 100.0 AS promo_share_pct
+    FROM agg ORDER BY ship_month
+    """,
+    doc="TPC-H Q14 shape widened to a monthly series: promo-type revenue "
+    "share of discounted revenue per ship month of 1996. The shipdate "
+    "range predicate pushes into the parquet scan; the part dim "
+    "broadcasts (true dim — size does not grow with the fact), so the "
+    "fact never shuffles before aggregation; the conditional SUM is "
+    "one-pass. Float parity: revenue is fixed-pointed per row "
+    "(FLOOR(rev*1e4) of a bit-identical IEEE product), summed as exact "
+    "int64, divided once at the edge — immune to both float sum-order "
+    "and the Spark-vs-DuckDB ROUND boundary divergence.",
+    tags=("A7", "F10", "J6", "relational"),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    promo4 = F.when(F.col("p_type") == "PROMO", rev4).otherwise(F.lit(0))
+    out = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month")
+        )
+        .agg(
+            F.sum(promo4).cast("bigint").alias("promo4"),
+            F.sum(rev4).cast("bigint").alias("total4"),
+        )
+    )
+    return out.select(
+        "ship_month",
+        (F.col("promo4") / 10000.0).alias("promo_rev"),
+        (F.col("total4") / 10000.0).alias("total_rev"),
+        (F.col("promo4").cast("double") / F.col("total4") * 100.0).alias(
+            "promo_share_pct"
+        ),
+    ).orderBy("ship_month")

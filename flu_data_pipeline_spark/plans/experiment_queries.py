@@ -338,3 +338,87 @@ def eval_pr_curve_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("tp").cast("double") / F.col("n_pos")).alias("recall_at"),
     )
+
+
+@register(
+    "eval_calibration_bins",
+    oracle="""
+    WITH base AS (
+        SELECT value AS s,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ), per AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(y) AS BIGINT) AS np
+        FROM base GROUP BY s
+    ), cum AS (
+        SELECT s, cnt, np,
+               COALESCE(SUM(cnt) OVER (
+                   ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cb
+        FROM per
+    ), tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM per
+    ), binned AS (
+        SELECT CAST((cb * 10) // n_total AS INT) AS bin, cnt, np,
+               CAST(ROUND(s * 100) AS BIGINT) * cnt AS cents
+        FROM cum, tot
+    )
+    SELECT bin,
+           CAST(SUM(cnt) AS BIGINT) AS n,
+           CAST(SUM(np) AS BIGINT) AS n_pos,
+           CAST(SUM(np) AS DOUBLE) / SUM(cnt) AS pos_rate,
+           CAST(SUM(cents) AS DOUBLE) / (100.0 * SUM(cnt)) AS avg_score
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+    doc="Calibration table: scores bucketed into 10 equi-depth bins with "
+    "TIES KEPT TOGETHER (bin = cumulative-count-before x 10 div N over "
+    "the per-distinct-score aggregation — the PR-curve pattern, so the "
+    "only window runs over score cardinality, never a global "
+    "row_number/ntile over raw rows), then per-bin positive rate vs "
+    "mean score. All arithmetic is exact int64 (scores fixed-pointed "
+    "to cents per distinct value) with two single divisions at the "
+    "edge — IEEE-identical cross-engine. A well-calibrated score has "
+    "pos_rate monotone in avg_score; the bins are the standard "
+    "reliability-diagram input.",
+    tags=("experiment", "eval", "A7", "W1"),
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("value").isNotNull()).select(
+        F.col("value").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    per = base.groupBy("s").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("y").cast("bigint").alias("np"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.select(
+        "s",
+        "cnt",
+        "np",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cb"),
+    )
+    tot = per.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    binned = cum.crossJoin(F.broadcast(tot)).select(
+        F.expr("cast((cb * 10) div n_total as int)").alias("bin"),
+        "cnt",
+        "np",
+        (F.round(F.col("s") * 100).cast("bigint") * F.col("cnt")).alias(
+            "cents"
+        ),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n"),
+            F.sum("np").cast("bigint").alias("n_pos"),
+            (F.sum("np").cast("double") / F.sum("cnt")).alias("pos_rate"),
+            (
+                F.sum("cents").cast("double") / (100.0 * F.sum("cnt"))
+            ).alias("avg_score"),
+        )
+        .orderBy("bin")
+    )

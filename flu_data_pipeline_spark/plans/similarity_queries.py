@@ -791,3 +791,115 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "ann_mrr_eval",
+    oracle=kmeans_oracle_sql(
+        "embeddings", "embedding", "vec_id", k=_KMEANS_K, iters=_KMEANS_ITERS + 1
+    )
+    + _IVF_KMEANS_SEARCH_SQL
+    + f""",
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND(cos_raw, 6) DESC, neighbor_id
+               ) AS rnk
+        FROM approx
+    ),
+    truth AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS nn_id
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id >= 100 AND q.vec_id < 105
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC, c.vec_id
+        ) = 1
+    ),
+    rr AS (
+        SELECT t.query_id, t.nn_id,
+               CAST(COALESCE(r.rnk, 0) AS INT) AS rank_found,
+               CAST(COALESCE(6 // r.rnk, 0) AS BIGINT) AS rr6
+        FROM truth t
+        LEFT JOIN ranked r
+          ON r.query_id = t.query_id AND r.neighbor_id = t.nn_id
+    )
+    SELECT query_id, nn_id, rank_found, rr6,
+           CAST(SUM(rr6) OVER () AS DOUBLE)
+             / (6.0 * COUNT(*) OVER ()) AS mrr
+    FROM rr
+    """,
+    doc="Mean reciprocal rank of the trained-IVF ANN against the exact "
+    "nearest neighbor per query: reciprocal ranks are LCM-scaled to "
+    "exact integers (rr6 = 6 div rank for ranks 1..3, 0 on miss) so "
+    "SUM is order-independent int64 and MRR is ONE division — the "
+    "retrieval metric everyone computes in floats, here bit-exact "
+    "cross-engine. Rank = position in the IVF top-3 ordered by the "
+    "6dp-rounded cosine with id tie-break (identical on both engines "
+    "by ann_ivf_kmeans's green hash). Companion to ann_recall_eval; "
+    "per-query rows carry the miss diagnosis (rank_found=0).",
+    tags=("similarity", "ivf", "quality", "eval"),
+)
+def ann_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    truth = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("neighbor_id").alias("nn_id"))
+    )
+    wr = Window.partitionBy("a_qid").orderBy(
+        F.desc("cos_sim"), F.asc("a_nid")
+    )
+    ranked = (
+        ann_ivf_kmeans(spark, sf_dir)
+        .select(
+            F.col("query_id").alias("a_qid"),
+            F.col("neighbor_id").alias("a_nid"),
+            "cos_sim",
+        )
+        .withColumn("rnk", F.row_number().over(wr))
+    )
+    rr = (
+        truth.join(
+            ranked,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("nn_id") == F.col("a_nid")),
+            "left",
+        )
+        .select(
+            "query_id",
+            "nn_id",
+            F.coalesce(F.col("rnk"), F.lit(0)).cast("int").alias("rank_found"),
+            F.coalesce(F.expr("6 div rnk"), F.lit(0))
+            .cast("bigint")
+            .alias("rr6"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return rr.select(
+        "query_id",
+        "nn_id",
+        "rank_found",
+        "rr6",
+        (
+            F.sum("rr6").over(w_all).cast("double")
+            / (6.0 * F.count(F.lit(1)).over(w_all))
+        ).alias("mrr"),
+    )

@@ -150,3 +150,84 @@ def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(my - beta1 * m1 - beta2 * m2, 6).alias("intercept"),
         F.round((beta1 * b1 + beta2 * b2) / tss, 6).alias("r2"),
     ).orderBy("returnflag")
+
+
+@register(
+    "ols_score_residuals",
+    oracle="""
+    WITH coef AS (
+        SELECT l_returnflag AS flag,
+               ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+               ROUND(regr_intercept(l_extendedprice, l_quantity), 6)
+                   AS intercept
+        FROM lineitem GROUP BY l_returnflag
+    ), scored AS (
+        SELECT l.l_returnflag AS returnflag,
+               l.l_extendedprice
+                 - (c.slope * l.l_quantity + c.intercept) AS res
+        FROM lineitem l JOIN coef c ON l.l_returnflag = c.flag
+    ), agg AS (
+        SELECT returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(res * res * 100) AS BIGINT)) AS BIGINT)
+                   AS sse100,
+               CAST(SUM(CAST(FLOOR(abs(res) * 100) AS BIGINT)) AS BIGINT)
+                   AS sae100
+        FROM scored GROUP BY returnflag
+    )
+    SELECT returnflag, n,
+           sqrt(CAST(sse100 AS DOUBLE) / (100.0 * n)) AS rmse,
+           CAST(sae100 AS DOUBLE) / (100.0 * n) AS mae
+    FROM agg ORDER BY returnflag
+    """,
+    doc="Model scoring in-engine: the per-group OLS fit (6dp-rounded "
+    "coefficients, cross-engine equal by ols_simple_regr's green hash) "
+    "broadcast-joins back onto the fact and every row is scored "
+    "y - (slope*x + b) — pinned-order IEEE, so residuals are "
+    "bit-identical. Error metrics avoid float sum-order entirely: "
+    "squared/absolute residuals are floored to exact int64 centi-units "
+    "per row, summed exactly, with ONE divide + sqrt at the edge. "
+    "Train -> broadcast score -> evaluate is the standard batch-"
+    "inference shape at 100 TB: the model is tiny, the fact never "
+    "shuffles (coefficient join is a broadcast; agg map-side combines).",
+    tags=("stats", "regression", "A7", "F10", "eval"),
+)
+def ols_score_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    coef = (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias(
+                "slope"
+            ),
+            F.round(
+                F.regr_intercept("l_extendedprice", "l_quantity"), 6
+            ).alias("intercept"),
+        )
+    )
+    res = F.col("l_extendedprice") - (
+        F.col("slope") * F.col("l_quantity") + F.col("intercept")
+    )
+    scored = li.join(
+        F.broadcast(coef), F.col("l_returnflag") == F.col("flag")
+    ).select(
+        F.col("l_returnflag").alias("returnflag"),
+        res.alias("res"),
+    )
+    agg = scored.groupBy("returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("res") * F.col("res") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sse100"),
+        F.sum(F.floor(F.abs("res") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sae100"),
+    )
+    return agg.select(
+        "returnflag",
+        "n",
+        F.sqrt(F.col("sse100").cast("double") / (100.0 * F.col("n"))).alias(
+            "rmse"
+        ),
+        (F.col("sae100").cast("double") / (100.0 * F.col("n"))).alias("mae"),
+    ).orderBy("returnflag")

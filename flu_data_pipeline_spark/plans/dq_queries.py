@@ -146,3 +146,50 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row(pk_dups, "lineitem.pk_unique", "pk_dups"))
         .unionByName(row(fk_orphans, "lineitem.orderkey_fk_valid", "fk_orphans"))
     )
+
+
+@register(
+    "dq_k_anonymity",
+    oracle="""
+    WITH grp AS (
+        SELECT c_nationkey,
+               c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+               CAST(COUNT(*) AS BIGINT) AS grp_size
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment, acctbal_band, grp_size
+    FROM grp
+    WHERE grp_size < 5
+    ORDER BY grp_size, c_nationkey, c_mktsegment, acctbal_band
+    """,
+    doc="k-anonymity audit (k=5) over the quasi-identifier tuple "
+    "(nation, market segment, account-balance band): every equivalence "
+    "class smaller than k is a re-identification risk — the privacy "
+    "gate a curation pipeline runs before releasing joined/derived "
+    "tables (companion to curation_pii_scrub, which handles direct "
+    "identifiers). One groupBy on the quasi-identifier tuple "
+    "(map-side combined), then a size filter; at 100 TB the class "
+    "census is tiny next to the scan that feeds it. Banding the "
+    "continuous attribute (floor/1000) is the standard generalization "
+    "step that makes k-anonymity reachable at all.",
+    tags=("dq", "curation", "A10", "A9", "privacy"),
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    grp = (
+        cust.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
+                "acctbal_band"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("grp_size"))
+    )
+    return (
+        grp.filter(F.col("grp_size") < 5)
+        .select("c_nationkey", "c_mktsegment", "acctbal_band", "grp_size")
+        .orderBy("grp_size", "c_nationkey", "c_mktsegment", "acctbal_band")
+    )

@@ -1156,6 +1156,7 @@ def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "int64, divided once at the edge — immune to both float sum-order "
     "and the Spark-vs-DuckDB ROUND boundary divergence.",
     tags=("A7", "F10", "J6", "relational"),
+    bench=True,
 )
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(

@@ -185,3 +185,60 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "u",
+    dst: str = "v",
+    rounds: int = 4,
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected edge list: repeat
+    ``rounds`` times "drop every node whose degree within the surviving
+    subgraph is < k". Returns (node, core_degree) for survivors, with
+    core_degree = degree inside the final subgraph.
+
+    A fixed round count (not convergence detection) keeps the operator
+    exactly replayable by an unrolled SQL oracle; callers wanting the
+    true core run more rounds or test the fixpoint column downstream.
+    Each round is one self-restricted edge filter (two semi-joins on the
+    surviving node set) + one degree count — all map-side combinable;
+    no driver-side graph. 100 TB note: the surviving-node set shrinks
+    monotonically, so round cost decays; for power-law graphs most mass
+    is peeled in the first rounds.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)
+
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    for _ in range(rounds):
+        alive = (
+            sym.join(nodes, sym["a"] == nodes["node"], "left_semi")
+            .join(
+                nodes.select(F.col("node").alias("nb")),
+                F.col("b") == F.col("nb"),
+                "left_semi",
+            )
+        )
+        nodes = (
+            alive.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("a").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+    final_edges = (
+        sym.join(nodes, sym["a"] == nodes["node"], "left_semi")
+        .join(
+            nodes.select(F.col("node").alias("nb")),
+            F.col("b") == F.col("nb"),
+            "left_semi",
+        )
+    )
+    return (
+        final_edges.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("a").alias("node"), "core_degree")
+    )

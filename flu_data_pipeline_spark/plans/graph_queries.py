@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flu_data_pipeline_spark.catalog import load_table
-from flu_data_pipeline_spark.operators.graph import bfs_hops, pagerank
+from flu_data_pipeline_spark.operators.graph import bfs_hops, kcore, pagerank
 from flu_data_pipeline_spark.plans.registry import register
 
 #: Shared oracle fragment: the sparsified supplier co-supply graph.
@@ -42,7 +42,7 @@ _COSUPPLY_EDGES_SQL = """
         GROUP BY 1, 2
     ), m AS (
         SELECT AVG(shared) AS avg_shared FROM pairs
-    ), e AS (
+    ), e AS MATERIALIZED (
         SELECT u, v FROM pairs, m WHERE shared > 1.1 * avg_shared
     )"""
 
@@ -313,3 +313,70 @@ def bfs_khop_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dist")
     )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+#: One peeling round as SQL: survivors CTE -> next survivors CTE.
+#: Mirrors operators/graph.kcore: restrict edges to the surviving node
+#: set (both endpoints), recount degrees, keep nodes with degree >= k.
+def _peel_sql(prev: str, cur: str) -> str:
+    return f"""{cur} AS MATERIALIZED (
+        SELECT node FROM (
+            SELECT e.u AS node FROM e
+            JOIN {prev} pa ON e.u = pa.node
+            JOIN {prev} pb ON e.v = pb.node
+            UNION ALL
+            SELECT e.v FROM e
+            JOIN {prev} pa ON e.u = pa.node
+            JOIN {prev} pb ON e.v = pb.node
+        ) GROUP BY node HAVING COUNT(*) >= {_KCORE_K}
+    )"""
+
+
+_KCORE_ORACLE = (
+    "WITH "
+    + _COSUPPLY_EDGES_SQL
+    + """, n0 AS MATERIALIZED (
+        SELECT DISTINCT node FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v FROM e
+        )
+    ), """
+    + ", ".join(
+        _peel_sql(f"n{i}", f"n{i + 1}") for i in range(_KCORE_ROUNDS)
+    )
+    + f"""
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM (
+        SELECT e.u AS node FROM e
+        JOIN n{_KCORE_ROUNDS} pa ON e.u = pa.node
+        JOIN n{_KCORE_ROUNDS} pb ON e.v = pb.node
+        UNION ALL
+        SELECT e.v FROM e
+        JOIN n{_KCORE_ROUNDS} pa ON e.u = pa.node
+        JOIN n{_KCORE_ROUNDS} pb ON e.v = pb.node
+    ) GROUP BY node ORDER BY node
+    """
+)
+
+
+@register(
+    "kcore_cosupply",
+    oracle=_KCORE_ORACLE,
+    doc=f"k-core peeling (k={_KCORE_K}, {_KCORE_ROUNDS} fixed rounds) over "
+    "the shared sparsified co-supply graph: iteratively drop nodes whose "
+    "degree within the surviving subgraph is < k — the standard "
+    "densest-region extractor (community cores, spam/bot rings, seed "
+    "selection for curation). Operator (operators/graph.py:kcore) does "
+    "one edge restriction (two semi-joins on the surviving set) + one "
+    "map-side-combined degree count per round; survivors shrink "
+    "monotonically so round cost decays. Fixed rounds keep it exactly "
+    "replayable by the unrolled-CTE oracle (pagerank/BFS pattern). "
+    "Output = surviving nodes with their in-core degree.",
+    tags=("graph", "kcore", "A9", "A10", "D3"),
+)
+def kcore_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _cosupply_edges(spark, sf_dir)
+    return kcore(e, k=_KCORE_K, rounds=_KCORE_ROUNDS).orderBy("node")

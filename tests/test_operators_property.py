@@ -418,3 +418,88 @@ def test_bloom_no_false_negatives(spark):
     assert row["n_pass"] == len(passed)
     assert row["n_true"] == len(truth)
     assert row["false_pos"] == len(passed) - len(truth) >= 0
+
+
+# ---------------------------------------------------------------------------
+# BFS / k-core (independent Python models on hypothesis-generated graphs)
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def small_graphs(draw):
+    n = draw(st.integers(min_value=2, max_value=12))
+    pairs = draw(
+        st.sets(
+            st.tuples(
+                st.integers(min_value=0, max_value=n - 1),
+                st.integers(min_value=0, max_value=n - 1),
+            ).map(lambda t: (min(t), max(t))),
+            min_size=1,
+            max_size=24,
+        )
+    )
+    return [(u, v) for u, v in pairs if u != v]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=small_graphs())
+def test_bfs_hops_matches_python(spark, edges):
+    from collections import deque
+
+    from flu_data_pipeline_spark.operators.graph import bfs_hops
+
+    if not edges:
+        return
+    src = min(min(u, v) for u, v in edges)
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    dist = {src: 0}
+    dq = deque([src])
+    while dq:
+        cur = dq.popleft()
+        if dist[cur] >= 3:
+            continue
+        for nb in adj[cur]:
+            if nb not in dist:
+                dist[nb] = dist[cur] + 1
+                dq.append(nb)
+    e = spark.createDataFrame(edges, "u int, v int")
+    seeds = spark.createDataFrame([(src,)], "node int")
+    got = {
+        (r["node"], r["dist"])
+        for r in bfs_hops(e, seeds, max_hops=3).collect()
+    }
+    assert got == set(dist.items())
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=small_graphs())
+def test_kcore_matches_python(spark, edges):
+    from flu_data_pipeline_spark.operators.graph import kcore
+
+    if not edges:
+        return
+    k, rounds = 2, 4
+    nodes = {x for uv in edges for x in uv}
+    alive = set(nodes)
+    for _ in range(rounds):
+        deg: dict[int, int] = {}
+        for u, v in edges:
+            if u in alive and v in alive:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+        alive = {x for x in alive if deg.get(x, 0) >= k}
+    deg = {}
+    for u, v in edges:
+        if u in alive and v in alive:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+    expected = {(x, deg[x]) for x in alive}
+    e = spark.createDataFrame(edges, "u int, v int")
+    got = {
+        (r["node"], r["core_degree"])
+        for r in kcore(e, k=k, rounds=rounds).collect()
+    }
+    assert got == expected

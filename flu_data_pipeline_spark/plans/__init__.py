@@ -33,6 +33,7 @@ from flu_data_pipeline_spark.plans import (  # noqa: F401
     subquery_queries,
     text_queries,
     timeseries_queries,
+    tpch_queries,
     warehouse_queries,
     window_queries,
 )

@@ -35,19 +35,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     this scan when callers ``select``/``filter`` downstream (Catalyst pushes
     through — verify with ``.explain``: ``PushedFilters`` / ``ReadSchema``).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark reads
-    as long (``spark.sql.legacy.parquet.nanosAsLong``); converted here to a
-    µs timestamp via integer division (ns→µs truncation — sub-µs digits are
-    never projected by engine queries, so DuckDB parity holds).
+    ``events.ts`` arrives in whatever flavor the test-data generator used:
+    parquet TIMESTAMP(NANOS) reads as long ns-since-epoch under
+    ``spark.sql.legacy.parquet.nanosAsLong`` (converted here to a µs
+    timestamp via integer division — ns→µs truncation, sub-µs digits are
+    never projected by engine queries); parquet TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) reads natively as TIMESTAMP_NTZ and is cast to
+    TIMESTAMP here. Under the engine's pinned UTC session timezone the
+    cast re-labels the same wall-clock micros as a UTC instant, so both
+    flavors land on the identical TIMESTAMP value and every downstream
+    query (unix_micros, window ranges, date_trunc) sees ONE schema.
 
     Runtime confs are (re)applied here so a stock, externally-built
-    session can read the nanos parquet — ``nanosAsLong`` is runtime-
-    settable and must be on before the read is analyzed."""
+    session gets the same read behavior (nanosAsLong + UTC tz are
+    runtime-settable and must be on before the read is analyzed)."""
     ensure_session_defaults(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.typeName() == "long":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif f.name == "ts" and f.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -20,43 +20,43 @@ Replayability contract (what makes an exact oracle possible):
 Scale notes (100 TB): the same pipeline pointed at a landing bucket with
 a real trigger is incremental — per micro-batch work is new-files only,
 state = open windows x event types (bounded by the watermark horizon),
-and the memory sink becomes a parquet/foreachBatch sink. The parquet
-nanos ts is declared LongType in the stream schema (nanosAsLong read
-path) and converted exactly like catalog.load_table.
+and the memory sink becomes a parquet/foreachBatch sink. The stream
+schema is taken from the file footer (one cheap static read) and the
+``ts`` column normalized to TIMESTAMP exactly like catalog.load_table,
+so both parquet timestamp flavors (NANOS-as-long, MICROS NTZ) work.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from flu_data_pipeline_spark.plans.registry import register
 from flu_data_pipeline_spark.plans.window_queries import SESSIONS_CTE_SQL
 
-#: events.parquet schema under nanosAsLong (ts = ns-since-epoch long)
-_EVENTS_NANOS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
-
-
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file-source stream (nanos ts → µs timestamp,
-    exactly like catalog.load_table). The listing is glob-pinned to the
-    events file because the sibling tables' schemas differ."""
+    """events.parquet as a file-source stream with ``ts`` normalized to
+    TIMESTAMP exactly like catalog.load_table (NANOS-as-long → integer
+    div 1000; MICROS NTZ → cast under the pinned UTC session tz). The
+    stream schema comes from one static footer read (readStream requires
+    a declared schema); the listing is glob-pinned to the events file
+    because the sibling tables' schemas differ."""
+    import os
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = (
-        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for f in raw_schema.fields:
+        if f.name == "ts" and f.dataType.typeName() == "long":
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif f.name == "ts" and f.dataType.typeName() == "timestamp_ntz":
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def _run_to_memory(agg: DataFrame, name: str, mode: str = "complete") -> None:

@@ -3,10 +3,11 @@
 The engine must produce identical results no matter who built the
 SparkSession. These tests force driver-stock confs and verify that
 (a) ensure_session_defaults flips the load-bearing ones back at runtime,
-(b) the nanos-parquet events table is readable on a stock session, and
-(c) the ns→µs truncation semantics of ``events.ts`` are pinned against
-DuckDB (which reads TIMESTAMP_NS natively) so sub-µs digits can never
-diverge.
+(b) the events table is readable on a stock session whichever parquet
+timestamp flavor the generator used (TIMESTAMP(NANOS) → long →
+timestamp_micros, or TIMESTAMP(MICROS) NTZ → cast), and (c) the µs
+semantics of ``events.ts`` are pinned against DuckDB so the two engines
+can never diverge on the epoch-micros value.
 """
 
 from __future__ import annotations
@@ -46,10 +47,10 @@ def test_events_nanos_readable_on_stock_session(spark_stock):
 
 
 def test_events_ts_ns_to_us_truncation_pinned(spark_stock, duck):
-    """events.ts: parquet TIMESTAMP(NANOS) → Spark long → timestamp_micros
-    via integer div 1000 (truncation toward zero; all test data is
-    post-epoch so floor == trunc). DuckDB reads TIMESTAMP_NS natively;
-    epoch_us() must agree exactly with Spark's unix_micros()."""
+    """events.ts epoch-micros parity: whichever parquet flavor is on disk
+    (NANOS → long → timestamp_micros via integer div 1000, truncation
+    toward zero; or MICROS NTZ → cast under the pinned UTC session tz),
+    Spark's unix_micros() must agree exactly with DuckDB's epoch_us()."""
     s = stockify(spark_stock)
     ev = load_table(s, SF_ORACLE, "events")
     got = ev.agg(

@@ -3,9 +3,14 @@ by the registry (Q6, Q7, Q10, Q12, Q17, Q18, Q19, Q22 — Q1/Q3/Q4/Q5/Q8/
 Q9/Q13/Q14/Q21 shapes already exist as pricing_summary, top_revenue_orders,
 subq_exists_late_ship, regional_trade_revenue, market_share_by_year,
 product_profit_by_nation, custdist_orders_per_customer, promo_revenue_share
-and subq_multi_exists_waiting; Q2/Q11/Q16/Q20 need a partsupp table the
-test data does not ship). Constants are adapted to the synthetic data's
-value domains (nations NATION_0..24, brands Brand#N, dates 1995-2001).
+and subq_multi_exists_waiting). Q2/Q11/Q16/Q20 classically read partsupp,
+which the test data does not ship — those four are adapted to a
+lineitem-derived part-supplier relation (distinct (l_partkey, l_suppkey)
+with min unit price as the supply-cost proxy), preserving each query's
+defining shape: Q2's correlated min, Q11's global-scalar HAVING, Q16's
+count-distinct with a NOT-IN exclusion, Q20's two-level nested IN.
+Constants are adapted to the synthetic data's value domains (nations
+NATION_0..24, brands Brand#N, dates 1995-2001).
 
 These extend the reference's warehouse surface (SURVEY §2 extensions);
 the reference itself has no multi-fact analytics beyond its four report
@@ -504,4 +509,327 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
         )
         .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 / Q11 / Q16 / Q20 — the partsupp-shaped quartet, adapted to a
+# lineitem-derived part-supplier relation. ps := one row per distinct
+# (l_partkey, l_suppkey) with MIN(floor(l_extendedprice / l_quantity * 100))
+# as the fixed-point supply-cost proxy (both engines IEEE-divide, scale and
+# floor the identical doubles, and MIN is order-insensitive — exact).
+# ---------------------------------------------------------------------------
+
+
+def _part_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → ps(l_partkey, l_suppkey, cost2): the partsupp surrogate.
+
+    One shuffle on (partkey, suppkey); at 100 TB |ps| ≈ distinct pairs,
+    orders of magnitude smaller than lineitem, and the groupBy is a
+    partial→final hash aggregate, so only pre-aggregated pairs shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cost2 = F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100).cast(
+        "long"
+    )
+    return li.groupBy("l_partkey", "l_suppkey").agg(F.min(cost2).alias("cost2"))
+
+
+_PS_CTE = """
+    ps AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(FLOOR(l_extendedprice / l_quantity * 100) AS BIGINT))
+                   AS cost2
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+"""
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_PS_CTE},
+    euro AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    eps AS (
+        SELECT ps.l_partkey, ps.cost2, euro.s_name, euro.s_acctbal, euro.n_name
+        FROM ps JOIN euro ON euro.s_suppkey = ps.l_suppkey
+    ),
+    best AS (
+        SELECT l_partkey, MIN(cost2) AS min_cost2 FROM eps GROUP BY l_partkey
+    )
+    SELECT eps.s_acctbal AS s_acctbal, eps.s_name AS s_name,
+           eps.n_name AS n_name, eps.l_partkey AS p_partkey,
+           p.p_brand AS p_brand, eps.cost2 / 100.0 AS supply_cost
+    FROM eps
+    JOIN best ON best.l_partkey = eps.l_partkey AND eps.cost2 = best.min_cost2
+    JOIN part p ON p.p_partkey = eps.l_partkey
+    WHERE p.p_size <= 15 AND p.p_type = 'SMALL'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape (minimum-cost supplier): the correlated-scalar-"
+    "subquery benchmark, decorrelated as groupBy(partkey).min + equality "
+    "join-back — the plan Catalyst itself produces for the correlated "
+    "form, written explicitly. partsupp is derived from lineitem (module "
+    "note). Supplier×nation×region prunes to one region BEFORE touching "
+    "ps (broadcast of the ~20%-of-suppliers euro dim); the part filter "
+    "(size<=15, type='SMALL') is a broadcast semi-reduction of ps's "
+    "join-back, so the min/join-back only shuffles partkey-grouped "
+    "pairs, never lineitem rows. Fixed-point cost2 (floor of the "
+    "bit-identical IEEE divide ×100) keeps the min-equality exact on "
+    "both engines; final ORDER BY (s_acctbal DESC, n_name, s_name, "
+    "p_partkey) is a total order (s_name unique), so LIMIT 100 is "
+    "deterministic — TakeOrderedAndProject, no full sort.",
+    tags=("warehouse", "tpch", "J6", "A7", "subquery", "O2"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _part_supp(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    euro = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eps = ps.join(F.broadcast(euro), ps.l_suppkey == euro.s_suppkey).select(
+        "l_partkey", "cost2", "s_name", "s_acctbal", "n_name"
+    )
+    target = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "SMALL")
+    )
+    best = eps.groupBy("l_partkey").agg(F.min("cost2").alias("min_cost2"))
+    return (
+        eps.join(
+            best,
+            (eps.l_partkey == best.l_partkey) & (eps.cost2 == best.min_cost2),
+        )
+        .drop(best.l_partkey)
+        .join(
+            F.broadcast(target.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            (F.col("cost2") / 100.0).alias("supply_cost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH v AS (
+        SELECT l_partkey,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT)) AS v4
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name IN ('NATION_3', 'NATION_8')
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS l_partkey, v4 / 10000.0 AS stock_value
+    FROM v
+    WHERE v4 * (SELECT COUNT(*) FROM v) > (SELECT SUM(v4) FROM v) * 2
+    ORDER BY stock_value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 shape (important stock): per-part value restricted to "
+    "two nations' suppliers, kept only where it exceeds 2x the MEAN "
+    "part value — the global-scalar-HAVING benchmark, made scale-free "
+    "(the classic fixed fraction of SUM returns empty once part count "
+    "outgrows 1/fraction). The nation filter broadcast-semi-reduces "
+    "lineitem at the scan (only ~2/25 of suppliers survive), value is "
+    "the exact int64 fixed-point revenue sum per partkey, and the "
+    "global (sum, count) is a 1-row broadcast crossJoin over the SAME "
+    "aggregated frame (self-reuse — Spark reuses the shuffle via "
+    "ReusedExchange). The mean compare is pinned as integer cross-"
+    "multiplication v4*n > total4*2 — no division, exact on both "
+    "engines (bounds: total4*2 < 2^63 up to ~10^5x this SF; switch to "
+    "DECIMAL beyond).",
+    tags=("warehouse", "tpch", "A7", "A10", "subquery"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nations = ("NATION_3", "NATION_8")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*nations)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    v = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev4()).alias("v4"))
+    )
+    total = v.agg(
+        F.sum("v4").alias("total4"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("v4") * F.col("n_parts") > F.col("total4") * 2)
+        .select(
+            "l_partkey", (F.col("v4") / 10000.0).alias("stock_value")
+        )
+        .orderBy(F.desc("stock_value"), F.asc("l_partkey"))
+    )
+
+
+@register(
+    "q16_supplier_relation_count",
+    oracle="""
+    SELECT p_brand AS p_brand, p_type AS p_type, p_size AS p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'ECONOMY'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT "
+    "supplier) per (brand, type, size) with a negated-predicate part "
+    "filter and a NOT-IN supplier exclusion (acctbal<0 standing in for "
+    "the classic 'customer complaints' list; no supplier comment column "
+    "in the test data). The exclusion compiles to a broadcast left-anti "
+    "join (the excluded list is tiny at any scale); the part filter is "
+    "a broadcast semi-reduction of the distinct (partkey, suppkey) "
+    "pairs. Distinct-pairs is a partial→final hash aggregate, so the "
+    "only full shuffle is on (partkey, suppkey) — lineitem's measures "
+    "never leave the scan. Group key is unique → ordering is total and "
+    "deterministic.",
+    tags=("warehouse", "tpch", "A8", "A10", "J7", "D1"),
+)
+def q16_supplier_relation_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    )
+    target = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "ECONOMY")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    return (
+        ps.join(
+            F.broadcast(bad.select("s_suppkey")),
+            ps.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(target.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+    )
+
+
+@register(
+    "q20_promotion_part_suppliers",
+    oracle="""
+    SELECT s_name AS s_name, s_acctbal AS s_acctbal, n_name AS n_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+            AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+            AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+          GROUP BY l_suppkey
+          HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 shape (part-promotion suppliers): two-level nested IN "
+    "— suppliers who shipped more than a threshold quantity of "
+    "name-prefixed parts in one year, within one region. (The classic "
+    "availqty>half-of-shipped compare needs partsupp.availqty; the "
+    "grouped-HAVING threshold preserves the nested-subquery shape.) "
+    "Inner IN = broadcast semi-join of the name-filtered part dim into "
+    "the lineitem scan (date predicates pushed to parquet); the grouped "
+    "HAVING is a partial→final sum on suppkey (exact int64 — quantities "
+    "are integer-valued); the outer IN = broadcast semi-join into the "
+    "region-pruned supplier dim. Nothing bigger than per-suppkey "
+    "aggregates ever shuffles; s_name is unique so the ordering is "
+    "total.",
+    tags=("warehouse", "tpch", "J7", "A9", "subquery"),
+)
+def q20_promotion_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    small_parts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    heavy = (
+        li.join(
+            F.broadcast(small_parts.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_suppkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(heavy), F.col("s_suppkey") == heavy.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal", "n_name")
+        .orderBy("s_name")
     )

@@ -345,3 +345,81 @@ def curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ip").cast("long").alias("n_ips"),
         F.sum(F.col("changed").cast("long")).alias("n_docs_changed"),
     )
+
+
+_BG_TOKENS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+@register(
+    "curation_bigram_novelty",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_BG_TOKENS} AS t FROM documents
+    ), bg AS (
+        SELECT DISTINCT doc_id,
+               {hash64_sql("bigram")} AS h
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i + 1])) AS bigram
+            FROM toks WHERE len(t) >= 2)
+    ), df AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM bg GROUP BY h
+    )
+    SELECT bg.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+           CAST(SUM(CASE WHEN doc_freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique_bigrams,
+           ROUND(CAST(SUM(CASE WHEN doc_freq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty_ratio
+    FROM bg JOIN df USING (h)
+    GROUP BY bg.doc_id
+    ORDER BY doc_id
+    """,
+    doc="Per-document bigram novelty: the fraction of a doc's DISTINCT "
+    "bigrams found in no other document — the cross-document "
+    "information-overlap signal curation uses to find boilerplate "
+    "(novelty→0) and one-off content (novelty→1), complementing "
+    "within-doc repetition_ratio. Inverted-index shape: distinct "
+    "(doc, bigram-hash) pairs explode map-side, document frequency is "
+    "one partial→final count on the 8-byte hash, and the join back "
+    "carries only (doc_id, hash) — bigram STRINGS never shuffle "
+    "(dedup_ngram_jaccard idiom). Both engines hash with the portable "
+    "md5-prefix, so doc_freq and the ratio are bit-identical. At "
+    "100 TB: two shuffles on the hash key, both over pair tuples "
+    "orders of magnitude smaller than the corpus text.",
+    tags=("text", "curation", "A7", "A8", "J6"),
+)
+def curation_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> concat(t[i], ' ', t[i + 1]))"
+                )
+            )
+        ).alias("bigram"),
+    ).select("doc_id", hash64(F.col("bigram")).alias("h"))
+    df = bg.groupBy("h").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return (
+        bg.join(df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+            F.sum((F.col("doc_freq") == 1).cast("long")).alias(
+                "n_unique_bigrams"
+            ),
+            F.round(
+                F.sum((F.col("doc_freq") == 1).cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -903,3 +903,175 @@ def ann_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (6.0 * F.count(F.lit(1)).over(w_all))
         ).alias("mrr"),
     )
+
+
+# --- Product quantization (PQ) + asymmetric distance computation -----------
+
+_PQ_M = 8        # subspaces (64 dims / 8)
+_PQ_D = 8        # dims per subspace
+_PQ_K = 16       # centroids per subspace codebook
+_PQ_SCALE = 1_000_000_000  # fixed-point scale for order-insensitive sums
+
+_PQ_L2_SQL = (
+    "list_reduce(list_transform(range(1, {d} + 1), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Σ (a_i-b_i)² as a native left-fold (double, array order) — the
+    IEEE-identical twin of _PQ_L2_SQL."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "ann_pq_adc",
+    oracle=f"""
+    WITH js AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+    vecsub AS (
+        SELECT vec_id, j,
+               list_transform(range(1, {_PQ_D} + 1),
+                              i -> embedding[j * {_PQ_D} + i]) AS sub
+        FROM embeddings CROSS JOIN js
+    ),
+    centsub AS (
+        SELECT vec_id AS cent_id, j,
+               list_transform(range(1, {_PQ_D} + 1),
+                              i -> embedding[j * {_PQ_D} + i]) AS csub
+        FROM embeddings CROSS JOIN js
+        WHERE vec_id < {_PQ_K}
+    ),
+    codes AS (
+        SELECT vec_id, j, cent_id AS code
+        FROM (
+            SELECT v.vec_id, v.j, c.cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id, v.j
+                       ORDER BY {_PQ_L2_SQL.format(d=_PQ_D, a='v.sub', b='c.csub')},
+                                c.cent_id) AS rn
+            FROM vecsub v JOIN centsub c ON c.j = v.j)
+        WHERE rn = 1
+    ),
+    adc AS (
+        SELECT q.vec_id AS query_id, c.j, c.cent_id,
+               CAST(FLOOR({_PQ_L2_SQL.format(d=_PQ_D, a='q.sub', b='c.csub')}
+                          * {_PQ_SCALE}) AS BIGINT) AS d9
+        FROM vecsub q JOIN centsub c ON c.j = q.j
+        WHERE q.vec_id >= 100 AND q.vec_id < 105
+    ),
+    scored AS (
+        SELECT a.query_id, n.vec_id AS neighbor_id,
+               CAST(SUM(a.d9) AS BIGINT) AS dist9
+        FROM codes n
+        JOIN adc a ON a.j = n.j AND a.cent_id = n.code
+        WHERE n.vec_id <> a.query_id
+        GROUP BY a.query_id, n.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           ROUND(dist9 / {_PQ_SCALE}.0, 6) AS adc_dist
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY dist9, neighbor_id) <= 3
+    ORDER BY query_id, adc_dist, neighbor_id
+    """,
+    doc=f"Product-quantization ANN with asymmetric distance computation — "
+    f"the billion-scale FAISS companion to ann_ivf. Encode: each vector "
+    f"splits into {_PQ_M} subvectors of {_PQ_D} dims; per subspace the "
+    f"codebook is {_PQ_K} deterministic centroids (first {_PQ_K} "
+    f"vectors' subvectors; production k-means them) and the code is the "
+    f"L2-argmin centroid (order-insensitive min-of-struct aggregate, "
+    f"map-side combinable — no window shuffle). A vector becomes "
+    f"{_PQ_M} bytes instead of 64 floats (32x compression). Search "
+    f"(ADC): per query, ONE {_PQ_M}x{_PQ_K}-entry distance table "
+    f"(query-subvector to every centroid) is broadcast; scoring a "
+    f"neighbor is {_PQ_M} table lookups + an integer sum — the "
+    f"database vectors are never touched after encoding, which is "
+    f"what makes PQ the RAM-resident rerank layer at 10^9 vectors. "
+    f"Subspace distances are fixed-pointed (floor(d*1e9) of the "
+    f"IEEE-identical fold) so the cross-subspace sum is an exact int64 "
+    f"— immune to aggregation-order divergence; top-3 per query "
+    f"tie-breaks on neighbor_id.",
+    tags=("similarity", "pq", "A7", "O3"),
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    j_col = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("j")
+    vecsub = (
+        emb.select("vec_id", "embedding", j_col)
+        .select(
+            "vec_id",
+            "j",
+            F.expr(f"slice(embedding, j * {_PQ_D} + 1, {_PQ_D})").alias("sub"),
+        )
+    )
+    centsub = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("cent_id"), "embedding", j_col)
+        .select(
+            "cent_id",
+            "j",
+            F.expr(f"slice(embedding, j * {_PQ_D} + 1, {_PQ_D})").alias("csub"),
+        )
+    )
+    # encode: L2-argmin centroid per (vec, subspace) as min-of-struct —
+    # order-insensitive, partial-aggregates map-side (no window shuffle)
+    codes = (
+        vecsub.join(F.broadcast(centsub), "j")
+        .select(
+            "vec_id",
+            "j",
+            F.struct(
+                _l2sq(F.col("sub"), F.col("csub")).alias("d"),
+                F.col("cent_id").alias("c"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id", "j")
+        .agg(F.min("dc").alias("best"))
+        .select("vec_id", "j", F.col("best.c").alias("code"))
+    )
+    # ADC distance table: 5 queries x M x K entries, broadcast to scoring
+    adc = (
+        vecsub.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(centsub), "j")
+        .select(
+            "query_id",
+            "j",
+            "cent_id",
+            F.floor(_l2sq(F.col("sub"), F.col("csub")) * _PQ_SCALE)
+            .cast("long")
+            .alias("d9"),
+        )
+    )
+    scored = (
+        codes.join(
+            F.broadcast(adc),
+            (codes.j == adc.j) & (codes.code == adc.cent_id),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d9").cast("long").alias("dist9"))
+    )
+    wtop = Window.partitionBy("query_id").orderBy(
+        F.asc("dist9"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("dist9") / _PQ_SCALE, 6).alias("adc_dist"),
+        )
+        .orderBy("query_id", "adc_dist", "neighbor_id")
+    )

@@ -407,3 +407,191 @@ def hll_distinct_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --- KMV (bottom-k / theta-style) distinct sketch --------------------------
+
+_KMV_K = 64
+_KMV_HMAX = 1 << 56  # portable hash range: md5 14-hex-digit prefix
+_KMV_NUM = (_KMV_K - 1) * _KMV_HMAX  # (k-1)*H — 4.5e18, inside int64
+_KMV_PAIR = ("1-URGENT", "2-HIGH")
+_KMV_HASH_SQL = "CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 14) AS BIGINT)"
+
+
+@register(
+    "kmv_distinct_setalgebra",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_orderpriority AS seg, {_KMV_HASH_SQL} AS h
+        FROM orders
+    ), ranked AS (
+        SELECT seg, h,
+               ROW_NUMBER() OVER (PARTITION BY seg ORDER BY h) AS rn
+        FROM pairs
+    ), sk AS (
+        SELECT seg, MAX(h) AS kth_hash, CAST(COUNT(*) AS BIGINT) AS k_used
+        FROM ranked WHERE rn <= {_KMV_K} GROUP BY seg
+    ), exact AS (
+        SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_exact FROM pairs GROUP BY seg
+    ), per_seg AS (
+        SELECT sk.seg AS label, n_exact, kth_hash,
+               CASE WHEN k_used < {_KMV_K} THEN n_exact
+                    ELSE CAST({_KMV_NUM} AS BIGINT) // kth_hash END AS kmv_est
+        FROM sk JOIN exact ON sk.seg = exact.seg
+    ), merged AS (
+        SELECT h,
+               MAX(CASE WHEN seg = '{_KMV_PAIR[0]}' THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN seg = '{_KMV_PAIR[1]}' THEN 1 ELSE 0 END) AS in_b
+        FROM ranked
+        WHERE rn <= {_KMV_K} AND seg IN ('{_KMV_PAIR[0]}', '{_KMV_PAIR[1]}')
+        GROUP BY h
+    ), uranked AS (
+        SELECT h, in_a, in_b, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM merged
+    ), usk AS (
+        SELECT MAX(h) AS kth_hash,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS k_both
+        FROM uranked WHERE rn <= {_KMV_K}
+    ), uexact AS (
+        SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS u_exact,
+               CAST(COUNT(DISTINCT CASE WHEN in_a = 1 AND in_b = 1
+                                        THEN h END) AS BIGINT) AS i_exact
+        FROM (SELECT h,
+                     MAX(CASE WHEN seg = '{_KMV_PAIR[0]}' THEN 1 ELSE 0 END) AS in_a,
+                     MAX(CASE WHEN seg = '{_KMV_PAIR[1]}' THEN 1 ELSE 0 END) AS in_b
+              FROM pairs
+              WHERE seg IN ('{_KMV_PAIR[0]}', '{_KMV_PAIR[1]}')
+              GROUP BY h)
+    ), setrows AS (
+        SELECT '{_KMV_PAIR[0]} | {_KMV_PAIR[1]}' AS label, u_exact AS n_exact,
+               usk.kth_hash AS kth_hash,
+               CAST({_KMV_NUM} AS BIGINT) // usk.kth_hash AS kmv_est
+        FROM usk, uexact
+        UNION ALL
+        SELECT '{_KMV_PAIR[0]} & {_KMV_PAIR[1]}' AS label, i_exact AS n_exact,
+               usk.kth_hash AS kth_hash,
+               (k_both * (CAST({_KMV_NUM} AS BIGINT) // usk.kth_hash))
+                   // {_KMV_K} AS kmv_est
+        FROM usk, uexact
+    )
+    SELECT label, n_exact, kth_hash, kmv_est,
+           ROUND((kmv_est - n_exact) / n_exact * 100.0, 6) AS err_pct
+    FROM (SELECT * FROM per_seg UNION ALL SELECT * FROM setrows)
+    ORDER BY label
+    """,
+    doc="KMV (bottom-k, theta-sketch-style) distinct sketch per order "
+    "priority with SET ALGEBRA — the capability HLL lacks: merged "
+    "sketches estimate the union AND the intersection of two segments' "
+    "customer sets. Built on the portable md5-prefix hash: per segment "
+    "keep the k=64 smallest distinct hashes (distinct pairs via one "
+    "map-side-combine groupBy, then a (segment)-partitioned bottom-k "
+    "window); estimate = (k-1)*2^56 div kth_hash — pure int64 "
+    "arithmetic, bit-identical on both engines. Union sketch = bottom-k "
+    "of the two k-row sketches (the global window sorts <= 2k rows — "
+    "constant, not data-sized); intersection = Jaccard-from-sketch "
+    "(k_both/k) times the union estimate, integer-scaled. Exact "
+    "distincts ride along to pin the ~1/sqrt(k-1)=13%% error envelope "
+    "as data. At 100 TB the sketches are k-row mergeable partials "
+    "(associative min-k), composable across days/partitions like the "
+    "HLL registers but supporting intersections — the segment-overlap "
+    "question (audience overlap, cross-split contamination) answered "
+    "without COUNT(DISTINCT)'s expand shuffle.",
+    tags=("sketch", "A8", "W1", "D1"),
+)
+def kmv_distinct_setalgebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    a_seg, b_seg = _KMV_PAIR
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = orders.select(
+        F.col("o_orderpriority").alias("seg"),
+        hash64(F.col("o_custkey").cast("string")).alias("h"),
+    ).distinct()
+    ranked = pairs.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("seg").orderBy("h"))
+    ).filter(F.col("rn") <= _KMV_K)
+    sk = ranked.groupBy("seg").agg(
+        F.max("h").alias("kth_hash"), F.count(F.lit(1)).alias("k_used")
+    )
+    exact = pairs.groupBy("seg").agg(F.count(F.lit(1)).alias("n_exact"))
+    est_expr = F.when(F.col("k_used") < _KMV_K, F.col("n_exact")).otherwise(
+        F.expr(f"CAST({_KMV_NUM} AS BIGINT) div kth_hash")
+    )
+    per_seg = (
+        sk.join(exact, "seg")
+        .select(
+            F.col("seg").alias("label"),
+            "n_exact",
+            "kth_hash",
+            est_expr.alias("kmv_est"),
+        )
+    )
+    # union/intersection of the two k-row sketches: constant-size frames
+    merged = (
+        ranked.filter(F.col("seg").isin(a_seg, b_seg))
+        .groupBy("h")
+        .agg(
+            F.max((F.col("seg") == a_seg).cast("int")).alias("in_a"),
+            F.max((F.col("seg") == b_seg).cast("int")).alias("in_b"),
+        )
+    )
+    # <= 2k rows: the unpartitioned window is over a constant-size frame
+    usk = (
+        merged.withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") <= _KMV_K)
+        .agg(
+            F.max("h").alias("kth_hash"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("k_both"),
+        )
+    )
+    uexact = (
+        pairs.filter(F.col("seg").isin(a_seg, b_seg))
+        .groupBy("h")
+        .agg(
+            F.max((F.col("seg") == a_seg).cast("int")).alias("in_a"),
+            F.max((F.col("seg") == b_seg).cast("int")).alias("in_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("u_exact"),
+            F.sum((F.col("in_a") * F.col("in_b"))).cast("long").alias("i_exact"),
+        )
+    )
+    uest = F.expr(f"CAST({_KMV_NUM} AS BIGINT) div kth_hash")
+    setrows = (
+        usk.crossJoin(F.broadcast(uexact))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(f"{a_seg} | {b_seg}").alias("label"),
+                        F.col("u_exact").alias("n_exact"),
+                        F.col("kth_hash").alias("kth_hash"),
+                        uest.alias("kmv_est"),
+                    ),
+                    F.struct(
+                        F.lit(f"{a_seg} & {b_seg}").alias("label"),
+                        F.col("i_exact").alias("n_exact"),
+                        F.col("kth_hash").alias("kth_hash"),
+                        F.expr(
+                            f"(k_both * (CAST({_KMV_NUM} AS BIGINT) div kth_hash))"
+                            f" div {_KMV_K}"
+                        ).alias("kmv_est"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+    return (
+        per_seg.unionByName(setrows)
+        .select(
+            "label",
+            "n_exact",
+            "kth_hash",
+            "kmv_est",
+            F.round(
+                (F.col("kmv_est") - F.col("n_exact")) / F.col("n_exact") * 100.0,
+                6,
+            ).alias("err_pct"),
+        )
+        .orderBy("label")
+    )

@@ -193,3 +193,67 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_nationkey", "c_mktsegment", "acctbal_band", "grp_size")
         .orderBy("grp_size", "c_nationkey", "c_mktsegment", "acctbal_band")
     )
+
+
+@register(
+    "dq_l_diversity",
+    oracle="""
+    WITH cls AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer
+        GROUP BY 1, 2, 3
+    ), agg AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(SUM(n) AS BIGINT) AS grp_size,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_sensitive,
+               CAST(MAX(n) AS BIGINT) AS max_band_n
+        FROM cls GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment, grp_size, n_distinct_sensitive,
+           ROUND(max_band_n / grp_size, 6) AS dominant_share,
+           n_distinct_sensitive < 5 AS violates_l
+    FROM agg
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+    doc="l-diversity audit (l=5) over the same quasi-identifier classes "
+    "as dq_k_anonymity, treating the account-balance band as the "
+    "SENSITIVE attribute: a class can satisfy k-anonymity yet leak — "
+    "if all k members share one sensitive value, re-identification "
+    "within the class reveals it (homogeneity attack). Reports EVERY "
+    "class with its sensitive-value diversity, the dominant value's "
+    "share (an exact integer ratio), and a violates-l flag — the audit "
+    "table stays class-count-sized and non-degenerate at every scale. "
+    "Two stacked map-side-"
+    "combined aggregations — (QI, sensitive) census then per-QI "
+    "rollup — nothing data-sized shuffles twice. Together with "
+    "k-anonymity and PII scrub this is the release gate trio for "
+    "derived-table publication.",
+    tags=("dq", "curation", "A10", "A9", "privacy"),
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cls = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    agg = cls.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n").cast("bigint").alias("grp_size"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_sensitive"),
+        F.max("n").cast("bigint").alias("max_band_n"),
+    )
+    return (
+        agg.select(
+            "c_nationkey",
+            "c_mktsegment",
+            "grp_size",
+            "n_distinct_sensitive",
+            F.round(F.col("max_band_n") / F.col("grp_size"), 6).alias(
+                "dominant_share"
+            ),
+            (F.col("n_distinct_sensitive") < 5).alias("violates_l"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

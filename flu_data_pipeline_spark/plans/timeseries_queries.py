@@ -551,3 +551,78 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("interp_value"),
         )
     )
+
+
+@register(
+    "ts_seasonal_naive_eval",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_days,
+           CAST(SUM(ABS(a.n - f7.n)) AS BIGINT) AS abs_err_seasonal7,
+           CAST(SUM(ABS(a.n - f1.n)) AS BIGINT) AS abs_err_naive1,
+           ROUND(SUM(ABS(a.n - f7.n))
+                 / NULLIF(SUM(ABS(a.n - f1.n)), 0), 6) AS mase
+    FROM daily a
+    JOIN daily f7 ON f7.event_type = a.event_type AND f7.day = a.day - 7
+    JOIN daily f1 ON f1.event_type = a.event_type AND f1.day = a.day - 1
+    GROUP BY a.event_type
+    ORDER BY a.event_type
+    """,
+    doc="Seasonal-naive forecast evaluation (MASE): per event type, "
+    "forecast each day's event count with the count 7 days earlier and "
+    "score against the 1-day-naive baseline — MASE = sum|err_7| / "
+    "sum|err_1| over days where both references exist. MASE < 1 means "
+    "weekly seasonality carries real signal; it is THE scale-free "
+    "forecast metric (no division by possibly-zero actuals, unlike "
+    "MAPE). All error sums are exact int64 (counts are integers; ABS "
+    "and SUM order-insensitive); the single ROUND happens after the "
+    "one double division. Plan: one groupBy builds the daily series, "
+    "then two self-equi-joins on (type, day-offset) — calendar-exact "
+    "under gaps, where a window lag would silently compare "
+    "non-adjacent days. At 100 TB the daily series is tiny next to "
+    "the event scan that feeds it; joins are on the aggregated frame "
+    "only.",
+    tags=("timeseries", "eval", "A7", "J6"),
+)
+def ts_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = daily.alias("a")
+    f7 = daily.alias("f7")
+    f1 = daily.alias("f1")
+    joined = (
+        a.join(
+            f7,
+            (F.col("f7.event_type") == F.col("a.event_type"))
+            & (F.col("f7.day") == F.date_sub(F.col("a.day"), 7)),
+        )
+        .join(
+            f1,
+            (F.col("f1.event_type") == F.col("a.event_type"))
+            & (F.col("f1.day") == F.date_sub(F.col("a.day"), 1)),
+        )
+    )
+    err7 = F.abs(F.col("a.n") - F.col("f7.n"))
+    err1 = F.abs(F.col("a.n") - F.col("f1.n"))
+    return (
+        joined.groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_days"),
+            F.sum(err7).cast("bigint").alias("abs_err_seasonal7"),
+            F.sum(err1).cast("bigint").alias("abs_err_naive1"),
+            F.round(
+                F.sum(err7)
+                / F.nullif(F.sum(err1), F.lit(0)),
+                6,
+            ).alias("mase"),
+        )
+        .orderBy("event_type")
+    )

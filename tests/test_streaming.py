@@ -380,3 +380,66 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the 10:00 window closed with ONLY the two on-time rows; the late
     # event_id=4 was dropped, not merged and not re-emitted
     assert got.get("2024-01-01 10:00:00") == 2, got
+
+
+def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Restart-from-the-SAME-checkpoint recovery: a stopped stream resumed
+    with its checkpoint must process only files that arrived while it was
+    down — no reprocessing (dupes) of already-committed batches and no
+    loss. This is the offsets-based exactly-once layer, complementary to
+    test_streaming_idempotent_sink's content-based anti-join layer (which
+    deliberately uses FRESH checkpoints)."""
+    landing, ev = _dump_events_jsonl(spark, tmp_path, n=400)
+    os.rename(
+        os.path.join(landing, "part-0.json"), os.path.join(landing, "part-a.json")
+    )
+    target = str(tmp_path / "restart_target")
+    chk = str(tmp_path / "restart_chk")
+
+    def run_once():
+        q = (
+            read_event_stream(spark, landing)
+            .writeStream.format("parquet")
+            .option("path", target)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(target).count() == 400
+
+    # new data lands while the stream is down; second batch of 300 rows
+    seen = set()
+    with open(os.path.join(landing, "part-a.json")) as f:
+        for line in f:
+            seen.add(json.loads(line)["event_id"])
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .orderBy(F.desc("event_id"))
+        .limit(300)
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        .collect()
+    )
+    rows = [r for r in rows if r["event_id"] not in seen]
+    assert rows, "second batch must be non-empty and disjoint from batch a"
+    with open(os.path.join(landing, "part-b.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r.asDict()) + "\n")
+    pin_file_order(landing, "part-a.json", "part-b.json")
+
+    run_once()
+    out = spark.read.parquet(target)
+    # 400 committed + the new batch, and NOT 400 + 400 + new (no replay)
+    assert out.count() == 400 + len(rows)
+    # every event_id exactly once: offsets prevented any re-ingest
+    assert out.select("event_id").distinct().count() == out.count()

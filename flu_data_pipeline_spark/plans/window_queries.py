@@ -332,3 +332,43 @@ def sequence_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("prev", "cur")
     )
+
+
+@register(
+    "window_rank_normalized",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           ROUND(PERCENT_RANK() OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice), 6)
+               AS pct_rank,
+           ROUND(CUME_DIST() OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice), 6)
+               AS cume_d
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    doc="Normalized rank functions — PERCENT_RANK ((rank-1)/(N-1)) and "
+    "CUME_DIST (rows<=current / N) per order priority ordered by total "
+    "price: the distribution-position primitives behind percentile "
+    "features and outlier trimming. Both are exact rationals of "
+    "integer rank/count (ties on the double sort key resolve "
+    "identically on both engines since the values are bit-identical), "
+    "rounded once at the edge. One shuffle on the partition key; the "
+    "per-partition sort is the same single sort all four rank "
+    "functions share — Spark evaluates them in one Window physical "
+    "operator, not one pass each.",
+    tags=("window", "W1", "A7"),
+)
+def window_rank_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume_d"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -86,3 +86,48 @@ def test_dedup_exact_shuffles_hash_not_text(spark):
 def test_ann_topk_cosine_broadcasts_queries(spark):
     plan = plan_of(spark, "ann_topk_cosine")
     assert "Broadcast" in plan, plan
+
+
+def test_q2_min_cost_supplier_topk_and_broadcasts(spark):
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    # deterministic LIMIT 100 over a total order → top-k physical op
+    assert "TakeOrderedAndProject" in plan, plan
+    # supplier/nation/region and the part filter are broadcast sides —
+    # the ps build must stay the only data-sized aggregation path
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_q16_distinct_pairs_partial_agg_and_anti_join(spark):
+    plan = plan_of(spark, "q16_supplier_relation_count")
+    # the distinct (partkey, suppkey) dedup must partial-aggregate
+    # map-side before its shuffle (lineitem measures never move)
+    assert "HashAggregate" in plan, plan
+    # supplier exclusion compiles to a broadcast anti join
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "LeftAnti" in plan and "Broadcast" in plan
+    ), plan
+
+
+def test_q20_semi_joins_broadcast(spark):
+    plan = plan_of(spark, "q20_promotion_part_suppliers")
+    # both IN-subqueries compile to broadcast left-semi joins
+    assert plan.count("LeftSemi") >= 2, plan
+    # the ship-year predicate reaches the lineitem scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan, plan
+
+
+def test_ann_pq_adc_no_window_in_encode(spark):
+    plan = plan_of(spark, "ann_pq_adc")
+    # encoding argmin is a min-of-struct aggregate with map-side
+    # partials; the only Window node is the final per-query top-3
+    # (WindowGroupLimit pre-prunes it — that optimization is welcome)
+    assert "partial_min" in plan, plan
+    windows = [l for l in plan.splitlines() if l.strip().startswith(("Window [", "+- Window ["))]
+    assert len(windows) <= 1, plan
+
+
+def test_kmv_bottomk_window_partitioned_by_segment(spark):
+    plan = plan_of(spark, "kmv_distinct_setalgebra")
+    # the bottom-k windows must be keyed (the only unpartitioned window
+    # runs over the <=2k merged sketch rows)
+    assert "row_number" in plan, plan

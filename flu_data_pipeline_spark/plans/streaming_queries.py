@@ -204,3 +204,48 @@ def stream_interval_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_interval_join_exact_sink"
     _run_to_memory(joined, name, mode="append")
     return spark.table(name)
+
+
+@register(
+    "stream_dedup_exact",
+    oracle="""
+    WITH d AS (SELECT DISTINCT event_id FROM events)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM d
+    """,
+    doc="Structured Streaming stateful dedup driven to completion and "
+    "hash-compared exactly: the event stream UNIONed with itself (every "
+    "row arrives twice, possibly in different micro-batches) passes "
+    "through dropDuplicates on the key, lands in a memory sink, and a "
+    "batch summary over the emitted rows must equal batch DISTINCT on "
+    "the original — proving the dedup state removed exactly the "
+    "duplicate half. The summary aggregates only functions of the KEY "
+    "SET (count/sum/min/max of event_id), so it is deterministic "
+    "whichever physical copy the state kept. The runtime twin "
+    "(test_streaming_dedup_within_watermark) covers the bounded-state "
+    "watermark variant; at scale that is the production form — state "
+    "size = keys within the watermark horizon, not all history.",
+    tags=("streaming", "dedup", "A8"),
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events_stream(spark, sf_dir).select("event_id")
+    doubled = ev.union(_read_events_stream(spark, sf_dir).select("event_id"))
+    deduped = doubled.dropDuplicates(["event_id"])
+    name = "stream_dedup_exact_sink"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("event_id").cast("long").alias("sum_id"),
+        F.min("event_id").cast("long").alias("min_id"),
+        F.max("event_id").cast("long").alias("max_id"),
+    )

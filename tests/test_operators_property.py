@@ -503,3 +503,48 @@ def test_kcore_matches_python(spark, edges):
         for r in kcore(e, k=k, rounds=rounds).collect()
     }
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# KMV bottom-k sketch: merge identity + estimator vs a pure-Python model
+# --------------------------------------------------------------------------
+
+def _kmv_hash(x: int) -> int:
+    """The engine's portable md5-prefix hash of str(x) (hashing.hash64)."""
+    return int(hashlib.md5(str(x).encode()).hexdigest()[:14], 16)
+
+
+def _bottom_k(hashes, k):
+    return sorted(set(hashes))[:k]
+
+
+@given(
+    a=st.lists(st.integers(0, 10_000), min_size=1, max_size=400),
+    b=st.lists(st.integers(0, 10_000), min_size=1, max_size=400),
+    k=st.sampled_from([8, 64]),
+)
+@settings(**SETTINGS)
+def test_kmv_merge_identity_and_estimator(a, b, k):
+    """The two properties kmv_distinct_setalgebra's design rests on:
+    (1) mergeability — bottom-k of a union equals bottom-k of the merged
+    per-set sketches, so k-row partials compose across partitions/days
+    exactly like the query's union sketch; (2) the integer estimator
+    (k-1)*2^56 div kth_hash is exact for n < k and within the published
+    ~1/sqrt(k-1) envelope (generously bounded here) when saturated."""
+    ha = [_kmv_hash(x) for x in a]
+    hb = [_kmv_hash(x) for x in b]
+    # (1) merge identity
+    direct = _bottom_k(ha + hb, k)
+    merged = _bottom_k(_bottom_k(ha, k) + _bottom_k(hb, k), k)
+    assert direct == merged
+    # (2) estimator
+    sk = _bottom_k(ha, k)
+    n_true = len(set(ha))
+    if n_true < k:
+        est = n_true  # the query's CASE branch: unsaturated → exact
+        assert est == n_true
+    else:
+        est = (k - 1) * (1 << 56) // sk[k - 1]
+        # ~3 sigma of 1/sqrt(k-1) relative error, plus slack for tiny n
+        rel = abs(est - n_true) / n_true
+        assert rel < 4.0 / (k - 1) ** 0.5, (est, n_true, rel)

@@ -334,14 +334,16 @@ def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rows with positional index, invoked via LATERAL in SQL. The native "
     "twin is explode(split(...)) (F2) — this entry exercises the "
     "arbitrary-Python table-function path for logic a regex can't "
-    "express (real sentence splitters, parsers). Restricted to 200 docs "
-    "— Python UDTFs are the slow path by design.",
+    "express (real sentence splitters, parsers). Arrow-optimized "
+    "(useArrow: the plan shows ArrowEvalPythonUDTF, not row-pickling "
+    "BatchEvalPython) and restricted to 200 docs — Python UDTFs remain "
+    "the slow path by design.",
     tags=("text", "udtf", "F2"),
 )
 def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id bigint, sent_idx int, sentence string")
+    @udtf(returnType="doc_id bigint, sent_idx int, sentence string", useArrow=True)
     class SplitSentences:
         def eval(self, doc_id, text):
             for i, seg in enumerate((text or "").split(".")):

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Registry-wide physical-plan hygiene sweep.
+
+Builds (analysis only — nothing executes) every registered query's plan
+and flags the anti-patterns that break at 100 TB:
+
+- ``CartesianProduct``: an unconditioned cross join of data-sized inputs.
+  Bounded grids (dimension x calendar) must go through an explicit
+  ``crossJoin`` of provably tiny frames, which Spark plans as
+  BroadcastNestedLoopJoin — reported separately as informational.
+- ``BatchEvalPython``: row-at-a-time Python in the plan. Arrow-batched
+  Python (``ArrowEvalPython`` / ``MapInPandas`` / ``FlatMapGroupsInPandas``)
+  is the sanctioned slow path for the multimodal family and is allowed.
+- ``InMemoryTableScan``: a query silently depending on cached state.
+
+Streaming queries (``stream_*``) are skipped: their builders *execute*
+the stream to a memory sink; the returned frame is a post-hoc batch agg.
+
+Usage: python scripts/plan_lint.py   (exit 1 on hard violations)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HARD = ("CartesianProduct", "BatchEvalPython", "InMemoryTableScan")
+INFO = ("BroadcastNestedLoopJoin",)
+
+#: Audited BroadcastNestedLoopJoin sites (see each query's docstring).
+#: Three legitimate shapes: (a) crossJoin with a 1-ROW aggregate
+#: (global totals/bounds/quantiles — scalar broadcast, free at any
+#: scale); (b) broadcast of a PROVABLY TINY frame (centroids, bloom
+#: bits, query vectors, calendar grids); (c) a deliberate NON-EQUI
+#: join condition (band ranges, triangle orientation m<n) where BNLJ
+#: with a broadcast side IS the plan. New queries showing BNLJ land
+#: in REVIEW until audited into this set.
+BNLJ_AUDITED = {
+    "ann_ivf",               # (b) K centroid vectors broadcast
+    "ann_ivf_kmeans",        # (b) trained centroids broadcast
+    "ann_mrr_eval",          # (b) brute-force truth for 5 queries
+    "ann_recall_eval",       # (b) truth set for 5 query ids
+    "ann_topk_cosine",       # (b) 5 query vectors broadcast
+    "bloom_semi_prune",      # (b) filter bit positions
+    "centroid_cosine_matrix",  # (b) label centroids
+    "curation_domain_mix",   # (a) 1-row corpus totals
+    "drift_value_histogram",  # (a) 1-row min/max bounds
+    "eval_auc_purchase",     # (a) 1-row pos/neg totals
+    "eval_calibration_bins",  # (a) 1-row bounds
+    "eval_pr_curve_purchase",  # (a) 1-row totals
+    "histogram_equiwidth",   # (a) 1-row min/max
+    "kmeans_cluster_summary",  # (b) k centroids
+    "kmv_distinct_setalgebra",  # (a) 1-row merged-sketch stats
+    "q11_important_stock",   # (a) 1-row global sum+count
+    "q22_dormant_rich_customers",  # (a) 1-row avg balance cutoff
+    "range_band_join",       # (c) band-range condition
+    "sample_weighted",       # (a) 1-row max length
+    "text_bm25_topk",        # (a) 1-row corpus stats
+    "triangle_count_cosupply",  # (c) orientation m<n condition
+    "ts_gapfill_daily",      # (b) calendar grid x type enum
+    "ts_linear_interpolate",  # (c) anchor-range condition
+    "winsorize_stats",       # (a) 1-row quantile cutoffs
+    "zorder_layout",         # (a) 1-row dimension bounds
+}
+
+
+def main() -> int:
+    from flu_data_pipeline_spark.plans import REGISTRY
+    from flu_data_pipeline_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="plan_lint", shuffle_partitions=8)
+
+    hard_hits: list[tuple[str, str]] = []
+    info_hits: list[tuple[str, str]] = []
+    for name, qd in sorted(REGISTRY.items()):
+        if name.startswith("stream_"):
+            continue
+        try:
+            plan = (
+                qd.builder(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception as ex:  # build failure is itself a hard hit
+            hard_hits.append((name, f"build-error: {str(ex)[:120]}"))
+            continue
+        for marker in HARD:
+            if marker in plan:
+                hard_hits.append((name, marker))
+        for marker in INFO:
+            if marker in plan:
+                info_hits.append((name, marker))
+
+    review = [(n, m) for n, m in info_hits if n not in BNLJ_AUDITED]
+    for name, marker in info_hits:
+        flag = "REVIEW" if name not in BNLJ_AUDITED else "audited"
+        print(f"info [{flag}] {name}: {marker}")
+    for name, marker in hard_hits:
+        print(f"HARD {name}: {marker}")
+    print(
+        f"\n{len(hard_hits)} hard violations, {len(info_hits)} informational "
+        f"({len(review)} to review)"
+    )
+    return 1 if hard_hits or review else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

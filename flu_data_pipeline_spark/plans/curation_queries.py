@@ -423,3 +423,56 @@ def curation_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "export_shard_plan",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               {hash64_sql("'shard|' || CAST(doc_id AS VARCHAR)")} % 64
+                   AS shard,
+               CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM t GROUP BY shard ORDER BY shard
+    """,
+    doc="Deterministic shard plan for training-data export: every doc "
+    "lands in one of 64 shards via the salted portable hash — a "
+    "reproducible global shuffle (same doc → same shard on any run, "
+    "cluster, or engine; rand() or round-robin would be neither), "
+    "which is what makes training restarts and data ablations "
+    "comparable. Per shard: doc count, token budget (whitespace "
+    "tokens), language spread — the balance audit run before writing "
+    "shards out (the write itself is repartitionByRange/partitionBy, "
+    "sources/writers.py). Uniform hashing balances shards to ~1/sqrt "
+    "within-shard counts; the audit makes that measurable instead of "
+    "assumed. Map-side projection + one 64-group aggregate — no "
+    "data-sized shuffle beyond the partial-agg combine.",
+    tags=("text", "curation", "sampling", "A7", "A10"),
+)
+def export_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        (hash64(F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))) % 64)
+        .alias("shard"),
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return (
+        t.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+        .orderBy("shard")
+    )

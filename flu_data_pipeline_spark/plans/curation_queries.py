@@ -476,3 +476,70 @@ def export_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "curation_association_chi2",
+    oracle="""
+    WITH cell AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS observed
+        FROM documents GROUP BY 1, 2
+    ), rt AS (
+        SELECT lang, CAST(SUM(observed) AS BIGINT) AS row_n FROM cell GROUP BY 1
+    ), ct AS (
+        SELECT source, CAST(SUM(observed) AS BIGINT) AS col_n FROM cell GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cell
+    )
+    SELECT cell.lang, cell.source, observed,
+           ROUND(row_n * col_n / CAST(n AS DOUBLE), 6) AS expected,
+           ROUND((observed - row_n * col_n / CAST(n AS DOUBLE))
+                 * (observed - row_n * col_n / CAST(n AS DOUBLE))
+                 / (row_n * col_n / CAST(n AS DOUBLE)), 6) AS chi2_term
+    FROM cell
+    JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot
+    ORDER BY cell.lang, cell.source
+    """,
+    doc="Chi-square independence audit between document language and "
+    "source: per (lang, source) cell the observed count, the "
+    "independence-expected count row_n*col_n/N, and the cell's chi2 "
+    "contribution (O-E)^2/E — the dataset-bias check that catches a "
+    "source over-supplying one language before training bakes the "
+    "skew in. Emitted per-CELL rather than as one summed statistic so "
+    "the output is (a) the actionable audit table (which cells drive "
+    "the association) and (b) exactly hash-comparable — a single float "
+    "total would ride on Spark's nondeterministic partial-agg add "
+    "order, while each cell value here is one IEEE expression over "
+    "exact int64 marginals (< 2^53, so the int->double promotion is "
+    "lossless on both engines). Plan: one cell census then broadcast "
+    "joins of the three marginal aggregates — at 100 TB the audit "
+    "costs one scan plus cell-count-sized joins.",
+    tags=("curation", "dq", "A7", "A10"),
+)
+def curation_association_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    rt = cell.groupBy("lang").agg(F.sum("observed").alias("row_n"))
+    ct = cell.groupBy("source").agg(F.sum("observed").alias("col_n"))
+    tot = cell.agg(F.sum("observed").alias("n"))
+    expected = F.col("row_n") * F.col("col_n") / F.col("n").cast("double")
+    return (
+        cell.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "observed",
+            F.round(expected, 6).alias("expected"),
+            F.round(
+                (F.col("observed") - expected)
+                * (F.col("observed") - expected)
+                / expected,
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -257,3 +257,144 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+@register(
+    "dq_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS med
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_type, e.value, m.med,
+               ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m ON m.event_type = e.event_type
+        WHERE e.value IS NOT NULL
+    ), mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(dev.med), 6) AS median_value,
+           ROUND(MAX(mad.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON mad.event_type = dev.event_type
+    GROUP BY dev.event_type
+    ORDER BY dev.event_type
+    """,
+    doc="Robust outlier audit via median absolute deviation: per event "
+    "type, the exact median, the exact MAD (median of |x - median|), "
+    "and how many rows sit beyond 3 MADs — the robust alternative to "
+    "z-scores (events_daily_zscore), immune to the outliers it hunts "
+    "(mean/stddev are dragged by the very points being flagged). Two "
+    "exact interpolated-percentile passes (Spark percentile == DuckDB "
+    "quantile_cont, proven by percentiles_by_type) with the median "
+    "broadcast back between them; the 3-MAD comparison is the same "
+    "IEEE arithmetic on both engines. At 100 TB exact per-group "
+    "percentiles sort within groups — swap in approx_percentile "
+    "(t-digest) for the scale path; the 3-MAD flag logic is unchanged.",
+    tags=("dq", "percentile", "A7", "A11"),
+)
+def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med"), 6).alias("median_value"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                (F.col("adev") > 3 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+#: Benford first-digit expected shares, log10(1 + 1/d) as fixed literals
+#: (identical double constants on both engines — no runtime log).
+_BENFORD = {
+    1: 0.301029995663981, 2: 0.176091259055681, 3: 0.124938736608300,
+    4: 0.096910013008056, 5: 0.079181246047625, 6: 0.066946789630613,
+    7: 0.057991946977687, 8: 0.051152522447381, 9: 0.045757490560675,
+}
+_BENFORD_SQL = "CASE " + " ".join(
+    f"WHEN digit = {d} THEN {p!r}" for d, p in _BENFORD.items()
+) + " END"
+
+
+@register(
+    "dq_benford_digits",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM lineitem WHERE l_extendedprice >= 1
+    ), cnt AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt)
+    SELECT digit, n,
+           ROUND(n / CAST(total AS DOUBLE), 6) AS observed_share,
+           {_BENFORD_SQL} AS benford_share,
+           ROUND((n / CAST(total AS DOUBLE) - {_BENFORD_SQL})
+                 * (n / CAST(total AS DOUBLE) - {_BENFORD_SQL})
+                 / {_BENFORD_SQL}, 6) AS chi2_term
+    FROM cnt CROSS JOIN tot
+    ORDER BY digit
+    """,
+    doc="Benford first-digit audit over extended prices: observed share "
+    "per leading digit vs the Benford expectation log10(1+1/d) — the "
+    "classic fabricated-data / unit-mixup tripwire for financial "
+    "columns (TPC-H prices are qty x unit-price products, which DO "
+    "approximately Benford). Expected shares are compile-time literal "
+    "doubles (no runtime log, so both engines compare against "
+    "bit-identical constants); the first digit comes from exact "
+    "int64 -> string truncation, never float formatting; shares and "
+    "chi2 terms are one IEEE expression over exact counts, emitted "
+    "per digit (9 rows) for the same sum-order-free reason as "
+    "curation_association_chi2. One scan, one 9-group aggregate, one "
+    "1-row total broadcast.",
+    tags=("dq", "A7", "A10"),
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") >= 1
+    )
+    cnt = li.select(
+        F.substring(
+            F.floor(F.col("l_extendedprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(F.sum("n").cast("bigint").alias("total"))
+    benford = F.when(F.col("digit") == 1, F.lit(_BENFORD[1]))
+    for d in range(2, 10):
+        benford = benford.when(F.col("digit") == d, F.lit(_BENFORD[d]))
+    obs = F.col("n") / F.col("total").cast("double")
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(obs, 6).alias("observed_share"),
+            benford.alias("benford_share"),
+            F.round((obs - benford) * (obs - benford) / benford, 6).alias(
+                "chi2_term"
+            ),
+        )
+        .orderBy("digit")
+    )

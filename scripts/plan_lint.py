@@ -45,7 +45,9 @@ BNLJ_AUDITED = {
     "ann_topk_cosine",       # (b) 5 query vectors broadcast
     "bloom_semi_prune",      # (b) filter bit positions
     "centroid_cosine_matrix",  # (b) label centroids
+    "curation_association_chi2",  # (a) 1-row grand total
     "curation_domain_mix",   # (a) 1-row corpus totals
+    "dq_benford_digits",     # (a) 1-row digit-count total
     "drift_value_histogram",  # (a) 1-row min/max bounds
     "eval_auc_purchase",     # (a) 1-row pos/neg totals
     "eval_calibration_bins",  # (a) 1-row bounds

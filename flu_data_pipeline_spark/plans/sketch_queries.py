@@ -595,3 +595,137 @@ def kmv_distinct_setalgebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "hll_rolling_distinct",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(ts AS DATE) AS day, user_id,
+               CAST('0x' || substr(md5('u|' || CAST(user_id AS VARCHAR)), 1, 14)
+                    AS BIGINT) AS h
+        FROM events
+    ), day_regs AS (
+        SELECT day, h // {_HLL_POW_W} AS bucket,
+               MAX(CASE WHEN h % {_HLL_POW_W} = 0 THEN {_HLL_W + 1}
+                        ELSE {_HLL_W + 1} - length(bin(h % {_HLL_POW_W}))
+                   END) AS r
+        FROM v GROUP BY 1, 2
+    ), days AS (SELECT DISTINCT day FROM day_regs),
+    merged AS (
+        SELECT d.day AS day, dr.bucket, MAX(dr.r) AS r
+        FROM days d
+        JOIN day_regs dr ON dr.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1, 2
+    ), agg AS (
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets_hit,
+               CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_W + 1} - r))
+                    + ({_HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << {_HLL_W + 1})
+                    AS BIGINT) AS z_scaled
+        FROM merged GROUP BY day
+    ), exact AS (
+        SELECT d.day AS day,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS exact_users_7d
+        FROM days d
+        JOIN (SELECT DISTINCT day, user_id FROM v) a
+          ON a.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1
+    )
+    SELECT agg.day, n_buckets_hit, z_scaled,
+           {_HLL_C!r} / z_scaled AS hll_estimate,
+           exact_users_7d,
+           ({_HLL_C!r} / z_scaled - exact_users_7d) / exact_users_7d * 100.0
+               AS err_pct
+    FROM agg JOIN exact ON exact.day = agg.day
+    ORDER BY agg.day
+    """,
+    doc="Trailing-7-day distinct users via HLL REGISTER MERGE — the "
+    "compositional win the one-shot HLL (hll_distinct_by_nation) can't "
+    "show: per-day 256-register sketches are built ONCE from the scan, "
+    "then every trailing window is a bucket-wise MAX over at most "
+    "7x256 tiny register rows — no re-scan of events per window, which "
+    "is exactly how distinct-over-sliding-windows is done at 100 TB "
+    "(registers persist per partition/day; any window, month, or "
+    "ad-hoc union is a register merge). The exact twin "
+    "(rolling_distinct_users' explode formulation) rides along so the "
+    "per-day error is pinned as data. Same integer-scaled harmonic "
+    "sum as the base query: the only float op is one literal/int64 "
+    "division, IEEE-identical on both engines, no engine-side ROUND.",
+    tags=("sketch", "timeseries", "A8", "W1"),
+    bench=True,
+)
+def hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+        hash64(F.concat(F.lit("u|"), F.col("user_id").cast("string"))).alias("h"),
+    )
+    day_regs = (
+        v.select(
+            "day",
+            F.expr(f"h div {_HLL_POW_W}").alias("bucket"),
+            F.when(F.col("h") % _HLL_POW_W == 0, F.lit(_HLL_W + 1))
+            .otherwise(
+                F.lit(_HLL_W + 1) - F.length(F.bin(F.col("h") % _HLL_POW_W))
+            )
+            .alias("rho"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    days = day_regs.select("day").distinct()
+    fanned = day_regs.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("target_day"),
+        "bucket",
+        "r",
+    )
+    merged = (
+        fanned.join(
+            F.broadcast(days), fanned.target_day == days.day, "left_semi"
+        )
+        .groupBy(F.col("target_day").alias("day"), "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    agg = merged.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_buckets_hit"),
+        (
+            F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_W + 1} - r)"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << (_HLL_W + 1)).cast("long")
+        )
+        .cast("long")
+        .alias("z_scaled"),
+    )
+    act = v.select("day", "user_id").distinct()
+    exact = (
+        act.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("target_day"),
+            "user_id",
+        )
+        .join(F.broadcast(days), F.col("target_day") == days.day, "left_semi")
+        .groupBy(F.col("target_day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("exact_users_7d"))
+    )
+    est = F.lit(_HLL_C) / F.col("z_scaled")
+    return (
+        agg.join(exact, "day")
+        .select(
+            "day",
+            "n_buckets_hit",
+            "z_scaled",
+            est.alias("hll_estimate"),
+            "exact_users_7d",
+            (
+                (est - F.col("exact_users_7d"))
+                / F.col("exact_users_7d")
+                * 100.0
+            ).alias("err_pct"),
+        )
+        .orderBy("day")
+    )

@@ -389,6 +389,7 @@ _BG_TOKENS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
     "100 TB: two shuffles on the hash key, both over pair tuples "
     "orders of magnitude smaller than the corpus text.",
     tags=("text", "curation", "A7", "A8", "J6"),
+    bench=True,
 )
 def curation_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -456,6 +457,7 @@ def curation_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "assumed. Map-side projection + one 64-group aggregate — no "
     "data-sized shuffle beyond the partial-agg combine.",
     tags=("text", "curation", "sampling", "A7", "A10"),
+    bench=True,
 )
 def export_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -1006,6 +1006,7 @@ def _l2sq(a: Column, b: Column) -> Column:
     f"— immune to aggregation-order divergence; top-3 per query "
     f"tie-breaks on neighbor_id.",
     tags=("similarity", "pq", "A7", "O3"),
+    bench=True,
 )
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -496,6 +496,7 @@ _KMV_HASH_SQL = "CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 14) AS 
     "question (audience overlap, cross-split contamination) answered "
     "without COUNT(DISTINCT)'s expand shuffle.",
     tags=("sketch", "A8", "W1", "D1"),
+    bench=True,
 )
 def kmv_distinct_setalgebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -318,3 +318,92 @@ def grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "event_type", F.round("norm_value", 6).alias("norm_value")
     )
+
+
+@register(
+    "attribution_touchpoints",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT event_id AS click_id, user_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS c_ts
+        FROM events WHERE event_type = 'click'
+    ), joined AS (
+        SELECT p.purchase_id, p.user_id, p.p_ts, c.click_id, c.c_ts
+        FROM p JOIN c ON c.user_id = p.user_id
+         AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - 86400
+    )
+    SELECT purchase_id, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks_24h,
+           CAST(MIN(c_ts * 2147483648 + click_id) % 2147483648 AS BIGINT)
+               AS first_click_id,
+           CAST(MAX(c_ts * 2147483648 + click_id) % 2147483648 AS BIGINT)
+               AS last_click_id,
+           CAST(p_ts - MIN(c_ts * 2147483648 + click_id) // 2147483648 AS BIGINT)
+               AS first_lag_s,
+           CAST(p_ts - MAX(c_ts * 2147483648 + click_id) // 2147483648 AS BIGINT)
+               AS last_lag_s
+    FROM joined
+    GROUP BY purchase_id, user_id, p_ts
+    ORDER BY purchase_id
+    """,
+    doc="First-touch / last-touch attribution: for every purchase, the "
+    "earliest and latest click by the same user in the preceding 24 "
+    "hours, plus the click count and both attribution lags. The "
+    "argmin/argmax over (time, id) is packed into ONE int64 key "
+    "(ts*2^31 + id — ids < 2^31 and epoch seconds to year 2106 stay "
+    "inside int64) and resolved by plain MIN/MAX — order-insensitive, "
+    "map-side combinable, deterministic under same-second ties, and "
+    "identical integer arithmetic on both engines (Spark mirrors the "
+    "same packed key, not a struct-min, so the oracle is "
+    "expression-level exact). Join is an EQUI join on user_id with the "
+    "24h band as a post-filter — never a nested-loop — then one "
+    "groupBy(purchase). The windowed-attribution workload behind "
+    "marketing/causal pipelines; at 100 TB both sides partition by "
+    "user and only same-user rows pair.",
+    tags=("events", "temporal", "A7", "J6"),
+)
+def attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.unix_timestamp("ts").alias("c_ts"),
+    )
+    packed = F.col("c_ts") * 2_147_483_648 + F.col("click_id")
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - 86400),
+    ).select("purchase_id", "user_id", "p_ts", packed.alias("pk"))
+    return (
+        joined.groupBy("purchase_id", "user_id", "p_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks_24h"),
+            F.min("pk").alias("min_pk"),
+            F.max("pk").alias("max_pk"),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            "n_clicks_24h",
+            (F.col("min_pk") % 2_147_483_648).cast("long").alias("first_click_id"),
+            (F.col("max_pk") % 2_147_483_648).cast("long").alias("last_click_id"),
+            (F.col("p_ts") - F.expr("min_pk div 2147483648"))
+            .cast("long")
+            .alias("first_lag_s"),
+            (F.col("p_ts") - F.expr("max_pk div 2147483648"))
+            .cast("long")
+            .alias("last_lag_s"),
+        )
+        .orderBy("purchase_id")
+    )

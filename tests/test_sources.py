@@ -388,3 +388,33 @@ def test_bucketed_smb_join_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution across file generations: a v2 writer adds a column
+    and a v1 reader's column order differs; mergeSchema must union the
+    schemas, null-fill the missing column for v1 files, and keep
+    column-pruning working (reading only v1 columns must not fail on v2
+    files). The landing-zone reality at 100 TB: producers upgrade
+    without rewriting history."""
+    base = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id bigint, name string, score double"
+    )
+    v1.write.parquet(base + "/gen=1")
+    v2 = spark.createDataFrame(
+        [(3, "c", 30.0, "en"), (4, "d", 40.0, "fr")],
+        "id bigint, name string, score double, lang string",
+    )
+    v2.write.parquet(base + "/gen=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "name", "score", "lang", "gen"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert len(rows) == 4
+    # v1 rows get null for the added column, v2 rows keep it
+    assert rows[1]["lang"] is None and rows[3]["lang"] == "en"
+    # pruned read touching only v1-era columns works over both generations
+    assert merged.select("id", "score").count() == 4
+    # aggregation across generations sees every row exactly once
+    assert merged.agg(F.sum("id")).collect()[0][0] == 10

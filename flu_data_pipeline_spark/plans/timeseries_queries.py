@@ -98,8 +98,9 @@ def ts_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(null until the first purchase). One shuffle on user_id, then a "
     "running last(ignorenulls) window — the standard LOCF pattern "
     "without any iterative driver logic. Ordering pinned to "
-    "(µs-truncated ts, event_id) on both engines because the parquet "
-    "timestamps are nanosecond-precision and Spark reads them at µs.",
+    "(epoch-µs ts, event_id) on both engines — event_id breaks any "
+    "same-microsecond tie, so the fill is deterministic under either "
+    "parquet timestamp flavor the catalog normalizes.",
     tags=("timeseries", "ffill", "window"),
 )
 def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -627,3 +627,66 @@ def ts_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "trending_topk_users",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, user_id,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), days AS (SELECT DISTINCT day FROM daily),
+    merged AS (
+        SELECT d.day AS day, a.user_id, CAST(SUM(a.n) AS BIGINT) AS n_7d
+        FROM days d
+        JOIN daily a ON a.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1, 2
+    )
+    SELECT day, user_id, n_7d,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT day, user_id, n_7d,
+               ROW_NUMBER() OVER (
+                   PARTITION BY day ORDER BY n_7d DESC, user_id) AS rnk
+        FROM merged)
+    WHERE rnk <= 3
+    ORDER BY day, rnk
+    """,
+    doc="Trailing-7-day top-3 most-active users per day — the 'trending' "
+    "rolling leaderboard. Same merged-daily-partials shape as the "
+    "rolling HLL: per-(day, user) counts build once from the scan "
+    "(map-side combined), each partial fans out to the <=7 target days "
+    "it contributes to (explode of a bounded sequence — every join "
+    "stays equi), trailing totals are one hash aggregate, and the "
+    "per-day top-3 is a keyed rank window that WindowGroupLimit "
+    "pre-prunes. Integer counts end-to-end; ties pinned by user_id. "
+    "At 100 TB the fan-out is window_length x daily-partial rows — "
+    "never a re-scan of events per window, and never a global sort.",
+    tags=("timeseries", "window", "O3", "A7"),
+)
+def trending_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    days = daily.select("day").distinct()
+    fanned = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("target_day"),
+        "user_id",
+        "n",
+    )
+    merged = (
+        fanned.join(F.broadcast(days), F.col("target_day") == days.day, "left_semi")
+        .groupBy(F.col("target_day").alias("day"), "user_id")
+        .agg(F.sum("n").cast("long").alias("n_7d"))
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("n_7d"), F.asc("user_id"))
+    return (
+        merged.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("day", "user_id", "n_7d", F.col("rnk").cast("long").alias("rnk"))
+        .orderBy("day", "rnk")
+    )

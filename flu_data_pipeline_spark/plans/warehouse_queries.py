@@ -359,3 +359,119 @@ def bitmask_active_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("quarter_mask", "n_quarters", "n_customers")
         .orderBy("quarter_mask")
     )
+
+
+@register(
+    "yoy_weekly_revenue",
+    oracle="""
+    WITH wk AS (
+        SELECT CAST(YEAR(l_shipdate) AS INT) AS yr,
+               CAST((dayofyear(l_shipdate) - 1) // 7 AS INT) AS wk,
+               CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000)
+                    AS BIGINT) AS rev4
+        FROM lineitem
+        WHERE CAST(YEAR(l_shipdate) AS INT) IN (1996, 1997)
+    ), agg AS (
+        SELECT yr, wk, CAST(SUM(rev4) AS BIGINT) AS r4
+        FROM wk GROUP BY yr, wk
+    )
+    SELECT a.wk AS wk,
+           a.r4 / 10000.0 AS rev_1996,
+           b.r4 / 10000.0 AS rev_1997,
+           ROUND(CAST(b.r4 AS DOUBLE) / a.r4, 6) AS yoy_ratio
+    FROM agg a JOIN agg b ON b.wk = a.wk AND a.yr = 1996 AND b.yr = 1997
+    ORDER BY wk
+    """,
+    doc="Year-over-year weekly revenue (TPC-DS Q2 shape): per-week "
+    "revenue for two ship years joined on week number, emitting the "
+    "YoY ratio. Week = (dayofyear-1) div 7 — pure integer arithmetic, "
+    "identical on both engines (ISO week() semantics differ subtly at "
+    "year boundaries across engines, so the portable bucketing is "
+    "deliberate). Revenue is the exact fixed-point int64 sum; the one "
+    "double division happens on identical exact values. Plan: one "
+    "scan (year predicate pushed), one partial-final aggregate, and a "
+    "self-join over ~53-row-per-year aggregates — AQE reuses the "
+    "aggregation exchange for both sides.",
+    tags=("warehouse", "timeseries", "A7", "J6"),
+)
+def yoy_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    agg = (
+        li.filter(F.year("l_shipdate").isin(1996, 1997))
+        .groupBy(
+            F.year("l_shipdate").cast("int").alias("yr"),
+            ((F.dayofyear("l_shipdate") - 1) / 7)
+            .cast("int")
+            .alias("wk"),
+        )
+        .agg(F.sum(rev4).cast("long").alias("r4"))
+    )
+    a = agg.filter(F.col("yr") == 1996).select("wk", F.col("r4").alias("r96"))
+    b = agg.filter(F.col("yr") == 1997).select(
+        F.col("wk").alias("wk_b"), F.col("r4").alias("r97")
+    )
+    return (
+        a.join(b, a.wk == b.wk_b)
+        .select(
+            "wk",
+            (F.col("r96") / 10000.0).alias("rev_1996"),
+            (F.col("r97") / 10000.0).alias("rev_1997"),
+            F.round(F.col("r97").cast("double") / F.col("r96"), 6).alias(
+                "yoy_ratio"
+            ),
+        )
+        .orderBy("wk")
+    )
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH expanded AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS price2
+        FROM lineitem
+        CROSS JOIN UNNEST(range(CAST(l_quantity AS BIGINT))) AS t(i)
+    )
+    SELECT l_returnflag,
+           ROUND(quantile_cont(price2, 0.5) / 100.0, 6)
+               AS weighted_median_price,
+           CAST(COUNT(*) AS BIGINT) AS total_units
+    FROM expanded
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Quantity-weighted exact median price per return flag: Spark's "
+    "percentile(col, 0.5, frequency) computes the exact interpolated "
+    "median of each price repeated quantity times — ONE aggregate, no "
+    "window over a 3-partition sort (the naive cumulative-sum window "
+    "formulation funnels every group through one task; the frequency-"
+    "weighted aggregate keeps partial state per executor instead). The "
+    "oracle pins the semantics by literally materializing the "
+    "duplication (unnest(range(qty))) and taking quantile_cont — "
+    "proving frequency == row-multiplicity. Prices are fixed-pointed "
+    "to int64 cents first so both engines interpolate over identical "
+    "integers; quantities are integral by construction "
+    "(dq_constraint_report checks them).",
+    tags=("warehouse", "percentile", "A7", "A11"),
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("price2"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.expr("percentile(price2, 0.5, qty)") / 100.0, 6
+            ).alias("weighted_median_price"),
+            F.sum("qty").cast("long").alias("total_units"),
+        )
+        .orderBy("l_returnflag")
+    )

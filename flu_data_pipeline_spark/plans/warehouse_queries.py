@@ -17,10 +17,10 @@ from flu_data_pipeline_spark.catalog import load_table
 from flu_data_pipeline_spark.plans.registry import register
 
 
-@register(
-    "scd2_priority_history",
-    oracle="""
-    WITH h AS (
+#: SCD2 history of order priority per customer — shared by the history
+#: build and the as-of snapshot oracle.
+_SCD2_HISTORY_SQL = """
+    h AS (
         SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey,
                o_orderpriority,
                LAG(o_orderpriority) OVER (
@@ -30,16 +30,26 @@ from flu_data_pipeline_spark.plans.registry import register
     ), chg AS (
         SELECT o_custkey, d, o_orderkey, o_orderpriority
         FROM h WHERE prev IS NULL OR prev <> o_orderpriority
+    ), scd2 AS (
+        SELECT o_custkey, o_orderpriority AS priority,
+               d AS valid_from,
+               LEAD(d) OVER (
+                   PARTITION BY o_custkey ORDER BY d, o_orderkey
+               ) AS valid_to,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey ORDER BY d, o_orderkey
+               ) AS INT) AS version_num
+        FROM chg
     )
-    SELECT o_custkey, o_orderpriority AS priority,
-           d AS valid_from,
-           LEAD(d) OVER (
-               PARTITION BY o_custkey ORDER BY d, o_orderkey
-           ) AS valid_to,
-           CAST(ROW_NUMBER() OVER (
-               PARTITION BY o_custkey ORDER BY d, o_orderkey
-           ) AS INT) AS version_num
-    FROM chg
+"""
+
+
+@register(
+    "scd2_priority_history",
+    oracle=f"""
+    WITH {_SCD2_HISTORY_SQL}
+    SELECT o_custkey, priority, valid_from, valid_to, version_num
+    FROM scd2
     """,
     doc="SCD Type-2 dimension build from an ordered change stream: per "
     "customer, collapse consecutive equal attribute values (lag-compare) "
@@ -474,4 +484,41 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qty").cast("long").alias("total_units"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "scd2_asof_snapshot",
+    oracle=f"""
+    WITH {_SCD2_HISTORY_SQL}
+    SELECT o_custkey, priority, valid_from, version_num
+    FROM scd2
+    WHERE valid_from <= DATE '1997-06-01'
+      AND (valid_to IS NULL OR valid_to > DATE '1997-06-01')
+    ORDER BY o_custkey
+    """,
+    doc="Point-in-time reconstruction (time travel) from the SCD2 "
+    "history: each customer's priority version in force on 1997-06-01 "
+    "— the half-open [valid_from, valid_to) interval containing the "
+    "date, with the open current version (NULL valid_to) matching "
+    "forward. This is the AS OF query every bitemporal warehouse "
+    "serves from its dimension history; together with "
+    "cdc_snapshot_diff and incremental_state_merge it completes the "
+    "change-data story: build history, diff snapshots, reconstruct "
+    "any past state. Costs the same single exchange as the history "
+    "build plus a map-side interval filter — at scale the snapshot "
+    "predicate prunes history partitions when valid_from partitions "
+    "the table.",
+    tags=("scd2", "warehouse", "window", "P6"),
+)
+def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asof = F.lit("1997-06-01").cast("date")
+    hist = scd2_priority_history(spark, sf_dir)
+    return (
+        hist.filter(
+            (F.col("valid_from") <= asof)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > asof))
+        )
+        .select("o_custkey", "priority", "valid_from", "version_num")
+        .orderBy("o_custkey")
     )

@@ -522,3 +522,91 @@ def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "priority", "valid_from", "version_num")
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "bom_subtree_rollup",
+    oracle="""
+    WITH nodes AS (
+        SELECT p_partkey,
+               CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS price2
+        FROM part
+    ), contrib AS (
+        SELECT p_partkey // 10 AS anc, 1 AS lvl, price2 FROM nodes
+        UNION ALL
+        SELECT p_partkey // 100, 2, price2 FROM nodes
+        UNION ALL
+        SELECT p_partkey // 1000, 3, price2 FROM nodes
+    ), rolled AS (
+        SELECT anc,
+               CAST(COUNT(*) AS BIGINT) AS n_descendants,
+               CAST(SUM(price2) AS BIGINT) AS subtree2,
+               CAST(MAX(lvl) AS INT) AS max_depth
+        FROM contrib GROUP BY anc
+    )
+    SELECT n.p_partkey AS p_partkey,
+           r.n_descendants,
+           r.subtree2 / 100.0 AS subtree_value,
+           r.max_depth,
+           (n.price2 + r.subtree2) / 100.0 AS total_value
+    FROM rolled r
+    JOIN nodes n ON n.p_partkey = r.anc
+    ORDER BY total_value DESC, p_partkey
+    LIMIT 50
+    """,
+    doc="Hierarchical (bill-of-materials-style) subtree rollup, depth 3: "
+    "every part's ancestor chain is derived from its key (parent = key "
+    "div 10 — a synthetic but deterministic 10-ary hierarchy over the "
+    "real part table), and each node's subtree value is the exact "
+    "fixed-point sum over all descendants within 3 levels. Spark has "
+    "no recursive CTE; the scalable forms are (a) bounded-depth "
+    "unrolling — here, each row EMITS its <=3 ancestor contributions "
+    "map-side and ONE groupBy(ancestor) does the whole rollup, no "
+    "joins in the accumulation at all — or (b) frontier iteration "
+    "with localCheckpoint for unbounded depth (operators/graph.py's "
+    "connected-components/BFS pattern). Existing ancestors attach by "
+    "one equi-join; top-50 by total value compiles to "
+    "TakeOrderedAndProject.",
+    tags=("warehouse", "graph", "A7", "O2"),
+)
+def bom_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("price2"),
+    )
+    contrib = nodes.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.expr("p_partkey div 10").alias("anc"),
+                    F.lit(1).alias("lvl"),
+                ),
+                F.struct(
+                    F.expr("p_partkey div 100").alias("anc"),
+                    F.lit(2).alias("lvl"),
+                ),
+                F.struct(
+                    F.expr("p_partkey div 1000").alias("anc"),
+                    F.lit(3).alias("lvl"),
+                ),
+            )
+        ).alias("a"),
+        "price2",
+    ).select(F.col("a.anc").alias("anc"), F.col("a.lvl").alias("lvl"), "price2")
+    rolled = contrib.groupBy("anc").agg(
+        F.count(F.lit(1)).alias("n_descendants"),
+        F.sum("price2").cast("long").alias("subtree2"),
+        F.max("lvl").cast("int").alias("max_depth"),
+    )
+    return (
+        rolled.join(nodes, rolled.anc == nodes.p_partkey)
+        .select(
+            "p_partkey",
+            "n_descendants",
+            (F.col("subtree2") / 100.0).alias("subtree_value"),
+            "max_depth",
+            ((F.col("price2") + F.col("subtree2")) / 100.0).alias("total_value"),
+        )
+        .orderBy(F.desc("total_value"), F.asc("p_partkey"))
+        .limit(50)
+    )

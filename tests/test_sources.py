@@ -418,3 +418,47 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     assert merged.select("id", "score").count() == 4
     # aggregation across generations sees every row exactly once
     assert merged.agg(F.sum("id")).collect()[0][0] == 10
+
+
+def test_analyze_stats_feed_cbo(spark, tmp_path):
+    """Catalog tables + ANALYZE: table and column statistics persist in
+    the metastore and, with CBO on, the optimizer's logical plan carries
+    the analyzed row count — the precondition for cost-based join
+    reordering on a real cluster (SURVEY §4.2). Runtime-settable conf,
+    restored after."""
+    prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    loc = str(tmp_path / "cbo_t")
+    try:
+        spark.sql(
+            f"CREATE TABLE cbo_stats_t (k BIGINT, v STRING) "
+            f"USING parquet LOCATION '{loc}'"
+        )
+        spark.range(1000).selectExpr(
+            "id as k", "cast(id as string) as v"
+        ).write.insertInto("cbo_stats_t")
+        spark.sql("ANALYZE TABLE cbo_stats_t COMPUTE STATISTICS FOR ALL COLUMNS")
+
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql("DESCRIBE EXTENDED cbo_stats_t").collect()
+        }
+        assert "1000 rows" in desc.get("Statistics", ""), desc.get("Statistics")
+
+        # column-level stats: distinct-count for the key column
+        kdesc = {
+            r.info_name: r.info_value
+            for r in spark.sql("DESCRIBE EXTENDED cbo_stats_t k").collect()
+        }
+        assert kdesc.get("distinct_count") not in (None, "NULL"), kdesc
+
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        stats = (
+            spark.table("cbo_stats_t")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        assert "1000" in stats.rowCount().toString(), stats.rowCount().toString()
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
+        spark.sql("DROP TABLE IF EXISTS cbo_stats_t")

@@ -462,3 +462,26 @@ def test_analyze_stats_feed_cbo(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev)
         spark.sql("DROP TABLE IF EXISTS cbo_stats_t")
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Dynamic partition pruning: when the partition-column filter only
+    materializes at runtime through a join (dim side filtered, fact side
+    partitioned), the fact scan must carry a dynamicpruning subquery so
+    non-qualifying partitions are skipped — the mechanism that makes
+    star-schema joins over partitioned 100 TB facts read only the
+    partitions the dim selects."""
+    target = str(tmp_path / "events_dpp")
+    ev = load_table(spark, SF_ORACLE, "events")
+    write_table(ev, target, partition_by=("event_type",))
+    fact = spark.read.parquet(target)
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 0), ("purchase", 0)],
+        "event_type string, flag int",
+    )
+    joined = fact.join(dim.filter(F.col("flag") == 1), "event_type")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the result is exactly the click partition
+    n_click = fact.filter(F.col("event_type") == "click").count()
+    assert joined.count() == n_click > 0

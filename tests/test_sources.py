@@ -485,3 +485,51 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     # and the result is exactly the click partition
     n_click = fact.filter(F.col("event_type") == "click").count()
     assert joined.count() == n_click > 0
+
+
+def test_runtime_bloom_filter_join_prunes_probe_side(spark):
+    """Runtime Bloom-filter join injection: with a selective filter on the
+    creation side, the optimizer builds a bloom_filter_agg over the join
+    keys and semi-prunes the probe-side scan before the shuffle — the
+    automatic engine twin of the manual bloom_semi_prune query.
+    Thresholds are lowered because the feature gates on estimated sizes
+    tuned for clusters; results must be identical with and without."""
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        orders = load_table(spark, SF_ORACLE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        with_bloom = j.count()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    orders = load_table(spark, SF_ORACLE, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    assert li.join(orders, li.l_orderkey == orders.o_orderkey).count() == with_bloom

@@ -533,3 +533,28 @@ def test_runtime_bloom_filter_join_prunes_probe_side(spark):
         F.col("o_orderpriority") == "1-URGENT"
     )
     assert li.join(orders, li.l_orderkey == orders.o_orderkey).count() == with_bloom
+
+
+def test_aqe_coalesces_shuffle_partitions(spark):
+    """AQE partition coalescing: with an oversized shuffle.partitions
+    setting, the post-shuffle read must coalesce at runtime to a
+    byte-targeted partition count instead of launching hundreds of tiny
+    tasks — the knob that makes one static config survive both sf0.001
+    and a 100 TB run (session.py's scale rationale, proven)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        df = (
+            load_table(spark, SF_ORACLE, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        # execute THIS frame (count() would plan a different query and
+        # leave this one's adaptive plan unfinalized)
+        assert len(df.collect()) > 0
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:300]
+        assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:1500]
+        assert df.rdd.getNumPartitions() < 200
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

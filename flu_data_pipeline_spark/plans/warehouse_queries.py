@@ -610,3 +610,81 @@ def bom_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_value"), F.asc("p_partkey"))
         .limit(50)
     )
+
+
+#: weekdays in [epoch, epoch+D): 5 per complete week + CASE over the
+#: remainder (day 0 = Thursday). Identical literal arithmetic on both
+#: engines — no engine dayofweek() (Spark is 1-7 Sunday-first, DuckDB
+#: 0-6 Sunday-first; this formula sidesteps the mismatch entirely).
+_WEEKDAYS_CASE = (
+    "(5 * ({d} // 7) + CASE {d} % 7 WHEN 0 THEN 0 WHEN 1 THEN 1 "
+    "WHEN 2 THEN 2 WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3 "
+    "WHEN 6 THEN 4 END)"
+)
+_WEEKDAYS_CASE_SPARK = (
+    "(5 * ({d} div 7) + CASE {d} % 7 WHEN 0 THEN 0 WHEN 1 THEN 1 "
+    "WHEN 2 THEN 2 WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3 "
+    "WHEN 6 THEN 4 END)"
+)
+
+
+@register(
+    "business_day_lag",
+    oracle=f"""
+    WITH firstship AS (
+        SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS ship_d
+        FROM lineitem GROUP BY l_orderkey
+    ), lagged AS (
+        SELECT o.o_orderpriority,
+               {_WEEKDAYS_CASE.format(d="(datediff('day', DATE '1970-01-01', f.ship_d) + 1)")}
+             - {_WEEKDAYS_CASE.format(d="(datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) + 1)")}
+                   AS bd_lag
+        FROM orders o JOIN firstship f ON f.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(bd_lag) AS BIGINT) AS total_bd,
+           ROUND(CAST(SUM(bd_lag) AS DOUBLE) / COUNT(*), 6) AS avg_bd_lag
+    FROM lagged
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Order-to-first-shipment lag in BUSINESS days per priority: "
+    "weekdays in the half-open (order_date, ship_date] counted by a "
+    "closed-form integer formula over days-since-epoch (5 per complete "
+    "week + a literal CASE over the remainder, epoch day 0 = Thursday) "
+    "— deliberately avoiding engine dayofweek(), whose numbering "
+    "differs between Spark (1-7, Sunday first) and DuckDB (0-6), the "
+    "classic cross-engine calendar trap. Exact int64 end to end until "
+    "the final average. Plan: first-ship is one groupBy on orderkey "
+    "feeding an equi-join with orders (same key — co-partitioned "
+    "shuffle), then a tiny priority rollup. The SLA/fulfillment "
+    "reporting shape.",
+    tags=("warehouse", "temporal", "F8", "A7"),
+)
+def business_day_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    firstship = li.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("ship_d")
+    )
+    d_ship = "(datediff(ship_d, DATE '1970-01-01') + 1)"
+    d_ord = "(datediff(cast(o_orderdate as date), DATE '1970-01-01') + 1)"
+    bd_lag = F.expr(
+        _WEEKDAYS_CASE_SPARK.format(d=d_ship)
+        + " - "
+        + _WEEKDAYS_CASE_SPARK.format(d=d_ord)
+    )
+    return (
+        orders.join(firstship, orders.o_orderkey == firstship.l_orderkey)
+        .select("o_orderpriority", bd_lag.alias("bd_lag"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("bd_lag").cast("long").alias("total_bd"),
+            F.round(
+                F.sum("bd_lag").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_bd_lag"),
+        )
+        .orderBy("o_orderpriority")
+    )

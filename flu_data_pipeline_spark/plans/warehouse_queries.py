@@ -688,3 +688,96 @@ def business_day_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "pareto_customers_80pct",
+    oracle="""
+    WITH cust_rev AS (
+        SELECT c.c_nationkey, o.o_custkey,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS r2
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey, o.o_custkey
+    ), ranked AS (
+        SELECT c_nationkey, o_custkey, r2,
+               SUM(r2) OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY r2 DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum2,
+               SUM(r2) OVER (PARTITION BY c_nationkey) AS tot2
+        FROM cust_rev
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN (cum2 - r2) * 10 < tot2 * 8
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
+           ROUND(CAST(SUM(CASE WHEN (cum2 - r2) * 10 < tot2 * 8
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS cust_share,
+           ROUND(CAST(SUM(CASE WHEN (cum2 - r2) * 10 < tot2 * 8
+                               THEN r2 ELSE 0 END) AS DOUBLE)
+                 / SUM(r2), 6) AS rev_share
+    FROM ranked
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    doc="Pareto / ABC analysis: per nation, the minimal set of customers "
+    "(ranked by revenue, ties pinned by custkey) whose cumulative "
+    "revenue reaches 80% of the nation total — how concentrated the "
+    "book of business is. Membership is the exact integer predicate "
+    "(cum_before)*10 < total*8 on fixed-point cents (no float "
+    "cumulative drift, no 0.8 literal), so the cut is bit-identical "
+    "on both engines. One shuffle to per-customer aggregates, then "
+    "nation-partitioned running and total windows share a single "
+    "sort; per-partition row counts are customer-per-nation sized, "
+    "never order-sized. Bounds: cum2*10 needs total nation revenue "
+    "< 9.2e17 cents — beyond that, scale the fixed point down.",
+    tags=("warehouse", "window", "A7", "W1"),
+)
+def pareto_customers_80pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cust_rev = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("r2")
+        )
+    )
+    w_run = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.desc("r2"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("c_nationkey")
+    ranked = cust_rev.select(
+        "c_nationkey",
+        "o_custkey",
+        "r2",
+        F.sum("r2").over(w_run).alias("cum2"),
+        F.sum("r2").over(w_all).alias("tot2"),
+    )
+    needed = (F.col("cum2") - F.col("r2")) * 10 < F.col("tot2") * 8
+    return (
+        ranked.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(needed.cast("long")).alias("n_top80"),
+            F.round(
+                F.sum(needed.cast("long")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("cust_share"),
+            F.round(
+                F.sum(F.when(needed, F.col("r2")).otherwise(0)).cast("double")
+                / F.sum("r2"),
+                6,
+            ).alias("rev_share"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -781,3 +781,77 @@ def pareto_customers_80pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "gini_revenue_concentration",
+    oracle="""
+    WITH cust_rev AS (
+        SELECT c.c_nationkey, o.o_custkey,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS r2
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey, o.o_custkey
+    ), ranked AS (
+        SELECT c_nationkey, r2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey ORDER BY r2, o_custkey
+               ) AS i
+        FROM cust_rev
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(r2) AS BIGINT) AS total_r2,
+           ROUND(2.0 * SUM(i * r2) / (COUNT(*) * SUM(r2))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM ranked
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    doc="Gini coefficient of customer-revenue concentration per nation — "
+    "the scalar inequality companion to pareto_customers_80pct, via the "
+    "rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over "
+    "ascending-sorted fixed-point revenues (ties pinned by custkey; "
+    "equal-valued ties permute i within an equal-x run, leaving "
+    "sum(i*x) unchanged, so the result is order-stable). Both "
+    "sum(i*x_i) and sum(x) are exact int64 (bounds: rank x cents x "
+    "rows < 2^63 up to ~10^4x this scale); the two divisions happen "
+    "once on identical exact values. One shuffle to per-customer "
+    "aggregates, one keyed rank window, one rollup.",
+    tags=("warehouse", "window", "A7", "A11"),
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cust_rev = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("r2")
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.asc("r2"), F.asc("o_custkey"))
+    ranked = cust_rev.select(
+        "c_nationkey", "r2", F.row_number().over(w).alias("i")
+    )
+    n = F.count(F.lit(1))
+    return (
+        ranked.groupBy("c_nationkey")
+        .agg(
+            n.alias("n_customers"),
+            F.sum("r2").cast("long").alias("total_r2"),
+            F.round(
+                F.lit(2.0)
+                * F.sum(F.col("i") * F.col("r2"))
+                / (n * F.sum("r2"))
+                - (n + F.lit(1.0)) / n,
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("c_nationkey")
+    )

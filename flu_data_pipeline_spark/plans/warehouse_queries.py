@@ -855,3 +855,69 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "hhi_market_concentration",
+    oracle="""
+    WITH cust_rev AS (
+        SELECT c.c_nationkey, o.o_custkey,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice) AS BIGINT))
+                    AS BIGINT) AS rd
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey, o.o_custkey
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rd) AS BIGINT) AS total_rd,
+           CAST(SUM(rd * rd) AS BIGINT) AS sumsq_rd,
+           ROUND(10000.0 * SUM(rd * rd) / (SUM(rd) * SUM(rd)), 6)
+               AS hhi
+    FROM cust_rev
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    doc="Herfindahl-Hirschman concentration index per nation (0-10000 "
+    "antitrust scale): HHI = 10000 * sum(share_i^2) computed as "
+    "10000*sum(r_i^2)/sum(r_i)^2 where r_i is each customer's revenue "
+    "in whole dollars — summing EXACT integer squares instead of "
+    "squared float shares, because a float sum over hundreds of "
+    "share^2 terms is aggregation-order-dependent and would diverge "
+    "between engines in the last ulps. Dollar (not cent) fixed point "
+    "keeps r^2 sums inside int64 (r ~ 1e7 dollars/customer => r^2 ~ "
+    "1e14, x10^4 customers ~ 1e18 < 2^63; rescale again beyond). "
+    "Completes the concentration trio with pareto_customers_80pct and "
+    "gini_revenue_concentration on the same one-aggregate-plus-rollup "
+    "plan — no window needed at all for HHI.",
+    tags=("warehouse", "A7", "A11"),
+)
+def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cust_rev = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice")).cast("long"))
+            .cast("long")
+            .alias("rd")
+        )
+    )
+    return (
+        cust_rev.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rd").cast("long").alias("total_rd"),
+            F.sum(F.col("rd") * F.col("rd")).cast("long").alias("sumsq_rd"),
+            F.round(
+                F.lit(10000.0)
+                * F.sum(F.col("rd") * F.col("rd"))
+                / (F.sum("rd") * F.sum("rd")),
+                6,
+            ).alias("hhi"),
+        )
+        .orderBy("c_nationkey")
+    )

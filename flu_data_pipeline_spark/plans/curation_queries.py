@@ -17,7 +17,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flu_data_pipeline_spark.catalog import load_table
@@ -544,4 +544,82 @@ def curation_association_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term"),
         )
         .orderBy("lang", "source")
+    )
+
+
+@register(
+    "corpus_temperature_mix",
+    oracle="""
+    WITH src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT SUM(n_docs) AS n FROM src
+    ), weighted AS (
+        SELECT source, n_docs,
+               CAST(n_docs AS DOUBLE) / tot.n AS p,
+               sqrt(CAST(n_docs AS DOUBLE) / tot.n) AS w_raw
+        FROM src CROSS JOIN tot
+    ), norm AS (
+        SELECT source, n_docs, p,
+               w_raw / SUM(w_raw) OVER () AS w,
+               FLOOR(w_raw / SUM(w_raw) OVER () * 100000) AS base_quota,
+               w_raw / SUM(w_raw) OVER () * 100000
+                   - FLOOR(w_raw / SUM(w_raw) OVER () * 100000) AS frac
+        FROM weighted
+    ), remainder AS (
+        SELECT CAST(100000 - SUM(base_quota) AS BIGINT) AS r FROM norm
+    )
+    SELECT source, n_docs, ROUND(p, 6) AS p, ROUND(w, 6) AS w,
+           CAST(base_quota
+                + CASE WHEN ROW_NUMBER() OVER (ORDER BY frac DESC, source)
+                            <= remainder.r THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM norm CROSS JOIN remainder
+    ORDER BY source
+    """,
+    doc="Temperature-weighted corpus mixing plan (the sampling schedule "
+    "used to rebalance a multi-source training corpus): per-source doc "
+    "share p_d, temperature-flattened weight w_d = p_d^(1/T) / sum "
+    "(T=2, i.e. sqrt — upweights rare sources, downweights dominant "
+    "ones), then an EXACT integer quota out of a 100k-sample budget "
+    "via largest-remainder apportionment (floor(w*B) + distribute the "
+    "leftover to the largest fractional parts; deterministic "
+    "frac-desc/source tie-break). Quotas are guaranteed to sum to the "
+    "budget — a pure-rounding plan would drift by +-(#sources/2). "
+    "Scale shape: one groupBy(source) on a low-cardinality key, then "
+    "source-cardinality window math; the plan that CONSUMES the quota "
+    "samples per-partition against broadcast per-source rates, so "
+    "nothing here grows with corpus size.",
+    tags=("curation", "llm", "A10", "W1"),
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 100000
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = Window.partitionBy()
+    p = F.col("n_docs").cast("double") / F.sum("n_docs").over(tot)
+    weighted = src.select("source", "n_docs", p.alias("p"), F.sqrt(p).alias("w_raw"))
+    w = F.col("w_raw") / F.sum("w_raw").over(tot)
+    norm = weighted.select(
+        "source",
+        "n_docs",
+        "p",
+        w.alias("w"),
+        F.floor(w * budget).alias("base_quota"),
+        (w * budget - F.floor(w * budget)).alias("frac"),
+    )
+    rem = (budget - F.sum("base_quota").over(tot)).cast("bigint")
+    rank = F.row_number().over(Window.orderBy(F.col("frac").desc(), "source"))
+    return (
+        norm.select(
+            "source",
+            "n_docs",
+            F.round("p", 6).alias("p"),
+            F.round("w", 6).alias("w"),
+            (F.col("base_quota") + F.when(rank <= rem, 1).otherwise(0))
+            .cast("bigint")
+            .alias("quota"),
+        )
+        .orderBy("source")
     )

@@ -862,3 +862,168 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("postings_head"),
     )
     return agg.orderBy(F.col("df").desc(), "term").limit(100)
+
+
+@register(
+    "vocab_coverage_cutoff",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_TOKENS}) AS term FROM documents
+    ), counts AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS term_count
+        FROM tok GROUP BY term
+    ), ranked AS (
+        SELECT term, term_count,
+               CAST(ROW_NUMBER() OVER (ORDER BY term_count DESC, term)
+                    AS BIGINT) AS rank,
+               SUM(term_count) OVER (ORDER BY term_count DESC, term
+                                     ROWS UNBOUNDED PRECEDING) AS cum_count,
+               SUM(term_count) OVER () AS total_count
+        FROM counts
+    )
+    SELECT term, term_count, rank,
+           ROUND(CAST(cum_count AS DOUBLE) / total_count, 6) AS cum_share,
+           CASE WHEN CAST(cum_count - term_count AS DOUBLE) / total_count
+                     < 0.90 THEN 1 ELSE 0 END AS in_vocab_90
+    FROM ranked
+    ORDER BY rank
+    LIMIT 200
+    """,
+    doc="Tokenizer-vocabulary build with cumulative-coverage cutoff (the "
+    "standard vocab-size decision for a corpus: keep the most frequent "
+    "terms until they cover 90% of all token occurrences; everything "
+    "past the knee maps to <unk>). Per-term corpus counts -> rank by "
+    "(count desc, term) -> running token-mass share via a cumulative "
+    "window -> in_vocab_90 marks terms whose PRECEDING mass is still "
+    "under the cutoff (the first term crossing the line is kept, "
+    "matching the usual 'smallest vocab reaching coverage' rule). "
+    "Scale shape: the explode+groupBy(term) shuffle carries (term, "
+    "count) pairs only, and the ordered cumulative window runs over "
+    "DISTINCT TERMS (vocab cardinality, millions at 100 TB — not corpus "
+    "rows). The single-partition ordered window is the known cost: at "
+    "real scale replace it with a two-pass range-partitioned prefix sum "
+    "(per-partition subtotals broadcast back as offsets); the query "
+    "shape and cutoff semantics are unchanged. Top-200 rows exported.",
+    tags=("text", "llm", "A10", "O3", "W1"),
+)
+def vocab_coverage_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+    )
+    # Ordered cumulative window over vocab-cardinality rows (see doc).
+    w = Window.orderBy(F.col("term_count").desc(), "term")
+    total = Window.partitionBy()
+    ranked = counts.select(
+        "term",
+        "term_count",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.sum("term_count").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_count"),
+        F.sum("term_count").over(total).alias("total_count"),
+    )
+    return ranked.select(
+        "term",
+        "term_count",
+        "rank",
+        F.round(F.col("cum_count").cast("double") / F.col("total_count"), 6)
+        .alias("cum_share"),
+        F.when(
+            (F.col("cum_count") - F.col("term_count")).cast("double")
+            / F.col("total_count")
+            < 0.90,
+            1,
+        )
+        .otherwise(0)
+        .alias("in_vocab_90"),
+    ).orderBy("rank").limit(200)
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH doc_tokens AS (
+        SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ), doc_bigrams AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM doc_tokens, UNNEST(range(1, len(toks))) AS t(i)
+        WHERE len(toks) >= 2
+    ), unigram AS (
+        SELECT w1 AS w, CAST(COUNT(*) AS BIGINT) AS uc
+        FROM doc_bigrams GROUP BY w1
+    ), bigram AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS bc
+        FROM doc_bigrams GROUP BY w1, w2
+    ), vocab AS (
+        SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+        FROM (SELECT unnest(toks) AS term FROM doc_tokens) u
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(ln(CAST(b.bc + 1 AS DOUBLE) / (u.uc + vocab.v))), 6)
+               AS avg_logprob
+    FROM doc_bigrams d
+    JOIN bigram b ON d.w1 = b.w1 AND d.w2 = b.w2
+    JOIN unigram u ON d.w1 = u.w
+    CROSS JOIN vocab
+    GROUP BY d.doc_id
+    ORDER BY avg_logprob ASC, d.doc_id
+    LIMIT 25
+    """,
+    doc="Bigram language-model scoring with add-one (Laplace) smoothing — "
+    "the classic cheap perplexity filter for training-data quality: "
+    "train bigram/unigram counts on the corpus itself, score every "
+    "document by its mean log-probability, surface the 25 most "
+    "surprising (lowest avg logprob = most out-of-distribution) docs. "
+    "p(w2|w1) = (c(w1,w2)+1) / (c(w1)+|V|); unigram counts use the "
+    "bigram-history occurrences so train and score see the same "
+    "events. Scale shape: bigrams stream off the token arrays "
+    "map-side; the model tables are vocab- and bigram-cardinality "
+    "(not corpus-cardinality) and both joins are on the bigram keys "
+    "the data was just aggregated on. |V| is a broadcast scalar. At "
+    "100 TB the bigram model table is the big side; the per-doc "
+    "score join co-partitions on (w1, w2) and re-aggregates by "
+    "doc_id — two shuffles total, no driver state.",
+    tags=("text", "llm", "A7", "J6"),
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    all_toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    toks = all_toks.filter(F.size("toks") >= 2)
+    # bigram stream: one row per adjacent token pair, built map-side from
+    # the materialized token array (no self-join on positions)
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2), "
+                "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    unigram = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("uc"))
+    bigram = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    vocab = all_toks.select(F.explode("toks").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    scored = (
+        pairs.join(bigram, ["w1", "w2"])
+        .join(unigram, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("bc") + 1).cast("double")
+                        / (F.col("uc") + F.col("v"))
+                    )
+                ),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+    return scored.orderBy(F.asc("avg_logprob"), "doc_id").limit(25)

@@ -623,3 +623,162 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "length_bucket_batching",
+    oracle="""
+    WITH doc_len AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS n_tokens
+        FROM documents
+    ), bucketed AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN n_tokens <= 16 THEN 16
+                    WHEN n_tokens <= 32 THEN 32
+                    WHEN n_tokens <= 64 THEN 64
+                    WHEN n_tokens <= 128 THEN 128
+                    WHEN n_tokens <= 256 THEN 256
+                    ELSE 512 END AS bucket_len
+        FROM doc_len
+    )
+    SELECT CAST(bucket_len AS INT) AS bucket_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(CEIL(COUNT(*) / 8.0) AS BIGINT) AS n_batches,
+           CAST(CEIL(COUNT(*) / 8.0) * 8 * bucket_len - SUM(n_tokens)
+                AS BIGINT) AS padded_tokens,
+           ROUND(1.0 - CAST(SUM(n_tokens) AS DOUBLE)
+                     / (CEIL(COUNT(*) / 8.0) * 8 * bucket_len), 6)
+               AS waste_ratio
+    FROM bucketed
+    GROUP BY bucket_len
+    ORDER BY bucket_len
+    """,
+    doc="Length-bucketed batching plan (dynamic-padding efficiency for "
+    "sequence training): every document is assigned to the smallest "
+    "power-of-two length bucket holding its token count (16..512; "
+    "explicit CASE boundaries, not float log2 — exact on both "
+    "engines), then per bucket: batch count at batch_size=8, padded "
+    "token slots (batches*8*bucket_len incl. ragged last batch), and "
+    "the padding-waste ratio the bucketing achieves. This is the "
+    "standard answer to 'padding to global max wastes FLOPs': the "
+    "report quantifies waste per bucket so bucket boundaries/batch "
+    "size can be tuned. Scale shape: one map-side token count per doc "
+    "+ one groupBy over ~6 bucket keys — no shuffle of text, "
+    "bucket-cardinality result.",
+    tags=("curation", "llm", "text", "A10"),
+)
+def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from flu_data_pipeline_spark.operators.dedup import tokenize
+
+    n_tokens = F.size(tokenize(F.col("text")))
+    bucket = (
+        F.when(n_tokens <= 16, 16)
+        .when(n_tokens <= 32, 32)
+        .when(n_tokens <= 64, 64)
+        .when(n_tokens <= 128, 128)
+        .when(n_tokens <= 256, 256)
+        .otherwise(512)
+    )
+    doc_len = docs.select(
+        n_tokens.alias("n_tokens"), bucket.alias("bucket_len")
+    )
+    batch_size = 8
+    n_batches = F.ceil(F.count(F.lit(1)) / float(batch_size))
+    slots = n_batches * batch_size * F.col("bucket_len")
+    return (
+        doc_len.groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            n_batches.cast("bigint").alias("n_batches"),
+            (slots - F.sum("n_tokens")).cast("bigint").alias("padded_tokens"),
+            F.round(
+                1.0 - F.sum("n_tokens").cast("double") / slots, 6
+            ).alias("waste_ratio"),
+        )
+        .select(
+            F.col("bucket_len").cast("int").alias("bucket_len"),
+            "n_docs",
+            "total_tokens",
+            "n_batches",
+            "padded_tokens",
+            "waste_ratio",
+        )
+        .orderBy("bucket_len")
+    )
+
+
+@register(
+    "epoch_shuffle_plan",
+    oracle=f"""
+    WITH epochs AS (
+        SELECT unnest(range(0, 3)) AS epoch
+    ), keyed AS (
+        SELECT e.epoch, d.doc_id,
+               {hash64_sql("CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")}
+                   AS shuffle_key
+        FROM documents d CROSS JOIN epochs e
+    ), ranked AS (
+        SELECT epoch, doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                                       ORDER BY shuffle_key, doc_id)
+                    AS BIGINT) AS pos
+        FROM keyed
+    )
+    SELECT CAST(epoch AS INT) AS epoch,
+           CAST(pos % 8 AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id * pos) AS BIGINT) AS order_checksum
+    FROM ranked
+    GROUP BY epoch, pos % 8
+    ORDER BY epoch, shard
+    """,
+    doc="Deterministic per-epoch shuffle + shard assignment (the 'global "
+    "shuffle each epoch without a shuffle service' recipe): each "
+    "epoch's permutation is the sort order of a portable "
+    "hash(epoch:doc_id) — stable across runs and engines, different "
+    "across epochs — and shard = position mod 8. The per-(epoch, "
+    "shard) order_checksum (sum of doc_id*position) pins the EXACT "
+    "permutation, so the oracle proves both engines derive the "
+    "identical epoch orderings, not just equal shard sizes. Scale "
+    "shape: the hash is map-side; the per-epoch global ordering is "
+    "realized at scale with repartitionByRange(shuffle_key) + "
+    "sortWithinPartitions (range-partitioned positions, no single "
+    "ordered window) — here the per-epoch window stands in at test "
+    "size. Epoch fan-out is a 3-row broadcast cross join, so the "
+    "corpus is scanned once.",
+    tags=("curation", "llm", "W1", "A10"),
+)
+def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(0, 3).select(F.col("id").cast("int").alias("epoch"))
+    keyed = docs.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        hash64(
+            F.concat_ws(":", F.col("epoch").cast("string"),
+                        F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+    )
+    w = Window.partitionBy("epoch").orderBy("shuffle_key", "doc_id")
+    ranked = keyed.select(
+        "epoch", "doc_id", F.row_number().over(w).cast("bigint").alias("pos")
+    )
+    return (
+        ranked.groupBy("epoch", (F.col("pos") % 8).cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("doc_id") * F.col("pos")).alias("order_checksum"),
+        )
+        .select(
+            F.col("epoch").cast("int").alias("epoch"),
+            "shard",
+            "n_docs",
+            "order_checksum",
+        )
+        .orderBy("epoch", "shard")
+    )

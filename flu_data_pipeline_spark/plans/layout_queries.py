@@ -199,3 +199,68 @@ def zorder_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(summarize(lin_spans, "single_key"))
         .orderBy("layout")
     )
+
+
+@register(
+    "compaction_plan_by_month",
+    oracle="""
+    WITH part AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT l_suppkey % 16) AS BIGINT)
+                   AS current_files
+        FROM lineitem
+        GROUP BY strftime(l_shipdate, '%Y-%m')
+    )
+    SELECT ship_month, n_rows, current_files,
+           CAST(n_rows * 120 AS BIGINT) AS est_bytes,
+           CAST(GREATEST(1, CEIL(n_rows * 120.0 / (128 * 1024 * 1024)))
+                AS BIGINT) AS target_files,
+           CAST(CEIL(CAST(n_rows AS DOUBLE)
+                     / GREATEST(1, CEIL(n_rows * 120.0
+                                        / (128 * 1024 * 1024))))
+                AS BIGINT) AS rows_per_file,
+           CAST(current_files
+                - GREATEST(1, CEIL(n_rows * 120.0 / (128 * 1024 * 1024)))
+                AS BIGINT) AS files_saved
+    FROM part
+    ORDER BY ship_month
+    """,
+    doc="Small-file compaction planner per ship-month partition — the "
+    "table-maintenance pass every large parquet/Delta deployment "
+    "schedules: per partition, current file count (modeled here as "
+    "distinct writer-task buckets, l_suppkey%16 — each shuffle task "
+    "that touched the partition left a file), estimated bytes from a "
+    "fixed 120 B/row model, the target file count at a 128 MB goal "
+    "size, rows per compacted file, and files saved. The 120 B/row "
+    "width is a stated model constant (real deployments read it from "
+    "file footers); all math is integer/half-even-free so both "
+    "engines agree exactly. Scale shape: one groupBy(month) over "
+    "map-side-combined counts; the plan output is "
+    "partition-cardinality and drives `coalesce`/rewrite jobs sized "
+    "per partition — the standard OPTIMIZE loop. At 100 TB the same "
+    "query runs on the file-metadata table instead of raw rows, "
+    "making it metadata-only.",
+    tags=("warehouse", "layout", "A10", "A8"),
+)
+def compaction_plan_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    goal = 128 * 1024 * 1024
+    part = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(F.col("l_suppkey") % 16).alias("current_files"),
+    )
+    target = F.greatest(F.lit(1), F.ceil(F.col("n_rows") * 120.0 / goal))
+    return part.select(
+        "ship_month",
+        "n_rows",
+        "current_files",
+        (F.col("n_rows") * 120).cast("bigint").alias("est_bytes"),
+        target.cast("bigint").alias("target_files"),
+        F.ceil(F.col("n_rows").cast("double") / target)
+        .cast("bigint")
+        .alias("rows_per_file"),
+        (F.col("current_files") - target).cast("bigint").alias("files_saved"),
+    ).orderBy("ship_month")

@@ -49,6 +49,7 @@ BNLJ_AUDITED = {
     "curation_domain_mix",   # (a) 1-row corpus totals
     "dq_benford_digits",     # (a) 1-row digit-count total
     "drift_value_histogram",  # (a) 1-row min/max bounds
+    "epoch_shuffle_plan",    # (b) 3-row epoch enum broadcast
     "eval_auc_purchase",     # (a) 1-row pos/neg totals
     "eval_calibration_bins",  # (a) 1-row bounds
     "eval_pr_curve_purchase",  # (a) 1-row totals
@@ -59,6 +60,7 @@ BNLJ_AUDITED = {
     "q22_dormant_rich_customers",  # (a) 1-row avg balance cutoff
     "range_band_join",       # (c) band-range condition
     "sample_weighted",       # (a) 1-row max length
+    "text_bigram_lm_score",  # (a) 1-row vocab-size scalar
     "text_bm25_topk",        # (a) 1-row corpus stats
     "triangle_count_cosupply",  # (c) orientation m<n condition
     "ts_gapfill_daily",      # (b) calendar grid x type enum

@@ -670,3 +670,126 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+@register(
+    "linkage_fs_weights",
+    oracle="""
+    WITH sides AS (
+        SELECT p_partkey AS id, p_name AS name, p_brand AS brand,
+               p_type AS type, p_size AS size,
+               split_part(p_name, ' ', 1) AS blk
+        FROM part
+    ), pairs AS (
+        SELECT CASE WHEN levenshtein(a.name, b.name) <= 4
+                    THEN 1 ELSE 0 END AS is_match,
+               CASE WHEN a.brand = b.brand THEN 1 ELSE 0 END AS agr_brand,
+               CASE WHEN a.type = b.type THEN 1 ELSE 0 END AS agr_type,
+               CASE WHEN a.size = b.size THEN 1 ELSE 0 END AS agr_size
+        FROM sides a JOIN sides b
+          ON a.blk = b.blk AND a.id < b.id
+    ), tot AS (
+        SELECT SUM(is_match) AS n_m, SUM(1 - is_match) AS n_u,
+               SUM(is_match * agr_brand) AS m_brand,
+               SUM((1 - is_match) * agr_brand) AS u_brand,
+               SUM(is_match * agr_type) AS m_type,
+               SUM((1 - is_match) * agr_type) AS u_type,
+               SUM(is_match * agr_size) AS m_size,
+               SUM((1 - is_match) * agr_size) AS u_size
+        FROM pairs
+    ), fields AS (
+        SELECT 'brand' AS field, m_brand AS a_m, u_brand AS a_u, n_m, n_u
+        FROM tot
+        UNION ALL
+        SELECT 'type', m_type, u_type, n_m, n_u FROM tot
+        UNION ALL
+        SELECT 'size', m_size, u_size, n_m, n_u FROM tot
+    )
+    SELECT field,
+           CAST(n_m AS BIGINT) AS n_match,
+           CAST(n_u AS BIGINT) AS n_unmatch,
+           ROUND((a_m + 0.5) / (n_m + 1.0), 6) AS m_prob,
+           ROUND((a_u + 0.5) / (n_u + 1.0), 6) AS u_prob,
+           ROUND(ln(((a_m + 0.5) / (n_m + 1.0))
+                    / ((a_u + 0.5) / (n_u + 1.0))), 6) AS w_agree,
+           ROUND(ln((1.0 - (a_m + 0.5) / (n_m + 1.0))
+                    / (1.0 - (a_u + 0.5) / (n_u + 1.0))), 6) AS w_disagree
+    FROM fields
+    ORDER BY field
+    """,
+    doc="Fellegi-Sunter record-linkage field weights, estimated from "
+    "blocked candidate pairs: pairs sharing a block (first name word) "
+    "are labeled match/unmatch by a deterministic edit-distance rule "
+    "(levenshtein <= 4, same rule as fuzzy_blocked_pairs), then each "
+    "comparison field (brand / type / size) gets m = P(agree|match), "
+    "u = P(agree|unmatch) with +0.5/+1 Laplace smoothing (no ln(0)), "
+    "and the classic agreement/disagreement log-likelihood weights "
+    "ln(m/u), ln((1-m)/(1-u)). Downstream, a pair's match score is "
+    "the SUM of its per-field weights — this query produces that "
+    "scoring table. (Production FS fits m,u by EM; the label rule "
+    "here is a stated deterministic proxy so both engines agree "
+    "exactly.) Scale shape: identical to the blocked fuzzy join — "
+    "block-bounded self-join, then ONE conditional-aggregation pass "
+    "to a single row reshaped to field-cardinality; no per-field "
+    "rescans of the pair set.",
+    tags=("dedup", "linkage", "J6", "A10"),
+)
+def linkage_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.split("p_name", " ").getItem(0).alias("blk"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand_a"), F.col("p_type").alias("type_a"),
+        F.col("p_size").alias("size_a"), F.col("blk").alias("blk_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand_b"), F.col("p_type").alias("type_b"),
+        F.col("p_size").alias("size_b"), F.col("blk").alias("blk_b"),
+    )
+    is_match = (F.levenshtein("name_a", "name_b") <= 4).cast("long")
+    pairs = a.join(
+        b, (F.col("blk_a") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select(
+        is_match.alias("is_match"),
+        (F.col("brand_a") == F.col("brand_b")).cast("long").alias("agr_brand"),
+        (F.col("type_a") == F.col("type_b")).cast("long").alias("agr_type"),
+        (F.col("size_a") == F.col("size_b")).cast("long").alias("agr_size"),
+    )
+    um = 1 - F.col("is_match")
+    tot = pairs.agg(
+        F.sum("is_match").alias("n_m"),
+        F.sum(um).alias("n_u"),
+        F.sum(F.col("is_match") * F.col("agr_brand")).alias("m_brand"),
+        F.sum(um * F.col("agr_brand")).alias("u_brand"),
+        F.sum(F.col("is_match") * F.col("agr_type")).alias("m_type"),
+        F.sum(um * F.col("agr_type")).alias("u_type"),
+        F.sum(F.col("is_match") * F.col("agr_size")).alias("m_size"),
+        F.sum(um * F.col("agr_size")).alias("u_size"),
+    )
+    fields = tot.select(
+        F.expr(
+            "stack(3, 'brand', m_brand, u_brand, "
+            "'type', m_type, u_type, "
+            "'size', m_size, u_size) AS (field, a_m, a_u)"
+        ),
+        "n_m",
+        "n_u",
+    )
+    m_prob = (F.col("a_m") + 0.5) / (F.col("n_m") + 1.0)
+    u_prob = (F.col("a_u") + 0.5) / (F.col("n_u") + 1.0)
+    return fields.select(
+        "field",
+        F.col("n_m").cast("bigint").alias("n_match"),
+        F.col("n_u").cast("bigint").alias("n_unmatch"),
+        F.round(m_prob, 6).alias("m_prob"),
+        F.round(u_prob, 6).alias("u_prob"),
+        F.round(F.log(m_prob / u_prob), 6).alias("w_agree"),
+        F.round(F.log((1.0 - m_prob) / (1.0 - u_prob)), 6).alias("w_disagree"),
+    ).orderBy("field")

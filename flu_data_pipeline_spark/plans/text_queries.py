@@ -1027,3 +1027,150 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.asc("avg_logprob"), "doc_id").limit(25)
+
+
+@register(
+    "ranking_rbo_eval",
+    oracle=f"""
+    WITH docs_t AS (
+        SELECT doc_id, {_TOKENS} AS t FROM documents
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               AVG(CAST(len(t) AS DOUBLE)) AS avgdl
+        FROM docs_t
+    ), tf AS (
+        SELECT d.doc_id, CAST(len(d.t) AS DOUBLE) AS dl, q.term,
+               CAST(len(list_filter(d.t, x -> x = q.term)) AS DOUBLE) AS f
+        FROM docs_t d
+        CROSS JOIN (SELECT unnest({list(BM25_TERMS)!r}::VARCHAR[]) AS term) q
+    ), df AS (
+        SELECT term, CAST(SUM(CASE WHEN f > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS n_with
+        FROM tf GROUP BY term
+    ), bm25 AS (
+        SELECT tf.doc_id,
+               SUM(LN((s.n_docs - df.n_with + 0.5) / (df.n_with + 0.5) + 1)
+                   * tf.f * ({BM25_K1} + 1)
+                   / (tf.f + {BM25_K1}
+                      * (1 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+               ) AS score
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    ), rank_a AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id)
+                   AS ra
+        FROM bm25 WHERE score > 0
+        QUALIFY ra <= 10
+    ), plain AS (
+        SELECT doc_id, SUM(f) AS tf_sum FROM tf GROUP BY doc_id
+    ), rank_b AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY tf_sum DESC, doc_id) AS rb
+        FROM plain WHERE tf_sum > 0
+        QUALIFY rb <= 10
+    ), common AS (
+        SELECT a.doc_id, a.ra, b.rb
+        FROM rank_a a JOIN rank_b b USING (doc_id)
+    ), depths AS (
+        SELECT unnest(range(1, 11)) AS d
+    ), ov AS (
+        SELECT d.d,
+               SUM(CASE WHEN c.ra <= d.d AND c.rb <= d.d
+                        THEN 1 ELSE 0 END) AS overlap_d
+        FROM depths d LEFT JOIN common c ON TRUE
+        GROUP BY d.d
+    )
+    SELECT CAST(10 AS INT) AS depth,
+           CAST(MAX(CASE WHEN d = 10 THEN overlap_d END) AS BIGINT)
+               AS overlap_at_k,
+           ROUND(0.1 * SUM(POWER(0.9, d - 1) * overlap_d / d), 6) AS rbo
+    FROM ov
+    """,
+    doc="Rank-biased overlap (RBO, Webber et al. 2010) between two "
+    "retrieval rankings of the SAME fixed query — BM25 vs raw "
+    "term-frequency scoring — at depth 10 with persistence p=0.9: "
+    "rbo = (1-p) * sum_d p^(d-1) * |A_d n B_d| / d. This is the "
+    "standard top-weighted answer to 'did changing the scorer "
+    "actually change what users see': overlap at each prefix depth, "
+    "geometrically discounted so rank-1 disagreements dominate. Both "
+    "rankings pin ties on (rounded score desc, doc_id), so the "
+    "prefix sets are deterministic. Scale shape: the scoring passes "
+    "are the BM25 query's (tiny broadcast stats, one groupBy(doc)); "
+    "the RBO math runs on two 10-row ranked lists crossed with a "
+    "10-row depth enum — constant-size regardless of corpus scale.",
+    tags=("text", "eval", "O3", "A7"),
+)
+def ranking_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs_t = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    stats = docs_t.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size("t").cast("double")).alias("avgdl"),
+    )
+    terms = docs.sparkSession.createDataFrame(
+        [(t,) for t in BM25_TERMS], "term string"
+    )
+    tf = docs_t.crossJoin(F.broadcast(terms)).select(
+        "doc_id",
+        F.size("t").cast("double").alias("dl"),
+        "term",
+        F.size(F.expr("filter(t, x -> x = term)")).cast("double").alias("f"),
+    )
+    df_ = tf.groupBy("term").agg(
+        F.sum(F.when(F.col("f") > 0, 1).otherwise(0)).cast("double").alias("n_with")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("n_with") + 0.5) / (F.col("n_with") + 0.5) + 1
+    )
+    denom = F.col("f") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    bm25 = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("f") * (BM25_K1 + 1) / denom).alias("score"))
+        .filter(F.col("score") > 0)
+    )
+    wa = Window.orderBy(F.desc(F.round("score", 6)), F.asc("doc_id"))
+    rank_a = (
+        bm25.withColumn("ra", F.row_number().over(wa))
+        .filter(F.col("ra") <= 10)
+        .select("doc_id", "ra")
+    )
+    plain = tf.groupBy("doc_id").agg(F.sum("f").alias("tf_sum")).filter(
+        F.col("tf_sum") > 0
+    )
+    wb = Window.orderBy(F.desc("tf_sum"), F.asc("doc_id"))
+    rank_b = (
+        plain.withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") <= 10)
+        .select("doc_id", "rb")
+    )
+    common = rank_a.join(rank_b, "doc_id")
+    depths = spark.range(1, 11).select(F.col("id").alias("d"))
+    ov = (
+        F.broadcast(depths)
+        .join(common, F.lit(True), "left")
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when((F.col("ra") <= F.col("d")) & (F.col("rb") <= F.col("d")), 1)
+                .otherwise(0)
+            ).alias("overlap_d")
+        )
+    )
+    return ov.agg(
+        F.lit(10).cast("int").alias("depth"),
+        F.max(F.when(F.col("d") == 10, F.col("overlap_d")))
+        .cast("bigint")
+        .alias("overlap_at_k"),
+        F.round(
+            0.1
+            * F.sum(
+                F.pow(F.lit(0.9), F.col("d") - 1) * F.col("overlap_d") / F.col("d")
+            ),
+            6,
+        ).alias("rbo"),
+    )

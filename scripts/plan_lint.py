@@ -59,6 +59,7 @@ BNLJ_AUDITED = {
     "q11_important_stock",   # (a) 1-row global sum+count
     "q22_dormant_rich_customers",  # (a) 1-row avg balance cutoff
     "range_band_join",       # (c) band-range condition
+    "ranking_rbo_eval",      # (a)+(b) corpus stats + 10-row depth enum
     "sample_weighted",       # (a) 1-row max length
     "text_bigram_lm_score",  # (a) 1-row vocab-size scalar
     "text_bm25_topk",        # (a) 1-row corpus stats

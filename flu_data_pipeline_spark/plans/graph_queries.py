@@ -380,3 +380,105 @@ _KCORE_ORACLE = (
 def kcore_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _cosupply_edges(spark, sf_dir)
     return kcore(e, k=_KCORE_K, rounds=_KCORE_ROUNDS).orderBy("node")
+
+
+_SSSP_ROUNDS = 3
+
+#: One Bellman-Ford relaxation round as SQL: prev dist CTE -> next.
+#: Mirrors the Spark loop in sssp_weighted_cosupply exactly: candidate
+#: distances through every edge out of the current estimates, min-merged
+#: with the estimates themselves (integer weights — no float drift).
+def _relax_sql(prev: str, cur: str) -> str:
+    return f"""{cur} AS MATERIALIZED (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT sym.d AS node, {prev}.dist + sym.w AS dist
+            FROM {prev} JOIN sym ON {prev}.node = sym.s
+        ) u GROUP BY node
+    )"""
+
+
+@register(
+    "sssp_weighted_cosupply",
+    oracle="WITH "
+    + _COSUPPLY_EDGES_SQL
+    + """,
+    ew AS MATERIALIZED (
+        SELECT u, v, CAST(CEIL(100.0 / shared) AS BIGINT) AS w
+        FROM pairs, m WHERE shared > 1.1 * avg_shared
+    ), sym AS MATERIALIZED (
+        SELECT u AS s, v AS d, w FROM ew
+        UNION ALL
+        SELECT v, u, w FROM ew
+    ), d0 AS (
+        SELECT MIN(s) AS node, CAST(0 AS BIGINT) AS dist FROM sym
+    ), """
+    + _relax_sql("d0", "d1")
+    + ", "
+    + _relax_sql("d1", "d2")
+    + ", "
+    + _relax_sql("d2", "d3")
+    + """
+    SELECT node, dist FROM d3
+    ORDER BY dist, node
+    LIMIT 50
+    """,
+    doc="Weighted single-source shortest path (Bellman-Ford, 3 unrolled "
+    "relaxation rounds) over the co-supply graph: edge cost = "
+    "ceil(100/shared-parts), so strongly co-supplying pairs are "
+    "'closer'; source = minimum supplier key in the edge set; output "
+    "= the 50 nearest nodes by (dist, node) after round 3 (with 3 "
+    "rounds every reported distance is over <=3 edges — a bounded-"
+    "horizon SSSP, the same contract as the BFS query's hop cap). "
+    "Costs are INTEGER so min-merges are exact on both engines. "
+    "Scale shape: each round is one shuffle — current estimates join "
+    "the symmetrized edges on the node key and min-merge; work per "
+    "round is proportional to the reached set's out-edges, and "
+    "localCheckpoint truncates plan lineage so round N's plan does "
+    "not replay rounds 1..N-1 (the standard iterative-algorithm "
+    "discipline from connected_components/bfs_hops). Spark-side twin "
+    "of the oracle's unrolled-CTE relaxations.",
+    tags=("graph", "sssp", "J6", "A10"),
+)
+def sssp_weighted_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select("l_partkey", "l_suppkey").distinct()
+    a, b = sp.alias("a"), sp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("shared"))
+    )
+    avg = pairs.agg(F.avg("shared").alias("avg_shared"))
+    ew = (
+        pairs.crossJoin(F.broadcast(avg))
+        .filter(F.col("shared") > 1.1 * F.col("avg_shared"))
+        .select(
+            "u",
+            "v",
+            F.ceil(100.0 / F.col("shared")).cast("bigint").alias("w"),
+        )
+    )
+    sym = ew.select(F.col("u").alias("s"), F.col("v").alias("d"), "w").unionByName(
+        ew.select(F.col("v").alias("s"), F.col("u").alias("d"), "w")
+    )
+    sym = sym.localCheckpoint(eager=True)
+    dist = sym.agg(F.min("s").alias("node"), F.lit(0).cast("bigint").alias("dist"))
+    for _ in range(_SSSP_ROUNDS):
+        cand = dist.join(sym, dist.node == sym.s).select(
+            F.col("d").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.orderBy("dist", "node").limit(50)

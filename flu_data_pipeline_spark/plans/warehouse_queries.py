@@ -921,3 +921,111 @@ def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "brand_affinity_lift",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l.l_orderkey AS orderkey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), norders AS (
+        SELECT CAST(COUNT(DISTINCT orderkey) AS DOUBLE) AS n FROM basket
+    ), brand_n AS (
+        SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_brand
+        FROM basket GROUP BY brand
+    ), pair_n AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS support_ab
+        FROM basket a JOIN basket b
+          ON a.orderkey = b.orderkey AND a.brand < b.brand
+        GROUP BY a.brand, b.brand
+    )
+    SELECT brand_a, brand_b, support_ab,
+           na.n_brand AS n_a, nb.n_brand AS n_b,
+           ROUND(CAST(support_ab AS DOUBLE) / na.n_brand, 6)
+               AS confidence_a_b,
+           ROUND(CAST(support_ab AS DOUBLE) * norders.n
+                 / (na.n_brand * nb.n_brand), 6) AS lift
+    FROM pair_n
+    JOIN brand_n na ON pair_n.brand_a = na.brand
+    JOIN brand_n nb ON pair_n.brand_b = nb.brand
+    CROSS JOIN norders
+    WHERE support_ab >= 5
+    QUALIFY ROW_NUMBER() OVER (
+        ORDER BY ROUND(CAST(support_ab AS DOUBLE) * norders.n
+                       / (na.n_brand * nb.n_brand), 6) DESC,
+                 brand_a, brand_b) <= 25
+    ORDER BY lift DESC, brand_a, brand_b
+    """,
+    doc="Market-basket affinity mining over order baskets: which brand "
+    "PAIRS co-occur in the same order more than independence predicts. "
+    "Basket = distinct (order, brand) presence; per-pair support from "
+    "a basket self-join (a.brand < b.brand kills mirror/self pairs); "
+    "confidence(a->b) = support/n_a and lift = P(ab)/(P(a)P(b)) from "
+    "the brand margins; min-support 5 then top-25 pinned on (rounded "
+    "lift, brand pair). The a-priori trick at scale: the pair "
+    "self-join runs AFTER distinct-per-order collapse, so its size is "
+    "bounded by sum_orders C(brands_in_order, 2) — per-order brand "
+    "breadth, not raw lineitem rows; heavy-hitter brands can be "
+    "further pre-pruned by min-support on the margins before the "
+    "join (downstream-equivalent because pair support <= margin). "
+    "Scale shape: broadcast part dim into the scan join, ONE "
+    "(orderkey, brand) distinct shuffle, self-join co-partitioned on "
+    "orderkey, then brand-pair-cardinality aggregation; margins and "
+    "N are broadcast scalars at the end.",
+    tags=("warehouse", "mining", "J6", "A8", "A10", "O3"),
+)
+def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    basket = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("orderkey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    norders = basket.agg(
+        F.countDistinct("orderkey").cast("double").alias("n")
+    )
+    brand_n = basket.groupBy("brand").agg(F.count(F.lit(1)).alias("n_brand"))
+    a = basket.select("orderkey", F.col("brand").alias("brand_a"))
+    b = basket.select(F.col("orderkey").alias("ok_b"), F.col("brand").alias("brand_b"))
+    pair_n = (
+        a.join(b, (a.orderkey == b.ok_b) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("support_ab"))
+        .filter(F.col("support_ab") >= 5)
+    )
+    na = brand_n.select(
+        F.col("brand").alias("brand_a"), F.col("n_brand").alias("n_a")
+    )
+    nb = brand_n.select(
+        F.col("brand").alias("brand_b"), F.col("n_brand").alias("n_b")
+    )
+    lift = F.round(
+        F.col("support_ab").cast("double") * F.col("n")
+        / (F.col("n_a") * F.col("n_b")),
+        6,
+    )
+    scored = (
+        pair_n.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .crossJoin(F.broadcast(norders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "support_ab",
+            "n_a",
+            "n_b",
+            F.round(F.col("support_ab").cast("double") / F.col("n_a"), 6)
+            .alias("confidence_a_b"),
+            lift.alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.desc("lift"), "brand_a", "brand_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .drop("rn")
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+    )

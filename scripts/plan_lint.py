@@ -44,6 +44,7 @@ BNLJ_AUDITED = {
     "ann_recall_eval",       # (b) truth set for 5 query ids
     "ann_topk_cosine",       # (b) 5 query vectors broadcast
     "bloom_semi_prune",      # (b) filter bit positions
+    "brand_affinity_lift",   # (a) 1-row basket-count total
     "centroid_cosine_matrix",  # (b) label centroids
     "curation_association_chi2",  # (a) 1-row grand total
     "curation_domain_mix",   # (a) 1-row corpus totals

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flu_data_pipeline_spark.catalog import load_table
+from flu_data_pipeline_spark.functions.hashing import hash64, hash64_sql
 from flu_data_pipeline_spark.plans.registry import register
 
 
@@ -398,3 +399,62 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "dp_noisy_release",
+    oracle=f"""
+    WITH counts AS (
+        SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS true_count
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ), noised AS (
+        SELECT n_name, true_count,
+               ({hash64_sql("n_name || ':dp-seed'")} % 100000) / 100000.0
+                   - 0.499995 AS u
+        FROM counts
+    )
+    SELECT n_name, true_count,
+           ROUND(-1.0 * SIGN(u) * ln(1.0 - 2.0 * ABS(u)), 6) AS noise,
+           ROUND(true_count - 1.0 * SIGN(u) * ln(1.0 - 2.0 * ABS(u)), 6)
+               AS noisy_count,
+           1.0 AS epsilon
+    FROM noised
+    ORDER BY n_name
+    """,
+    doc="Differentially-private count release (Laplace mechanism) over "
+    "per-nation customer counts: noise ~ Laplace(sensitivity/eps) with "
+    "sensitivity 1 (one customer changes one count by 1) and eps = 1, "
+    "drawn by inverse-CDF  -b*sign(u)*ln(1-2|u|)  from a uniform "
+    "u in (-0.5, 0.5). The uniform is DERIVED FROM THE PORTABLE HASH "
+    "of the release key + a fixed seed — deterministic and identical "
+    "in both engines (a seeded release, the reproducible-pipeline "
+    "practice for audited DP publishing; a production system rotates "
+    "the seed per release epoch). The epsilon column makes the "
+    "privacy-budget spend part of the release artifact itself — the "
+    "accounting ledger joins on it. Complements the k-anonymity / "
+    "l-diversity / PII-scrub gates: those suppress, this perturbs. "
+    "Scale shape: noise is a per-GROUP scalar expression after the "
+    "count aggregation — zero extra shuffles, group-cardinality "
+    "output.",
+    tags=("dq", "privacy", "A10", "J6"),
+)
+def dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    counts = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    u = (
+        hash64(F.concat(F.col("n_name"), F.lit(":dp-seed"))) % 100000
+    ) / 100000.0 - 0.499995
+    noise = -1.0 * F.signum(u) * F.log(1.0 - 2.0 * F.abs(u))
+    return counts.select(
+        "n_name",
+        "true_count",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
+        F.lit(1.0).alias("epsilon"),
+    ).orderBy("n_name")

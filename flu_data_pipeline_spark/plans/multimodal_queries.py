@@ -3,7 +3,7 @@ arbitrary media bytes — the plumbing is identical)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flu_data_pipeline_spark.catalog import load_table
@@ -82,4 +82,78 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("feature")[i].cast("double").alias(f"f{i}")
             for i in range(_DECODE_DIM)
         ],
+    )
+
+
+@register(
+    "multimodal_cas_chunks",
+    oracle="""
+    WITH chunks AS (
+        SELECT d.doc_id,
+               md5(substr(d.text, i * 64 + 1, 64)) AS chunk_hash,
+               length(substr(d.text, i * 64 + 1, 64)) AS chunk_len
+        FROM documents d,
+             UNNEST(range(0, CAST(CEIL(length(d.text) / 64.0) AS BIGINT)))
+                 AS t(i)
+    )
+    SELECT chunk_hash,
+           CAST(MAX(chunk_len) AS INT) AS chunk_len,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST((COUNT(*) - 1) * MAX(chunk_len) AS BIGINT) AS bytes_saved
+    FROM chunks
+    GROUP BY chunk_hash
+    HAVING COUNT(*) > 1
+    QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, chunk_hash) <= 25
+    ORDER BY n_copies DESC, chunk_hash
+    """,
+    doc="Content-addressable-storage chunk dedup over the blob column — "
+    "the fixed-size-chunking dedup every large blob store runs: each "
+    "blob (UTF-8 text payload, same bytes as attach_binary's blob "
+    "column) is cut into 64-byte chunks, chunks are addressed by "
+    "md5, and duplicate chunk groups report copy count, distinct "
+    "referencing docs, and bytes saved by storing one copy "
+    "(dedup-ratio accounting). Top-25 hottest chunks pinned on "
+    "(copies, hash). Chunk indices come from a per-row "
+    "range(ceil(len/64)) lateral — map-side fan-out proportional to "
+    "payload bytes, exactly like the real chunker. Scale shape: "
+    "chunk rows carry (16-byte hash, 8-byte id) into ONE "
+    "groupBy(chunk_hash) shuffle — payload bytes never shuffle; at "
+    "100 TB this is the standard CAS-ingest profile (hash locally, "
+    "dedupe by hash key). Content-defined (rolling-hash) chunking "
+    "swaps the index generator, not the plan.",
+    tags=("multimodal", "dedup", "A10", "O3"),
+)
+def multimodal_cas_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_binary(load_table(spark, sf_dir, "documents"))
+    # chunk the DECODED payload text (same bytes as the blob — ASCII
+    # corpus) so the oracle can recompute hashes with DuckDB's md5
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(length(text) / 64.0) as int) - 1), "
+                "i -> struct(md5(substring(text, i * 64 + 1, 64)) AS chunk_hash, "
+                "length(substring(text, i * 64 + 1, 64)) AS chunk_len))"
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.chunk_hash", "c.chunk_len")
+    agg = (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.max("chunk_len").cast("int").alias("chunk_len"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            ((F.count(F.lit(1)) - 1) * F.max("chunk_len"))
+            .cast("bigint")
+            .alias("bytes_saved"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+    w = Window.orderBy(F.desc("n_copies"), "chunk_hash")
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .drop("rn")
+        .orderBy(F.desc("n_copies"), "chunk_hash")
     )

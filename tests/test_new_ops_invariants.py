@@ -1,0 +1,160 @@
+"""Invariant checks for the round-2 additions — properties the oracle
+hash-compare can't express (identities, bounds, and cross-row
+conservation laws that must hold for ANY corpus, not just the fixture)."""
+
+from __future__ import annotations
+
+import math
+
+from flu_data_pipeline_spark.plans import REGISTRY
+
+from .conftest import SF_ORACLE
+
+
+def _rows(spark, name):
+    return REGISTRY[name].builder(spark, SF_ORACLE).collect()
+
+
+def test_temperature_mix_quota_conserves_budget(spark):
+    rows = _rows(spark, "corpus_temperature_mix")
+    assert sum(r["quota"] for r in rows) == 100000
+    # temperature T=2 flattens: every weight sits between uniform and raw
+    # share on the CORRECT side (sqrt pulls toward uniform)
+    for r in rows:
+        if r["p"] < 1.0 / len(rows):
+            assert r["w"] >= r["p"]
+        else:
+            assert r["w"] <= r["p"] + 1e-9
+
+
+def test_vocab_cutoff_cumulative_monotone(spark):
+    rows = _rows(spark, "vocab_coverage_cutoff")
+    shares = [r["cum_share"] for r in rows]
+    assert shares == sorted(shares)
+    assert shares[-1] <= 1.0 + 1e-9
+    # the in-vocab prefix is contiguous: once out, never back in
+    flags = [r["in_vocab_90"] for r in rows]
+    assert flags == sorted(flags, reverse=True)
+    # counts non-increasing in rank order
+    counts = [r["term_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_epoch_shuffle_conserves_docs_and_reorders(spark):
+    rows = _rows(spark, "epoch_shuffle_plan")
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    n_docs_total = {e: sum(r["n_docs"] for r in v) for e, v in by_epoch.items()}
+    # every epoch partitions the same corpus
+    assert len(set(n_docs_total.values())) == 1
+    # different epochs produce genuinely different permutations
+    checksums = {
+        e: tuple(sorted(r["order_checksum"] for r in v))
+        for e, v in by_epoch.items()
+    }
+    assert len(set(checksums.values())) == len(checksums)
+
+
+def test_length_buckets_cover_and_waste_bounded(spark):
+    rows = _rows(spark, "length_bucket_batching")
+    for r in rows:
+        assert 0.0 <= r["waste_ratio"] < 1.0
+        assert r["padded_tokens"] == (
+            r["n_batches"] * 8 * r["bucket_len"] - r["total_tokens"]
+        )
+        # a doc never overflows its bucket
+        assert r["total_tokens"] <= r["n_docs"] * r["bucket_len"]
+
+
+def test_rbo_bounded_and_consistent(spark):
+    (row,) = _rows(spark, "ranking_rbo_eval")
+    assert 0.0 <= row["rbo"] <= 1.0 + 1e-9
+    assert 0 <= row["overlap_at_k"] <= row["depth"]
+    # perfect-agreement RBO at depth 10, p=0.9 is (1-p)*sum(p^(d-1)) < 1;
+    # the observed value can never exceed that truncated maximum
+    max_rbo = 0.1 * sum(0.9 ** (d - 1) for d in range(1, 11))
+    assert row["rbo"] <= max_rbo + 1e-9
+
+
+def test_fs_weights_signs_and_probs(spark):
+    rows = _rows(spark, "linkage_fs_weights")
+    assert {r["field"] for r in rows} == {"brand", "type", "size"}
+    for r in rows:
+        assert 0.0 < r["m_prob"] < 1.0
+        assert 0.0 < r["u_prob"] < 1.0
+        # weight identities: w_agree = ln(m/u), w_disagree = ln((1-m)/(1-u)).
+        # m/u are 6dp-rounded in the output while weights were computed
+        # pre-rounding, so ln error is bounded by 5e-7/p per operand.
+        m, u = r["m_prob"], r["u_prob"]
+        tol_a = 1e-6 + 5e-7 / m + 5e-7 / u
+        tol_d = 1e-6 + 5e-7 / (1 - m) + 5e-7 / (1 - u)
+        assert math.isclose(r["w_agree"], math.log(m / u), abs_tol=tol_a)
+        assert math.isclose(
+            r["w_disagree"], math.log((1 - m) / (1 - u)), abs_tol=tol_d
+        )
+        # sign consistency is exact: agreement evidence positive iff m > u
+        assert (r["w_agree"] > 0) == (m > u)
+
+
+def test_seasonal_decompose_identity(spark):
+    rows = _rows(spark, "ts_seasonal_decompose")
+    assert rows
+    for r in rows:
+        if None in (r["trend"], r["seasonal"], r["resid"]):
+            continue
+        assert math.isclose(
+            r["daily_value"],
+            r["trend"] + r["seasonal"] + r["resid"],
+            abs_tol=5e-6,
+        )
+        assert 0 <= r["dow"] <= 6
+
+
+def test_dp_release_noise_is_laplace_shaped(spark):
+    rows = _rows(spark, "dp_noisy_release")
+    for r in rows:
+        assert math.isclose(
+            r["noisy_count"] - r["true_count"], r["noise"], abs_tol=2e-6
+        )
+        assert r["epsilon"] == 1.0
+    # scale b = 1/eps = 1: |noise| rarely exceeds ~6b; the seeded draws
+    # must not collapse to a constant either
+    noises = [r["noise"] for r in rows]
+    assert max(abs(n) for n in noises) < 12.0
+    assert len({round(n, 6) for n in noises}) > 1
+
+
+def test_cas_chunks_savings_accounting(spark):
+    rows = _rows(spark, "multimodal_cas_chunks")
+    for r in rows:
+        assert r["n_copies"] > 1
+        assert r["n_docs"] <= r["n_copies"]
+        assert r["bytes_saved"] == (r["n_copies"] - 1) * r["chunk_len"]
+        assert 1 <= r["chunk_len"] <= 64
+
+
+def test_sssp_dists_dominated_by_bfs_reach(spark):
+    rows = _rows(spark, "sssp_weighted_cosupply")
+    # source itself at distance 0, everything else positive
+    dists = sorted(r["dist"] for r in rows)
+    assert dists[0] == 0
+    assert all(d > 0 for d in dists[1:])
+
+
+def test_compaction_plan_arithmetic(spark):
+    rows = _rows(spark, "compaction_plan_by_month")
+    for r in rows:
+        assert r["est_bytes"] == r["n_rows"] * 120
+        assert r["target_files"] >= 1
+        assert r["rows_per_file"] * r["target_files"] >= r["n_rows"]
+        assert r["files_saved"] == r["current_files"] - r["target_files"]
+
+
+def test_affinity_lift_identities(spark):
+    rows = _rows(spark, "brand_affinity_lift")
+    for r in rows:
+        assert r["brand_a"] < r["brand_b"]
+        assert r["support_ab"] >= 5
+        assert r["support_ab"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 < r["confidence_a_b"] <= 1.0

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flu_data_pipeline_spark.catalog import load_table
+from flu_data_pipeline_spark.functions.hashing import hash64, hash64_sql
 from flu_data_pipeline_spark.plans.registry import register
 
 
@@ -422,3 +423,111 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+#: Poisson(1) inverse-CDF thresholds (cumulative e^-1 * 1/k! sums), fixed
+#: literals so both engines compare against bit-identical constants.
+_POIS_C = (0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+           0.9963401532)
+
+
+def _pois_case_sql(u: str) -> str:
+    return (
+        f"CASE WHEN {u} < {_POIS_C[0]} THEN 0 "
+        f"WHEN {u} < {_POIS_C[1]} THEN 1 "
+        f"WHEN {u} < {_POIS_C[2]} THEN 2 "
+        f"WHEN {u} < {_POIS_C[3]} THEN 3 "
+        f"WHEN {u} < {_POIS_C[4]} THEN 4 ELSE 5 END"
+    )
+
+
+@register(
+    "poisson_bootstrap_se",
+    oracle=f"""
+    WITH reps AS (
+        SELECT unnest(range(0, 5)) AS replicate
+    ), weighted AS (
+        SELECT r.replicate,
+               {_pois_case_sql(
+                   "(" + hash64_sql(
+                       "CAST(l.l_orderkey AS VARCHAR) || ':' || "
+                       "CAST(l.l_linenumber AS VARCHAR) || ':' || "
+                       "CAST(r.replicate AS VARCHAR)"
+                   ) + " % 1000000) / 1000000.0"
+               )} AS k,
+               CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT) AS price_cents
+        FROM lineitem l CROSS JOIN reps r
+    ), boot AS (
+        SELECT replicate,
+               CAST(SUM(k) AS BIGINT) AS n_eff,
+               ROUND(SUM(k * price_cents) / (100.0 * SUM(k)), 6)
+                   AS boot_mean
+        FROM weighted GROUP BY replicate
+    )
+    SELECT CAST(replicate AS INT) AS replicate, n_eff, boot_mean,
+           ROUND(STDDEV_SAMP(boot_mean) OVER (), 6) AS boot_se
+    FROM boot
+    ORDER BY replicate
+    """,
+    doc="Poisson bootstrap standard error of mean(l_extendedprice) — THE "
+    "distributed bootstrap: instead of resampling n rows with "
+    "replacement (impossible without global coordination), each row "
+    "independently receives a Poisson(1) weight per replicate, which "
+    "converges to multinomial resampling for large n. Weights come "
+    "from the inverse CDF (fixed cumulative literals) applied to a "
+    "portable-hash uniform per (row, replicate) — fully deterministic "
+    "and engine-identical. Replicate means use EXACT integer "
+    "cent-sums (k*price_cents as BIGINT) so float accumulation order "
+    "cannot move the 6dp mean; the SE across the 5 replicate means "
+    "is the bootstrap estimate. Scale shape: weights are map-side "
+    "expressions; each replicate is one partial-aggregated "
+    "groupBy(replicate) — R replicates cost R map-side passes over "
+    "the scan (or one pass emitting R weighted rows), never a "
+    "resample-shuffle; this is how CIs are put on metrics at 100 TB.",
+    tags=("experiment", "eval", "A7", "A10"),
+)
+def poisson_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    reps = spark.range(0, 5).select(F.col("id").cast("int").alias("replicate"))
+    u = (
+        hash64(
+            F.concat_ws(
+                ":",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+                F.col("replicate").cast("string"),
+            )
+        )
+        % 1000000
+    ) / 1000000.0
+    k = (
+        F.when(u < _POIS_C[0], 0)
+        .when(u < _POIS_C[1], 1)
+        .when(u < _POIS_C[2], 2)
+        .when(u < _POIS_C[3], 3)
+        .when(u < _POIS_C[4], 4)
+        .otherwise(5)
+    )
+    weighted = li.crossJoin(F.broadcast(reps)).select(
+        "replicate",
+        k.alias("k"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+        .alias("price_cents"),
+    )
+    boot = weighted.groupBy("replicate").agg(
+        F.sum("k").cast("bigint").alias("n_eff"),
+        F.round(
+            F.sum(F.col("k") * F.col("price_cents"))
+            / (100.0 * F.sum("k")),
+            6,
+        ).alias("boot_mean"),
+    )
+    return boot.select(
+        F.col("replicate").cast("int").alias("replicate"),
+        "n_eff",
+        "boot_mean",
+        F.round(F.stddev_samp("boot_mean").over(Window.partitionBy()), 6)
+        .alias("boot_se"),
+    ).orderBy("replicate")

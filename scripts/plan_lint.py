@@ -47,6 +47,8 @@ BNLJ_AUDITED = {
     "brand_affinity_lift",   # (a) 1-row basket-count total
     "centroid_cosine_matrix",  # (b) label centroids
     "curation_association_chi2",  # (a) 1-row grand total
+    "customer_rfm_segments",  # (a) 1-row max-date anchor
+    "poisson_bootstrap_se",  # (b) 5-row replicate enum broadcast
     "curation_domain_mix",   # (a) 1-row corpus totals
     "dq_benford_digits",     # (a) 1-row digit-count total
     "drift_value_histogram",  # (a) 1-row min/max bounds

@@ -158,3 +158,39 @@ def test_affinity_lift_identities(spark):
         assert r["support_ab"] >= 5
         assert r["support_ab"] <= min(r["n_a"], r["n_b"])
         assert 0.0 < r["confidence_a_b"] <= 1.0
+
+
+def test_rfm_cells_partition_customers(spark):
+    rows = _rows(spark, "customer_rfm_segments")
+    # quintile scores in range; cells partition the customer base
+    for r in rows:
+        assert 1 <= r["r_score"] <= 5
+        assert 1 <= r["f_score"] <= 5
+        assert 1 <= r["m_score"] <= 5
+        assert r["n_customers"] >= 1
+        # segment label is a pure function of (r, f)
+        if r["r_score"] <= 2 and r["f_score"] <= 2:
+            assert r["segment"] == "champion"
+        elif r["r_score"] <= 2:
+            assert r["segment"] == "recent"
+        elif r["f_score"] <= 2:
+            assert r["segment"] == "loyal-lapsing"
+        else:
+            assert r["segment"] == "hibernating"
+
+
+def test_poisson_bootstrap_replicates_plausible(spark):
+    rows = _rows(spark, "poisson_bootstrap_se")
+    assert len(rows) == 5
+    ses = {r["boot_se"] for r in rows}
+    assert len(ses) == 1  # one SE, replicated per row
+    means = [r["boot_mean"] for r in rows]
+    # Poisson(1) effective sample sizes concentrate near n (within ~5 sigma)
+    n_effs = [r["n_eff"] for r in rows]
+    avg_n = sum(n_effs) / len(n_effs)
+    for n in n_effs:
+        assert abs(n - avg_n) < 5 * (avg_n ** 0.5) + 1
+    # the SE equals the sample stddev of the replicate means
+    mbar = sum(means) / len(means)
+    sd = (sum((m - mbar) ** 2 for m in means) / (len(means) - 1)) ** 0.5
+    assert math.isclose(ses.pop(), sd, rel_tol=1e-4)

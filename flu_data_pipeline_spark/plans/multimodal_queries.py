@@ -123,6 +123,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedupe by hash key). Content-defined (rolling-hash) chunking "
     "swaps the index generator, not the plan.",
     tags=("multimodal", "dedup", "A10", "O3"),
+    bench=True,
 )
 def multimodal_cas_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = attach_binary(load_table(spark, sf_dir, "documents"))

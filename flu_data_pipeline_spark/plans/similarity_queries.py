@@ -1080,3 +1080,73 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "adc_dist", "neighbor_id")
     )
+
+
+@register(
+    "embedding_prefix_capture",
+    oracle="""
+    WITH ks AS (
+        SELECT unnest([8, 16, 32]) AS k
+    ), per_vec AS (
+        SELECT e.label, ks.k,
+               ROUND(SQRT(
+                   list_reduce(list_transform(e.embedding[1:ks.k],
+                       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                       (x, y) -> x + y)
+                   / list_reduce(list_transform(e.embedding,
+                       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                       (x, y) -> x + y)), 6) AS capture
+        FROM embeddings e CROSS JOIN ks
+    )
+    SELECT label, CAST(k AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(capture), 6) AS avg_capture,
+           ROUND(MIN(capture), 6) AS min_capture
+    FROM per_vec
+    GROUP BY label, k
+    ORDER BY label, k
+    """,
+    doc="Matryoshka-style truncation quality for the embedding table: "
+    "for prefix lengths k in {8, 16, 32} (of 64 dims), the cosine "
+    "between the full vector and its zero-padded k-prefix reduces "
+    "analytically to sqrt(prefix sum-of-squares / full "
+    "sum-of-squares) — the fraction of the vector's norm the prefix "
+    "captures. Per (label, k): mean and worst-case capture — the "
+    "go/no-go table for serving truncated embeddings (MRL-trained "
+    "models aim for high capture at small k; uniformly-spread "
+    "energy means truncation costs recall). Per-vector folds run "
+    "sequentially over the array on BOTH engines (deterministic "
+    "float order); rounded before the row-order-insensitive AVG. "
+    "Scale shape: pure map-side per-vector arithmetic + one "
+    "(label, k)-cardinality aggregate; the 3-row k enum is a "
+    "broadcast cross — vectors are scanned once.",
+    tags=("similarity", "eval", "array", "A7"),
+)
+def embedding_prefix_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ks = spark.createDataFrame([(8,), (16,), (32,)], "k int")
+    sq_sum = lambda col: F.aggregate(  # noqa: E731
+        F.transform(col, lambda v: v.cast("double") * v.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    per_vec = emb.crossJoin(F.broadcast(ks)).select(
+        "label",
+        "k",
+        F.round(
+            F.sqrt(
+                sq_sum(F.slice("embedding", 1, F.col("k")))
+                / sq_sum(F.col("embedding"))
+            ),
+            6,
+        ).alias("capture"),
+    )
+    return (
+        per_vec.groupBy("label", F.col("k").cast("int").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("capture"), 6).alias("avg_capture"),
+            F.round(F.min("capture"), 6).alias("min_capture"),
+        )
+        .orderBy("label", "k")
+    )

@@ -987,6 +987,7 @@ def vocab_coverage_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "score join co-partitions on (w1, w2) and re-aggregates by "
     "doc_id — two shuffles total, no driver state.",
     tags=("text", "llm", "A7", "J6"),
+    bench=True,
 )
 def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

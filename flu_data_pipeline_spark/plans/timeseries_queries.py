@@ -770,3 +770,88 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("daily_value") - F.col("trend") - F.col("seasonal"), 6
         ).alias("resid"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "weekly_backlog_curve",
+    oracle="""
+    WITH ordered AS (
+        SELECT CAST((CAST(o.o_orderdate AS DATE) - DATE '1970-01-01') // 7
+                    AS BIGINT) AS week_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_ordered
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    ), shipped AS (
+        SELECT CAST((CAST(l_shipdate AS DATE) - DATE '1970-01-01') // 7
+                    AS BIGINT) AS week_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_shipped
+        FROM lineitem
+        GROUP BY 1
+    ), merged AS (
+        SELECT COALESCE(o.week_bucket, s.week_bucket) AS week_bucket,
+               COALESCE(o.n_ordered, 0) AS n_ordered,
+               COALESCE(s.n_shipped, 0) AS n_shipped
+        FROM ordered o FULL OUTER JOIN shipped s
+          ON o.week_bucket = s.week_bucket
+    )
+    SELECT week_bucket, n_ordered, n_shipped,
+           CAST(SUM(n_ordered - n_shipped) OVER (
+               ORDER BY week_bucket ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS open_backlog
+    FROM merged
+    ORDER BY week_bucket
+    """,
+    doc="Order-to-ship backlog burndown by week: line items enter the "
+    "backlog in their ORDER week and leave in their SHIP week; the "
+    "running difference of the two weekly counts is the open backlog "
+    "at each week boundary (an event-sourced balance — the inventory/"
+    "WIP curve every fulfillment dashboard tracks). Weeks are "
+    "portable integer buckets (epoch-days div 7 — no locale week "
+    "rules); the two weekly series FULL OUTER merge so ship-only and "
+    "order-only weeks both appear; counts are integers so the "
+    "cumulative sum is exact. Scale shape: two partial-aggregated "
+    "counts (the orders join is FK co-partitioned), a week-"
+    "cardinality merge, and one ordered cumulative window over WEEK "
+    "rows (hundreds, not data-sized) — the same two-pass prefix-sum "
+    "swap as vocab_coverage_cutoff applies if the spine ever grows.",
+    tags=("timeseries", "warehouse", "J5", "A10", "W1"),
+)
+def weekly_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    week = lambda c: (  # noqa: E731
+        F.floor(F.datediff(F.col(c).cast("date"), F.lit("1970-01-01")) / 7)
+        .cast("bigint")
+    )
+    ordered = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(week("o_orderdate").alias("week_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_ordered"))
+    )
+    shipped = li.groupBy(week("l_shipdate").alias("week_bucket")).agg(
+        F.count(F.lit(1)).alias("n_shipped")
+    )
+    merged = (
+        ordered.join(shipped, "week_bucket", "full_outer")
+        .select(
+            "week_bucket",
+            F.coalesce("n_ordered", F.lit(0)).alias("n_ordered"),
+            F.coalesce("n_shipped", F.lit(0)).alias("n_shipped"),
+        )
+    )
+    w = Window.orderBy("week_bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return merged.select(
+        "week_bucket",
+        "n_ordered",
+        "n_shipped",
+        F.sum(F.col("n_ordered") - F.col("n_shipped"))
+        .over(w)
+        .cast("bigint")
+        .alias("open_backlog"),
+    ).orderBy("week_bucket")

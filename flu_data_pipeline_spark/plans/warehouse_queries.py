@@ -975,6 +975,7 @@ def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orderkey, then brand-pair-cardinality aggregation; margins and "
     "N are broadcast scalars at the end.",
     tags=("warehouse", "mining", "J6", "A8", "A10", "O3"),
+    bench=True,
 )
 def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -988,10 +989,27 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("orderkey").cast("double").alias("n")
     )
     brand_n = basket.groupBy("brand").agg(F.count(F.lit(1)).alias("n_brand"))
-    a = basket.select("orderkey", F.col("brand").alias("brand_a"))
-    b = basket.select(F.col("orderkey").alias("ok_b"), F.col("brand").alias("brand_b"))
+    # pair generation is MAP-SIDE: per-order sorted brand set -> all
+    # ascending pairs via nested transform (b_i < b_j by construction).
+    # Equivalent to the oracle's basket self-join but with ONE shuffle
+    # (orderkey) + pair-count aggregation instead of a join shuffle of
+    # the whole basket relation against itself (measured ~4x on bench).
+    baskets = basket.groupBy("orderkey").agg(
+        F.array_sort(F.collect_set("brand")).alias("brands")
+    )
     pair_n = (
-        a.join(b, (a.orderkey == b.ok_b) & (F.col("brand_a") < F.col("brand_b")))
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(brands, (x, i) -> "
+                        "transform(slice(brands, i + 2, size(brands) - i - 1), "
+                        "y -> struct(x AS brand_a, y AS brand_b)))"
+                    )
+                )
+            ).alias("pair")
+        )
+        .select("pair.brand_a", "pair.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("support_ab"))
         .filter(F.col("support_ab") >= 5)

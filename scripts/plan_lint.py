@@ -52,6 +52,7 @@ BNLJ_AUDITED = {
     "curation_domain_mix",   # (a) 1-row corpus totals
     "dq_benford_digits",     # (a) 1-row digit-count total
     "drift_value_histogram",  # (a) 1-row min/max bounds
+    "embedding_prefix_capture",  # (b) 3-row prefix-length enum
     "epoch_shuffle_plan",    # (b) 3-row epoch enum broadcast
     "eval_auc_purchase",     # (a) 1-row pos/neg totals
     "eval_calibration_bins",  # (a) 1-row bounds

@@ -407,3 +407,72 @@ def attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@register(
+    "event_pattern_cep",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(left(event_type, 1), '' ORDER BY ts, event_id)
+                   AS seq
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS INT) AS n_events,
+           CAST(len(regexp_extract_all(seq, 'vcp')) AS BIGINT)
+               AS n_strict_funnels,
+           CAST(len(regexp_extract_all(seq, 'v[^p]*?cp')) AS BIGINT)
+               AS n_gapped_funnels
+    FROM seqs
+    WHERE len(regexp_extract_all(seq, 'v[^p]*?cp')) > 0
+    QUALIFY ROW_NUMBER() OVER (
+        ORDER BY len(regexp_extract_all(seq, 'v[^p]*?cp')) DESC,
+                 user_id) <= 25
+    ORDER BY n_gapped_funnels DESC, user_id
+    """,
+    doc="Complex-event-processing pattern match (the Flink-CEP / "
+    "MATCH_RECOGNIZE shape) as a pure relational plan: each user's "
+    "event history becomes an ordered one-char-per-event string "
+    "(event initials are distinct here; a dictionary column works "
+    "generally), and sequence patterns become regexes counted with "
+    "non-overlapping leftmost semantics — identical in Java regex "
+    "and DuckDB's RE2 (the text_bpe_tokens precedent). Two funnels: "
+    "strict contiguous view->click->purchase ('vcp') and gapped "
+    "view ... click then purchase with no purchase in between "
+    "('v[^p]*?cp', lazy so each purchase closes at most one match). "
+    "Top-25 converting users pinned on (count, user). Ordering ties "
+    "broken by event_id; both engines see micro-second ts. Scale "
+    "shape: ONE groupBy(user) shuffle carrying 1 byte/event, then "
+    "per-user regex on bounded strings — state per key is the "
+    "sequence itself, exactly what a streaming CEP operator keeps; "
+    "the streaming twin is applyInPandasWithState over the same "
+    "initial-coded column.",
+    tags=("events", "cep", "U3", "O3", "A10"),
+)
+def event_pattern_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.expr("left(event_type, 1)").alias("c")
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(ts, event_id, c))), x -> x.c), '')"
+        ).alias("seq")
+    )
+    n_strict = F.size(F.expr("regexp_extract_all(seq, 'vcp', 0)"))
+    n_gapped = F.size(F.expr("regexp_extract_all(seq, 'v[^p]*?cp', 0)"))
+    scored = seqs.select(
+        "user_id",
+        F.length("seq").cast("int").alias("n_events"),
+        n_strict.cast("bigint").alias("n_strict_funnels"),
+        n_gapped.cast("bigint").alias("n_gapped_funnels"),
+    ).filter(F.col("n_gapped_funnels") > 0)
+    w = Window.orderBy(F.desc("n_gapped_funnels"), "user_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .drop("rn")
+        .orderBy(F.desc("n_gapped_funnels"), "user_id")
+    )

@@ -1161,3 +1161,117 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "abc_xyz_matrix",
+    oracle="""
+    WITH weekly AS (
+        SELECT l_partkey,
+               CAST((CAST(l_shipdate AS DATE) - DATE '1970-01-01') // 7
+                    AS BIGINT) AS wk,
+               SUM(l_quantity) AS qty,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM lineitem
+        GROUP BY 1, 2
+    ), per_part AS (
+        SELECT l_partkey,
+               CASE WHEN COUNT(*) >= 2 AND AVG(qty) > 0
+                    THEN STDDEV_SAMP(qty) / AVG(qty) END AS cv,
+               CAST(SUM(rev_cents) AS BIGINT) AS rev_cents
+        FROM weekly GROUP BY l_partkey
+    ), ranked AS (
+        SELECT l_partkey, cv, rev_cents,
+               SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                                    ROWS UNBOUNDED PRECEDING) AS cum_rev,
+               SUM(rev_cents) OVER () AS tot_rev
+        FROM per_part
+    ), classed AS (
+        SELECT CASE WHEN CAST(cum_rev AS DOUBLE) / tot_rev <= 0.7 THEN 'A'
+                    WHEN CAST(cum_rev AS DOUBLE) / tot_rev <= 0.9 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               CASE WHEN cv IS NULL THEN 'Z'
+                    WHEN cv < 0.5 THEN 'X'
+                    WHEN cv < 1.0 THEN 'Y' ELSE 'Z' END AS xyz_class,
+               rev_cents, tot_rev
+        FROM ranked
+    )
+    SELECT abc_class, xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(CAST(rev_cents AS DOUBLE)) / MAX(tot_rev), 6)
+               AS revenue_share
+    FROM classed
+    GROUP BY abc_class, xyz_class
+    ORDER BY abc_class, xyz_class
+    """,
+    doc="ABC-XYZ inventory classification matrix — the planner's "
+    "two-axis part segmentation: ABC = cumulative-revenue Pareto "
+    "class (A <= 70% of revenue, B <= 90%, C tail; ranked on EXACT "
+    "integer cent totals so the cut order is deterministic) x XYZ = "
+    "demand-variability class from the coefficient of variation of "
+    "WEEKLY shipped quantity (X steady cv<0.5, Y cv<1, Z erratic or "
+    "single-week history). Cells report part counts and revenue "
+    "share — the A-X corner is what deserves tight stocking; C-Z is "
+    "the discontinue list. Scale shape: one (part, week) aggregate, "
+    "one per-part rollup, then the ordered cumulative window over "
+    "PART-cardinality rows (the vocab_coverage_cutoff prefix-sum "
+    "swap applies beyond that); output is a fixed 3x3 grid.",
+    tags=("warehouse", "A10", "A11", "W1"),
+)
+def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity", "l_extendedprice"
+    )
+    weekly = li.groupBy(
+        "l_partkey",
+        F.floor(
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01"))
+            / 7
+        )
+        .cast("bigint")
+        .alias("wk"),
+    ).agg(
+        F.sum("l_quantity").alias("qty"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+    )
+    per_part = weekly.groupBy("l_partkey").agg(
+        F.when(
+            (F.count(F.lit(1)) >= 2) & (F.avg("qty") > 0),
+            F.stddev_samp("qty") / F.avg("qty"),
+        ).alias("cv"),
+        F.sum("rev_cents").cast("bigint").alias("rev_cents"),
+    )
+    w_cum = Window.orderBy(F.desc("rev_cents"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = per_part.select(
+        "cv",
+        "rev_cents",
+        F.sum("rev_cents").over(w_cum).alias("cum_rev"),
+        F.sum("rev_cents").over(Window.partitionBy()).alias("tot_rev"),
+    )
+    share = F.col("cum_rev").cast("double") / F.col("tot_rev")
+    classed = ranked.select(
+        F.when(share <= 0.7, "A").when(share <= 0.9, "B").otherwise("C")
+        .alias("abc_class"),
+        F.when(F.col("cv").isNull(), "Z")
+        .when(F.col("cv") < 0.5, "X")
+        .when(F.col("cv") < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+        "rev_cents",
+        "tot_rev",
+    )
+    return (
+        classed.groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(
+                F.sum(F.col("rev_cents").cast("double")) / F.max("tot_rev"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )

@@ -249,3 +249,79 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").cast("long").alias("min_id"),
         F.max("event_id").cast("long").alias("max_id"),
     )
+
+
+@register(
+    "stream_burst_collapse_exact",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+               LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+               ) AS prev_s
+        FROM events
+    ), marked AS (
+        SELECT *, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 5
+                       THEN 1 ELSE 0 END AS is_new
+        FROM seq
+    ), numbered AS (
+        SELECT *, CAST(SUM(is_new) OVER (
+                  PARTITION BY user_id, event_type
+                  ORDER BY ts_s, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS burst_idx
+        FROM marked
+    ), bursts AS (
+        SELECT user_id, event_type, burst_idx,
+               CAST(COUNT(*) AS BIGINT) AS burst_size
+        FROM numbered GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_bursts,
+           CAST(SUM(burst_size) AS BIGINT) AS n_events,
+           CAST(MAX(burst_size) AS BIGINT) AS max_burst
+    FROM bursts GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Streaming twin of events_burst_collapse, hash-compared exactly: "
+    "the burst rule 'same burst while consecutive events are <= 5 s "
+    "apart (integer seconds)' is EXACTLY session_window(ts_floored, "
+    "'5 seconds') — session windows merge an event landing ON the "
+    "previous session's end (diff == gap merges, diff > gap splits; "
+    "pinned by test_burst_session_window_gap_boundary on constructed "
+    "5 s/6 s gaps), matching the batch lag rule boundary-for-"
+    "boundary. The "
+    "stream groups by (session_window, user, event_type) in the state "
+    "store, availableNow to a memory sink, and the per-event-type "
+    "rollup over emitted bursts must equal the batch gaps-and-islands "
+    "CTE. At scale this is the 'collapse retry/click storms at "
+    "ingest' operator: state per key = one open burst, closed by the "
+    "watermark; the batch twin is the backfill path.",
+    tags=("streaming", "events", "sessionize", "D2"),
+)
+def stream_burst_collapse_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events_stream(spark, sf_dir)
+    floored = ev.select(
+        "user_id",
+        "event_type",
+        F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts"),
+    )
+    per_burst = (
+        floored.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "5 seconds"), "user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("burst_size"))
+    )
+    name = "stream_burst_collapse_exact_sink"
+    _run_to_memory(per_burst, name)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bursts"),
+            F.sum("burst_size").cast("long").alias("n_events"),
+            F.max("burst_size").cast("long").alias("max_burst"),
+        )
+        .orderBy("event_type")
+    )

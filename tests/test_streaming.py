@@ -443,3 +443,50 @@ def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
     assert out.count() == 400 + len(rows)
     # every event_id exactly once: offsets prevented any re-ingest
     assert out.select("event_id").distinct().count() == out.count()
+
+
+def test_burst_session_window_gap_boundary(spark, tmp_path):
+    """The stream_burst_collapse_exact equivalence hinges on gap = 5 s
+    session windows reproducing the batch rule 'same burst while
+    consecutive second-floored events are <= 5 s apart' — session
+    windows merge an event landing exactly ON the previous session's
+    end (diff == gap), so gap equals the batch threshold, not
+    threshold + 1. The sf fixture only has singleton bursts, so pin
+    the boundary on constructed data: 5 s gaps MERGE, 6 s SPLIT."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # user A: 0s, 5s, 10s  -> one burst of 3 (5 s gaps merge)
+    # user B: 0s, 6s       -> two bursts of 1 (6 s gap splits)
+    # user C: 0s, 5s, 11s  -> burst of 2 then burst of 1
+    rows = [
+        ("a", base), ("a", base + dt.timedelta(seconds=5)),
+        ("a", base + dt.timedelta(seconds=10)),
+        ("b", base), ("b", base + dt.timedelta(seconds=6)),
+        ("c", base), ("c", base + dt.timedelta(seconds=5)),
+        ("c", base + dt.timedelta(seconds=11)),
+    ]
+    landing = str(tmp_path / "bursts")
+    spark.createDataFrame(rows, "user_id string, ts timestamp").write.parquet(
+        landing
+    )
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp")
+        .parquet(landing)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "5 seconds"), "user_id")
+        .agg(F.count(F.lit(1)).alias("burst_size"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_burst_boundary")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["burst_size"])
+        for r in spark.table("t_burst_boundary").collect()
+    )
+    assert got == [("a", 3), ("b", 1), ("b", 1), ("c", 1), ("c", 2)]

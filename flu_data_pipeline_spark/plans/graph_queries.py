@@ -482,3 +482,61 @@ def sssp_weighted_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return dist.orderBy("dist", "node").limit(50)
+
+
+@register(
+    "graph_assortativity",
+    oracle="WITH "
+    + _COSUPPLY_EDGES_SQL
+    + """,
+    sym AS (
+        SELECT u AS a, v AS b FROM e
+        UNION ALL
+        SELECT v, u FROM e
+    ), deg AS (
+        SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY a
+    )
+    SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_edges,
+           ROUND(corr(CAST(da.d AS DOUBLE), CAST(db.d AS DOUBLE)), 6)
+               AS assortativity
+    FROM sym
+    JOIN deg da ON sym.a = da.node
+    JOIN deg db ON sym.b = db.node
+    """,
+    doc="Degree assortativity of the co-supply graph: Pearson "
+    "correlation of endpoint degrees over all edge orientations "
+    "(each undirected edge contributes both (du,dv) and (dv,du) — "
+    "the standard Newman r). Positive r = hubs link to hubs "
+    "(resilient core, harder to partition); negative = hub-and-"
+    "spoke (broadcast the hubs' rows). One number that tells you "
+    "which join/partition strategy the graph queries should favor. "
+    "Scale shape: degrees are one groupBy over the symmetrized "
+    "edge list; the two degree joins are on the node key the list "
+    "is already keyed by; corr is a single-pass commutative "
+    "aggregate. Rounded to 6dp — corr accumulation formulas differ "
+    "across engines only in final ulps.",
+    tags=("graph", "A7", "A11", "J6"),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _cosupply_edges(spark, sf_dir)
+    sym = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    return (
+        sym.join(da, "a")
+        .join(db, "b")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+            F.round(
+                F.corr(F.col("da").cast("double"), F.col("db").cast("double")),
+                6,
+            ).alias("assortativity"),
+        )
+    )

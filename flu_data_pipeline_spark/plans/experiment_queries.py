@@ -548,3 +548,92 @@ def poisson_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("boot_mean").over(Window.partitionBy()), 6)
         .alias("boot_se"),
     ).orderBy("replicate")
+
+
+@register(
+    "funnel_wilson_ci",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s_view,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s_click,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS s_purchase
+        FROM events GROUP BY user_id
+    ), counts AS (
+        SELECT CAST(SUM(s_view) AS BIGINT) AS n_view,
+               CAST(SUM(s_view * s_click) AS BIGINT) AS n_click,
+               CAST(SUM(s_view * s_click * s_purchase) AS BIGINT)
+                   AS n_purchase
+        FROM per_user
+    ), steps AS (
+        SELECT 'view->click' AS step, n_view AS n_prev, n_click AS n_conv
+        FROM counts
+        UNION ALL
+        SELECT 'click->purchase', n_click, n_purchase FROM counts
+    )
+    SELECT step, n_prev, n_conv,
+           ROUND(CAST(n_conv AS DOUBLE) / n_prev, 6) AS rate,
+           ROUND((CAST(n_conv AS DOUBLE) / n_prev + 1.9208 / n_prev
+                  - 1.96 * sqrt((CAST(n_conv AS DOUBLE) / n_prev)
+                                * (1 - CAST(n_conv AS DOUBLE) / n_prev)
+                                / n_prev + 0.9604 / (n_prev * n_prev)))
+                 / (1 + 3.8416 / n_prev), 6) AS ci_low,
+           ROUND((CAST(n_conv AS DOUBLE) / n_prev + 1.9208 / n_prev
+                  + 1.96 * sqrt((CAST(n_conv AS DOUBLE) / n_prev)
+                                * (1 - CAST(n_conv AS DOUBLE) / n_prev)
+                                / n_prev + 0.9604 / (n_prev * n_prev)))
+                 / (1 + 3.8416 / n_prev), 6) AS ci_high
+    FROM steps
+    ORDER BY step
+    """,
+    doc="Funnel step conversion with Wilson 95% confidence intervals: "
+    "per-user presence flags collapse the event stream to one row "
+    "per user, the two step conversions (view->click among viewers, "
+    "click->purchase among viewer-clickers) are exact integer "
+    "ratios, and each gets the Wilson score interval — the "
+    "recommended binomial CI (never leaves [0,1], behaves at small "
+    "n and extreme rates, unlike the naive Wald interval). "
+    "Constants (z=1.96, z^2=3.8416, z^2/2=1.9208, z^2/4=0.9604) are "
+    "fixed literals so both engines evaluate the identical "
+    "expression tree. This is the uncertainty companion to "
+    "events_funnel_stages: rates without intervals invite shipping "
+    "noise. Scale shape: one groupBy(user) with map-side combine to "
+    "presence bits, then scalar math on a single aggregate row.",
+    tags=("experiment", "eval", "A7", "A10"),
+)
+def funnel_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    flag = lambda t: F.max(  # noqa: E731
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    )
+    per_user = ev.groupBy("user_id").agg(
+        flag("view").alias("s_view"),
+        flag("click").alias("s_click"),
+        flag("purchase").alias("s_purchase"),
+    )
+    counts = per_user.agg(
+        F.sum("s_view").cast("bigint").alias("n_view"),
+        F.sum(F.col("s_view") * F.col("s_click")).cast("bigint").alias("n_click"),
+        F.sum(F.col("s_view") * F.col("s_click") * F.col("s_purchase"))
+        .cast("bigint")
+        .alias("n_purchase"),
+    )
+    steps = counts.select(
+        F.expr(
+            "stack(2, 'view->click', n_view, n_click, "
+            "'click->purchase', n_click, n_purchase) AS (step, n_prev, n_conv)"
+        )
+    )
+    p = F.col("n_conv").cast("double") / F.col("n_prev")
+    n = F.col("n_prev")
+    half = 1.96 * F.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+    denom = 1 + 3.8416 / n
+    return steps.select(
+        "step",
+        "n_prev",
+        "n_conv",
+        F.round(p, 6).alias("rate"),
+        F.round((p + 1.9208 / n - half) / denom, 6).alias("ci_low"),
+        F.round((p + 1.9208 / n + half) / denom, 6).alias("ci_high"),
+    ).orderBy("step")

@@ -855,3 +855,93 @@ def weekly_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("open_backlog"),
     ).orderBy("week_bucket")
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(FLOOR(ROUND(SUM(value), 2) * 100 + 0.5) AS BIGINT)
+                   AS value_cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(value_cents) AS BIGINT) AS total_cents
+        FROM daily GROUP BY event_type
+    ), cusum AS (
+        SELECT d.event_type, d.day, s.n_days,
+               CAST(SUM(s.n_days * d.value_cents - s.total_cents) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        FROM daily d JOIN stats s ON d.event_type = s.event_type
+    )
+    SELECT event_type, n_days,
+           day AS changepoint_day,
+           c AS cusum_scaled
+    FROM cusum
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY ABS(c) DESC, day) = 1
+    ORDER BY event_type
+    """,
+    doc="CUSUM change-point detection per event-type daily series: the "
+    "cumulative sum of deviations from the series mean peaks (in "
+    "absolute value) at the most likely mean-shift point — the "
+    "classic offline change detector behind monitoring alarms. All "
+    "arithmetic is INTEGER-exact: daily values become cents, and "
+    "deviations are scaled by n (n*x_d - total is the cent deviation "
+    "times n, avoiding the fractional mean entirely), so the running "
+    "sum and the argmax are bit-identical across engines — no float "
+    "tolerance in a quantity that gets argmax'd. The reported "
+    "cusum_scaled divided by 100*n_days gives the conventional "
+    "dollar-scale CUSUM. Scale shape: one (type, day) aggregate, a "
+    "type-partitioned cumulative window over day-cardinality rows, "
+    "and a per-type argmax window — no global single-partition "
+    "operation.",
+    tags=("timeseries", "window", "A6", "A7"),
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.floor(F.round(F.sum("value"), 2) * 100 + 0.5)
+        .cast("bigint")
+        .alias("value_cents")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("value_cents").cast("bigint").alias("total_cents"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        F.sum(
+            F.col("n_days") * F.col("value_cents") - F.col("total_cents")
+        )
+        .over(w_cum)
+        .cast("bigint")
+        .alias("c"),
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("c")).desc(), "day"
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("day").alias("changepoint_day"),
+            F.col("c").alias("cusum_scaled"),
+        )
+        .orderBy("event_type")
+    )

@@ -1186,3 +1186,76 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "promo_share_pct"
         ),
     ).orderBy("ship_month")
+
+
+@register(
+    "skyline_price_size",
+    oracle="""
+    WITH pts AS (
+        SELECT p_partkey, p_name, p_size,
+               CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS price_cents
+        FROM part
+    ), ranked AS (
+        SELECT p_partkey, p_name, p_size, price_cents,
+               MAX(p_size) OVER (
+                   ORDER BY price_cents
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS best_cheaper_size,
+               MAX(p_size) OVER (PARTITION BY price_cents)
+                   AS best_same_price_size
+        FROM pts
+    )
+    SELECT p_partkey, p_name, p_size, price_cents
+    FROM ranked
+    WHERE (best_cheaper_size IS NULL OR p_size > best_cheaper_size)
+      AND p_size = best_same_price_size
+    ORDER BY price_cents, p_partkey
+    """,
+    doc="Skyline / Pareto-front preference query (minimize price, "
+    "maximize size): a part is on the skyline iff no other part is "
+    "both <= on price and >= on size with one strict — the classic "
+    "'best trade-offs only' operator from preference-query "
+    "literature. 2D skylines need NO pairwise join: sort by price "
+    "and keep points beating the running size maximum. Dominance "
+    "splits into two window tests — strictly-cheaper points via a "
+    "RANGE frame to 1 PRECEDING on integer cents (float cents would "
+    "make 'strictly cheaper' ulp-dependent), and same-price points "
+    "via a per-price partition max (equal price + larger size also "
+    "dominates; exact duplicates survive together, having no strict "
+    "edge). Scale shape: one global range-partitioned sort (the "
+    "window), O(n) after it — at 100 TB compute per-partition "
+    "skylines after a range repartition on price, then skyline the "
+    "tiny union of partition skylines (skyline-of-skylines is "
+    "exact because dominance respects the price ordering).",
+    tags=("relational", "skyline", "O4", "W1"),
+)
+def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    w_cheaper = Window.orderBy("price_cents").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_same = Window.partitionBy("price_cents")
+    ranked = part.select(
+        "p_partkey",
+        "p_name",
+        "p_size",
+        "price_cents",
+        F.max("p_size").over(w_cheaper).alias("best_cheaper_size"),
+        F.max("p_size").over(w_same).alias("best_same_price_size"),
+    )
+    return (
+        ranked.filter(
+            (
+                F.col("best_cheaper_size").isNull()
+                | (F.col("p_size") > F.col("best_cheaper_size"))
+            )
+            & (F.col("p_size") == F.col("best_same_price_size"))
+        )
+        .select("p_partkey", "p_name", "p_size", "price_cents")
+        .orderBy("price_cents", "p_partkey")
+    )

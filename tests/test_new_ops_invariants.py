@@ -194,3 +194,49 @@ def test_poisson_bootstrap_replicates_plausible(spark):
     mbar = sum(means) / len(means)
     sd = (sum((m - mbar) ** 2 for m in means) / (len(means) - 1)) ** 0.5
     assert math.isclose(ses.pop(), sd, rel_tol=1e-4)
+
+
+def test_skyline_is_exactly_the_pareto_front(spark):
+    import duckdb
+
+    sky = {
+        (r["p_partkey"], r["p_size"], r["price_cents"])
+        for r in _rows(spark, "skyline_price_size")
+    }
+    pts = duckdb.connect().execute(
+        "SELECT p_partkey, p_size, CAST(FLOOR(p_retailprice * 100) AS BIGINT)"
+        f" FROM '{SF_ORACLE}/part.parquet'"
+    ).fetchall()
+
+    def dominated(p, by):
+        return (
+            by[2] <= p[2]
+            and by[1] >= p[1]
+            and (by[2] < p[2] or by[1] > p[1])
+        )
+
+    # brute-force ground truth over all points (sf0.01 is small enough)
+    truth = {
+        p for p in pts if not any(dominated(p, q) for q in pts if q[0] != p[0])
+    }
+    assert {(k, s, c) for k, s, c in truth} == sky
+
+
+def test_cusum_changepoint_is_argmax(spark):
+    rows = _rows(spark, "ts_cusum_changepoint")
+    assert {r["event_type"] for r in rows} == {
+        "click", "error", "purchase", "signup", "view",
+    }
+    for r in rows:
+        assert r["n_days"] >= 1
+        # scaled cusum at the final day is zero by construction, so the
+        # argmax is a genuine interior deviation unless the series is flat
+        assert r["cusum_scaled"] != 0 or r["n_days"] == 1
+
+
+def test_wilson_ci_brackets_rate(spark):
+    rows = _rows(spark, "funnel_wilson_ci")
+    assert [r["step"] for r in rows] == ["click->purchase", "view->click"]
+    for r in rows:
+        assert 0.0 <= r["ci_low"] <= r["rate"] <= r["ci_high"] <= 1.0
+        assert r["n_conv"] <= r["n_prev"]

@@ -443,3 +443,75 @@ def flu_healthcare(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flu_historics(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, _, fluview = _fixture_tables(spark)
     return build_historics(fluview)
+
+
+@register(
+    "flu_pipeline_reconciliation",
+    oracle=f"""WITH {FLU_CTES}
+    SELECT 'rhino_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM rhino_raw
+    UNION ALL
+    SELECT 'rhino_pre_exploded', CAST(COUNT(*) AS BIGINT) FROM rhino_pre
+    UNION ALL
+    SELECT 'rhino_pre_null_county', CAST(COUNT(*) AS BIGINT)
+    FROM rhino_pre WHERE county IS NULL
+    UNION ALL
+    SELECT 'rhino_pre_null_pct', CAST(COUNT(*) AS BIGINT)
+    FROM rhino_pre WHERE pct_cleaned IS NULL
+    UNION ALL
+    SELECT 'county_region', CAST(COUNT(*) AS BIGINT) FROM county_region
+    UNION ALL
+    SELECT 'temporal', CAST(COUNT(*) AS BIGINT) FROM temporal
+    UNION ALL
+    SELECT 'illness', CAST(COUNT(*) AS BIGINT) FROM illness
+    ORDER BY stage
+    """,
+    doc="Pipeline row-count reconciliation — the reference's inline QC "
+    "prints (flu_data_airflow_v2.py:77,129,182-189: raw counts, "
+    "invalid/unmapped counties, empty-percent tallies) promoted to a "
+    "first-class audited query: row counts at every stage boundary of "
+    "the illness build (raw -> filtered+exploded -> null-county and "
+    "null-percent losses -> final facts, plus both dims). This is the "
+    "conservation ledger a production pipeline alerts on: explode "
+    "fan-out, filter losses, and dedup collapses each become an "
+    "explicit delta between adjacent stages instead of silent row "
+    "drift. Scale shape: each stage count is a partial-aggregated "
+    "COUNT over the already-defined stage frame; Spark evaluates the "
+    "shared lineage once per branch (cheap at dim scale; at fact "
+    "scale the stage frames get cached or the counts ride the "
+    "write's task metrics instead).",
+    tags=("flu", "dq", "A11", "P7"),
+)
+def flu_pipeline_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = fx.rhino_df(spark)
+    rhino_pre, census, fluview = _fixture_tables(spark)
+    cr = build_county_region(census, rhino_pre)
+    tmp = build_temporal(rhino_pre)
+    ill = build_illness(rhino_pre, cr, fluview)
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+
+    return (
+        stage("rhino_raw", raw)
+        .unionByName(stage("rhino_pre_exploded", rhino_pre))
+        .unionByName(
+            stage(
+                "rhino_pre_null_county",
+                rhino_pre.filter(F.col("county").isNull()),
+            )
+        )
+        .unionByName(
+            stage(
+                "rhino_pre_null_pct",
+                rhino_pre.filter(F.col("pct_cleaned").isNull()),
+            )
+        )
+        .unionByName(stage("county_region", cr))
+        .unionByName(stage("temporal", tmp))
+        .unionByName(stage("illness", ill))
+        .orderBy("stage")
+    )

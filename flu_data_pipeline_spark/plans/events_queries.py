@@ -476,3 +476,67 @@ def event_pattern_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy(F.desc("n_gapped_funnels"), "user_id")
     )
+
+
+@register(
+    "decayed_user_leaderboard",
+    oracle="""
+    WITH anchor AS (
+        SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events
+    ), scored AS (
+        SELECT e.user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(exp(-0.0990210257942779
+                             * (anchor.max_day - CAST(e.ts AS DATE)))), 6)
+                   AS decayed_score
+        FROM events e CROSS JOIN anchor
+        GROUP BY e.user_id
+    )
+    SELECT user_id, n_events, decayed_score
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+        ORDER BY decayed_score DESC, user_id) <= 25
+    ORDER BY decayed_score DESC, user_id
+    """,
+    doc="Exponential time-decay activity leaderboard: each event "
+    "contributes exp(-lambda * age_days) with a 7-day half-life "
+    "(lambda = ln2/7 as a fixed literal), anchored at the corpus max "
+    "date so the query is reproducible; top-25 users pinned on "
+    "(rounded score, user). The decay property that matters at "
+    "scale: the score is a sum of per-event terms, so it is "
+    "map-side partial-aggregable AND incrementally maintainable — "
+    "yesterday's total rescales by one factor exp(-lambda) and "
+    "today's events add on (the O(1)-per-day streaming update the "
+    "trailing-window leaderboard can't do: windows must re-read the "
+    "horizon, decay just multiplies). exp() differs across engines "
+    "only in final ulps; scores are 6dp-rounded before the pinned "
+    "top-k cut. Scale shape: one groupBy(user) with combine, a "
+    "1-row anchor broadcast, TakeOrderedAndProject for the cut.",
+    tags=("events", "A7", "O3", "timeseries"),
+)
+def decayed_user_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
+    scored = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(
+                    F.exp(
+                        -0.0990210257942779
+                        * F.datediff("max_day", F.col("ts").cast("date"))
+                    )
+                ),
+                6,
+            ).alias("decayed_score"),
+        )
+    )
+    w = Window.orderBy(F.desc("decayed_score"), "user_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .drop("rn")
+        .orderBy(F.desc("decayed_score"), "user_id")
+    )

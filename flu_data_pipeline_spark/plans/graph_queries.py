@@ -17,7 +17,7 @@ choice; the components operator shows the early-exit variant).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flu_data_pipeline_spark.catalog import load_table
@@ -539,4 +539,98 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("assortativity"),
         )
+    )
+
+
+@register(
+    "graph_local_clustering",
+    oracle="WITH "
+    + _COSUPPLY_EDGES_SQL
+    + """, deg AS (
+        SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT u AS x FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY x
+    ), tri_nodes AS (
+        SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS tri
+        FROM (
+            SELECT unnest([e1.u, e1.v, e2.v]) AS n
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+        ) GROUP BY n
+    )
+    SELECT deg.node, deg.d AS degree,
+           CAST(COALESCE(tri_nodes.tri, 0) AS BIGINT) AS n_triangles,
+           ROUND(2.0 * COALESCE(tri_nodes.tri, 0) / (deg.d * (deg.d - 1)), 6)
+               AS lcc
+    FROM deg LEFT JOIN tri_nodes ON deg.node = tri_nodes.node
+    WHERE deg.d >= 2
+    QUALIFY ROW_NUMBER() OVER (
+        ORDER BY ROUND(2.0 * COALESCE(tri_nodes.tri, 0)
+                       / (deg.d * (deg.d - 1)), 6) DESC, deg.node) <= 25
+    ORDER BY lcc DESC, deg.node
+    """,
+    doc="Per-node local clustering coefficient over the co-supply graph: "
+    "lcc(v) = triangles at v / C(deg(v), 2) — how close each "
+    "supplier's neighborhood is to a clique (1 = its co-suppliers "
+    "all co-supply each other; 0 = pure star hub). Triangles come "
+    "from the same oriented u<v<w three-way join as the global "
+    "count, but each found triangle CREDITS ALL THREE corners "
+    "(unnest/explode of the corner array) before a per-node "
+    "rollup — one extra node-keyed aggregation, no new join "
+    "structure. Top-25 most clustered nodes with degree >= 2 "
+    "pinned on (rounded lcc, node). The global/local pair "
+    "(triangle_count_cosupply / this) is the standard two-level "
+    "clustering diagnostic. Scale shape: oriented join bounds the "
+    "pair fan-out by high-degree orientation; corner explode is "
+    "3 rows per triangle; both aggregations key on the node id.",
+    tags=("graph", "A7", "A10", "O3"),
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _cosupply_edges(spark, sf_dir)
+    e = e.localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("a2"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("b3"), F.col("v").alias("c3"))
+    tris = (
+        e1.join(e2, (F.col("a2") == F.col("a")) & (F.col("c") > F.col("b")))
+        .join(e3, (F.col("b3") == F.col("b")) & (F.col("c3") == F.col("c")))
+        .select("a", "b", "c")
+    )
+    tri_nodes = (
+        tris.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tri"))
+    )
+    lcc = F.round(
+        2.0
+        * F.coalesce(F.col("tri"), F.lit(0))
+        / (F.col("d") * (F.col("d") - 1)),
+        6,
+    )
+    scored = (
+        deg.join(tri_nodes, "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("tri"), F.lit(0)).cast("bigint")
+            .alias("n_triangles"),
+            lcc.alias("lcc"),
+        )
+    )
+    w = Window.orderBy(F.desc("lcc"), "node")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .drop("rn")
+        .orderBy(F.desc("lcc"), "node")
     )

@@ -50,6 +50,7 @@ BNLJ_AUDITED = {
     "customer_rfm_segments",  # (a) 1-row max-date anchor
     "poisson_bootstrap_se",  # (b) 5-row replicate enum broadcast
     "curation_domain_mix",   # (a) 1-row corpus totals
+    "decayed_user_leaderboard",  # (a) 1-row max-date anchor
     "dq_benford_digits",     # (a) 1-row digit-count total
     "drift_value_histogram",  # (a) 1-row min/max bounds
     "embedding_prefix_capture",  # (b) 3-row prefix-length enum

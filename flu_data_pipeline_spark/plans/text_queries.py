@@ -1175,3 +1175,62 @@ def ranking_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rbo"),
     )
+
+
+@register(
+    "text_kwic_snippets",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS} AS t FROM documents
+    ), hits AS (
+        SELECT doc_id, t,
+               unnest(list_filter(range(1, len(t) + 1), i -> t[i] = 'spark'))
+                   AS pos
+        FROM toks
+    )
+    SELECT doc_id, CAST(pos AS INT) AS pos,
+           array_to_string(t[GREATEST(pos - 2, 1):LEAST(pos + 2, len(t))],
+                           ' ') AS snippet
+    FROM hits
+    ORDER BY doc_id, pos
+    LIMIT 25
+    """,
+    doc="Keyword-in-context (KWIC) concordance / snippet generation — "
+    "what a search UI shows under each hit: every occurrence of the "
+    "query term 'spark' with a +-2-token context window, one row per "
+    "(doc, position), first 25 by (doc, pos). Occurrence positions "
+    "come from filtering an index range against the token array "
+    "(pure HOF — no regex re-scan per position, no UDF), and the "
+    "snippet is a bounds-clamped array slice rejoined with spaces. "
+    "Scale shape: entirely map-side per document (positions and "
+    "slices never leave the row) — the shuffle-free shape snippet "
+    "generation must have when it runs beside retrieval at serving "
+    "time; the LIMIT is driver-side presentation only. Generalizes "
+    "to multi-term queries by unioning per-term position filters.",
+    tags=("text", "search", "F3", "O7"),
+)
+def text_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    hits = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.expr("filter(sequence(1, size(t)), i -> t[i - 1] = 'spark')")
+        ).alias("pos"),
+    )
+    return (
+        hits.select(
+            "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.array_join(
+                F.expr(
+                    "slice(t, greatest(pos - 2, 1), "
+                    "least(pos + 2, size(t)) - greatest(pos - 2, 1) + 1)"
+                ),
+                " ",
+            ).alias("snippet"),
+        )
+        .orderBy("doc_id", "pos")
+        .limit(25)
+    )

@@ -1275,3 +1275,102 @@ def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class", "xyz_class")
     )
+
+
+@register(
+    "capacity_waterfall_allocation",
+    oracle="""
+    WITH demand AS (
+        SELECT l_suppkey,
+               CAST(l_quantity AS BIGINT) AS qty,
+               CAST(500 + (l_suppkey % 10) * 100 AS BIGINT) AS capacity,
+               SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum_qty
+        FROM lineitem
+    ), alloc AS (
+        SELECT l_suppkey, capacity, qty,
+               LEAST(qty, GREATEST(capacity - (cum_qty - qty), 0))
+                   AS allocated
+        FROM demand
+    )
+    SELECT l_suppkey, capacity,
+           CAST(SUM(qty) AS BIGINT) AS total_demand,
+           CAST(SUM(allocated) AS BIGINT) AS total_allocated,
+           CAST(SUM(CASE WHEN allocated = qty THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_filled,
+           CAST(SUM(CASE WHEN allocated > 0 AND allocated < qty
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+           CAST(SUM(CASE WHEN allocated = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_starved
+    FROM alloc
+    GROUP BY l_suppkey, capacity
+    ORDER BY l_suppkey
+    LIMIT 25
+    """,
+    doc="Greedy capacity-waterfall allocation per supplier — the "
+    "first-come-first-served fill every fulfillment/budget system "
+    "runs: line demands queue in (shipdate, orderkey, linenumber) "
+    "order against a per-supplier capacity (modeled here as "
+    "500 + 100*(suppkey mod 10) units; real deployments join a "
+    "capacity dimension), and each line receives "
+    "min(demand, remaining). The greedy scan is NOT iterative: "
+    "remaining-before-line is capacity minus the EXCLUSIVE running "
+    "demand sum, so one partitioned cumulative window allocates "
+    "every line exactly — integer arithmetic throughout, no loop, "
+    "no UDF. Per supplier: filled / partial (the waterline line) / "
+    "starved line counts. Scale shape: one window partitioned on "
+    "the supplier key (each partition sorts its own lines), then a "
+    "supplier-keyed rollup — both shuffle on the same key.",
+    tags=("warehouse", "window", "W1", "A10"),
+)
+def capacity_waterfall_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_quantity", "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    qty = F.col("l_quantity").cast("bigint")
+    capacity = (500 + (F.col("l_suppkey") % 10) * 100).cast("bigint")
+    demand = li.select(
+        "l_suppkey",
+        qty.alias("qty"),
+        capacity.alias("capacity"),
+        F.sum(qty).over(w).alias("cum_qty"),
+    )
+    allocated = F.least(
+        F.col("qty"),
+        F.greatest(
+            F.col("capacity") - (F.col("cum_qty") - F.col("qty")), F.lit(0)
+        ),
+    )
+    alloc = demand.select("l_suppkey", "capacity", "qty", allocated.alias("allocated"))
+    return (
+        alloc.groupBy("l_suppkey", "capacity")
+        .agg(
+            F.sum("qty").cast("bigint").alias("total_demand"),
+            F.sum("allocated").cast("bigint").alias("total_allocated"),
+            F.sum(F.when(F.col("allocated") == F.col("qty"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_filled"),
+            F.sum(
+                F.when(
+                    (F.col("allocated") > 0)
+                    & (F.col("allocated") < F.col("qty")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_partial"),
+            F.sum(F.when(F.col("allocated") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_starved"),
+        )
+        .orderBy("l_suppkey")
+        .limit(25)
+    )

@@ -1374,3 +1374,75 @@ def capacity_waterfall_allocation(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy("l_suppkey")
         .limit(25)
     )
+
+
+@register(
+    "median_exact_twopass",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS c
+        FROM lineitem
+    ), s AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn,
+               COUNT(*) OVER () AS n
+        FROM cents
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST((n + 1) // 2 AS BIGINT) AS k,
+           CAST(c AS BIGINT) AS median_cents,
+           ROUND(c / 100.0, 2) AS median_price
+    FROM s WHERE rn = (n + 1) // 2
+    """,
+    doc="Exact median by two-pass bucketed selection — the algorithm "
+    "that replaces 'sort everything' when n is 100 TB: pass 1 "
+    "aggregates counts per 2^16-cent bucket (bucket cardinality, "
+    "not row cardinality), a cumulative scan over the FEW buckets "
+    "locates the one containing the k-th smallest (k = (n+1)/2, "
+    "lower median), and pass 2 sorts ONLY that bucket's rows to "
+    "pick the exact element. Total cost: two scans + one "
+    "bucket-local sort, no global ordering ever materializes "
+    "(recursing into the bucket with narrower sub-buckets handles "
+    "adversarially hot buckets). The oracle is the straightforward "
+    "full-sort selection in DuckDB — same element, different "
+    "algorithm, proving the distributed selection exact. Prices "
+    "are integer cents so bucket boundaries and the k-th element "
+    "are unambiguous.",
+    tags=("warehouse", "percentile", "A11", "O3"),
+)
+def median_exact_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("c")
+    )
+    # pass 1: bucket histogram (bucket = high bits; ~hundreds of buckets)
+    buckets = li.groupBy((F.col("c") / 65536).cast("bigint").alias("b")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buckets.select(
+        "b",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    k = ((F.col("n") + 1) / 2).cast("bigint")
+    target = cum.filter(
+        (F.col("cum") >= k) & ((F.col("cum") - F.col("cnt")) < k)
+    ).select(
+        "b", (F.col("cum") - F.col("cnt")).alias("cum_before"), "n",
+        k.alias("k"),
+    )
+    # pass 2: order only the target bucket's rows
+    in_bucket = li.join(
+        F.broadcast(target), (F.col("c") / 65536).cast("bigint") == F.col("b")
+    )
+    w_in = Window.partitionBy("b").orderBy("c")
+    picked = in_bucket.select(
+        "c", "n", "k", F.row_number().over(w_in).alias("rn_in"),
+        (F.col("k") - F.col("cum_before")).alias("offset"),
+    ).filter(F.col("rn_in") == F.col("offset"))
+    return picked.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("k").cast("bigint").alias("k"),
+        F.col("c").cast("bigint").alias("median_cents"),
+        F.round(F.col("c") / 100.0, 2).alias("median_price"),
+    )

@@ -540,3 +540,100 @@ def decayed_user_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy(F.desc("decayed_score"), "user_id")
     )
+
+
+@register(
+    "attribution_u_shaped",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT event_id AS click_id, user_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS c_ts
+        FROM events WHERE event_type = 'click'
+    ), joined AS (
+        SELECT p.purchase_id, c.click_id, c.c_ts,
+               ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                  ORDER BY c.c_ts, c.click_id) AS rn,
+               COUNT(*) OVER (PARTITION BY p.purchase_id) AS n
+        FROM p JOIN c ON c.user_id = p.user_id
+         AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - 86400
+    ), credited AS (
+        SELECT click_id, c_ts,
+               CASE WHEN n = 1 THEN 1.0
+                    WHEN n = 2 THEN 0.5
+                    WHEN rn = 1 OR rn = n THEN 0.4
+                    ELSE 0.2 / (n - 2) END AS credit
+        FROM joined
+    )
+    SELECT CAST((c_ts // 3600) % 24 AS INT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_credited_clicks,
+           ROUND(SUM(credit), 6) AS total_credit
+    FROM credited
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="U-shaped (position-based) multi-touch attribution: each "
+    "purchase's 24h click path splits credit 40% first touch / 40% "
+    "last / 20% spread over the middles (100% and 50/50 for 1- and "
+    "2-click paths) — the standard compromise between first- and "
+    "last-touch models, here rolled up by click hour-of-day (the "
+    "'channel' stand-in this schema affords; a channel column would "
+    "swap in directly). Position and path length come from one "
+    "window pair over the same (purchase) partitioning — no second "
+    "join against the path. Credit conservation (sum = number of "
+    "attributed purchases) is the auditable invariant "
+    "(test_new_ops_invariants). Scale shape: equi-join on user with "
+    "band post-filter (the attribution_touchpoints plan), one "
+    "purchase-partitioned window, one 24-row rollup.",
+    tags=("events", "temporal", "A7", "W1"),
+)
+def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.floor(F.unix_micros(F.col("ts")) / 1000000).cast("bigint")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        sec.alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        sec.alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - 86400),
+    )
+    w_rn = Window.partitionBy("purchase_id").orderBy("c_ts", "click_id")
+    w_n = Window.partitionBy("purchase_id")
+    path = joined.select(
+        "click_id",
+        "c_ts",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, 1.0)
+        .when(F.col("n") == 2, 0.5)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), 0.4)
+        .otherwise(0.2 / (F.col("n") - 2))
+    )
+    return (
+        path.select(
+            ((F.col("c_ts") / 3600).cast("bigint") % 24)
+            .cast("int")
+            .alias("hour_of_day"),
+            credit.alias("credit"),
+        )
+        .groupBy("hour_of_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_credited_clicks"),
+            F.round(F.sum("credit"), 6).alias("total_credit"),
+        )
+        .orderBy("hour_of_day")
+    )

@@ -240,3 +240,27 @@ def test_wilson_ci_brackets_rate(spark):
     for r in rows:
         assert 0.0 <= r["ci_low"] <= r["rate"] <= r["ci_high"] <= 1.0
         assert r["n_conv"] <= r["n_prev"]
+
+
+def test_u_shaped_attribution_conserves_credit(spark):
+    rows = _rows(spark, "attribution_u_shaped")
+    total_credit = sum(r["total_credit"] for r in rows)
+    # every attributed purchase hands out exactly 1.0 of credit, so the
+    # grand total equals the number of purchases with >= 1 click in 24h
+    import duckdb
+
+    n_attributed = duckdb.connect().execute(
+        f"""
+        WITH p AS (SELECT event_id, user_id,
+                          CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+                   FROM '{SF_ORACLE}/events.parquet'
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+                   FROM '{SF_ORACLE}/events.parquet'
+                   WHERE event_type = 'click')
+        SELECT COUNT(*) FROM p
+        WHERE EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+                      AND c.t <= p.t AND c.t >= p.t - 86400)
+        """
+    ).fetchone()[0]
+    assert abs(total_credit - n_attributed) < 1e-3

@@ -1234,3 +1234,58 @@ def text_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "pos")
         .limit(25)
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_TOKENS}) AS term FROM documents
+    ), counts AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY term
+    ), ranked AS (
+        SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, term) AS DOUBLE))
+                   AS lx,
+               ln(CAST(c AS DOUBLE)) AS ly
+        FROM counts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           ROUND(regr_slope(ly, lx), 6) AS zipf_exponent,
+           ROUND(regr_intercept(ly, lx), 6) AS log_c0,
+           ROUND(corr(ly, lx) * corr(ly, lx), 6) AS r_squared
+    FROM ranked
+    """,
+    doc="Zipf's-law fit over the corpus vocabulary: OLS of log(freq) on "
+    "log(rank) gives the Zipf exponent (natural text: ~ -1; the "
+    "r-squared says how law-like the corpus is). Deviation from the "
+    "reference exponent is a cheap corpus-health probe — synthetic, "
+    "templated, or deduplicated-to-death corpora bend the tail "
+    "visibly before a human would notice. Ranks are tie-pinned on "
+    "(count desc, term); the regression runs on vocab-cardinality "
+    "rows via the built-in regr_slope/intercept/corr aggregates "
+    "(Spark and DuckDB share the SQL-standard definitions; 6dp "
+    "rounding absorbs final-ulp accumulation differences). Scale "
+    "shape: identical to vocab_coverage_cutoff — term-count "
+    "aggregate, vocab-sized ordered window, then one scalar "
+    "regression aggregate.",
+    tags=("text", "llm", "A7", "A11"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), "term")
+    ranked = counts.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lx"),
+        F.log(F.col("c").cast("double")).alias("ly"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.round(F.regr_slope("ly", "lx"), 6).alias("zipf_exponent"),
+        F.round(F.regr_intercept("ly", "lx"), 6).alias("log_c0"),
+        F.round(F.corr("ly", "lx") * F.corr("ly", "lx"), 6).alias("r_squared"),
+    )

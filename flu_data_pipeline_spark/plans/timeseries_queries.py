@@ -945,3 +945,72 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "littles_law_audit",
+    oracle="""
+    WITH li AS (
+        SELECT l.l_orderkey, l.l_linenumber,
+               CAST(o.o_orderdate AS DATE) AS d_in,
+               CAST(l.l_shipdate AS DATE) AS d_out
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), span AS (
+        SELECT CAST(MIN(d_in) AS DATE) AS t0, CAST(MAX(d_out) AS DATE) AS t1,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(d_out - d_in) AS BIGINT) AS total_wait_days
+        FROM li
+    )
+    SELECT n AS n_lines,
+           CAST(t1 - t0 + 1 AS BIGINT) AS horizon_days,
+           ROUND(CAST(n AS DOUBLE) / (t1 - t0 + 1), 6) AS lambda_per_day,
+           ROUND(CAST(total_wait_days AS DOUBLE) / n, 6) AS avg_wait_days,
+           ROUND(CAST(total_wait_days AS DOUBLE) / (t1 - t0 + 1), 6)
+               AS avg_wip_littles
+    FROM span
+    """,
+    doc="Little's law audit over the order-to-ship flow: L = lambda * W "
+    "connects average work-in-progress (open line items), arrival "
+    "rate, and average wait — and over a full horizon it is an "
+    "IDENTITY, not an approximation: total wait-days = integral of "
+    "WIP over time, so avg WIP = total_wait/horizon = (n/horizon) * "
+    "(total_wait/n) = lambda * W by construction. The query measures "
+    "all three from the data (integer day arithmetic, one "
+    "aggregate), giving the fulfillment dashboard its sanity "
+    "equation: measure any two, audit the third — a mismatch means "
+    "lost/duplicated flow events, exactly what "
+    "flu_pipeline_reconciliation catches for row counts. Scale "
+    "shape: one FK-co-partitioned join and a single global "
+    "aggregate; nothing grows with horizon length.",
+    tags=("timeseries", "warehouse", "A7", "J5"),
+)
+def littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_orderdate").cast("date").alias("d_in"),
+        F.col("l_shipdate").cast("date").alias("d_out"),
+    )
+    span = joined.agg(
+        F.min("d_in").alias("t0"),
+        F.max("d_out").alias("t1"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.datediff("d_out", "d_in")).cast("bigint")
+        .alias("total_wait_days"),
+    )
+    horizon = F.datediff("t1", "t0") + 1
+    return span.select(
+        F.col("n").cast("bigint").alias("n_lines"),
+        horizon.cast("bigint").alias("horizon_days"),
+        F.round(F.col("n").cast("double") / horizon, 6).alias("lambda_per_day"),
+        F.round(
+            F.col("total_wait_days").cast("double") / F.col("n"), 6
+        ).alias("avg_wait_days"),
+        F.round(
+            F.col("total_wait_days").cast("double") / horizon, 6
+        ).alias("avg_wip_littles"),
+    )

@@ -1289,3 +1289,71 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("ly", "lx"), 6).alias("log_c0"),
         F.round(F.corr("ly", "lx") * F.corr("ly", "lx"), 6).alias("r_squared"),
     )
+
+
+@register(
+    "langid_confusion_matrix",
+    oracle=f"""
+    WITH pred AS (
+        SELECT lang AS labeled_lang,
+               CASE WHEN CAST(len(list_filter({_TOKENS},
+                                 t -> list_contains({_STOPLIST}, t)))
+                         AS DOUBLE) / len({_TOKENS}) >= 0.1
+                    THEN 'en' ELSE 'unknown' END AS predicted_lang
+        FROM documents
+    ), cells AS (
+        SELECT labeled_lang, predicted_lang,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2
+    )
+    SELECT labeled_lang, predicted_lang, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (
+               PARTITION BY labeled_lang), 6) AS recall_share,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (
+               PARTITION BY predicted_lang), 6) AS precision_share
+    FROM cells
+    ORDER BY labeled_lang, predicted_lang
+    """,
+    doc="Confusion matrix for the engine's own language-ID heuristic "
+    "(text_lang_id's stopword-hit-rate rule) against the labeled lang "
+    "column: per (labeled, predicted) cell, the count plus its share "
+    "of the labeled row (recall decomposition) and of the predicted "
+    "column (precision decomposition) — closing the eval loop on an "
+    "in-repo model the way the AUC/PR/calibration battery does for "
+    "the synthetic scorer. The per-row/per-column shares are "
+    "window ratios over the CELL table (class-cardinality rows), so "
+    "the full matrix costs one groupBy plus two tiny windows. This "
+    "is the quality gate a lang-filtered corpus pipeline runs before "
+    "trusting its language routing.",
+    tags=("text", "eval", "A10", "A3"),
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.select(
+        "lang", tokenize(F.col("text")).alias("tokens")
+    )
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    hit_rate = (
+        F.size(F.filter("tokens", lambda t: F.array_contains(stop_arr, t)))
+        .cast("double")
+        / F.size("tokens")
+    )
+    pred = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        F.when(hit_rate >= 0.1, "en").otherwise("unknown")
+        .alias("predicted_lang"),
+    )
+    cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_row = Window.partitionBy("labeled_lang")
+    w_col = Window.partitionBy("predicted_lang")
+    return cells.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_row), 6)
+        .alias("recall_share"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_col), 6)
+        .alias("precision_share"),
+    ).orderBy("labeled_lang", "predicted_lang")

@@ -1014,3 +1014,81 @@ def littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_wait_days").cast("double") / horizon, 6
         ).alias("avg_wip_littles"),
     )
+
+
+@register(
+    "ts_holt_linear",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               ROUND(SUM(value), 2) AS v
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ), series AS (
+        SELECT event_type,
+               list(v ORDER BY day) AS vals
+        FROM daily GROUP BY event_type
+    ), fitted AS (
+        SELECT event_type,
+               CAST(len(vals) AS BIGINT) AS n_days,
+               list_reduce(
+                   list_transform(vals, v -> [CAST(v AS DOUBLE), 0.0]),
+                   (acc, e) -> [
+                       0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+                       0.3 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2]))
+                              - acc[1]) + 0.7 * acc[2]
+                   ]) AS state
+        FROM series
+    )
+    SELECT event_type, n_days,
+           ROUND(state[1], 6) AS level,
+           ROUND(state[2], 6) AS trend,
+           ROUND(state[1] + state[2], 6) AS forecast_next
+    FROM fitted
+    ORDER BY event_type
+    """,
+    doc="Holt's linear-trend (double exponential) smoothing per "
+    "event-type daily series: level l' = a*x + (1-a)*(l+b), trend "
+    "b' = g*(l'-l) + (1-g)*b with a=0.5, g=0.3, initialized at "
+    "(first value, 0) — the one-step forecast l+b extends the "
+    "forecasting family beyond seasonal-naive with an actual "
+    "smoother. The recurrence is a SEQUENTIAL left fold over the "
+    "day-ordered value array ([value, 0] pairs so the state rides "
+    "as a 2-vector through both engines' reduce), and both engines "
+    "inline the identical expression tree — per-element IEEE ops in "
+    "the same order, so the fitted state is bit-comparable before "
+    "the 6dp rounding. Scale shape: bounded series per key collect "
+    "to arrays (the ts_ewma_daily contract); unbounded streams move "
+    "the same recurrence into applyInPandasWithState where the "
+    "2-number state is exactly what the state store keeps.",
+    tags=("timeseries", "hof", "A7", "U4"),
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "array_sort(collect_list(struct(day, v)))"
+        ).alias("pairs")
+    )
+    fitted = series.select(
+        "event_type",
+        F.size("pairs").cast("bigint").alias("n_days"),
+        F.expr(
+            "aggregate(slice(pairs.v, 2, size(pairs) - 1), "
+            "array(cast(pairs.v[0] as double), cast(0.0 as double)), "
+            "(acc, x) -> array("
+            "0.5 * x + 0.5 * (acc[0] + acc[1]), "
+            "0.3 * ((0.5 * x + 0.5 * (acc[0] + acc[1])) - acc[0]) "
+            "+ 0.7 * acc[1]))"
+        ).alias("state"),
+    )
+    return fitted.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("state")[0], 6).alias("level"),
+        F.round(F.col("state")[1], 6).alias("trend"),
+        F.round(F.col("state")[0] + F.col("state")[1], 6).alias("forecast_next"),
+    ).orderBy("event_type")

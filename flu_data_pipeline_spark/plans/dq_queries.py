@@ -458,3 +458,112 @@ def dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
         F.lit(1.0).alias("epsilon"),
     ).orderBy("n_name")
+
+
+@register(
+    "join_cardinality_audit",
+    oracle="""
+    WITH ol AS (
+        SELECT 'orders-lineitem' AS join_name,
+               (SELECT COUNT(*) FROM orders) AS n_left,
+               (SELECT COUNT(*) FROM lineitem) AS n_right,
+               GREATEST((SELECT COUNT(DISTINCT o_orderkey) FROM orders),
+                        (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem))
+                   AS max_ndv,
+               (SELECT COUNT(*) FROM orders o
+                JOIN lineitem l ON o.o_orderkey = l.l_orderkey) AS actual
+    ), co AS (
+        SELECT 'customer-orders',
+               (SELECT COUNT(*) FROM customer),
+               (SELECT COUNT(*) FROM orders),
+               GREATEST((SELECT COUNT(DISTINCT c_custkey) FROM customer),
+                        (SELECT COUNT(DISTINCT o_custkey) FROM orders)),
+               (SELECT COUNT(*) FROM customer c
+                JOIN orders o ON c.c_custkey = o.o_custkey)
+    ), pl AS (
+        SELECT 'part-lineitem',
+               (SELECT COUNT(*) FROM part),
+               (SELECT COUNT(*) FROM lineitem),
+               GREATEST((SELECT COUNT(DISTINCT p_partkey) FROM part),
+                        (SELECT COUNT(DISTINCT l_partkey) FROM lineitem)),
+               (SELECT COUNT(*) FROM part p
+                JOIN lineitem l ON p.p_partkey = l.l_partkey)
+    ), unioned AS (
+        SELECT * FROM ol UNION ALL SELECT * FROM co
+        UNION ALL SELECT * FROM pl
+    )
+    SELECT join_name,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(max_ndv AS BIGINT) AS max_ndv,
+           CAST((n_left * n_right) // max_ndv AS BIGINT) AS estimated,
+           CAST(actual AS BIGINT) AS actual,
+           ROUND(CAST(actual AS DOUBLE)
+                 / ((n_left * n_right) // max_ndv), 6)
+               AS actual_over_est
+    FROM unioned
+    ORDER BY join_name
+    """,
+    doc="Join-cardinality estimation audit — the textbook CBO formula "
+    "|A join B| ~ |A|*|B| / max(ndv_A(k), ndv_B(k)) checked against "
+    "the ACTUAL join output for the three FK joins of the star "
+    "schema. actual/estimated near 1 validates the uniformity "
+    "assumption the optimizer's join ordering rests on; large "
+    "ratios flag key skew or correlation, which is exactly when "
+    "hand hints (broadcast, shuffle-hash, salting — skew_queries) "
+    "earn their keep and when ANALYZE histograms (the CBO stats "
+    "test) matter. Integer-exact: counts and NDVs are exact "
+    "distinct counts, the estimate uses integer division. Scale "
+    "shape: per join, two count aggregates, two distinct-counts, "
+    "and the join's own count — each a standard shuffle; at "
+    "warehouse scale the NDVs come from ANALYZE stats instead of "
+    "recomputation, making the audit metadata-only.",
+    tags=("dq", "A8", "A11", "J6"),
+)
+def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+
+    def audit(name, left, right, lk, rk):
+        stats = left.agg(
+            F.count(F.lit(1)).alias("n_left"),
+            F.countDistinct(lk).alias("ndv_l"),
+        ).crossJoin(
+            right.agg(
+                F.count(F.lit(1)).alias("n_right"),
+                F.countDistinct(rk).alias("ndv_r"),
+            )
+        ).crossJoin(
+            left.join(right, F.col(lk) == F.col(rk))
+            .agg(F.count(F.lit(1)).alias("actual"))
+        )
+        max_ndv = F.greatest("ndv_l", "ndv_r")
+        # floor division on both engines (DuckDB // / Spark floor):
+        # a plain double divide + cast would truncate on one side and
+        # round on the other when the estimate is not integral
+        est = F.floor(F.col("n_left") * F.col("n_right") / max_ndv).cast(
+            "bigint"
+        )
+        return stats.select(
+            F.lit(name).alias("join_name"),
+            F.col("n_left").cast("bigint").alias("n_left"),
+            F.col("n_right").cast("bigint").alias("n_right"),
+            max_ndv.cast("bigint").alias("max_ndv"),
+            est.alias("estimated"),
+            F.col("actual").cast("bigint").alias("actual"),
+            F.round(F.col("actual").cast("double") / est, 6)
+            .alias("actual_over_est"),
+        )
+
+    return (
+        audit("orders-lineitem", orders, lineitem, "o_orderkey", "l_orderkey")
+        .unionByName(
+            audit("customer-orders", customer, orders, "c_custkey", "o_custkey")
+        )
+        .unionByName(
+            audit("part-lineitem", part, lineitem, "p_partkey", "l_partkey")
+        )
+        .orderBy("join_name")
+    )

@@ -59,6 +59,7 @@ BNLJ_AUDITED = {
     "eval_calibration_bins",  # (a) 1-row bounds
     "eval_pr_curve_purchase",  # (a) 1-row totals
     "histogram_equiwidth",   # (a) 1-row min/max
+    "join_cardinality_audit",  # (a) crosses of 1-row stat aggregates
     "kmeans_cluster_summary",  # (b) k centroids
     "kmv_distinct_setalgebra",  # (a) 1-row merged-sketch stats
     "q11_important_stock",   # (a) 1-row global sum+count

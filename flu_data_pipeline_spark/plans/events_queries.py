@@ -637,3 +637,128 @@ def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_of_day")
     )
+
+
+def _absorb_step_sql(prev: str, cur: str) -> str:
+    """One value-iteration step as SQL: non-absorbing states take the
+    probability-weighted average of their successors' values; absorbing
+    states keep theirs. Rounded to 8dp per step (the pagerank idiom) so
+    float join-sum order can never diverge engines."""
+    return f"""{cur} AS (
+        SELECT s.state,
+               CASE WHEN s.state IN ('purchase', 'error') THEN {prev}.v
+                    ELSE ROUND(COALESCE(m.nv, 0.0), 8) END AS v
+        FROM states s
+        JOIN {prev} ON s.state = {prev}.state
+        LEFT JOIN (
+            SELECT nrm.prev AS state, SUM(nrm.p * {prev}.v) AS nv
+            FROM nrm JOIN {prev} ON nrm.cur = {prev}.state
+            GROUP BY nrm.prev
+        ) m ON s.state = m.state
+    )"""
+
+
+@register(
+    "markov_absorption_conversion",
+    oracle="WITH seq AS ("
+    """
+        SELECT user_id, event_type AS cur,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    ), t AS (
+        SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev IS NOT NULL
+        GROUP BY prev, cur
+    ), nrm AS (
+        SELECT prev, cur,
+               ROUND(CAST(n AS DOUBLE)
+                     / SUM(n) OVER (PARTITION BY prev), 8) AS p
+        FROM t
+    ), states AS (
+        SELECT DISTINCT prev AS state FROM t
+        UNION
+        SELECT DISTINCT cur FROM t
+    ), v0 AS (
+        SELECT state,
+               CASE WHEN state = 'purchase' THEN 1.0 ELSE 0.0 END AS v
+        FROM states
+    ), """
+    + _absorb_step_sql("v0", "v1")
+    + ", "
+    + _absorb_step_sql("v1", "v2")
+    + ", "
+    + _absorb_step_sql("v2", "v3")
+    + ", "
+    + _absorb_step_sql("v3", "v4")
+    + """
+    SELECT state, ROUND(v, 6) AS p_purchase_within_4
+    FROM v4
+    ORDER BY state
+    """,
+    doc="Markov absorption probability — P(next conversion before an "
+    "error, within 4 transitions) per starting state: the empirical "
+    "first-order transition matrix (per-user lag pairs, row-"
+    "normalized to 8dp) drives four unrolled value-iteration steps "
+    "with 'purchase' (value 1) and 'error' (value 0) absorbing; "
+    "non-absorbing states average their successors' values. This is "
+    "the quantitative version of the funnel: not just who converted, "
+    "but how convertible each behavioral state is — the matrix-"
+    "power-by-join pattern (each step is one join of the "
+    "|states|^2 matrix against the |states| value vector, both "
+    "broadcast-sized here and at any real state cardinality). "
+    "Per-step 8dp rounding pins the join-sum float order exactly "
+    "like the PageRank oracle.",
+    tags=("events", "graph", "A7", "W1"),
+)
+def markov_absorption_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    t = seq.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n"))
+    nrm = t.select(
+        "prev",
+        "cur",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("prev")),
+            8,
+        ).alias("p"),
+    ).localCheckpoint(eager=True)
+    states = (
+        t.select(F.col("prev").alias("state"))
+        .union(t.select("cur"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    v = states.select(
+        "state",
+        F.when(F.col("state") == "purchase", 1.0).otherwise(0.0).alias("v"),
+    )
+    absorbing = F.col("state").isin("purchase", "error")
+    for _ in range(4):
+        nv = (
+            nrm.join(v, nrm.cur == v.state)
+            .groupBy(F.col("prev").alias("state"))
+            .agg(F.sum(F.col("p") * F.col("v")).alias("nv"))
+        )
+        v = (
+            states.join(v, "state")
+            .join(nv, "state", "left")
+            .select(
+                "state",
+                F.when(absorbing, F.col("v"))
+                .otherwise(F.round(F.coalesce(F.col("nv"), F.lit(0.0)), 8))
+                .alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v.select(
+        "state", F.round("v", 6).alias("p_purchase_within_4")
+    ).orderBy("state")

@@ -264,3 +264,16 @@ def test_u_shaped_attribution_conserves_credit(spark):
         """
     ).fetchone()[0]
     assert abs(total_credit - n_attributed) < 1e-3
+
+
+def test_markov_absorption_probabilities_valid(spark):
+    rows = {r["state"]: r["p_purchase_within_4"]
+            for r in _rows(spark, "markov_absorption_conversion")}
+    assert rows["purchase"] == 1.0
+    assert rows["error"] == 0.0
+    for state, p in rows.items():
+        assert 0.0 <= p <= 1.0
+    # transient states have strictly interior probabilities on this
+    # fixture (every state can reach both absorbers)
+    for state in set(rows) - {"purchase", "error"}:
+        assert 0.0 < rows[state] < 1.0

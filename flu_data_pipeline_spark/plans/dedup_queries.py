@@ -15,7 +15,7 @@ feature — candidate generation cost is bounded by feature-bucket sizes
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flu_data_pipeline_spark.catalog import load_table
@@ -793,3 +793,103 @@ def linkage_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(m_prob / u_prob), 6).alias("w_agree"),
         F.round(F.log((1.0 - m_prob) / (1.0 - u_prob)), 6).alias("w_disagree"),
     ).orderBy("field")
+
+
+@register(
+    "dedup_survivorship_best",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLED_DISTINCT_SQL}, {_SIG_SQL},
+    bands AS (
+{_BANDS_SQL}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, root) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, MIN(root) AS component
+        FROM reach GROUP BY node
+    ),
+    scored AS (
+        SELECT c.component, c.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.component
+                   ORDER BY d.n_chars DESC, c.doc_id
+               ) AS rk
+        FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT component,
+           CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+               AS survivor_doc_id,
+           CAST(MAX(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+               AS survivor_n_chars,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) = MIN(doc_id)
+                AS INT) AS same_as_min_id
+    FROM scored
+    GROUP BY component
+    ORDER BY component
+    """,
+    doc="Quality-based survivorship for near-dup clusters — the "
+    "production 'keep the BEST copy' rule, vs dedup_cluster_reps' "
+    "'keep the min-id copy': within each minhash-LSH connected "
+    "component, the survivor is the longest document (n_chars desc, "
+    "doc_id tie-break) — the usual proxy when near-dups differ by "
+    "truncation or boilerplate stripping; any scoring column "
+    "(quality gate output, recency, source priority) swaps into the "
+    "same ordered window. same_as_min_id exposes how often the "
+    "naive label-as-representative choice would have kept a "
+    "SHORTER copy — the measurable argument for survivorship "
+    "logic. Scale shape: components as before (distributed label "
+    "propagation), one broadcast-joinable doc-stats join, one "
+    "per-component window at cluster cardinality.",
+    tags=("dedup", "graph", "minhash", "A6"),
+)
+def dedup_survivorship_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", NUM_HASHES)
+    pairs = lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BAND_SIZE)
+    cc = connected_components(pairs, "id_a", "id_b")
+    scored = cc.join(
+        docs.select("doc_id", "n_chars"),
+        cc.node == F.col("doc_id"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = scored.select(
+        "component", "doc_id", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id")))
+            .cast("bigint")
+            .alias("survivor_doc_id"),
+            F.max(F.when(F.col("rk") == 1, F.col("n_chars")))
+            .cast("bigint")
+            .alias("survivor_n_chars"),
+            F.count(F.lit(1)).alias("cluster_size"),
+            (
+                F.max(F.when(F.col("rk") == 1, F.col("doc_id")))
+                == F.min("doc_id")
+            )
+            .cast("int")
+            .alias("same_as_min_id"),
+        )
+        .orderBy("component")
+    )

@@ -637,3 +637,80 @@ def funnel_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((p + 1.9208 / n - half) / denom, 6).alias("ci_low"),
         F.round((p + 1.9208 / n + half) / denom, 6).alias("ci_high"),
     ).orderBy("step")
+
+
+@register(
+    "sampling_neyman_allocation",
+    oracle="""
+    WITH strata AS (
+        SELECT l_returnflag AS stratum,
+               CAST(COUNT(*) AS BIGINT) AS n_h,
+               ROUND(STDDEV_SAMP(l_extendedprice), 4) AS s_h
+        FROM lineitem GROUP BY l_returnflag
+    ), weighted AS (
+        SELECT stratum, n_h, s_h,
+               n_h * s_h / SUM(n_h * s_h) OVER () AS w,
+               FLOOR(n_h * s_h / SUM(n_h * s_h) OVER () * 10000)
+                   AS base_alloc,
+               n_h * s_h / SUM(n_h * s_h) OVER () * 10000
+                   - FLOOR(n_h * s_h / SUM(n_h * s_h) OVER () * 10000)
+                   AS frac
+        FROM strata
+    ), rem AS (
+        SELECT CAST(10000 - SUM(base_alloc) AS BIGINT) AS r FROM weighted
+    )
+    SELECT stratum, n_h, s_h, ROUND(w, 6) AS w,
+           CAST(base_alloc
+                + CASE WHEN ROW_NUMBER() OVER (ORDER BY frac DESC, stratum)
+                            <= rem.r THEN 1 ELSE 0 END AS BIGINT)
+               AS n_sample
+    FROM weighted CROSS JOIN rem
+    ORDER BY stratum
+    """,
+    doc="Neyman-optimal stratified sampling allocation: a 10k-row "
+    "sample budget split across l_returnflag strata proportional to "
+    "N_h * S_h (stratum size times within-stratum price stddev) — "
+    "the allocation that minimizes the stratified estimator's "
+    "variance, vs the naive proportional split that oversamples "
+    "homogeneous strata. Stddevs are pre-rounded to 4dp so the "
+    "weight ratios are engine-stable; exact integer quotas come "
+    "from the same largest-remainder apportionment as "
+    "corpus_temperature_mix (quotas provably sum to the budget). "
+    "Scale shape: one pass for the stratum moments (count + "
+    "variance are partial-aggregable), stratum-cardinality window "
+    "math; the consuming sampler filters per-partition against "
+    "broadcast per-stratum rates.",
+    tags=("experiment", "sampling", "A7", "A10"),
+)
+def sampling_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    budget = 10000
+    strata = li.groupBy(F.col("l_returnflag").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("s_h"),
+    )
+    tot = Window.partitionBy()
+    w = (F.col("n_h") * F.col("s_h")) / F.sum(
+        F.col("n_h") * F.col("s_h")
+    ).over(tot)
+    weighted = strata.select(
+        "stratum",
+        "n_h",
+        "s_h",
+        w.alias("w"),
+        F.floor(w * budget).alias("base_alloc"),
+        (w * budget - F.floor(w * budget)).alias("frac"),
+    )
+    rem = (budget - F.sum("base_alloc").over(tot)).cast("bigint")
+    rank = F.row_number().over(Window.orderBy(F.col("frac").desc(), "stratum"))
+    return weighted.select(
+        "stratum",
+        "n_h",
+        "s_h",
+        F.round("w", 6).alias("w"),
+        (F.col("base_alloc") + F.when(rank <= rem, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sample"),
+    ).orderBy("stratum")

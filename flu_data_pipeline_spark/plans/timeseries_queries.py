@@ -1092,3 +1092,98 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("state")[1], 6).alias("trend"),
         F.round(F.col("state")[0] + F.col("state")[1], 6).alias("forecast_next"),
     ).orderBy("event_type")
+
+
+@register(
+    "ts_interarrival_ks",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+               LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS prev_s
+        FROM events
+    ), gaps AS (
+        SELECT event_type,
+               CAST(ts_s - prev_s AS DOUBLE) AS gap
+        FROM seq WHERE prev_s IS NOT NULL AND ts_s > prev_s
+    ), rate AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               ROUND(1.0 / AVG(gap), 8) AS lambda
+        FROM gaps GROUP BY event_type
+    ), ecdf AS (
+        SELECT g.event_type, g.gap, r.n_gaps, r.lambda,
+               ROW_NUMBER() OVER (
+                   PARTITION BY g.event_type ORDER BY g.gap
+               ) AS rk
+        FROM gaps g JOIN rate r ON g.event_type = r.event_type
+    )
+    SELECT event_type, n_gaps, lambda,
+           ROUND(MAX(GREATEST(
+               ABS(CAST(rk AS DOUBLE) / n_gaps
+                   - (1.0 - exp(-lambda * gap))),
+               ABS(CAST(rk - 1 AS DOUBLE) / n_gaps
+                   - (1.0 - exp(-lambda * gap)))
+           )), 6) AS ks_stat
+    FROM ecdf
+    GROUP BY event_type, n_gaps, lambda
+    ORDER BY event_type
+    """,
+    doc="Kolmogorov-Smirnov goodness-of-fit of per-type interarrival "
+    "gaps against the exponential(lambda-hat) null, lambda-hat = "
+    "1/mean gap (the Poisson-process health check behind 'is this "
+    "event stream bursty or memoryless' — a high KS stat on clicks "
+    "vs signups quantifies the burstiness the burst-collapse "
+    "operator then removes). The KS statistic is the max over "
+    "sample points of the ECDF-vs-CDF gap, evaluated on BOTH sides "
+    "of each step (rk/n and (rk-1)/n — the one-sided version "
+    "understates D); ranks come from a per-type ordered window, "
+    "ties on integer-second gaps are benign (same CDF value), and "
+    "lambda is pre-rounded to 8dp so the exp() inputs are engine-"
+    "stable. Scale shape: lag window + per-type rank window (both "
+    "partitioned), then a max-aggregate — no sort leaves its "
+    "partition; the critical-value compare (1.36/sqrt n) is a "
+    "driver-side scalar.",
+    tags=("timeseries", "eval", "A7", "W1"),
+)
+def ts_interarrival_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id"
+    )
+    sec = F.floor(F.unix_micros(F.col("ts")) / 1000000).cast("bigint")
+    w_lag = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        sec.alias("ts_s"),
+        F.lag(sec).over(w_lag).alias("prev_s"),
+    )
+    gaps = seq.filter(
+        F.col("prev_s").isNotNull() & (F.col("ts_s") > F.col("prev_s"))
+    ).select(
+        "event_type",
+        (F.col("ts_s") - F.col("prev_s")).cast("double").alias("gap"),
+    )
+    rate = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(1.0 / F.avg("gap"), 8).alias("lambda"),
+    )
+    w_rk = Window.partitionBy("event_type").orderBy("gap")
+    ecdf = gaps.join(F.broadcast(rate), "event_type").select(
+        "event_type",
+        "gap",
+        "n_gaps",
+        "lambda",
+        F.row_number().over(w_rk).alias("rk"),
+    )
+    cdf = 1.0 - F.exp(-F.col("lambda") * F.col("gap"))
+    dev = F.greatest(
+        F.abs(F.col("rk").cast("double") / F.col("n_gaps") - cdf),
+        F.abs((F.col("rk") - 1).cast("double") / F.col("n_gaps") - cdf),
+    )
+    return (
+        ecdf.groupBy("event_type", "n_gaps", "lambda")
+        .agg(F.round(F.max(dev), 6).alias("ks_stat"))
+        .orderBy("event_type")
+    )

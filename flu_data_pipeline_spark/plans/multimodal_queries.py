@@ -158,3 +158,71 @@ def multimodal_cas_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy(F.desc("n_copies"), "chunk_hash")
     )
+
+
+@register(
+    "multimodal_frame_sample_plan",
+    oracle="""
+    WITH blobs AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(GREATEST(octet_length(encode(text)) // 32, 1) AS BIGINT)
+                   AS n_frames
+        FROM documents
+    ), plans AS (
+        SELECT doc_id, n_bytes, n_frames,
+               unnest(range(0, LEAST(n_frames, 4))) AS k
+        FROM blobs
+    )
+    SELECT doc_id, n_frames,
+           CAST(k AS INT) AS sample_idx,
+           CAST(k * n_frames // LEAST(n_frames, 4) AS BIGINT) AS frame_no,
+           CAST(k * n_frames // LEAST(n_frames, 4) * 32 AS BIGINT)
+               AS byte_offset
+    FROM plans
+    ORDER BY doc_id, sample_idx
+    LIMIT 200
+    """,
+    doc="Deterministic frame-sampling schedule for video-like blobs — "
+    "the PLANNING half of multimodal decode, split from the decode "
+    "itself (decode_stub) the way real pipelines do: per blob, a "
+    "frame count from the container model (32 bytes/frame here; a "
+    "real demuxer reads the index atom), then k<=4 uniformly-spaced "
+    "frame numbers via integer floor arithmetic (k*n_frames//k_max — "
+    "no float stride, so the schedule is bit-stable across engines "
+    "and runs) with their byte offsets for ranged reads. At 100 TB "
+    "this table is what makes decode cheap: the mapInPandas decoder "
+    "receives (blob-range, frame_no) work items and the storage "
+    "layer serves RANGED reads instead of full blobs — the schedule "
+    "is metadata-only and never touches payload bytes. Scale shape: "
+    "pure map-side arithmetic + a bounded <=4-row-per-blob lateral.",
+    tags=("multimodal", "F2", "O7"),
+)
+def multimodal_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_binary(load_table(spark, sf_dir, "documents"))
+    blobs = docs.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.greatest(
+            F.floor(F.col("meta.n_bytes") / 32).cast("bigint"), F.lit(1)
+        ).alias("n_frames"),
+    )
+    plans = blobs.select(
+        "doc_id",
+        "n_frames",
+        F.explode(F.expr("sequence(0, least(n_frames, 4) - 1)")).alias("k"),
+    )
+    frame_no = F.floor(
+        F.col("k") * F.col("n_frames") / F.least(F.col("n_frames"), F.lit(4))
+    ).cast("bigint")
+    return (
+        plans.select(
+            "doc_id",
+            "n_frames",
+            F.col("k").cast("int").alias("sample_idx"),
+            frame_no.alias("frame_no"),
+            (frame_no * 32).cast("bigint").alias("byte_offset"),
+        )
+        .orderBy("doc_id", "sample_idx")
+        .limit(200)
+    )

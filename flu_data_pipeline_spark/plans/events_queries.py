@@ -762,3 +762,67 @@ def markov_absorption_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         "state", F.round("v", 6).alias("p_purchase_within_4")
     ).orderBy("state")
+
+
+@register(
+    "events_user_entropy",
+    oracle="""
+    WITH cell AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_total
+        FROM cell GROUP BY user_id
+    ), ent AS (
+        SELECT c.user_id, t.n_total,
+               CAST(COUNT(*) AS INT) AS n_types,
+               ROUND(-SUM((CAST(c.n AS DOUBLE) / t.n_total)
+                          * ln(CAST(c.n AS DOUBLE) / t.n_total)), 6)
+                   AS entropy_nats
+        FROM cell c JOIN tot t ON c.user_id = t.user_id
+        GROUP BY c.user_id, t.n_total
+    )
+    SELECT user_id, n_total, n_types, entropy_nats
+    FROM ent
+    QUALIFY ROW_NUMBER() OVER (
+        ORDER BY entropy_nats DESC, user_id) <= 25
+    ORDER BY entropy_nats DESC, user_id
+    """,
+    doc="Behavioral diversity score: Shannon entropy (nats) of each "
+    "user's event-type distribution — the feature that separates "
+    "single-purpose accounts (entropy ~0: all views, or all errors "
+    "— bot smell either way) from engaged users exercising the "
+    "whole surface (entropy -> ln(5)). Top-25 most diverse users "
+    "pinned on (rounded entropy, user). Per-user probabilities are "
+    "exact integer ratios; the entropy sum runs over <=5 terms per "
+    "user in groupBy-accumulation order — bounded-cardinality "
+    "inner sums are ulp-safe at 6dp. Scale shape: two aggregations "
+    "on the SAME user key (Spark reuses the exchange), cell "
+    "cardinality = users x types, TakeOrderedAndProject for the "
+    "cut. The per-entity-distribution-entropy shape generalizes to "
+    "any (entity, category) pair — domain mix per crawl host, "
+    "language mix per source.",
+    tags=("events", "text", "A7", "A10", "O3"),
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    cell = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cell.groupBy("user_id").agg(F.sum("n").cast("bigint").alias("n_total"))
+    p = F.col("n").cast("double") / F.col("n_total")
+    ent = (
+        cell.join(tot, "user_id")
+        .groupBy("user_id", "n_total")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+        )
+    )
+    w = Window.orderBy(F.desc("entropy_nats"), "user_id")
+    return (
+        ent.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .drop("rn")
+        .orderBy(F.desc("entropy_nats"), "user_id")
+    )

@@ -1446,3 +1446,112 @@ def median_exact_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("bigint").alias("median_cents"),
         F.round(F.col("c") / 100.0, 2).alias("median_price"),
     )
+
+
+@register(
+    "supplier_scorecard",
+    oracle="""
+    WITH per_supp AS (
+        SELECT l.l_suppkey AS suppkey,
+               ROUND(AVG(CASE WHEN CAST(l.l_shipdate AS DATE)
+                                   - CAST(o.o_orderdate AS DATE) <= 30
+                              THEN 1.0 ELSE 0.0 END), 6) AS ontime_rate,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents,
+               CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS n_parts
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_suppkey
+    ), stats AS (
+        SELECT ROUND(AVG(ontime_rate), 6) AS m_ontime,
+               ROUND(STDDEV_SAMP(ontime_rate), 6) AS s_ontime,
+               ROUND(AVG(rev_cents), 6) AS m_rev,
+               ROUND(STDDEV_SAMP(rev_cents), 6) AS s_rev,
+               ROUND(AVG(n_parts), 6) AS m_parts,
+               ROUND(STDDEV_SAMP(n_parts), 6) AS s_parts
+        FROM per_supp
+    )
+    SELECT suppkey, ontime_rate, rev_cents, n_parts,
+           ROUND(0.4 * ((ontime_rate - m_ontime) / s_ontime)
+                 + 0.4 * ((rev_cents - m_rev) / s_rev)
+                 + 0.2 * ((n_parts - m_parts) / s_parts), 6)
+               AS composite_z
+    FROM per_supp CROSS JOIN stats
+    QUALIFY ROW_NUMBER() OVER (
+        ORDER BY ROUND(0.4 * ((ontime_rate - m_ontime) / s_ontime)
+                       + 0.4 * ((rev_cents - m_rev) / s_rev)
+                       + 0.2 * ((n_parts - m_parts) / s_parts), 6) DESC,
+                 suppkey) <= 25
+    ORDER BY composite_z DESC, suppkey
+    """,
+    doc="Composite vendor scorecard — the weighted multi-metric ranking "
+    "every procurement dashboard runs: per supplier, on-time rate "
+    "(shipped within 30 days of order), exact-cent revenue, and "
+    "part-assortment breadth, each z-scored against the supplier "
+    "population and blended 40/40/20. Population means and stddevs "
+    "are pre-rounded to 6dp before the z-arithmetic so "
+    "engine-internal variance-accumulation ulps cannot move a "
+    "composite past a rank boundary; the top-25 cut is pinned on "
+    "(rounded composite, suppkey). Scale shape: one FK join + "
+    "supplier-keyed aggregate, a 1-row stats broadcast, and "
+    "TakeOrderedAndProject — the metric list extends by adding "
+    "aggregate columns, never new passes.",
+    tags=("warehouse", "A7", "A11", "O3"),
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_partkey", "l_shipdate", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    per_supp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.round(
+                F.avg(
+                    F.when(
+                        F.datediff(
+                            F.col("l_shipdate").cast("date"),
+                            F.col("o_orderdate").cast("date"),
+                        )
+                        <= 30,
+                        1.0,
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("ontime_rate"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+    stats = per_supp.agg(
+        F.round(F.avg("ontime_rate"), 6).alias("m_ontime"),
+        F.round(F.stddev_samp("ontime_rate"), 6).alias("s_ontime"),
+        F.round(F.avg("rev_cents"), 6).alias("m_rev"),
+        F.round(F.stddev_samp("rev_cents"), 6).alias("s_rev"),
+        F.round(F.avg("n_parts"), 6).alias("m_parts"),
+        F.round(F.stddev_samp("n_parts"), 6).alias("s_parts"),
+    )
+    comp = F.round(
+        0.4 * ((F.col("ontime_rate") - F.col("m_ontime")) / F.col("s_ontime"))
+        + 0.4 * ((F.col("rev_cents") - F.col("m_rev")) / F.col("s_rev"))
+        + 0.2 * ((F.col("n_parts") - F.col("m_parts")) / F.col("s_parts")),
+        6,
+    )
+    scored = per_supp.crossJoin(F.broadcast(stats)).select(
+        "suppkey",
+        "ontime_rate",
+        "rev_cents",
+        "n_parts",
+        comp.alias("composite_z"),
+    )
+    w = Window.orderBy(F.desc("composite_z"), "suppkey")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .drop("rn")
+        .orderBy(F.desc("composite_z"), "suppkey")
+    )

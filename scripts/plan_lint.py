@@ -67,6 +67,7 @@ BNLJ_AUDITED = {
     "range_band_join",       # (c) band-range condition
     "ranking_rbo_eval",      # (a)+(b) corpus stats + 10-row depth enum
     "sample_weighted",       # (a) 1-row max length
+    "supplier_scorecard",    # (a) 1-row population-stats broadcast
     "text_bigram_lm_score",  # (a) 1-row vocab-size scalar
     "text_bm25_topk",        # (a) 1-row corpus stats
     "triangle_count_cosupply",  # (c) orientation m<n condition

@@ -1357,3 +1357,95 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n").cast("double") / F.sum("n").over(w_col), 6)
         .alias("precision_share"),
     ).orderBy("labeled_lang", "predicted_lang")
+
+
+@register(
+    "text_oov_rate_by_source",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ), counts AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY term
+    ), ranked AS (
+        SELECT term, c,
+               SUM(c) OVER (ORDER BY c DESC, term
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER () AS total
+        FROM counts
+    ), vocab AS (
+        SELECT term FROM ranked
+        WHERE CAST(cum - c AS DOUBLE) / total < 0.90
+    ), doc_oov AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov
+        FROM tok t LEFT JOIN vocab v ON t.term = v.term
+        GROUP BY t.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(o.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(o.n_oov) AS BIGINT) AS n_oov,
+           ROUND(CAST(SUM(o.n_oov) AS DOUBLE) / SUM(o.n_tokens), 6)
+               AS oov_rate
+    FROM doc_oov o JOIN documents d ON o.doc_id = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    doc="Out-of-vocabulary rate per source under the 90%-coverage "
+    "vocabulary (the same cutoff rule as vocab_coverage_cutoff): "
+    "every token outside the kept vocab maps to <unk>, and the "
+    "per-source <unk> share is the routing diagnostic — a source "
+    "whose OOV rate is multiples of the corpus average either needs "
+    "vocab expansion or its own tokenizer, and rising OOV over "
+    "ingest batches is drift. Token membership is a LEFT join of "
+    "the token stream against the vocab (broadcast-sized: the vocab "
+    "is by construction the SMALL head of the term distribution), "
+    "then doc- and source-level exact integer rollups. Scale shape: "
+    "term counts as in the vocab query; the membership join "
+    "broadcasts the vocab; everything else is FK-keyed aggregation.",
+    tags=("text", "llm", "A10", "J2"),
+)
+def text_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), "term").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = counts.select(
+        "term",
+        "c",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+    )
+    vocab = ranked.filter(
+        (F.col("cum") - F.col("c")).cast("double") / F.col("total") < 0.90
+    ).select("term")
+    doc_oov = (
+        tok.join(F.broadcast(vocab.withColumn("in_v", F.lit(1))), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+    )
+    return (
+        doc_oov.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_oov").cast("bigint").alias("n_oov"),
+            F.round(
+                F.sum("n_oov").cast("double") / F.sum("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )

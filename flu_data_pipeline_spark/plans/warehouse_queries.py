@@ -980,23 +980,32 @@ def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    basket = (
+    # ONE orderkey shuffle builds the per-order brand set (collect_set
+    # dedups in the aggregate, so no separate distinct exchange); the
+    # basket count N and the per-brand margins are both DERIVED from this
+    # grouped frame (row count / explode), which lets Catalyst reuse the
+    # single exchange across all three branches instead of recomputing
+    # the join+distinct per branch.
+    baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("orderkey"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("p_brand").alias("brand"),
+        )
+        .groupBy("orderkey")
+        .agg(F.array_sort(F.collect_set("brand")).alias("brands"))
     )
-    norders = basket.agg(
-        F.countDistinct("orderkey").cast("double").alias("n")
+    norders = baskets.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    brand_n = (
+        baskets.select(F.explode("brands").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n_brand"))
     )
-    brand_n = basket.groupBy("brand").agg(F.count(F.lit(1)).alias("n_brand"))
     # pair generation is MAP-SIDE: per-order sorted brand set -> all
     # ascending pairs via nested transform (b_i < b_j by construction).
     # Equivalent to the oracle's basket self-join but with ONE shuffle
     # (orderkey) + pair-count aggregation instead of a join shuffle of
     # the whole basket relation against itself (measured ~4x on bench).
-    baskets = basket.groupBy("orderkey").agg(
-        F.array_sort(F.collect_set("brand")).alias("brands")
-    )
     pair_n = (
         baskets.select(
             F.explode(

@@ -24,6 +24,7 @@ from flu_data_pipeline_spark.plans import (  # noqa: F401
     layout_queries,
     join_queries,
     multimodal_queries,
+    rank_stats_queries,
     regression_queries,
     relational,
     sketch_queries,

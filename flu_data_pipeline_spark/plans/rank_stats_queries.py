@@ -1,0 +1,402 @@
+"""Rank-based statistics without single-partition global windows.
+
+The common trap for exact rank statistics (Mann-Whitney U, Spearman rho)
+on a cluster is `ROW_NUMBER() OVER (ORDER BY value)` — a total order over
+the whole relation collapses onto one task. These queries instead use the
+classic two-stage distributed ranking:
+
+1. aggregate rows to the DISTINCT-VALUE level (counts per value);
+2. range-bucket the distinct values; per-bucket totals (one tiny frame,
+   O(#buckets)) give each bucket its global prefix offset;
+3. a window PARTITIONED BY bucket adds the within-bucket prefix, so
+   every distinct value gets its exact global `cum_before` without any
+   single-partition pass over the data.
+
+Average ranks for ties are kept integer-exact by carrying 2x the rank
+(`2*cum_before + n + 1` = twice the average rank of a tie group), and
+all moment sums go through DECIMAL(38,0) (DuckDB: HUGEINT), so the final
+float statistic is computed once, identically on both engines, from
+bit-identical integers.
+
+Not in the reference (its stats end at group means,
+dags/flu_data_airflow_v2.py:418-460); standard hypothesis-testing /
+profiling surface for a warehouse at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flu_data_pipeline_spark.catalog import load_table
+from flu_data_pipeline_spark.plans.registry import register
+
+
+def _with_cum_before(
+    vals: DataFrame, bucket: Column, order_col: str, n_col: str
+) -> DataFrame:
+    """Two-stage distributed prefix sum: add ``cum_before`` = number of
+    rows with a strictly smaller ``order_col`` value.
+
+    ``vals`` is a distinct-value frame (one row per value). The only
+    unpartitioned window runs over the bucket-totals frame, whose size is
+    O(#buckets) — data-range-bounded, not data-volume-bounded.
+    """
+    b = vals.withColumn("_bucket", bucket)
+    totals = b.groupBy("_bucket").agg(F.sum(n_col).alias("_bn"))
+    wb = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_bn").over(wb), F.lit(0)).alias("_boff"),
+    )
+    wv = (
+        Window.partitionBy("_bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.join(F.broadcast(offsets), "_bucket")
+        .withColumn("_cum_in", F.coalesce(F.sum(n_col).over(wv), F.lit(0)))
+        .withColumn("cum_before", F.col("_boff") + F.col("_cum_in"))
+        .drop("_bucket", "_boff", "_cum_in")
+    )
+
+
+@register(
+    "mannwhitney_rank_sum",
+    oracle="""
+    WITH vals AS (
+        SELECT value,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+        GROUP BY value
+    ), ranked AS (
+        SELECT ca, cb, ca + cb AS n,
+               COALESCE(SUM(ca + cb) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM vals
+    ), m AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+               CAST(SUM(cb) AS BIGINT) AS n_b,
+               SUM(ca * (2 * cum_before + n + 1)) AS r2_a,
+               SUM(cb * (2 * cum_before + n + 1)) AS r2_b,
+               SUM(CAST(n AS HUGEINT) * n * n - n) AS ties
+        FROM ranked
+    )
+    SELECT n_a AS n_click, n_b AS n_purchase,
+           (CAST(r2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * (n_a + 1)) / 2.0
+               AS u_click,
+           (CAST(r2_b AS DOUBLE) - CAST(n_b AS DOUBLE) * (n_b + 1)) / 2.0
+               AS u_purchase,
+           ROUND(((CAST(r2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * (n_a + 1))
+                      / 2.0
+                  - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+                 / SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                        * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                           - CAST(ties AS DOUBLE)
+                             / (CAST(n_a + n_b AS DOUBLE)
+                                * (CAST(n_a + n_b AS DOUBLE) - 1.0)))),
+                 6) AS z_u
+    FROM m
+    """,
+    doc="Exact Mann-Whitney U rank-sum test (click vs purchase event "
+    "values), tie-corrected z statistic. Ranking is the two-stage "
+    "distributed prefix sum (module docstring): rows collapse to "
+    "distinct values, buckets give global offsets, windows stay "
+    "bucket-partitioned — no single-partition ORDER BY over the fact. "
+    "Rank sums carry 2x ranks as DECIMAL(38,0) so U and the "
+    "tie-corrected z come out of bit-identical integers on both "
+    "engines; U itself can be half-integer under ties, hence DOUBLE. "
+    "Scale shape: one distinct-value shuffle + one tiny bucket frame; "
+    "the value-level frame is what shuffles, never raw events.",
+    tags=("stats", "experiment", "A11", "W1"),
+)
+def mannwhitney_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+    )
+    vals = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "ca"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("cb"),
+    )
+    vals = vals.withColumn("n", F.col("ca") + F.col("cb"))
+    ranked = _with_cum_before(vals, F.floor("value"), "value", "n")
+    m = ranked.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+        F.sum(
+            (
+                F.col("ca") * (2 * F.col("cum_before") + F.col("n") + 1)
+            ).cast("decimal(38,0)")
+        ).alias("r2_a"),
+        F.sum(
+            (
+                F.col("cb") * (2 * F.col("cum_before") + F.col("n") + 1)
+            ).cast("decimal(38,0)")
+        ).alias("r2_b"),
+        F.sum(
+            F.col("n").cast("decimal(38,0)") * F.col("n") * F.col("n")
+            - F.col("n")
+        ).alias("ties"),
+    )
+    # Final scalar math as ONE expression text mirrored in the oracle —
+    # identical op tree over identical exact integers => identical double.
+    return m.selectExpr(
+        "n_a AS n_click",
+        "n_b AS n_purchase",
+        "(CAST(r2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * (n_a + 1)) / 2.0"
+        " AS u_click",
+        "(CAST(r2_b AS DOUBLE) - CAST(n_b AS DOUBLE) * (n_b + 1)) / 2.0"
+        " AS u_purchase",
+        "ROUND(((CAST(r2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * (n_a + 1))"
+        " / 2.0"
+        " - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)"
+        " / SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0"
+        " * ((CAST(n_a + n_b AS DOUBLE) + 1.0)"
+        " - CAST(ties AS DOUBLE)"
+        " / (CAST(n_a + n_b AS DOUBLE)"
+        " * (CAST(n_a + n_b AS DOUBLE) - 1.0)))), 6) AS z_u",
+    )
+
+
+@register(
+    "spearman_rho_ranks",
+    oracle="""
+    WITH qr AS (
+        SELECT l_quantity AS q, COUNT(*) AS c FROM lineitem
+        GROUP BY l_quantity
+    ), qr2 AS (
+        SELECT q, 2 * COALESCE(SUM(c) OVER (ORDER BY q
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+            AS r2x
+        FROM qr
+    ), pr AS (
+        SELECT l_extendedprice AS p, COUNT(*) AS c FROM lineitem
+        GROUP BY l_extendedprice
+    ), pr2 AS (
+        SELECT p, 2 * COALESCE(SUM(c) OVER (ORDER BY p
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+            AS r2y
+        FROM pr
+    ), j AS (
+        SELECT r2x, r2y FROM lineitem
+        JOIN qr2 ON l_quantity = q
+        JOIN pr2 ON l_extendedprice = p
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(r2x) AS sx, SUM(r2y) AS sy,
+               SUM(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+               SUM(CAST(r2y AS HUGEINT) * r2y) AS syy,
+               SUM(CAST(r2x AS HUGEINT) * r2y) AS sxy
+        FROM j
+    )
+    SELECT n AS n_rows,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS rho_spearman
+    FROM m
+    """,
+    doc="Exact Spearman rank correlation (l_quantity vs l_extendedprice) "
+    "with average ranks for ties — Pearson on 2x-ranks (affine scaling "
+    "cancels in rho). Quantity has <=50 distinct values (tiny window); "
+    "price ranks use the two-stage bucketed prefix sum, then the rank "
+    "maps join back to the fact (quantity map broadcast, price map a "
+    "value-keyed shuffle join). All five moments are DECIMAL(38,0) "
+    "sums (HUGEINT in the oracle) so rho is one deterministic float "
+    "expression over exact integers. Scale shape: two distinct-value "
+    "shuffles + one fact join; no global ORDER BY, no rank window over "
+    "raw rows.",
+    tags=("stats", "A11", "W1"),
+)
+def spearman_rho_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    )
+    qr = li.groupBy(F.col("l_quantity").alias("q")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # <=50 distinct quantities: a single tiny window is O(distinct), fine.
+    wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    qr2 = qr.select(
+        "q",
+        (
+            2 * F.coalesce(F.sum("c").over(wq), F.lit(0)) + F.col("c") + 1
+        ).alias("r2x"),
+    )
+    pr = li.groupBy(F.col("l_extendedprice").alias("p")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pr2 = _with_cum_before(
+        pr, F.floor(F.col("p") / 1000.0), "p", "c"
+    ).select("p", (2 * F.col("cum_before") + F.col("c") + 1).alias("r2y"))
+    j = (
+        li.join(F.broadcast(qr2), li.l_quantity == qr2.q)
+        .join(pr2, li.l_extendedprice == pr2.p)
+        .select("r2x", "r2y")
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("r2x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("r2y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("r2x").cast("decimal(38,0)") * F.col("r2x")).alias("sxx"),
+        F.sum(F.col("r2y").cast("decimal(38,0)") * F.col("r2y")).alias("syy"),
+        F.sum(F.col("r2x").cast("decimal(38,0)") * F.col("r2y")).alias("sxy"),
+    )
+    return m.selectExpr(
+        "n AS n_rows",
+        "ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho_spearman",
+    )
+
+
+_ACF_LAGS = (1, 2, 3, 7, 14)
+
+
+@register(
+    "ts_acf_lags",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS x
+        FROM orders GROUP BY o_orderdate
+    ), lagged AS (
+        SELECT x,
+               lag(x, 1) OVER (ORDER BY d) AS xl1,
+               lag(x, 2) OVER (ORDER BY d) AS xl2,
+               lag(x, 3) OVER (ORDER BY d) AS xl3,
+               lag(x, 7) OVER (ORDER BY d) AS xl7,
+               lag(x, 14) OVER (ORDER BY d) AS xl14
+        FROM daily
+    ), m AS (
+        SELECT CAST(COUNT(x) AS BIGINT) AS n, SUM(x) AS sx,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(x AS HUGEINT) * xl1) AS a1,
+               SUM(CASE WHEN xl1 IS NOT NULL THEN x END) AS b1,
+               SUM(xl1) AS c1, CAST(COUNT(xl1) AS BIGINT) AS n1,
+               SUM(CAST(x AS HUGEINT) * xl2) AS a2,
+               SUM(CASE WHEN xl2 IS NOT NULL THEN x END) AS b2,
+               SUM(xl2) AS c2, CAST(COUNT(xl2) AS BIGINT) AS n2,
+               SUM(CAST(x AS HUGEINT) * xl3) AS a3,
+               SUM(CASE WHEN xl3 IS NOT NULL THEN x END) AS b3,
+               SUM(xl3) AS c3, CAST(COUNT(xl3) AS BIGINT) AS n3,
+               SUM(CAST(x AS HUGEINT) * xl7) AS a7,
+               SUM(CASE WHEN xl7 IS NOT NULL THEN x END) AS b7,
+               SUM(xl7) AS c7, CAST(COUNT(xl7) AS BIGINT) AS n7,
+               SUM(CAST(x AS HUGEINT) * xl14) AS a14,
+               SUM(CASE WHEN xl14 IS NOT NULL THEN x END) AS b14,
+               SUM(xl14) AS c14, CAST(COUNT(xl14) AS BIGINT) AS n14
+        FROM lagged
+    ), mu AS (
+        SELECT *, CAST(sx AS DOUBLE) / n AS mu,
+               CAST(sxx AS DOUBLE) AS sxxd
+        FROM m
+    )
+    SELECT 1 AS lag, n1 AS n_pairs,
+           ROUND((CAST(a1 AS DOUBLE)
+                  - mu * (CAST(b1 AS DOUBLE) + CAST(c1 AS DOUBLE))
+                  + CAST(n1 AS DOUBLE) * mu * mu)
+                 / (sxxd - CAST(n AS DOUBLE) * mu * mu), 6) AS acf
+    FROM mu
+    UNION ALL
+    SELECT 2, n2,
+           ROUND((CAST(a2 AS DOUBLE)
+                  - mu * (CAST(b2 AS DOUBLE) + CAST(c2 AS DOUBLE))
+                  + CAST(n2 AS DOUBLE) * mu * mu)
+                 / (sxxd - CAST(n AS DOUBLE) * mu * mu), 6)
+    FROM mu
+    UNION ALL
+    SELECT 3, n3,
+           ROUND((CAST(a3 AS DOUBLE)
+                  - mu * (CAST(b3 AS DOUBLE) + CAST(c3 AS DOUBLE))
+                  + CAST(n3 AS DOUBLE) * mu * mu)
+                 / (sxxd - CAST(n AS DOUBLE) * mu * mu), 6)
+    FROM mu
+    UNION ALL
+    SELECT 7, n7,
+           ROUND((CAST(a7 AS DOUBLE)
+                  - mu * (CAST(b7 AS DOUBLE) + CAST(c7 AS DOUBLE))
+                  + CAST(n7 AS DOUBLE) * mu * mu)
+                 / (sxxd - CAST(n AS DOUBLE) * mu * mu), 6)
+    FROM mu
+    UNION ALL
+    SELECT 14, n14,
+           ROUND((CAST(a14 AS DOUBLE)
+                  - mu * (CAST(b14 AS DOUBLE) + CAST(c14 AS DOUBLE))
+                  + CAST(n14 AS DOUBLE) * mu * mu)
+                 / (sxxd - CAST(n AS DOUBLE) * mu * mu), 6)
+    FROM mu
+    ORDER BY lag
+    """,
+    doc="Autocorrelation of the daily order-revenue series at lags "
+    "1/2/3/7/14 (observation-space lags over the date-ordered series). "
+    "Daily totals are exact integer cents; the per-lag cross sums and "
+    "the global moments are HUGEINT/DECIMAL(38,0), so each r_k is one "
+    "deterministic float formula (standard biased estimator, global "
+    "mean) over exact integers. Scale shape: one date-keyed shuffle "
+    "aggregates the fact; every window/aggregate after that runs on "
+    "the O(#days) series — day cardinality is time-bounded, not "
+    "data-volume-bounded, so the unpartitioned lag window is safe at "
+    "any scale.",
+    tags=("timeseries", "stats", "A7", "W1"),
+)
+def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")).alias("x")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "x", *[F.lag("x", k).over(w).alias(f"xl{k}") for k in _ACF_LAGS]
+    )
+    aggs = [
+        F.count("x").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    ]
+    for k in _ACF_LAGS:
+        aggs += [
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col(f"xl{k}")).alias(
+                f"a{k}"
+            ),
+            F.sum(
+                F.when(F.col(f"xl{k}").isNotNull(), F.col("x"))
+            ).alias(f"b{k}"),
+            F.sum(f"xl{k}").alias(f"c{k}"),
+            F.count(f"xl{k}").cast("bigint").alias(f"n{k}"),
+        ]
+    m = lagged.agg(*aggs)
+    mu = m.selectExpr(
+        "*", "CAST(sx AS DOUBLE) / n AS mu", "CAST(sxx AS DOUBLE) AS sxxd"
+    )
+    acf_cols = []
+    for k in _ACF_LAGS:
+        acf_cols.append(
+            f"ROUND((CAST(a{k} AS DOUBLE)"
+            f" - mu * (CAST(b{k} AS DOUBLE) + CAST(c{k} AS DOUBLE))"
+            f" + CAST(n{k} AS DOUBLE) * mu * mu)"
+            f" / (sxxd - CAST(n AS DOUBLE) * mu * mu), 6) AS acf{k}"
+        )
+    scored = mu.selectExpr("*", *acf_cols)
+    return scored.selectExpr(
+        "stack(5, "
+        + ", ".join(f"{k}, n{k}, acf{k}" for k in _ACF_LAGS)
+        + ") AS (lag, n_pairs, acf)"
+    ).orderBy("lag")

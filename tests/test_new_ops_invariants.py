@@ -277,3 +277,65 @@ def test_markov_absorption_probabilities_valid(spark):
     # fixture (every state can reach both absorbers)
     for state in set(rows) - {"purchase", "error"}:
         assert 0.0 < rows[state] < 1.0
+
+
+def test_hilbert_index_is_a_true_hilbert_curve(spark):
+    """The unrolled SQL xy->d transform must BE the Hilbert curve, not
+    merely engine-consistent: check it equals the classic reference
+    algorithm on the full 256x256 grid, is a bijection, and consecutive
+    curve positions are always grid-adjacent (the defining property that
+    Z-order lacks)."""
+    from pyspark.sql import functions as F
+
+    from flu_data_pipeline_spark.plans.layout_queries import (
+        _hilbert_step_exprs,
+    )
+
+    grid = (
+        spark.range(256 * 256)
+        .select(
+            (F.col("id") % 256).cast("int").alias("gx"),
+            (F.col("id") / 256).cast("int").alias("gy"),
+        )
+        .select(
+            "gx",
+            "gy",
+            F.col("gx").alias("x0"),
+            F.col("gy").alias("y0"),
+            F.lit(0).alias("d0"),
+        )
+    )
+    for i, b in enumerate(range(7, -1, -1)):
+        x_new, y_new, d_new = _hilbert_step_exprs(i, b, spark_side=True)
+        grid = grid.select(
+            "gx",
+            "gy",
+            F.expr(x_new).alias(f"x{i + 1}"),
+            F.expr(y_new).alias(f"y{i + 1}"),
+            F.expr(d_new).alias(f"d{i + 1}"),
+        )
+    rows = grid.select("gx", "gy", F.col("d8").alias("h")).collect()
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = n - 1 - x
+                    y = n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    pos = {}
+    for r in rows:
+        assert r["h"] == xy2d(256, r["gx"], r["gy"])
+        pos[r["h"]] = (r["gx"], r["gy"])
+    assert len(pos) == 256 * 256  # bijection onto 0..65535
+    for d in range(256 * 256 - 1):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1  # always grid-adjacent

@@ -787,3 +787,97 @@ def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "shard")
     )
+
+
+@register(
+    "curation_js_divergence",
+    oracle="""
+    WITH tok AS (
+        SELECT source,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS term
+        FROM documents
+    ), ct_s AS (
+        SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c_st
+        FROM tok GROUP BY source, term
+    ), ct AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c_t
+        FROM tok GROUP BY term
+    ), ns AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+        FROM tok GROUP BY source
+    ), ntot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM tok
+    ), j AS (
+        SELECT s.source, n.n_s,
+               CAST(s.c_st AS DOUBLE) / n.n_s AS p,
+               CAST(c.c_t AS DOUBLE) / t.n_tot AS q
+        FROM ct_s s JOIN ct c ON s.term = c.term
+        JOIN ns n ON s.source = n.source CROSS JOIN ntot t
+    ), scored AS (
+        SELECT source, MAX(n_s) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               SUM(0.5 * p * LN(p / ((p + q) / 2.0))
+                   + 0.5 * q * LN(q / ((p + q) / 2.0))) AS core,
+               SUM(q) AS q_cover
+        FROM j GROUP BY source
+    )
+    SELECT source, n_tokens, n_terms,
+           ROUND(core + 0.5 * LN(2.0) * (1.0 - q_cover), 6) AS jsd
+    FROM scored ORDER BY jsd DESC, source
+    """,
+    doc="Per-source term-distribution drift: Jensen-Shannon divergence of "
+    "each source's unigram distribution P against the whole-corpus "
+    "distribution Q — the standard audit for a training mix (a source "
+    "whose JSD spikes is off-distribution: different language, spam, "
+    "template boilerplate). JSD needs a sum over the UNION of supports, "
+    "which would be |sources| x |vocab| pairs; the corpus-only tail "
+    "(p=0) has the closed form q*ln(2)/2 summed over missing mass, so "
+    "the query only materializes each source's OWN support and adds "
+    "0.5*ln2*(1 - q_cover) — the factorization that makes JSD feasible "
+    "when the vocabulary is billions of terms. Scale shape: one "
+    "(source, term) aggregate, a term-keyed join against corpus "
+    "counts, source margins broadcast; nothing is per-pair.",
+    tags=("curation", "text", "stats", "A7", "A10"),
+)
+def curation_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select(
+        "source", F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    ct_s = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c_st")
+    )
+    ct = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c_t"))
+    ns = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    ntot = tok.agg(F.count(F.lit(1)).alias("n_tot"))
+    j = (
+        ct_s.join(ct, "term")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "source",
+            "n_s",
+            (F.col("c_st").cast("double") / F.col("n_s")).alias("p"),
+            (F.col("c_t").cast("double") / F.col("n_tot")).alias("q"),
+        )
+    )
+    p, q = F.col("p"), F.col("q")
+    m = (p + q) / 2.0
+    contrib = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+    scored = j.groupBy("source").agg(
+        F.max("n_s").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum(contrib).alias("core"),
+        F.sum(q).alias("q_cover"),
+    )
+    return scored.select(
+        "source",
+        "n_tokens",
+        "n_terms",
+        F.round(
+            F.col("core")
+            + 0.5 * F.log(F.lit(2.0)) * (1.0 - F.col("q_cover")),
+            6,
+        ).alias("jsd"),
+    ).orderBy(F.desc("jsd"), "source")

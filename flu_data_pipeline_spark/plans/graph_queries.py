@@ -634,3 +634,148 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy(F.desc("lcc"), "node")
     )
+
+
+_HITS_ITERS = 3
+
+
+def _hits_step_sql(i: int) -> str:
+    """One HITS iteration as SQL CTEs: hub h{i-1} -> raw auth -> L1-
+    normalized auth a{i}n -> raw hub -> normalized hub h{i}n, every
+    normalized score rounded to 8dp (pagerank oracle pattern) so float
+    sum order can never diverge engines."""
+    prev_hub = "h0" if i == 1 else f"h{i - 1}n"
+    return f"""a{i} AS MATERIALIZED (
+        SELECT dst AS node, SUM(w * hub) AS raw
+        FROM e JOIN {prev_hub} ON e.src = {prev_hub}.node GROUP BY dst
+    ), a{i}n AS MATERIALIZED (
+        SELECT nodes.node,
+               ROUND(COALESCE(raw, 0.0) / (SELECT SUM(raw) FROM a{i}), 8)
+                   AS auth
+        FROM nodes LEFT JOIN a{i} ON nodes.node = a{i}.node
+    ), hh{i} AS MATERIALIZED (
+        SELECT src AS node, SUM(w * auth) AS raw
+        FROM e JOIN a{i}n ON e.dst = a{i}n.node GROUP BY src
+    ), h{i}n AS MATERIALIZED (
+        SELECT nodes.node,
+               ROUND(COALESCE(raw, 0.0) / (SELECT SUM(raw) FROM hh{i}), 8)
+                   AS hub
+        FROM nodes LEFT JOIN hh{i} ON nodes.node = hh{i}.node
+    )"""
+
+
+_HITS_ORACLE = (
+    """
+    WITH e AS MATERIALIZED (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(COUNT(*) AS DOUBLE) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY src, dst
+    ), nodes AS MATERIALIZED (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION SELECT dst FROM e
+        )
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+    ), h0 AS MATERIALIZED (
+        SELECT node, ROUND(1.0 / n, 8) AS hub FROM nodes, nn
+    ), """
+    + ", ".join(_hits_step_sql(i) for i in range(1, _HITS_ITERS + 1))
+    + f"""
+    SELECT n_name AS nation, h{_HITS_ITERS}n.hub AS hub,
+           a{_HITS_ITERS}n.auth AS auth
+    FROM h{_HITS_ITERS}n
+    JOIN a{_HITS_ITERS}n ON h{_HITS_ITERS}n.node = a{_HITS_ITERS}n.node
+    JOIN nation ON h{_HITS_ITERS}n.node = n_nationkey
+    ORDER BY auth DESC, nation
+    """
+)
+
+
+@register(
+    "hits_trade_graph",
+    oracle=_HITS_ORACLE,
+    doc="Weighted HITS (3 iterations, L1-normalized) over the same "
+    "customer-nation -> supplier-nation trade graph as pagerank: "
+    "authority = weighted sum of pointing hubs, hub = weighted sum of "
+    "pointed-to authorities — separating 'big buyers' (hubs) from "
+    "'big suppliers' (authorities), which a single PageRank conflates "
+    "on a bipartite-ish trade flow. Per half-iteration: one shuffle "
+    "joining scores to edges on the matching endpoint + one grouped "
+    "sum, with the L1 denominator a broadcast 1-row aggregate — the "
+    "edges-x-scores formulation that runs unchanged on a billion-edge "
+    "graph. Scores round to 8dp each normalization (pagerank oracle "
+    "pattern) so the iterative float math is hash-compared exactly.",
+    tags=("graph", "pagerank", "J6", "A7"),
+)
+def hits_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+
+    # Loop invariants are localCheckpoint-ed (components-operator
+    # pattern): every half-step references edges/nodes, and without
+    # truncation the final plan would inline the fact join once per
+    # reference — quadratic plan growth across the iterations.
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    hub = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.round(F.lit(1.0) / F.col("n"), 8).alias("hub")
+    )
+
+    def half_step(scores: DataFrame, score_col: str, join_on: str,
+                  group_as: str, out_col: str) -> DataFrame:
+        """One HITS half-iteration: push scores across edges (join on
+        ``join_on``, sum per ``group_as`` endpoint), L1-normalize with a
+        broadcast total, round 8dp. Nodes with no mass get 0."""
+        raw = (
+            edges.join(scores, edges[join_on] == scores["node"])
+            .groupBy(F.col(group_as).alias("gnode"))
+            .agg(F.sum(F.col("w") * F.col(score_col)).alias("raw"))
+        )
+        raw = raw.localCheckpoint()  # referenced twice (join + total)
+        tot = raw.agg(F.sum("raw").alias("tot"))
+        return (
+            nodes.join(raw, nodes["node"] == raw["gnode"], "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("tot"), 8
+                ).alias(out_col),
+            )
+            # O(nodes)-sized: eager checkpoint keeps the per-iteration
+            # plan constant instead of doubling every half-step
+            .localCheckpoint()
+        )
+
+    auth = None
+    for _ in range(_HITS_ITERS):
+        auth = half_step(hub, "hub", "src", "dst", "auth")
+        hub = half_step(auth, "auth", "dst", "src", "hub")
+    return (
+        hub.join(auth, "node")
+        .join(F.broadcast(nation), F.col("node") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), "hub", "auth")
+        .orderBy(F.desc("auth"), "nation")
+    )

@@ -231,3 +231,147 @@ def ols_score_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("sae100").cast("double") / (100.0 * F.col("n"))).alias("mae"),
     ).orderBy("returnflag")
+
+
+# --- k-fold cross-validation as ONE aggregation pass ------------------
+# The naive distributed CV runs k training jobs, each scanning (k-1)/k of
+# the data. For models that are functions of sufficient statistics (OLS
+# here), train-fold moments are just total moments MINUS the held-out
+# fold's moments — so one groupBy(fold) pass + a 5-row totals broadcast
+# yields every fold's fit AND its held-out error. Shared formula strings
+# keep the Spark and DuckDB float op trees identical over exact
+# integer/decimal moments.
+
+_CV_SLOPE = (
+    "(CAST(n_t AS DOUBLE) * CAST(sxy_t AS DOUBLE)"
+    " - CAST(sx_t AS DOUBLE) * CAST(sy_t AS DOUBLE))"
+    " / (CAST(n_t AS DOUBLE) * CAST(sxx_t AS DOUBLE)"
+    " - CAST(sx_t AS DOUBLE) * CAST(sx_t AS DOUBLE))"
+)
+_CV_INTERCEPT = (
+    "(CAST(sy_t AS DOUBLE) - slope * CAST(sx_t AS DOUBLE))"
+    " / CAST(n_t AS DOUBLE)"
+)
+#: held-out SSE from fold moments: sum((y - a - b*x)^2) expanded.
+_CV_SSE = (
+    "CAST(syy_f AS DOUBLE) + CAST(n_f AS DOUBLE) * intercept * intercept"
+    " + slope * slope * CAST(sxx_f AS DOUBLE)"
+    " - 2.0 * intercept * CAST(sy_f AS DOUBLE)"
+    " - 2.0 * slope * CAST(sxy_f AS DOUBLE)"
+    " + 2.0 * intercept * slope * CAST(sx_f AS DOUBLE)"
+)
+_CV_RMSE = f"ROUND(SQRT(({_CV_SSE}) / CAST(n_f AS DOUBLE)), 6)"
+
+
+from flu_data_pipeline_spark.functions.hashing import hash64, hash64_sql
+
+_CV_FOLD_SQL = (
+    hash64_sql(
+        "CAST(l_orderkey AS VARCHAR) || ':' || "
+        "CAST(l_linenumber AS VARCHAR)"
+    )
+    + " % 5"
+)
+
+
+@register(
+    "cv_kfold_regression",
+    oracle=f"""
+    WITH pts AS (
+        SELECT CAST({_CV_FOLD_SQL} AS INT) AS fold,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ), folds AS (
+        SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_f,
+               SUM(x) AS sx_f, SUM(y) AS sy_f,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy_f,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx_f,
+               SUM(CAST(y AS HUGEINT) * y) AS syy_f
+        FROM pts GROUP BY fold
+    ), tot AS (
+        SELECT CAST(SUM(n_f) AS BIGINT) AS n, SUM(sx_f) AS sx,
+               SUM(sy_f) AS sy, SUM(sxy_f) AS sxy, SUM(sxx_f) AS sxx
+        FROM folds
+    ), t AS (
+        SELECT fold, n_f, sx_f, sy_f, sxy_f, sxx_f, syy_f,
+               n - n_f AS n_t, sx - sx_f AS sx_t, sy - sy_f AS sy_t,
+               sxy - sxy_f AS sxy_t, sxx - sxx_f AS sxx_t
+        FROM folds CROSS JOIN tot
+    ), s AS (
+        SELECT *, {_CV_SLOPE} AS slope FROM t
+    ), s2 AS (
+        SELECT *, {_CV_INTERCEPT} AS intercept FROM s
+    )
+    SELECT fold, CAST(n_t AS BIGINT) AS n_train, n_f AS n_test,
+           ROUND(slope, 6) AS slope_cents,
+           ROUND(intercept, 6) AS intercept_cents,
+           {_CV_RMSE} AS rmse_cents
+    FROM s2 ORDER BY fold
+    """,
+    doc="5-fold cross-validated OLS (price cents ~ quantity) in ONE "
+    "aggregation pass: fold = portable hash of the row key mod 5; "
+    "each training fit's moments are the totals minus the held-out "
+    "fold's moments (OLS is a function of sufficient statistics), and "
+    "the held-out RMSE expands sum((y-a-bx)^2) over the same fold "
+    "moments — no k training jobs, no second scan, generalizing to "
+    "any moment-based model (ridge, Poisson via IRLS steps, etc). "
+    "Moments are exact BIGINT/DECIMAL(38,0) (HUGEINT in the oracle); "
+    "slope/intercept/RMSE are shared-text float expressions over them, "
+    "so both engines compute identical doubles. Scale shape: one "
+    "groupBy(fold) with map-side combine (5 groups), a 5-row totals "
+    "broadcast, and per-fold scalar math — the fact scans ONCE for "
+    "all folds.",
+    tags=("stats", "regression", "eval", "A7", "A10", "A11"),
+)
+def cv_kfold_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    pts = li.select(
+        (
+            hash64(
+                F.concat_ws(
+                    ":",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            )
+            % 5
+        )
+        .cast("int")
+        .alias("fold"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("x"),
+        F.expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    folds = pts.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_f"),
+        F.sum(dec("x")).alias("sx_f"),
+        F.sum(dec("y")).alias("sy_f"),
+        F.sum(dec("x") * F.col("y")).alias("sxy_f"),
+        F.sum(dec("x") * F.col("x")).alias("sxx_f"),
+        F.sum(dec("y") * F.col("y")).alias("syy_f"),
+    )
+    tot = folds.agg(
+        F.sum("n_f").cast("bigint").alias("n"),
+        F.sum("sx_f").alias("sx"),
+        F.sum("sy_f").alias("sy"),
+        F.sum("sxy_f").alias("sxy"),
+        F.sum("sxx_f").alias("sxx"),
+    )
+    t = folds.crossJoin(F.broadcast(tot)).selectExpr(
+        "fold", "n_f", "sx_f", "sy_f", "sxy_f", "sxx_f", "syy_f",
+        "n - n_f AS n_t", "sx - sx_f AS sx_t", "sy - sy_f AS sy_t",
+        "sxy - sxy_f AS sxy_t", "sxx - sxx_f AS sxx_t",
+    )
+    s = t.selectExpr("*", f"{_CV_SLOPE} AS slope")
+    s2 = s.selectExpr("*", f"{_CV_INTERCEPT} AS intercept")
+    return s2.selectExpr(
+        "fold",
+        "CAST(n_t AS BIGINT) AS n_train",
+        "n_f AS n_test",
+        "ROUND(slope, 6) AS slope_cents",
+        "ROUND(intercept, 6) AS intercept_cents",
+        f"{_CV_RMSE} AS rmse_cents",
+    ).orderBy("fold")

@@ -1187,3 +1187,87 @@ def ts_interarrival_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.max(dev), 6).alias("ks_stat"))
         .orderBy("event_type")
     )
+
+
+#: shared-text OLS slope over windowed moments (exact integers in, one
+#: deterministic double expression out on both engines)
+_ROLL_SLOPE = (
+    "(CAST(n_win AS DOUBLE) * CAST(sxy_w AS DOUBLE)"
+    " - CAST(sx_w AS DOUBLE) * CAST(sy_w AS DOUBLE))"
+    " / (CAST(n_win AS DOUBLE) * CAST(sxx_w AS DOUBLE)"
+    " - CAST(sx_w AS DOUBLE) * CAST(sx_w AS DOUBLE))"
+)
+
+
+@register(
+    "ts_rolling_slope",
+    oracle=f"""
+    WITH daily AS (
+        SELECT d, x, datediff('day', DATE '1990-01-01', d) AS t
+        FROM (
+            SELECT o_orderdate AS d,
+                   SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS x
+            FROM orders GROUP BY o_orderdate
+        )
+    ), wins AS (
+        SELECT d,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+               SUM(t) OVER w AS sx_w,
+               SUM(x) OVER w AS sy_w,
+               SUM(CAST(t AS HUGEINT) * x) OVER w AS sxy_w,
+               SUM(CAST(t AS HUGEINT) * t) OVER w AS sxx_w
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d AS day, n_win, ROUND({_ROLL_SLOPE}, 6) AS slope_cents_per_day
+    FROM wins
+    WHERE n_win = 28
+    ORDER BY day
+    """,
+    doc="Trailing 28-day OLS trend of daily order revenue — the "
+    "windowed-sufficient-statistics pattern: the rolling window "
+    "carries the five OLS moments (n, Σt, Σy, Σty, Σt²) as exact "
+    "integer sums, and the slope is one shared-text float expression "
+    "per day; no per-window refit, no self-join. t = days since a "
+    "fixed epoch (integer), y = exact cents, window frame in "
+    "observation space (ROWS, gap-agnostic), emitted only for full "
+    "windows. Scale shape: one date-keyed aggregation shuffles the "
+    "fact; the rolling pass runs on the O(#days) series, which is "
+    "time-bounded — the same query at 100 TB still windows over a few "
+    "thousand rows.",
+    tags=("timeseries", "stats", "regression", "A7", "W1"),
+)
+def ts_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    daily = (
+        orders.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(
+                F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")
+            ).alias("x")
+        )
+        .withColumn(
+            "t", F.datediff(F.col("d"), F.lit("1990-01-01")).cast("bigint")
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-27, 0)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    wins = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_win"),
+        F.sum("t").over(w).alias("sx_w"),
+        F.sum("x").over(w).alias("sy_w"),
+        F.sum(dec("t") * F.col("x")).over(w).alias("sxy_w"),
+        F.sum(dec("t") * F.col("t")).over(w).alias("sxx_w"),
+    )
+    return (
+        wins.filter(F.col("n_win") == 28)
+        .selectExpr(
+            "d AS day",
+            "n_win",
+            f"ROUND({_ROLL_SLOPE}, 6) AS slope_cents_per_day",
+        )
+        .orderBy("day")
+    )

@@ -881,3 +881,155 @@ def curation_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jsd"),
     ).orderBy(F.desc("jsd"), "source")
+
+
+@register(
+    "curation_quantile_normalize",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source, n_chars AS v FROM documents
+    ), ns AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+        FROM d GROUP BY source
+    ), ntot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pool FROM d
+    ), sv AS (
+        SELECT source, v, CAST(COUNT(*) AS BIGINT) AS t
+        FROM d GROUP BY source, v
+    ), svr AS (
+        SELECT source, v, t,
+               COALESCE(SUM(t) OVER (PARTITION BY source ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM sv
+    ), q AS (
+        SELECT source, v, t,
+               CAST(2 * cum_before + t + 1 AS DOUBLE) / (2 * n_s) AS p
+        FROM svr JOIN ns USING (source)
+    ), pv AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY v
+    ), pvr AS (
+        SELECT v,
+               CAST(SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) / n_pool AS frac
+        FROM pv CROSS JOIN ntot
+    ), ev AS (
+        SELECT frac AS key, 1 AS kind, v AS bv,
+               CAST(NULL AS VARCHAR) AS source,
+               CAST(NULL AS BIGINT) AS qv,
+               CAST(NULL AS BIGINT) AS t,
+               CAST(NULL AS DOUBLE) AS p
+        FROM pvr
+        UNION ALL
+        SELECT p AS key, 0 AS kind, CAST(NULL AS BIGINT) AS bv,
+               source, v AS qv, t, p
+        FROM q
+    ), amap AS (
+        SELECT kind, source, qv, t, p,
+               first_value(bv IGNORE NULLS) OVER (
+                   ORDER BY key, kind
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS norm_v
+        FROM ev
+    )
+    SELECT source, qv AS value, t AS n_docs, ROUND(p, 6) AS quantile,
+           norm_v AS norm_value
+    FROM amap WHERE kind = 0
+    ORDER BY source, value
+    """,
+    doc="Exact quantile normalization of per-source document-length "
+    "distributions onto the pooled corpus distribution — the batch-"
+    "correction preprocessing that makes length-based quality cuts "
+    "comparable across heterogeneous sources. Each distinct (source, "
+    "value) gets its within-source midrank quantile p (integer rank "
+    "arithmetic, source-PARTITIONED windows), the pooled empirical CDF "
+    "is a cumulative count over distinct values, and the inverse-CDF "
+    "lookup (smallest pooled value with cdf >= p) is an AS-OF via the "
+    "union-window trick: interleave boundary and query rows sorted by "
+    "(key, kind) and take the first following non-null boundary — no "
+    "inequality join, no |queries| x |boundaries| pair blowup. The "
+    "interleave window runs at distinct-value granularity: bounded by "
+    "the value range and source count, not corpus size. Both engines "
+    "sort on identical doubles derived from identical exact integers, "
+    "so the mapping hash-compares exactly.",
+    tags=("curation", "stats", "A10", "W1", "J5"),
+)
+def curation_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("v")
+    )
+    ns = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    ntot = d.agg(F.count(F.lit(1)).alias("n_pool"))
+    sv = d.groupBy("source", "v").agg(F.count(F.lit(1)).alias("t"))
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    svr = sv.withColumn(
+        "cum_before", F.coalesce(F.sum("t").over(w_src), F.lit(0))
+    )
+    q = svr.join(F.broadcast(ns), "source").select(
+        "source",
+        "v",
+        "t",
+        (
+            (2 * F.col("cum_before") + F.col("t") + 1).cast("double")
+            / (2 * F.col("n_s"))
+        ).alias("p"),
+    )
+    pv = d.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    w_pool = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pvr = (
+        pv.crossJoin(F.broadcast(ntot))
+        .select(
+            "v",
+            (
+                F.sum("c").over(w_pool).cast("double") / F.col("n_pool")
+            ).alias("frac"),
+        )
+    )
+    ev = pvr.selectExpr(
+        "frac AS key",
+        "1 AS kind",
+        "v AS bv",
+        "CAST(NULL AS STRING) AS source",
+        "CAST(NULL AS BIGINT) AS qv",
+        "CAST(NULL AS BIGINT) AS t",
+        "CAST(NULL AS DOUBLE) AS p",
+    ).unionByName(
+        q.selectExpr(
+            "p AS key",
+            "0 AS kind",
+            "CAST(NULL AS BIGINT) AS bv",
+            "source",
+            "v AS qv",
+            "t",
+            "p",
+        )
+    )
+    w_asof = Window.orderBy("key", "kind").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    asof = ev.select(
+        "kind",
+        "source",
+        "qv",
+        "t",
+        "p",
+        F.first("bv", ignorenulls=True).over(w_asof).alias("norm_v"),
+    )
+    return (
+        asof.filter(F.col("kind") == 0)
+        .select(
+            "source",
+            F.col("qv").alias("value"),
+            F.col("t").alias("n_docs"),
+            F.round("p", 6).alias("quantile"),
+            F.col("norm_v").alias("norm_value"),
+        )
+        .orderBy("source", "value")
+    )

@@ -112,3 +112,87 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o.o_totalprice").alias("old_price"),
         F.col("n.o_totalprice").alias("new_price"),
     )
+
+
+@register(
+    "gdpr_delete_cascade",
+    oracle="""
+    WITH del_cust AS (
+        SELECT c_custkey FROM customer
+        WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 100
+    ), del_orders AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+    ), del_items AS (
+        SELECT l_orderkey FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)
+    )
+    SELECT table_name, n_affected, n_total,
+           ROUND(CAST(n_affected AS DOUBLE) / n_total * 100.0, 6)
+               AS pct_affected
+    FROM (
+        SELECT 'customer' AS table_name,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM del_cust) AS n_affected,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_total
+        UNION ALL
+        SELECT 'orders',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM del_orders),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM del_items),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+    )
+    ORDER BY table_name
+    """,
+    doc="Right-to-erasure impact plan: given a deletion predicate on the "
+    "subject table (stand-in: one market segment below a balance "
+    "threshold), walk the FK cascade customer -> orders -> lineitem "
+    "and report affected row counts and table percentages — the "
+    "blast-radius estimate a privacy-ops runbook requires BEFORE "
+    "issuing deletes, and the row-count reconciliation it checks "
+    "after. Scale shape: each hop is a LEFT SEMI join on the parent's "
+    "surviving key set (never materializing payload columns), exactly "
+    "the shape Spark's runtime bloom-filter join optimizes; the "
+    "per-table counts are 1-row aggregates. At 100 TB the same plan "
+    "drives DELETE ... WHERE EXISTS against each table in FK order.",
+    tags=("warehouse", "dq", "privacy", "J7", "A7"),
+)
+def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    del_cust = cust.filter(
+        (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_acctbal") < 100)
+    ).select("c_custkey")
+    del_orders = orders.join(
+        del_cust, orders.o_custkey == del_cust.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    del_items = li.join(
+        del_orders, li.l_orderkey == del_orders.o_orderkey, "left_semi"
+    ).select("l_orderkey")
+
+    def row(name: str, affected: DataFrame, total: DataFrame) -> DataFrame:
+        return (
+            affected.agg(F.count(F.lit(1)).cast("bigint").alias("n_affected"))
+            .crossJoin(
+                total.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+            )
+            .select(
+                F.lit(name).alias("table_name"), "n_affected", "n_total"
+            )
+        )
+
+    out = (
+        row("customer", del_cust, cust)
+        .unionByName(row("orders", del_orders, orders))
+        .unionByName(row("lineitem", del_items, li))
+    )
+    return out.select(
+        "table_name",
+        "n_affected",
+        "n_total",
+        F.round(
+            F.col("n_affected").cast("double") / F.col("n_total") * 100.0, 6
+        ).alias("pct_affected"),
+    ).orderBy("table_name")

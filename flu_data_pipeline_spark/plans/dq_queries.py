@@ -567,3 +567,70 @@ def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("join_name")
     )
+
+
+#: candidate functional dependencies to audit: (name, table, determinant,
+#: dependent). Mix of FDs that hold by construction (brand encodes mfgr,
+#: supplier pins nation) and ones expected to fail (type does not pin
+#: brand) so the audit exercises both outcomes.
+_FD_CANDIDATES = (
+    ("nation_to_region", "nation", "n_nationkey", "n_regionkey"),
+    ("part_type_to_brand", "part", "p_type", "p_brand"),
+    ("supplier_to_nation", "supplier", "s_suppkey", "s_nationkey"),
+    ("customer_nation_to_segment", "customer", "c_nationkey", "c_mktsegment"),
+)
+
+
+def _fd_check_sql(name: str, table: str, det: str, dep: str) -> str:
+    return f"""
+        SELECT '{name}' AS fd_name,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating,
+               CAST(MAX(nd) AS BIGINT) AS max_distinct_dep,
+               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+                    AS BOOLEAN) AS holds
+        FROM (
+            SELECT {det}, COUNT(DISTINCT {dep}) AS nd
+            FROM {table} GROUP BY {det}
+        )"""
+
+
+@register(
+    "dq_functional_dependency",
+    oracle=" UNION ALL ".join(
+        _fd_check_sql(*c) for c in _FD_CANDIDATES
+    )
+    + " ORDER BY fd_name",
+    doc="Functional-dependency audit (profiling-suite staple, the check "
+    "behind schema-normalization and silent-corruption alarms): for "
+    "each candidate X -> Y, group by X and count groups where Y takes "
+    "more than one value. Candidates mix FDs that hold by construction "
+    "(a nation pins its region; a supplier key pins its nation) "
+    "with ones that must fail (type does not determine brand), so both "
+    "outcomes are exercised. Scale shape: each check is one "
+    "groupBy(X) count-distinct with map-side partial aggregation — "
+    "the violating-group COUNT is the alarm wired into ingest; at "
+    "100 TB the same audit runs per-partition and unions, since an FD "
+    "holding per partition AND on the (X, Y) distinct union holds "
+    "globally.",
+    tags=("dq", "A8", "A10", "S7"),
+)
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for name, table, det, dep in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, table)
+        grouped = t.groupBy(det).agg(F.countDistinct(dep).alias("nd"))
+        check = grouped.agg(
+            F.lit(name).alias("fd_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating"),
+            F.max("nd").cast("bigint").alias("max_distinct_dep"),
+            (
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)) == 0
+            ).alias("holds"),
+        )
+        out = check if out is None else out.unionByName(check)
+    return out.orderBy("fd_name")

@@ -1033,3 +1033,108 @@ def curation_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "value")
     )
+
+
+_IPF_ITERS = 3
+
+
+def _ipf_step_sql(i: int) -> str:
+    """One IPF iteration: scale rows (lang) to the uniform lang target,
+    then columns (source) to the uniform source target. 8dp rounding per
+    half-step (pagerank/HITS oracle pattern) pins float margin sums.
+    MATERIALIZED so DuckDB cannot re-expand the chain per reference."""
+    prev = "m0" if i == 1 else f"c{i - 1}"
+    return f"""r{i} AS MATERIALIZED (
+        SELECT lang, source, n,
+               ROUND(m * (rt / SUM(m) OVER (PARTITION BY lang)), 8) AS m,
+               rt, ct
+        FROM {prev}
+    ), c{i} AS MATERIALIZED (
+        SELECT lang, source, n,
+               ROUND(m * (ct / SUM(m) OVER (PARTITION BY source)), 8) AS m,
+               rt, ct
+        FROM r{i}
+    )"""
+
+
+@register(
+    "curation_ipf_raking",
+    oracle="""
+    WITH cells AS MATERIALIZED (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang, source
+    ), tgt AS (
+        SELECT CAST(SUM(n) AS DOUBLE) / COUNT(DISTINCT lang) AS rt,
+               CAST(SUM(n) AS DOUBLE) / COUNT(DISTINCT source) AS ct
+        FROM cells
+    ), m0 AS MATERIALIZED (
+        SELECT lang, source, n, CAST(n AS DOUBLE) AS m, rt, ct
+        FROM cells CROSS JOIN tgt
+    ), """
+    + ", ".join(_ipf_step_sql(i) for i in range(1, _IPF_ITERS + 1))
+    + f"""
+    SELECT lang, source, n AS n_docs, ROUND(m, 6) AS raked_count,
+           ROUND(m / n, 6) AS weight
+    FROM c{_IPF_ITERS}
+    ORDER BY lang, source
+    """,
+    doc="Iterative proportional fitting (raking) of the lang x source "
+    "contingency table to UNIFORM lang and source margins — the survey-"
+    "weighting / training-mix-balancing operator: the output weight "
+    "per cell is what a sampler multiplies into per-doc probabilities "
+    "so the drawn corpus hits both target margins at once (something "
+    "single-axis temperature mixing cannot do). 3 row+column scaling "
+    "iterations, margins via PARTITION BY windows, 8dp rounding per "
+    "half-step so the iterative float math hash-compares exactly; "
+    "oracle CTEs MATERIALIZED against exponential inlining. Scale "
+    "shape: ONE (lang, source) aggregate shuffles the corpus; every "
+    "iteration runs on the O(langs x sources) cell table, which is "
+    "schema-bounded, not volume-bounded.",
+    tags=("curation", "stats", "sampling", "A10", "W1"),
+)
+def curation_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tgt = cells.agg(
+        (
+            F.sum("n").cast("double") / F.countDistinct("lang")
+        ).alias("rt"),
+        (
+            F.sum("n").cast("double") / F.countDistinct("source")
+        ).alias("ct"),
+    )
+    m = cells.crossJoin(F.broadcast(tgt)).select(
+        "lang", "source", "n", F.col("n").cast("double").alias("m"), "rt", "ct"
+    )
+    for _ in range(_IPF_ITERS):
+        w_row = Window.partitionBy("lang")
+        m = m.select(
+            "lang",
+            "source",
+            "n",
+            F.round(
+                F.col("m") * (F.col("rt") / F.sum("m").over(w_row)), 8
+            ).alias("m"),
+            "rt",
+            "ct",
+        )
+        w_col = Window.partitionBy("source")
+        m = m.select(
+            "lang",
+            "source",
+            "n",
+            F.round(
+                F.col("m") * (F.col("ct") / F.sum("m").over(w_col)), 8
+            ).alias("m"),
+            "rt",
+            "ct",
+        )
+    return m.select(
+        "lang",
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round("m", 6).alias("raked_count"),
+        F.round(F.col("m") / F.col("n"), 6).alias("weight"),
+    ).orderBy("lang", "source")

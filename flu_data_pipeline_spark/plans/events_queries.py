@@ -826,3 +826,130 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy(F.desc("entropy_nats"), "user_id")
     )
+
+
+@register(
+    "events_survival_km",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type,
+               datediff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS day
+        FROM events
+    ), per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'purchase' THEN day END) AS fp,
+               MAX(day) AS ls
+        FROM ev GROUP BY user_id
+    ), obs AS (
+        SELECT COALESCE(fp, ls) AS day, fp IS NOT NULL AS is_event
+        FROM per_user
+    ), daily AS (
+        SELECT day,
+               CAST(SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d,
+               CAST(SUM(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT)
+                   AS c
+        FROM obs GROUP BY day
+    ), ntot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per_user
+    ), risk AS (
+        SELECT day, d, c,
+               n - COALESCE(SUM(d + c) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+        FROM daily CROSS JOIN ntot
+    ), lf AS (
+        SELECT day, d, c, n_risk,
+               CASE WHEN d = n_risk THEN 0.0
+                    ELSE LN(1.0 - CAST(d AS DOUBLE) / n_risk) END AS lfac,
+               CASE WHEN d = n_risk THEN 1 ELSE 0 END AS zero_here
+        FROM risk
+    )
+    SELECT day, CAST(n_risk AS BIGINT) AS n_risk, d AS d_purchases,
+           c AS c_censored,
+           ROUND(CASE WHEN MAX(zero_here) OVER (ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) = 1
+                      THEN 0.0
+                      ELSE EXP(SUM(lfac) OVER (ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)) END, 6) AS s_km
+    FROM lf
+    ORDER BY day
+    """,
+    doc="Kaplan-Meier survival curve for time-to-first-purchase with "
+    "per-user right-censoring at last activity (the correct retention/"
+    "conversion estimator when users drop out at different times — "
+    "naive conversion-by-day underestimates because silent users are "
+    "counted as eternal non-converters). Day-level lifetable: events "
+    "d_i and censors c_i per day, at-risk n_i from one running sum, "
+    "S(t) = exp(cumsum ln(1 - d/n)) with the all-fail day short-"
+    "circuited through an explicit zero flag (no ln(0) reliance). "
+    "Cumulative ORDERED window sums are evaluated in frame order on "
+    "both engines, so the float product is deterministic, not sum-"
+    "order-dependent. Scale shape: one user-keyed aggregate over the "
+    "fact, then every window runs on the O(#days) lifetable — "
+    "time-bounded, not volume-bounded.",
+    tags=("events", "timeseries", "stats", "A7", "W1"),
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("datediff(CAST(ts AS DATE), DATE '1990-01-01')").alias("day"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("day"))
+        ).alias("fp"),
+        F.max("day").alias("ls"),
+    )
+    obs = per_user.select(
+        F.coalesce("fp", "ls").alias("day"),
+        F.col("fp").isNotNull().alias("is_event"),
+    )
+    daily = obs.groupBy("day").agg(
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+        F.sum(F.when(F.col("is_event"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("c"),
+    )
+    ntot = per_user.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    risk = daily.crossJoin(F.broadcast(ntot)).select(
+        "day",
+        "d",
+        "c",
+        (
+            F.col("n")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            )
+        ).alias("n_risk"),
+    )
+    lf = risk.selectExpr(
+        "day",
+        "d",
+        "c",
+        "n_risk",
+        "CASE WHEN d = n_risk THEN 0.0"
+        " ELSE LN(1.0 - CAST(d AS DOUBLE) / n_risk) END AS lfac",
+        "CASE WHEN d = n_risk THEN 1 ELSE 0 END AS zero_here",
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return lf.select(
+        "day",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").alias("d_purchases"),
+        F.col("c").alias("c_censored"),
+        F.round(
+            F.when(F.max("zero_here").over(w_cum) == 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum("lfac").over(w_cum))
+            ),
+            6,
+        ).alias("s_km"),
+    ).orderBy("day")

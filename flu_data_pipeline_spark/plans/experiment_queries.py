@@ -737,3 +737,133 @@ def sampling_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_sample"),
     ).orderBy("stratum")
+
+
+@register(
+    "did_event_value",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(datediff('day', DATE '1990-01-01', CAST(ts AS DATE)))
+                   AS lo,
+               MAX(datediff('day', DATE '1990-01-01', CAST(ts AS DATE)))
+                   AS hi
+        FROM events
+    ), ev AS (
+        SELECT event_type,
+               datediff('day', DATE '1990-01-01', CAST(ts AS DATE))
+                   >= (lo + hi) / 2 AS post,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events CROSS JOIN bounds
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ), cells AS (
+        SELECT
+            CAST(SUM(CASE WHEN event_type = 'click' AND NOT post
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre,
+            SUM(CASE WHEN event_type = 'click' AND NOT post
+                THEN cents ELSE 0 END) AS s_t_pre,
+            CAST(SUM(CASE WHEN event_type = 'click' AND post
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post,
+            SUM(CASE WHEN event_type = 'click' AND post
+                THEN cents ELSE 0 END) AS s_t_post,
+            CAST(SUM(CASE WHEN event_type = 'view' AND NOT post
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre,
+            SUM(CASE WHEN event_type = 'view' AND NOT post
+                THEN cents ELSE 0 END) AS s_c_pre,
+            CAST(SUM(CASE WHEN event_type = 'view' AND post
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post,
+            SUM(CASE WHEN event_type = 'view' AND post
+                THEN cents ELSE 0 END) AS s_c_post
+        FROM ev
+    ), means AS (
+        SELECT *,
+               CAST(s_t_pre AS DOUBLE) / (100.0 * n_t_pre) AS m_t_pre,
+               CAST(s_t_post AS DOUBLE) / (100.0 * n_t_post) AS m_t_post,
+               CAST(s_c_pre AS DOUBLE) / (100.0 * n_c_pre) AS m_c_pre,
+               CAST(s_c_post AS DOUBLE) / (100.0 * n_c_post) AS m_c_post
+        FROM cells
+    )
+    SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+           ROUND(m_t_pre, 6) AS mean_treat_pre,
+           ROUND(m_t_post, 6) AS mean_treat_post,
+           ROUND(m_c_pre, 6) AS mean_ctrl_pre,
+           ROUND(m_c_post, 6) AS mean_ctrl_post,
+           ROUND((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6)
+               AS did_estimate
+    FROM means
+    """,
+    doc="Difference-in-differences estimator of the click-vs-view value "
+    "shift across the data midpoint (treated group's post-pre change "
+    "minus the control group's, netting out the common time trend — "
+    "the workhorse quasi-experimental design when randomization isn't "
+    "available). One conditional-aggregation pass computes all four "
+    "(group, period) cells as exact integer cent sums; means and the "
+    "DiD contrast are shared-text float expressions over them, so "
+    "both engines emit identical doubles. The period boundary derives "
+    "from broadcast min/max day bounds — data-relative but "
+    "deterministic. Scale shape: broadcast 1-row bounds onto the "
+    "scan, one 8-column global aggregate, zero joins of the fact.",
+    tags=("experiment", "stats", "A7"),
+)
+def did_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev0 = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.expr("datediff(CAST(ts AS DATE), DATE '1990-01-01')").alias("day"),
+    )
+    bounds = ev0.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    ev = (
+        ev0.crossJoin(F.broadcast(bounds))
+        .filter(
+            F.col("event_type").isin("click", "view")
+            & F.col("value").isNotNull()
+        )
+        .selectExpr(
+            "event_type",
+            "day >= (lo + hi) / 2 AS post",
+            "CAST(FLOOR(value * 100) AS BIGINT) AS cents",
+        )
+    )
+    cells = ev.agg(
+        *[
+            expr
+            for grp, tag in (("click", "t"), ("view", "c"))
+            for per, ptag in ((False, "pre"), (True, "post"))
+            for expr in (
+                F.sum(
+                    F.when(
+                        (F.col("event_type") == grp)
+                        & (F.col("post") == per),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"n_{tag}_{ptag}"),
+                F.sum(
+                    F.when(
+                        (F.col("event_type") == grp)
+                        & (F.col("post") == per),
+                        F.col("cents"),
+                    ).otherwise(0)
+                ).alias(f"s_{tag}_{ptag}"),
+            )
+        ]
+    )
+    means = cells.selectExpr(
+        "*",
+        "CAST(s_t_pre AS DOUBLE) / (100.0 * n_t_pre) AS m_t_pre",
+        "CAST(s_t_post AS DOUBLE) / (100.0 * n_t_post) AS m_t_post",
+        "CAST(s_c_pre AS DOUBLE) / (100.0 * n_c_pre) AS m_c_pre",
+        "CAST(s_c_post AS DOUBLE) / (100.0 * n_c_post) AS m_c_post",
+    )
+    return means.selectExpr(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        "ROUND(m_t_pre, 6) AS mean_treat_pre",
+        "ROUND(m_t_post, 6) AS mean_treat_post",
+        "ROUND(m_c_pre, 6) AS mean_ctrl_pre",
+        "ROUND(m_c_post, 6) AS mean_ctrl_post",
+        "ROUND((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6)"
+        " AS did_estimate",
+    )

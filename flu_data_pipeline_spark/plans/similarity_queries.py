@@ -1150,3 +1150,124 @@ def embedding_prefix_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "k")
     )
+
+
+# --- Johnson-Lindenstrauss random projection -------------------------
+_JL_K = 8  # target dimensionality
+
+#: deterministic ±1 sign for matrix cell (i, j) from the portable hash —
+#: same value on both engines, no RNG, no driver-side matrix.
+_JL_SIGN_SPARK = (
+    "CASE WHEN CAST(conv(substring(md5(concat_ws(':', CAST(i AS STRING),"
+    " CAST(j AS STRING))), 1, 14), 16, 10) AS BIGINT) % 2 = 0"
+    " THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
+)
+_JL_SIGN_DUCK = (
+    "CASE WHEN CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||"
+    " CAST(j AS VARCHAR)), 1, 14) AS BIGINT) % 2 = 0"
+    " THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
+)
+
+
+@register(
+    "embedding_jl_distortion",
+    oracle=f"""
+    WITH dmax AS (
+        SELECT MAX(len(embedding)) AS d FROM embeddings
+    ), sm AS (
+        SELECT list_transform(range(1, {_JL_K} + 1),
+                   j -> list_transform(range(1, d + 1),
+                       i -> {_JL_SIGN_DUCK}))
+                   AS sall
+        FROM dmax
+    ), proj AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               list_transform(range(1, {_JL_K} + 1),
+                   j -> list_reduce(
+                       list_transform(range(1, len(embedding) + 1),
+                           i -> CAST(embedding[i] AS DOUBLE) * sall[j][i]),
+                       (x, y) -> x + y) / SQRT({_JL_K}.0))
+                   AS pvec
+        FROM embeddings CROSS JOIN sm
+    ), pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               a.embedding AS ea, b.embedding AS eb,
+               a.pvec AS pa, b.pvec AS pb
+        FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id % 20 = 0
+    )
+    SELECT vec_a, vec_b,
+           ROUND(list_reduce(list_transform(range(1, len(ea) + 1),
+               i -> (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE))
+                    * (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE))),
+               (x, y) -> x + y), 6) AS d2_orig,
+           ROUND(list_reduce(list_transform(range(1, {_JL_K} + 1),
+               i -> (pa[i] - pb[i]) * (pa[i] - pb[i])),
+               (x, y) -> x + y), 6) AS d2_proj,
+           ROUND(list_reduce(list_transform(range(1, {_JL_K} + 1),
+               i -> (pa[i] - pb[i]) * (pa[i] - pb[i])),
+               (x, y) -> x + y)
+               / list_reduce(list_transform(range(1, len(ea) + 1),
+               i -> (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE))
+                    * (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE))),
+               (x, y) -> x + y), 6) AS distortion_ratio
+    FROM pairs
+    ORDER BY vec_a
+    """,
+    doc="Johnson-Lindenstrauss sign-random projection to 8 dims with a "
+    "measured distortion audit — the dimensionality-reduction front "
+    "end that makes billion-vector ANN affordable (distance compute "
+    "and index size drop D/8-fold; JL guarantees pairwise distances "
+    "survive within 1±eps). The ±1 projection matrix derives cell-wise "
+    "from the portable md5 hash INSIDE a one-row expression (no RNG, "
+    "no driver-side matrix, broadcast to the scan); projections and "
+    "squared distances are index-ordered HOF folds, so every float is "
+    "bit-identical cross-engine. The audit reports d2_proj/d2_orig on "
+    "a deterministic sample of consecutive-id pairs — per-pair rows, "
+    "no cross-row float sums. Scale shape: one broadcast + one map "
+    "pass to project; the pair audit joins on adjacent ids only.",
+    tags=("similarity", "ann", "A7", "F2"),
+)
+def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dmax = emb.agg(F.max(F.size("embedding")).alias("d"))
+    sm = dmax.selectExpr(
+        f"transform(sequence(1, {_JL_K}), j -> "
+        f"transform(sequence(1, d), i -> {_JL_SIGN_SPARK})) AS sall"
+    )
+    proj = emb.crossJoin(F.broadcast(sm)).selectExpr(
+        "vec_id",
+        "embedding",
+        f"transform(sequence(1, {_JL_K}), j -> "
+        "aggregate(transform(sequence(1, size(embedding)), "
+        "i -> CAST(element_at(embedding, i) AS DOUBLE)"
+        " * element_at(element_at(sall, j), i)), "
+        "CAST(0.0 AS DOUBLE), (x, y) -> x + y)"
+        f" / SQRT({_JL_K}.0)) AS pvec",
+    )
+    a = proj.filter(F.col("vec_id") % 20 == 0).selectExpr(
+        "vec_id AS vec_a", "embedding AS ea", "pvec AS pa"
+    )
+    b = proj.selectExpr("vec_id AS vec_b", "embedding AS eb", "pvec AS pb")
+    pairs = a.join(b, F.col("vec_b") == F.col("vec_a") + 1)
+    d2_orig = (
+        "aggregate(transform(sequence(1, size(ea)), "
+        "i -> (CAST(element_at(ea, i) AS DOUBLE)"
+        " - CAST(element_at(eb, i) AS DOUBLE))"
+        " * (CAST(element_at(ea, i) AS DOUBLE)"
+        " - CAST(element_at(eb, i) AS DOUBLE))), "
+        "CAST(0.0 AS DOUBLE), (x, y) -> x + y)"
+    )
+    d2_proj = (
+        f"aggregate(transform(sequence(1, {_JL_K}), "
+        "i -> (element_at(pa, i) - element_at(pb, i))"
+        " * (element_at(pa, i) - element_at(pb, i))), "
+        "CAST(0.0 AS DOUBLE), (x, y) -> x + y)"
+    )
+    return pairs.selectExpr(
+        "vec_a",
+        "vec_b",
+        f"ROUND({d2_orig}, 6) AS d2_orig",
+        f"ROUND({d2_proj}, 6) AS d2_proj",
+        f"ROUND({d2_proj} / {d2_orig}, 6) AS distortion_ratio",
+    ).orderBy("vec_a")

@@ -375,3 +375,150 @@ def cv_kfold_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(intercept, 6) AS intercept_cents",
         f"{_CV_RMSE} AS rmse_cents",
     ).orderBy("fold")
+
+
+# --- Huber robust regression via IRLS ---------------------------------
+# The determinism trick: IRLS weights are floats, and float-weighted
+# moment sums would be shuffle-order-dependent. Weights are therefore
+# QUANTIZED to integer millionths (w_q = round(w * 1e6)) — computed
+# identically per row on both engines from broadcast coefficients — so
+# every weighted moment is an exact integer sum and each iteration's
+# coefficients are one deterministic float expression.
+
+_HUBER_C = 200_000  # Huber threshold in cents (stated model constant)
+_HUBER_WQ = (
+    f"CASE WHEN ABS(CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE)))"
+    f" <= {_HUBER_C}.0 THEN 1000000"
+    f" ELSE CAST(ROUND({_HUBER_C}.0 * 1000000.0"
+    f" / ABS(CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE))), 0)"
+    f" AS BIGINT) END"
+)
+_B_UNW = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+_A_UNW = "(CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"
+_B_W = (
+    "(CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE)"
+    " - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE))"
+    " / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)"
+    " - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE))"
+)
+_A_W = "(CAST(swy AS DOUBLE) - b * CAST(swx AS DOUBLE)) / CAST(sw AS DOUBLE)"
+
+
+def _huber_iter_sql(i: int) -> str:
+    prev = "c0" if i == 1 else f"c{i - 1}"
+    return f"""w{i} AS MATERIALIZED (
+        SELECT x, y, {_HUBER_WQ} AS w
+        FROM pts CROSS JOIN {prev}
+    ), wm{i} AS MATERIALIZED (
+        SELECT CAST(SUM(w) AS HUGEINT) AS sw,
+               SUM(CAST(w AS HUGEINT) * x) AS swx,
+               SUM(CAST(w AS HUGEINT) * y) AS swy,
+               SUM(CAST(w AS HUGEINT) * x * y) AS swxy,
+               SUM(CAST(w AS HUGEINT) * x * x) AS swxx,
+               CAST(SUM(CASE WHEN w < 1000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_down
+        FROM w{i}
+    ), cb{i} AS (
+        SELECT *, ROUND({_B_W}, 8) AS b FROM wm{i}
+    ), c{i} AS MATERIALIZED (
+        SELECT b, ROUND({_A_W}, 8) AS a, n_down FROM cb{i}
+    )"""
+
+
+@register(
+    "huber_irls_regression",
+    oracle=f"""
+    WITH pts AS MATERIALIZED (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ), m0 AS MATERIALIZED (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx
+        FROM pts
+    ), cb0 AS (
+        SELECT *, ROUND({_B_UNW}, 8) AS b FROM m0
+    ), c0 AS MATERIALIZED (
+        SELECT b, ROUND({_A_UNW}, 8) AS a, CAST(0 AS BIGINT) AS n_down
+        FROM cb0
+    ), {_huber_iter_sql(1)}, {_huber_iter_sql(2)}
+    SELECT step, slope_cents, intercept_cents, n_downweighted FROM (
+        SELECT 0 AS step, ROUND(b, 6) AS slope_cents,
+               ROUND(a, 6) AS intercept_cents, n_down AS n_downweighted
+        FROM c0
+        UNION ALL
+        SELECT 1, ROUND(b, 6), ROUND(a, 6), n_down FROM c1
+        UNION ALL
+        SELECT 2, ROUND(b, 6), ROUND(a, 6), n_down FROM c2
+    ) ORDER BY step
+    """,
+    doc="Huber robust regression (price cents ~ quantity) via 2 IRLS "
+    "reweighting iterations from an OLS start — the M-estimator that "
+    "caps the influence of outlier rows a plain OLS lets dominate. "
+    "Each iteration is ONE scan: residuals against the broadcast "
+    "(a, b) produce per-row Huber weights, QUANTIZED to integer "
+    "millionths so the weighted moments are exact integer sums "
+    "(float-weighted sums would be shuffle-order-dependent and could "
+    "never hash-compare); coefficients round to 8dp per iteration. "
+    "Emits the coefficient trajectory and downweighted-row counts per "
+    "step. Scale shape: 3 scans total, each a map-side expression + "
+    "one global aggregate — no joins, no sort, no per-row state.",
+    tags=("stats", "regression", "A7", "A11"),
+)
+def huber_irls_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    )
+    pts = li.selectExpr(
+        "CAST(l_quantity AS BIGINT) AS x",
+        "CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS y",
+    ).localCheckpoint()
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m0 = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+    )
+    c0 = (
+        m0.selectExpr("*", f"ROUND({_B_UNW}, 8) AS b")
+        .selectExpr("b", f"ROUND({_A_UNW}, 8) AS a", "CAST(0 AS BIGINT) AS n_down")
+    )
+    coefs = [c0]
+    for _ in range(2):
+        prev = coefs[-1].localCheckpoint()
+        w = pts.crossJoin(F.broadcast(prev.select("a", "b"))).selectExpr(
+            "x", "y", f"{_HUBER_WQ} AS w"
+        )
+        wm = w.agg(
+            F.sum(dec("w")).alias("sw"),
+            F.sum(dec("w") * F.col("x")).alias("swx"),
+            F.sum(dec("w") * F.col("y")).alias("swy"),
+            F.sum(dec("w") * F.col("x") * F.col("y")).alias("swxy"),
+            F.sum(dec("w") * F.col("x") * F.col("x")).alias("swxx"),
+            F.sum(F.when(F.col("w") < 1000000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_down"),
+        )
+        c = (
+            wm.selectExpr("*", f"ROUND({_B_W}, 8) AS b")
+            .selectExpr("b", f"ROUND({_A_W}, 8) AS a", "n_down")
+        )
+        coefs.append(c)
+    out = None
+    for step, c in enumerate(coefs):
+        row = c.selectExpr(
+            f"{step} AS step",
+            "ROUND(b, 6) AS slope_cents",
+            "ROUND(a, 6) AS intercept_cents",
+            "n_down AS n_downweighted",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("step")

@@ -1271,3 +1271,88 @@ def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND({d2_proj}, 6) AS d2_proj",
         f"ROUND({d2_proj} / {d2_orig}, 6) AS distortion_ratio",
     ).orderBy("vec_a")
+
+
+@register(
+    "ann_hard_negatives",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, label, embedding,
+               {lsh_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, label, embedding, bucket
+        FROM bucketed WHERE vec_id < 10
+    ),
+    pairs AS (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+               c.vec_id AS neg_id, c.label AS neg_label,
+               {_cos_sql('q.embedding', 'c.embedding')} AS cos_raw
+        FROM q JOIN bucketed c
+          ON q.bucket = c.bucket AND q.label <> c.label
+    )
+    SELECT query_id, query_label, neg_id, neg_label,
+           ROUND(cos_raw, 6) AS cos_sim
+    FROM pairs
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_raw DESC, neg_id
+    ) <= 3
+    ORDER BY query_id, cos_sim DESC, neg_id
+    """,
+    doc="Contrastive hard-negative mining: for each query vector, the 3 "
+    "most-similar vectors with a DIFFERENT label from the query's LSH "
+    "bucket — the negatives that sit closest to the decision boundary, "
+    "which is what contrastive/embedding training wants (random "
+    "negatives are too easy and teach nothing). Bucketing bounds the "
+    "candidate set exactly like ann_lsh_bucketed: the signature is a "
+    "scan projection, the join shuffles only on the bucket key, and "
+    "the label filter rides the join condition so same-label pairs "
+    "never materialize. Exact cosine re-rank within the bucket with "
+    "ties pinned on (similarity, id). At training scale this is the "
+    "per-batch negative sampler: queries are the batch, buckets bound "
+    "per-query work regardless of corpus size.",
+    tags=("similarity", "lsh", "ann", "O3"),
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", lsh_bucket(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    cos = cosine(F.col("q_emb"), F.col("c_emb"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neg_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q_bucket") == F.col("c_bucket"))
+            & (F.col("query_label") != F.col("neg_label")),
+        )
+        .select(
+            "query_id", "query_label", "neg_id", "neg_label",
+            cos.alias("cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "query_id",
+            "query_label",
+            "neg_id",
+            "neg_label",
+            F.round("cos_raw", 6).alias("cos_sim"),
+        )
+        .orderBy("query_id", F.desc("cos_sim"), "neg_id")
+    )

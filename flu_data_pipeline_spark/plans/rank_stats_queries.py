@@ -400,3 +400,121 @@ def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ", ".join(f"{k}, n{k}, acf{k}" for k in _ACF_LAGS)
         + ") AS (lag, n_pairs, acf)"
     ).orderBy("lag")
+
+
+@register(
+    "ks_two_sample",
+    oracle="""
+    WITH vals AS (
+        SELECT value,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS cb
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+        GROUP BY value
+    ), cums AS (
+        SELECT value,
+               SUM(ca) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_a,
+               SUM(cb) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_b
+        FROM vals
+    ), tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+               CAST(SUM(cb) AS BIGINT) AS n_b
+        FROM vals
+    ), diffs AS (
+        SELECT value,
+               ABS(CAST(cum_a AS DOUBLE) / n_a
+                   - CAST(cum_b AS DOUBLE) / n_b) AS d
+        FROM cums CROSS JOIN tot
+    )
+    SELECT n_a AS n_click, n_b AS n_purchase,
+           ROUND(d, 6) AS ks_d,
+           value AS at_value,
+           ROUND(d * SQRT(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)), 6)
+               AS ks_stat
+    FROM diffs CROSS JOIN tot
+    ORDER BY d DESC, value
+    LIMIT 1
+    """,
+    doc="Two-sample Kolmogorov-Smirnov test (click vs purchase event "
+    "values): D = max |F_a(v) - F_b(v)| over the union of observed "
+    "values, plus the sqrt(n_a n_b / (n_a + n_b))-scaled statistic — "
+    "the distribution-shape complement to the Mann-Whitney location "
+    "test (KS also catches equal-median/different-spread shifts). "
+    "ECDFs come from cumulative counts at the DISTINCT-VALUE level "
+    "(the same two-stage bucketed prefix as the rank tests on the "
+    "Spark side); cross-row MAX is order-independent, and the argmax "
+    "value is pinned by (d DESC, value). Scale shape: one distinct-"
+    "value shuffle, tiny bucket frame, one broadcast total — raw "
+    "events never enter a window.",
+    tags=("stats", "experiment", "A11", "W1"),
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+    )
+    vals = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "ca"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("cb"),
+    )
+    # inclusive cumulative counts for BOTH groups via one two-stage
+    # prefix: bucket offsets from the tiny per-bucket totals frame,
+    # within-bucket windows add the local prefix (see module docstring).
+    b = vals.withColumn("_bucket", F.floor("value"))
+    totals = b.groupBy("_bucket").agg(
+        F.sum("ca").alias("_ba"), F.sum("cb").alias("_bb")
+    )
+    wb = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_ba").over(wb), F.lit(0)).alias("_offa"),
+        F.coalesce(F.sum("_bb").over(wb), F.lit(0)).alias("_offb"),
+    )
+    wv = (
+        Window.partitionBy("_bucket")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = (
+        b.join(F.broadcast(offsets), "_bucket")
+        .select(
+            "value",
+            (F.col("_offa") + F.sum("ca").over(wv)).alias("cum_a"),
+            (F.col("_offb") + F.sum("cb").over(wv)).alias("cum_b"),
+        )
+    )
+    tot = vals.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+    )
+    diffs = cums.crossJoin(F.broadcast(tot)).select(
+        "value",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a").cast("double") / F.col("n_a")
+            - F.col("cum_b").cast("double") / F.col("n_b")
+        ).alias("d"),
+    )
+    return (
+        diffs.orderBy(F.desc("d"), "value")
+        .limit(1)
+        .selectExpr(
+            "n_a AS n_click",
+            "n_b AS n_purchase",
+            "ROUND(d, 6) AS ks_d",
+            "value AS at_value",
+            "ROUND(d * SQRT(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)), 6)"
+            " AS ks_stat",
+        )
+    )

@@ -1356,3 +1356,146 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", F.desc("cos_sim"), "neg_id")
     )
+
+
+@register(
+    "cluster_label_nmi",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS c_emb
+        FROM embeddings WHERE vec_id < {K_IVF}
+    ), assigned AS MATERIALIZED (
+        SELECT vec_id, label, cent_id AS cluster FROM (
+            SELECT e.vec_id, e.label, c.cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql('e.embedding', 'c.c_emb')} DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ), cells AS (
+        SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS n_cl
+        FROM assigned GROUP BY cluster, label
+    ), mc AS (
+        SELECT cluster, CAST(SUM(n_cl) AS BIGINT) AS n_c
+        FROM cells GROUP BY cluster
+    ), ml AS (
+        SELECT label, CAST(SUM(n_cl) AS BIGINT) AS n_l
+        FROM cells GROUP BY label
+    ), tot AS (
+        SELECT CAST(SUM(n_cl) AS BIGINT) AS n FROM cells
+    ), mi AS (
+        SELECT SUM((CAST(n_cl AS DOUBLE) / n)
+                   * LN(CAST(n_cl AS DOUBLE) * n
+                        / (CAST(n_c AS DOUBLE) * n_l))) AS mi_nats
+        FROM cells JOIN mc USING (cluster) JOIN ml USING (label)
+        CROSS JOIN tot
+    ), hc AS (
+        SELECT -SUM((CAST(n_c AS DOUBLE) / n)
+                    * LN(CAST(n_c AS DOUBLE) / n)) AS h_cluster
+        FROM mc CROSS JOIN tot
+    ), hl AS (
+        SELECT -SUM((CAST(n_l AS DOUBLE) / n)
+                    * LN(CAST(n_l AS DOUBLE) / n)) AS h_label
+        FROM ml CROSS JOIN tot
+    )
+    SELECT n AS n_vectors,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM mc) AS n_clusters,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ml) AS n_labels,
+           ROUND(mi_nats, 6) AS mi_nats,
+           ROUND(h_cluster, 6) AS h_cluster,
+           ROUND(h_label, 6) AS h_label,
+           ROUND(mi_nats / SQRT(h_cluster * h_label), 6) AS nmi
+    FROM mi CROSS JOIN hc CROSS JOIN hl CROSS JOIN tot
+    """,
+    doc="Clustering-quality evaluation: normalized mutual information "
+    "between the IVF coarse assignment (nearest of the 8 static "
+    "centroids by cosine, ties pinned on centroid id — same "
+    "assignment as ann_ivf) and the ground-truth labels. NMI = "
+    "I(C;L)/sqrt(H(C)H(L)) from the (cluster, label) contingency "
+    "counts — the standard external metric that, unlike accuracy, "
+    "needs no cluster-to-label matching step. Everything after the "
+    "assignment runs on the O(clusters x labels) contingency table. "
+    "Scale shape: the argmax assignment is a broadcast-centroid scan "
+    "pass (one window per vector over K rows), then one (cluster, "
+    "label) aggregate; the entropy/MI sums are cell-level.",
+    tags=("similarity", "eval", "stats", "A7", "A10"),
+)
+def cluster_label_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < K_IVF).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("cent_id")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "label",
+            "cent_id",
+            cosine(F.col("embedding"), F.col("c_emb")).alias("ccos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("cent_id").alias("cluster"))
+    )
+    cells = assigned.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cl")
+    )
+    mc = cells.groupBy("cluster").agg(
+        F.sum("n_cl").cast("bigint").alias("n_c")
+    )
+    ml = cells.groupBy("label").agg(F.sum("n_cl").cast("bigint").alias("n_l"))
+    tot = cells.agg(F.sum("n_cl").cast("bigint").alias("n"))
+    mi = (
+        cells.join(F.broadcast(mc), "cluster")
+        .join(F.broadcast(ml), "label")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("n_cl").cast("double") / F.col("n"))
+                * F.log(
+                    F.col("n_cl").cast("double")
+                    * F.col("n")
+                    / (F.col("n_c").cast("double") * F.col("n_l"))
+                )
+            ).alias("mi_nats")
+        )
+    )
+    hc = mc.crossJoin(F.broadcast(tot)).agg(
+        (
+            -F.sum(
+                (F.col("n_c").cast("double") / F.col("n"))
+                * F.log(F.col("n_c").cast("double") / F.col("n"))
+            )
+        ).alias("h_cluster")
+    )
+    hl = ml.crossJoin(F.broadcast(tot)).agg(
+        (
+            -F.sum(
+                (F.col("n_l").cast("double") / F.col("n"))
+                * F.log(F.col("n_l").cast("double") / F.col("n"))
+            )
+        ).alias("h_label")
+    )
+    nc = mc.agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+    nl = ml.agg(F.count(F.lit(1)).cast("bigint").alias("n_labels"))
+    return (
+        mi.crossJoin(hc)
+        .crossJoin(hl)
+        .crossJoin(tot)
+        .crossJoin(nc)
+        .crossJoin(nl)
+        .selectExpr(
+            "n AS n_vectors",
+            "n_clusters",
+            "n_labels",
+            "ROUND(mi_nats, 6) AS mi_nats",
+            "ROUND(h_cluster, 6) AS h_cluster",
+            "ROUND(h_label, 6) AS h_label",
+            "ROUND(mi_nats / SQRT(h_cluster * h_label), 6) AS nmi",
+        )
+    )

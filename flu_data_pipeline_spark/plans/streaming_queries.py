@@ -325,3 +325,43 @@ def stream_burst_collapse_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_topk_exact",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id
+    LIMIT 10
+    """,
+    doc="Structured Streaming live leaderboard driven to completion: "
+    "readStream -> groupBy(user_id) count/sum -> ORDER BY + LIMIT 10, "
+    "memory sink, availableNow, complete mode (the only output mode "
+    "where streaming allows a global sort, because the full result is "
+    "re-emitted each trigger). Hash-compared against the batch top-10 "
+    "with ties pinned on (count DESC, user_id) — the always-on "
+    "dashboard top-k every event platform runs. State note: complete-"
+    "mode aggregation state is O(distinct users), the accepted cost "
+    "of a live leaderboard; at 100 TB you bound it by windowing the "
+    "leaderboard period (see decayed_user_leaderboard for the "
+    "incremental-merge variant).",
+    tags=("streaming", "A7", "O3", "S3"),
+)
+def stream_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(10)
+    )
+    name = "stream_topk_exact_sink"
+    _run_to_memory(agg, name)
+    return spark.table(name)

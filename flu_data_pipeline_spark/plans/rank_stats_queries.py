@@ -518,3 +518,100 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS ks_stat",
         )
     )
+
+
+@register(
+    "anova_f_groups",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL
+    ), g AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+               SUM(y) AS s_g, SUM(CAST(y AS HUGEINT) * y) AS ss_g
+        FROM pts GROUP BY event_type
+    ), tot AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n, SUM(s_g) AS s,
+               SUM(ss_g) AS ss, CAST(COUNT(*) AS BIGINT) AS k
+        FROM g
+    ), terms AS (
+        SELECT list(CAST(ss_g * n_g - CAST(s_g AS HUGEINT) * s_g
+                         AS DOUBLE) / n_g
+                    ORDER BY event_type) AS w_terms
+        FROM g
+    ), folded AS (
+        SELECT list_reduce(w_terms, (x, y) -> x + y) AS ssw FROM terms
+    ), parts AS (
+        SELECT k, n,
+               CAST(ss * n - CAST(s AS HUGEINT) * s AS DOUBLE) / n - ssw
+                   AS ssb,
+               ssw
+        FROM folded CROSS JOIN tot
+    )
+    SELECT k AS n_groups, n AS n_rows,
+           ssb AS ss_between,
+           ssw AS ss_within,
+           ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat
+    FROM parts
+    """,
+    doc="One-way ANOVA F statistic for event value across the five event "
+    "types — completing the hypothesis-testing battery (z-test for "
+    "proportions, Mann-Whitney for location, KS for shape, chi-square "
+    "for association, F for multi-group means). Determinism is the "
+    "hard part: each group's within-SS is the EXACT integer numerator "
+    "ss_g*n_g - s_g^2 over one division, the k terms fold SEQUENTIALLY "
+    "via an ordered-array reduce (plain k-element SUMs and even "
+    "windowed cumulative sums differ in the last ulp across engines — "
+    "DuckDB accumulates window sums pairwise — and the between-SS "
+    "cancellation amplifies that ulp), and total SS uses the same "
+    "exact-numerator form. One groupBy(event_type) pass over the "
+    "fact; k-row math after. The sufficient statistics merge across "
+    "partitions, so the F test is incrementally maintainable.",
+    tags=("stats", "experiment", "A7", "A11"),
+)
+def anova_f_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    pts = ev.selectExpr(
+        "event_type", "CAST(FLOOR(value * 100) AS BIGINT) AS y"
+    )
+    g = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("s_g"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("ss_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    terms = g.selectExpr(
+        "event_type",
+        "CAST(ss_g * n_g - s_g * s_g AS DOUBLE) / n_g AS w_term",
+    )
+    folded = terms.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "struct(event_type, w_term))), p -> p.w_term), "
+            "CAST(0.0 AS DOUBLE), (x, y) -> x + y)"
+        ).alias("ssw")
+    )
+    parts = folded.crossJoin(F.broadcast(tot)).selectExpr(
+        "k",
+        "n",
+        "CAST(ss * n - s * s AS DOUBLE) / n - ssw AS ssb",
+        "ssw",
+    )
+    return parts.selectExpr(
+        "k AS n_groups",
+        "n AS n_rows",
+        # raw doubles: both engines produce bit-identical values, and
+        # engine-side ROUND diverges above 2^52 (DuckDB rounds doubles
+        # via a scaled float multiply; Spark via exact BigDecimal) — the
+        # harness's own 6dp canonicalization compares them safely.
+        "ssb AS ss_between",
+        "ssw AS ss_within",
+        "ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat",
+    )

@@ -615,3 +615,156 @@ def anova_f_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ssw AS ss_within",
         "ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat",
     )
+
+
+@register(
+    "stump_best_split",
+    oracle="""
+    WITH pts AS (
+        SELECT value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events WHERE value IS NOT NULL
+    ), vals AS (
+        SELECT value, CAST(SUM(pos) AS BIGINT) AS cp,
+               CAST(SUM(1 - pos) AS BIGINT) AS cn
+        FROM pts GROUP BY value
+    ), cums AS (
+        SELECT value,
+               SUM(cp) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS lp,
+               SUM(cn) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS ln_
+        FROM vals
+    ), tot AS (
+        SELECT CAST(SUM(cp) AS BIGINT) AS p, CAST(SUM(cn) AS BIGINT) AS q
+        FROM vals
+    ), scored AS (
+        SELECT value, lp, ln_, p, q,
+               (CAST(lp + ln_ AS DOUBLE) / (p + q))
+               * (1.0 - (CAST(lp AS DOUBLE) / (lp + ln_))
+                        * (CAST(lp AS DOUBLE) / (lp + ln_))
+                      - (CAST(ln_ AS DOUBLE) / (lp + ln_))
+                        * (CAST(ln_ AS DOUBLE) / (lp + ln_)))
+               + (CAST(p - lp + q - ln_ AS DOUBLE) / (p + q))
+               * (1.0 - (CAST(p - lp AS DOUBLE) / (p - lp + q - ln_))
+                        * (CAST(p - lp AS DOUBLE) / (p - lp + q - ln_))
+                      - (CAST(q - ln_ AS DOUBLE) / (p - lp + q - ln_))
+                        * (CAST(q - ln_ AS DOUBLE) / (p - lp + q - ln_)))
+                   AS gini_split
+        FROM cums CROSS JOIN tot
+        WHERE lp + ln_ < p + q
+    )
+    , best AS (
+        SELECT * FROM scored ORDER BY gini_split, value LIMIT 1
+    )
+    SELECT p + q AS n_rows, p AS n_pos, value AS best_value,
+           lp + ln_ AS n_left, p + q - lp - ln_ AS n_right,
+           ROUND(1.0 - (CAST(p AS DOUBLE) / (p + q))
+                       * (CAST(p AS DOUBLE) / (p + q))
+                     - (CAST(q AS DOUBLE) / (p + q))
+                       * (CAST(q AS DOUBLE) / (p + q)), 6) AS gini_parent,
+           ROUND(gini_split, 6) AS gini_split,
+           ROUND(1.0 - (CAST(p AS DOUBLE) / (p + q))
+                       * (CAST(p AS DOUBLE) / (p + q))
+                     - (CAST(q AS DOUBLE) / (p + q))
+                       * (CAST(q AS DOUBLE) / (p + q))
+                 - gini_split, 6) AS gini_gain
+    FROM best
+    """,
+    doc="Distributed decision-stump learner: the best threshold on the "
+    "value column for predicting purchase vs other, by weighted Gini "
+    "impurity — the inner loop of every tree/GBM trainer, expressed "
+    "as a query. Candidate splits are the distinct values; left/right "
+    "class counts at EVERY candidate come from one cumulative count "
+    "pass (the two-stage bucketed prefix on the Spark side — this is "
+    "exactly how distributed tree learners scan thresholds without "
+    "re-partitioning per candidate). Impurities are per-row float "
+    "expressions over exact integers; the argmin is pinned on "
+    "(RAW impurity, value) — ordered BEFORE rounding on both engines, "
+    "since an outer ORDER BY would resolve to the rounded output alias "
+    "in SQL and tie-break differently. Scale shape: one distinct-value "
+    "shuffle + a "
+    "tiny bucket frame; candidate evaluation never touches raw rows.",
+    tags=("stats", "eval", "A11", "W1", "O3"),
+)
+def stump_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    pts = ev.selectExpr(
+        "value",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos",
+    )
+    vals = pts.groupBy("value").agg(
+        F.sum("pos").cast("bigint").alias("cp"),
+        F.sum(1 - F.col("pos")).cast("bigint").alias("cn"),
+    )
+    b = vals.withColumn("_bucket", F.floor("value"))
+    totals = b.groupBy("_bucket").agg(
+        F.sum("cp").alias("_bp"), F.sum("cn").alias("_bn")
+    )
+    wb = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_bp").over(wb), F.lit(0)).alias("_offp"),
+        F.coalesce(F.sum("_bn").over(wb), F.lit(0)).alias("_offn"),
+    )
+    wv = (
+        Window.partitionBy("_bucket")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = b.join(F.broadcast(offsets), "_bucket").select(
+        "value",
+        (F.col("_offp") + F.sum("cp").over(wv)).alias("lp"),
+        (F.col("_offn") + F.sum("cn").over(wv)).alias("ln_"),
+    )
+    tot = vals.agg(
+        F.sum("cp").cast("bigint").alias("p"),
+        F.sum("cn").cast("bigint").alias("q"),
+    )
+    scored = (
+        cums.crossJoin(F.broadcast(tot))
+        .filter(F.expr("lp + ln_ < p + q"))
+        .selectExpr(
+            "value",
+            "lp",
+            "ln_",
+            "p",
+            "q",
+            "(CAST(lp + ln_ AS DOUBLE) / (p + q))"
+            " * (1.0 - (CAST(lp AS DOUBLE) / (lp + ln_))"
+            " * (CAST(lp AS DOUBLE) / (lp + ln_))"
+            " - (CAST(ln_ AS DOUBLE) / (lp + ln_))"
+            " * (CAST(ln_ AS DOUBLE) / (lp + ln_)))"
+            " + (CAST(p - lp + q - ln_ AS DOUBLE) / (p + q))"
+            " * (1.0 - (CAST(p - lp AS DOUBLE) / (p - lp + q - ln_))"
+            " * (CAST(p - lp AS DOUBLE) / (p - lp + q - ln_))"
+            " - (CAST(q - ln_ AS DOUBLE) / (p - lp + q - ln_))"
+            " * (CAST(q - ln_ AS DOUBLE) / (p - lp + q - ln_)))"
+            " AS gini_split",
+        )
+    )
+    return (
+        scored.orderBy("gini_split", "value")
+        .limit(1)
+        .selectExpr(
+            "p + q AS n_rows",
+            "p AS n_pos",
+            "value AS best_value",
+            "lp + ln_ AS n_left",
+            "p + q - lp - ln_ AS n_right",
+            "ROUND(1.0 - (CAST(p AS DOUBLE) / (p + q))"
+            " * (CAST(p AS DOUBLE) / (p + q))"
+            " - (CAST(q AS DOUBLE) / (p + q))"
+            " * (CAST(q AS DOUBLE) / (p + q)), 6) AS gini_parent",
+            "ROUND(gini_split, 6) AS gini_split",
+            "ROUND(1.0 - (CAST(p AS DOUBLE) / (p + q))"
+            " * (CAST(p AS DOUBLE) / (p + q))"
+            " - (CAST(q AS DOUBLE) / (p + q))"
+            " * (CAST(q AS DOUBLE) / (p + q))"
+            " - gini_split, 6) AS gini_gain",
+        )
+    )

@@ -768,3 +768,104 @@ def stump_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - gini_split, 6) AS gini_gain",
         )
     )
+
+
+@register(
+    "trimmed_mean_exact",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ), vals AS (
+        SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pts GROUP BY cents
+    ), cums AS (
+        SELECT cents, cnt,
+               SUM(cnt) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               COALESCE(SUM(cnt) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM vals
+    ), tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(cnt) AS BIGINT) // 10
+                   AS k
+        FROM vals
+    ), incl AS (
+        SELECT cents,
+               GREATEST(CAST(0 AS HUGEINT),
+                        LEAST(cum, n - k) - GREATEST(cum_before, k))
+                   AS cnt_incl
+        FROM cums CROSS JOIN tot
+    )
+    SELECT n AS n_rows, k AS n_trimmed_each_side,
+           CAST(n - 2 * k AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(cnt_incl * cents) AS DOUBLE)
+                 / (100.0 * (n - 2 * k)), 6) AS trimmed_mean
+    FROM incl CROSS JOIN tot
+    GROUP BY n, k
+    """,
+    doc="Exact 10%-two-sided trimmed mean of event value — the robust "
+    "location estimate (drop the k lowest and k highest ROWS, k = "
+    "n/10) computed WITHOUT any global sort: per distinct value, the "
+    "kept-row count is the overlap of the value's rank interval "
+    "[cum_before, cum) with the kept interval [k, n-k) — "
+    "max(0, min(cum, n-k) - max(cum_before, k)) — which handles "
+    "tie groups straddling either cut with zero special-casing. "
+    "Cumulative ranks come from the two-stage bucketed prefix on the "
+    "Spark side; every quantity is an exact integer until the single "
+    "final division. Scale shape: one distinct-value shuffle, no "
+    "global sort, no per-row rank.",
+    tags=("stats", "A11", "W1"),
+)
+def trimmed_mean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    pts = ev.selectExpr("CAST(FLOOR(value * 100) AS BIGINT) AS cents")
+    vals = pts.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    b = vals.withColumn("_bucket", F.floor(F.col("cents") / 1000))
+    totals = b.groupBy("_bucket").agg(F.sum("cnt").alias("_bn"))
+    wb = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_bn").over(wb), F.lit(0)).alias("_boff"),
+    )
+    wv = (
+        Window.partitionBy("_bucket")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = b.join(F.broadcast(offsets), "_bucket").select(
+        "cents",
+        "cnt",
+        (F.col("_boff") + F.sum("cnt").over(wv)).alias("cum"),
+        (F.col("_boff") + F.sum("cnt").over(wv) - F.col("cnt")).alias(
+            "cum_before"
+        ),
+    )
+    tot = vals.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.expr("CAST(SUM(cnt) AS BIGINT) DIV 10").alias("k"),
+    )
+    incl = cums.crossJoin(F.broadcast(tot)).selectExpr(
+        "cents",
+        "n",
+        "k",
+        "GREATEST(CAST(0 AS BIGINT),"
+        " LEAST(cum, n - k) - GREATEST(cum_before, k)) AS cnt_incl",
+    )
+    return incl.groupBy("n", "k").agg(
+        F.sum(F.col("cnt_incl").cast("decimal(38,0)") * F.col("cents")).alias(
+            "_s"
+        )
+    ).selectExpr(
+        "n AS n_rows",
+        "k AS n_trimmed_each_side",
+        "CAST(n - 2 * k AS BIGINT) AS n_kept",
+        "ROUND(CAST(_s AS DOUBLE) / (100.0 * (n - 2 * k)), 6)"
+        " AS trimmed_mean",
+    )

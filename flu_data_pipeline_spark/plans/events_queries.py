@@ -953,3 +953,167 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("s_km"),
     ).orderBy("day")
+
+
+@register(
+    "survival_logrank_test",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type,
+               datediff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS day
+        FROM events
+    ), per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'purchase' THEN day END) AS fp,
+               MAX(day) AS ls,
+               MIN(CASE WHEN day = fd THEN event_type END) AS first_type
+        FROM ev
+        JOIN (SELECT user_id AS u2, MIN(day) AS fd FROM ev GROUP BY user_id)
+          ON user_id = u2
+        GROUP BY user_id
+    ), cohorts AS (
+        SELECT user_id,
+               CASE WHEN first_type = 'click' THEN 1 ELSE 0 END AS grp,
+               COALESCE(fp, ls) AS day, fp IS NOT NULL AS is_event
+        FROM per_user
+    ), daily AS (
+        SELECT day,
+               CAST(SUM(CASE WHEN is_event AND grp = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d1,
+               CAST(SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d,
+               CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS x1,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM cohorts GROUP BY day
+    ), tot AS (
+        SELECT CAST(SUM(x1) AS BIGINT) AS n1_0, CAST(SUM(x) AS BIGINT)
+                   AS n_0
+        FROM daily
+    ), risk AS (
+        SELECT day, d1, d,
+               n1_0 - COALESCE(SUM(x1) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n1,
+               n_0 - COALESCE(SUM(x) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n
+        FROM daily CROSS JOIN tot
+    ), terms AS (
+        SELECT list(CAST(d1 AS DOUBLE)
+                    - CAST(d AS DOUBLE) * n1 / n ORDER BY day) AS o_e,
+               list(CASE WHEN n > 1
+                         THEN CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / n)
+                              * (1.0 - CAST(n1 AS DOUBLE) / n)
+                              * (n - d) / (n - 1)
+                         ELSE 0.0 END ORDER BY day) AS v
+        FROM risk WHERE d > 0
+    )
+    SELECT (SELECT n1_0 FROM tot) AS n_click_cohort,
+           (SELECT n_0 - n1_0 FROM tot) AS n_other_cohort,
+           ROUND(list_reduce(o_e, (a, b) -> a + b), 6) AS observed_minus_expected,
+           ROUND(list_reduce(v, (a, b) -> a + b), 6) AS variance,
+           ROUND(list_reduce(o_e, (a, b) -> a + b)
+                 / SQRT(list_reduce(v, (a, b) -> a + b)), 6) AS z_logrank
+    FROM terms
+    """,
+    doc="Log-rank test comparing time-to-first-purchase between user "
+    "cohorts defined by their FIRST event type (click-first vs other) "
+    "— the standard censoring-aware two-sample survival comparison "
+    "that pairs with events_survival_km (a naive conversion-rate "
+    "comparison ignores differential dropout). Per event day: observed "
+    "cohort-1 events minus the hypergeometric expectation d*n1/n, and "
+    "the matching variance, from the shared at-risk lifetable (exact "
+    "integer counts via running sums). The per-day float terms fold "
+    "SEQUENTIALLY via ordered-array reduce (window/plain sums are not "
+    "associativity-pinned across engines — see anova_f_groups). Scale "
+    "shape: one user-keyed aggregate, then O(#days) lifetable math.",
+    tags=("events", "stats", "experiment", "A7", "W1"),
+)
+def survival_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("datediff(CAST(ts AS DATE), DATE '1990-01-01')").alias("day"),
+    )
+    first_day = ev.groupBy(F.col("user_id").alias("u2")).agg(
+        F.min("day").alias("fd")
+    )
+    per_user = (
+        ev.join(first_day, ev.user_id == first_day.u2)
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("day"))
+            ).alias("fp"),
+            F.max("day").alias("ls"),
+            F.min(
+                F.when(F.col("day") == F.col("fd"), F.col("event_type"))
+            ).alias("first_type"),
+        )
+    )
+    cohorts = per_user.select(
+        F.when(F.col("first_type") == "click", 1).otherwise(0).alias("grp"),
+        F.coalesce("fp", "ls").alias("day"),
+        F.col("fp").isNotNull().alias("is_event"),
+    )
+    daily = cohorts.groupBy("day").agg(
+        F.sum(F.when(F.col("is_event") & (F.col("grp") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("x1"),
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+    )
+    tot = daily.agg(
+        F.sum("x1").cast("bigint").alias("n1_0"),
+        F.sum("x").cast("bigint").alias("n_0"),
+    )
+    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    risk = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "d1",
+        "d",
+        (
+            F.col("n1_0")
+            - F.coalesce(F.sum("x1").over(w_prev), F.lit(0))
+        ).alias("n1"),
+        (
+            F.col("n_0") - F.coalesce(F.sum("x").over(w_prev), F.lit(0))
+        ).alias("n"),
+        "n1_0",
+        "n_0",
+    )
+    terms = risk.filter(F.col("d") > 0).selectExpr(
+        "day",
+        "n1_0",
+        "n_0",
+        "CAST(d1 AS DOUBLE) - CAST(d AS DOUBLE) * n1 / n AS o_e",
+        "CASE WHEN n > 1"
+        " THEN CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / n)"
+        " * (1.0 - CAST(n1 AS DOUBLE) / n)"
+        " * (n - d) / (n - 1) ELSE 0.0 END AS v",
+    )
+    folded = terms.groupBy("n1_0", "n_0").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "struct(day, o_e))), p -> p.o_e), "
+            "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("sum_oe"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "struct(day, v))), p -> p.v), "
+            "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("sum_v"),
+    )
+    return folded.selectExpr(
+        "n1_0 AS n_click_cohort",
+        "n_0 - n1_0 AS n_other_cohort",
+        "ROUND(sum_oe, 6) AS observed_minus_expected",
+        "ROUND(sum_v, 6) AS variance",
+        "ROUND(sum_oe / SQRT(sum_v), 6) AS z_logrank",
+    )

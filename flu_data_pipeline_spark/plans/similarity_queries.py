@@ -1499,3 +1499,108 @@ def cluster_label_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ROUND(mi_nats / SQRT(h_cluster * h_label), 6) AS nmi",
         )
     )
+
+
+@register(
+    "label_noise_estimate",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS c_emb
+        FROM embeddings WHERE vec_id < {K_IVF}
+    ), assigned AS MATERIALIZED (
+        SELECT vec_id, label, cent_id AS cluster FROM (
+            SELECT e.vec_id, e.label, c.cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql('e.embedding', 'c.c_emb')} DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ), cells AS (
+        SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS n_cl
+        FROM assigned GROUP BY cluster, label
+    ), majority AS (
+        SELECT cluster, label AS maj_label FROM (
+            SELECT cluster, label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cluster
+                       ORDER BY n_cl DESC, label
+                   ) AS rn
+            FROM cells
+        ) WHERE rn = 1
+    )
+    SELECT a.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN a.label <> m.maj_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           ROUND(CAST(SUM(CASE WHEN a.label <> m.maj_label
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS flagged_rate
+    FROM assigned a JOIN majority m ON a.cluster = m.cluster
+    GROUP BY a.label
+    ORDER BY a.label
+    """,
+    doc="Confident-learning-lite label-noise screen: assign every vector "
+    "to its nearest coarse centroid (same argmax as ann_ivf / "
+    "cluster_label_nmi), take each cluster's majority label (ties "
+    "pinned on label), and per ground-truth label report how many "
+    "vectors sit in a cluster whose majority disagrees — the standard "
+    "first-pass mislabel detector a labeled-training-set curation "
+    "pipeline runs before training (flagged examples go to re-review, "
+    "not deletion). Scale shape: broadcast-centroid assignment pass, "
+    "one (cluster, label) aggregate, majority via a K-row window, one "
+    "broadcast join back; the fact scans once.",
+    tags=("similarity", "curation", "eval", "A10", "O3"),
+)
+def label_noise_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < K_IVF).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "label",
+            "cent_id",
+            cosine(F.col("embedding"), F.col("c_emb")).alias("ccos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("cent_id").alias("cluster"))
+    )
+    cells = assigned.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cl")
+    )
+    wm = Window.partitionBy("cluster").orderBy(
+        F.desc("n_cl"), F.asc("label")
+    )
+    majority = (
+        cells.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("cluster", F.col("label").alias("maj_label"))
+    )
+    return (
+        assigned.join(F.broadcast(majority), "cluster")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(
+                F.when(F.col("label") != F.col("maj_label"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("label") != F.col("maj_label"), 1
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("flagged_rate"),
+        )
+        .orderBy("label")
+    )

@@ -867,3 +867,125 @@ def did_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6)"
         " AS did_estimate",
     )
+
+
+_NPERM = 20
+
+
+def _perm_flag(p: int, h: str) -> str:
+    """Deterministic 0/1 relabel for permutation p: Carter-Wegman remix
+    of the row's portable hash (one md5 per row total, the
+    poisson_bootstrap_se trick), identical text on both engines."""
+    return (
+        f"(((314159261 + {p} * 97) * {h} + 535897932 + {p} * 131)"
+        f" % 2147483647 % 2)"
+    )
+
+
+@register(
+    "permutation_test_mean",
+    oracle=f"""
+    WITH pts AS (
+        SELECT {hash64_sql("CAST(event_id AS VARCHAR)")} % 2147483647 AS h,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g,
+               CAST(FLOOR(value * 100) AS BIGINT) AS y
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(g) AS BIGINT) AS n1,
+               SUM(y) AS s, SUM(CASE WHEN g = 1 THEN y ELSE 0 END) AS s1,
+               {", ".join(
+                   f"CAST(SUM({_perm_flag(p, 'h')}) AS BIGINT) AS pn{p}, "
+                   f"SUM(CASE WHEN {_perm_flag(p, 'h')} = 1 THEN y ELSE 0 END)"
+                   f" AS ps{p}"
+                   for p in range(_NPERM))}
+        FROM pts
+    ), obs AS (
+        SELECT *,
+               CAST(s1 AS DOUBLE) / (100.0 * n1)
+               - CAST(s - s1 AS DOUBLE) / (100.0 * (n - n1)) AS t_obs
+        FROM m
+    ), ext AS (
+        SELECT n, n1, t_obs,
+               {" + ".join(
+                   f"(CASE WHEN ABS(CAST(ps{p} AS DOUBLE) / (100.0 * pn{p})"
+                   f" - CAST(s - ps{p} AS DOUBLE) / (100.0 * (n - pn{p})))"
+                   f" >= ABS(t_obs) THEN 1 ELSE 0 END)"
+                   for p in range(_NPERM))} AS n_extreme
+        FROM obs
+    )
+    SELECT n1 AS n_click, n - n1 AS n_purchase,
+           ROUND(t_obs, 6) AS observed_diff,
+           {_NPERM} AS n_perms, CAST(n_extreme AS BIGINT) AS n_extreme,
+           ROUND((1.0 + n_extreme) / ({_NPERM} + 1.0), 6) AS p_value
+    FROM ext
+    """,
+    doc="Permutation test for the click-vs-purchase mean value "
+    "difference: 20 deterministic relabelings of the pooled sample "
+    "(each row's 0/1 group per permutation is a Carter-Wegman remix "
+    "of ONE portable md5 hash — the poisson_bootstrap_se trick, so "
+    "the whole test is one scan with 2 conditional aggregates per "
+    "permutation, no shuffle of permuted copies), p-value = "
+    "(1 + #extreme)/(P + 1). Completes the distributed-inference "
+    "trio: bootstrap (resampling SEs), rank tests (distribution-free "
+    "location/shape), permutation (exact-style significance under "
+    "exchangeability). Derived counts come off the totals (s - s1, "
+    "n - n1), so each permutation costs two sums, not four. All "
+    "comparisons are between doubles computed identically from exact "
+    "integer cent sums on both engines.",
+    tags=("experiment", "stats", "A7"),
+)
+def permutation_test_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+    )
+    pts = ev.selectExpr(
+        "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 14), 16, 10)"
+        " AS BIGINT) % 2147483647 AS h",
+        "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g",
+        "CAST(FLOOR(value * 100) AS BIGINT) AS y",
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("n1"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.when(F.col("g") == 1, F.col("y")).otherwise(0).cast(
+                "decimal(38,0)"
+            )
+        ).alias("s1"),
+    ]
+    for p in range(_NPERM):
+        flag = _perm_flag(p, "h")
+        aggs.append(
+            F.expr(f"CAST(SUM({flag}) AS BIGINT)").alias(f"pn{p}")
+        )
+        aggs.append(
+            F.expr(
+                f"SUM(CAST(CASE WHEN {flag} = 1 THEN y ELSE 0 END"
+                f" AS DECIMAL(38,0)))"
+            ).alias(f"ps{p}")
+        )
+    m = pts.agg(*aggs)
+    obs = m.selectExpr(
+        "*",
+        "CAST(s1 AS DOUBLE) / (100.0 * n1)"
+        " - CAST(s - s1 AS DOUBLE) / (100.0 * (n - n1)) AS t_obs",
+    )
+    extreme = " + ".join(
+        f"(CASE WHEN ABS(CAST(ps{p} AS DOUBLE) / (100.0 * pn{p})"
+        f" - CAST(s - ps{p} AS DOUBLE) / (100.0 * (n - pn{p})))"
+        f" >= ABS(t_obs) THEN 1 ELSE 0 END)"
+        for p in range(_NPERM)
+    )
+    ext = obs.selectExpr("n", "n1", "t_obs", f"{extreme} AS n_extreme")
+    return ext.selectExpr(
+        "n1 AS n_click",
+        "n - n1 AS n_purchase",
+        "ROUND(t_obs, 6) AS observed_diff",
+        f"{_NPERM} AS n_perms",
+        "CAST(n_extreme AS BIGINT) AS n_extreme",
+        f"ROUND((1.0 + n_extreme) / ({_NPERM} + 1.0), 6) AS p_value",
+    )

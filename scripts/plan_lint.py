@@ -75,6 +75,30 @@ BNLJ_AUDITED = {
     "ts_linear_interpolate",  # (c) anchor-range condition
     "winsorize_stats",       # (a) 1-row quantile cutoffs
     "zorder_layout",         # (a) 1-row dimension bounds
+    # late round-2 stats/curation batch — all (a) 1-row-aggregate
+    # broadcasts (totals, bounds, coefficients) or (b) tiny enums:
+    "anova_f_groups",        # (a) 1-row grand totals
+    "cluster_label_nmi",     # (a) 1-row N + (b) K centroids
+    "curation_ipf_raking",   # (a) 1-row margin targets
+    "curation_js_divergence",  # (a) 1-row corpus token total
+    "curation_quantile_normalize",  # (a) 1-row pool size
+    "cv_kfold_regression",   # (a) 1-row total moments
+    "did_event_value",       # (a) 1-row day bounds
+    "embedding_jl_distortion",  # (b) 1-row sign-matrix broadcast
+    "events_survival_km",    # (a) 1-row user-count total
+    "gdpr_delete_cascade",   # (a) 1-row per-table counts crossed
+    "hilbert_layout",        # (a) 1-row dimension bounds
+    "hilbert_vs_zorder_locality",  # (a) 1-row dimension bounds
+    "huber_irls_regression",  # (a) 1-row coefficient broadcast
+    "ks_two_sample",         # (a) 1-row group totals
+    "label_noise_estimate",  # (b) K centroids broadcast
+    "mannwhitney_rank_sum",  # (a) tiny bucket-offsets broadcast
+    "permutation_test_mean",  # (a) 1-row moment totals
+    "spearman_rho_ranks",    # (a) tiny bucket-offsets broadcast
+    "stump_best_split",      # (a) 1-row class totals
+    "survival_logrank_test",  # (a) 1-row cohort totals
+    "trimmed_mean_exact",    # (a) 1-row n/k totals
+    "ts_acf_lags",           # (a) 1-row global moments
 }
 
 

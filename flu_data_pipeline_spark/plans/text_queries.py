@@ -1449,3 +1449,160 @@ def text_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_RRF_K = 60
+
+
+@register(
+    "ranking_rrf_fusion",
+    oracle=f"""
+    WITH docs_t AS (
+        SELECT doc_id, {{tok}} AS t FROM documents
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               AVG(CAST(len(t) AS DOUBLE)) AS avgdl
+        FROM docs_t
+    ), tf AS (
+        SELECT d.doc_id, CAST(len(d.t) AS DOUBLE) AS dl, q.term,
+               CAST(len(list_filter(d.t, x -> x = q.term)) AS DOUBLE) AS f
+        FROM docs_t d
+        CROSS JOIN (SELECT unnest({{terms}}::VARCHAR[]) AS term) q
+    ), df AS (
+        SELECT term, CAST(SUM(CASE WHEN f > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS n_with
+        FROM tf GROUP BY term
+    ), bm25 AS (
+        SELECT tf.doc_id,
+               SUM(LN((s.n_docs - df.n_with + 0.5) / (df.n_with + 0.5) + 1)
+                   * tf.f * ({{k1}} + 1)
+                   / (tf.f + {{k1}}
+                      * (1 - {{b}} + {{b}} * tf.dl / s.avgdl))
+               ) AS score
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    ), rank_a AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id)
+                   AS ra
+        FROM bm25 WHERE score > 0
+        QUALIFY ra <= 10
+    ), plain AS (
+        SELECT doc_id, SUM(f) AS tf_sum FROM tf GROUP BY doc_id
+    ), rank_b AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY tf_sum DESC, doc_id) AS rb
+        FROM plain WHERE tf_sum > 0
+        QUALIFY rb <= 10
+    ), fused AS (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.ra, b.rb,
+               COALESCE(1.0 / ({_RRF_K} + a.ra), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + b.rb), 0.0) AS rrf
+        FROM rank_a a FULL OUTER JOIN rank_b b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, ra AS rank_bm25, rb AS rank_tf,
+           ROUND(rrf, 6) AS rrf_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+               AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= 10
+    ORDER BY fused_rank
+    """.replace("{tok}", _TOKENS)
+    .replace("{terms}", repr(list(BM25_TERMS)))
+    .replace("{k1}", str(BM25_K1))
+    .replace("{b}", str(BM25_B)),
+    doc="Reciprocal rank fusion of the BM25 and raw-TF top-10 rankings "
+    "for the fixed query (the same two rankers ranking_rbo_eval "
+    "MEASURES disagreement between — RRF is how you EXPLOIT it): each "
+    "document scores sum 1/(60 + rank) over the lists it appears in, "
+    "and the fused top-10 provably dominates either single ranker on "
+    "robustness — the standard first fusion every hybrid "
+    "lexical+vector retrieval stack ships. Ranks fuse over the "
+    "union (FULL OUTER join of two 10-row lists), the fused order is "
+    "pinned on (raw rrf DESC, doc_id) before rounding. Scale shape "
+    "matches the rbo eval: candidate lists are top-k-bounded, fusion "
+    "work is O(k).",
+    tags=("text", "eval", "O3", "J5"),
+)
+def ranking_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs_t = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    stats = docs_t.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size("t").cast("double")).alias("avgdl"),
+    )
+    terms = docs.sparkSession.createDataFrame(
+        [(t,) for t in BM25_TERMS], "term string"
+    )
+    tf = docs_t.crossJoin(F.broadcast(terms)).select(
+        "doc_id",
+        F.size("t").cast("double").alias("dl"),
+        "term",
+        F.size(F.expr("filter(t, x -> x = term)")).cast("double").alias("f"),
+    )
+    df_ = tf.groupBy("term").agg(
+        F.sum(F.when(F.col("f") > 0, 1).otherwise(0))
+        .cast("double")
+        .alias("n_with")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("n_with") + 0.5) / (F.col("n_with") + 0.5)
+        + 1
+    )
+    denom = F.col("f") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    bm25 = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("f") * (BM25_K1 + 1) / denom).alias("score"))
+        .filter(F.col("score") > 0)
+    )
+    wa = Window.orderBy(F.desc(F.round("score", 6)), F.asc("doc_id"))
+    rank_a = (
+        bm25.withColumn("ra", F.row_number().over(wa))
+        .filter(F.col("ra") <= 10)
+        .select("doc_id", "ra")
+    )
+    plain = (
+        tf.groupBy("doc_id")
+        .agg(F.sum("f").alias("tf_sum"))
+        .filter(F.col("tf_sum") > 0)
+    )
+    wb = Window.orderBy(F.desc("tf_sum"), F.asc("doc_id"))
+    rank_b = (
+        plain.withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") <= 10)
+        .select("doc_id", "rb")
+    )
+    fused = (
+        rank_a.withColumnRenamed("doc_id", "da")
+        .join(
+            rank_b.withColumnRenamed("doc_id", "db"),
+            F.col("da") == F.col("db"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("da", "db").alias("doc_id"),
+            "ra",
+            "rb",
+            (
+                F.coalesce(1.0 / (_RRF_K + F.col("ra")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("rb")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("fused_rank") <= 10)
+        .select(
+            "doc_id",
+            F.col("ra").alias("rank_bm25"),
+            F.col("rb").alias("rank_tf"),
+            F.round("rrf", 6).alias("rrf_score"),
+            "fused_rank",
+        )
+        .orderBy("fused_rank")
+    )

@@ -989,3 +989,147 @@ def permutation_test_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n_extreme AS BIGINT) AS n_extreme",
         f"ROUND((1.0 + n_extreme) / ({_NPERM} + 1.0), 6) AS p_value",
     )
+
+
+def _shapley_expr(i: int) -> str:
+    """Exact 3-channel Shapley value for channel bit i from the 8
+    coalition rates r0..r7 (rate of mask m = conversion rate of users
+    whose touch-set is exactly m; unobserved masks contribute 0).
+    Marginal-contribution weights for n=3: |S|=0 -> 1/3, |S|=1 -> 1/6,
+    |S|=2 -> 1/3."""
+    others = [b for b in (0, 1, 2) if b != i]
+    bi = 1 << i
+    t0 = f"(r{bi} - r0) / 3.0"
+    t1a = f"(r{bi | (1 << others[0])} - r{1 << others[0]}) / 6.0"
+    t1b = f"(r{bi | (1 << others[1])} - r{1 << others[1]}) / 6.0"
+    full = (1 << others[0]) | (1 << others[1])
+    t2 = f"(r{bi | full} - r{full}) / 3.0"
+    return f"({t0} + {t1a} + {t1b} + {t2})"
+
+
+@register(
+    "attribution_shapley",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               + 2 * MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               + 4 * MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                   AS mask,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY user_id
+    ), masks AS (
+        SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_u,
+               CAST(SUM(conv) AS BIGINT) AS n_c
+        FROM per_user GROUP BY mask
+    ), rates AS (
+        SELECT {", ".join(
+            f"COALESCE(MAX(CASE WHEN mask = {m} THEN"
+            f" CAST(n_c AS DOUBLE) / n_u END), 0.0) AS r{m}"
+            for m in range(8))}
+        FROM masks
+    ), touched AS (
+        SELECT {", ".join(
+            f"CAST(SUM(CASE WHEN (mask & {1 << i}) > 0 THEN n_u ELSE 0 END)"
+            f" AS BIGINT) AS tu{i}, "
+            f"CAST(SUM(CASE WHEN (mask & {1 << i}) > 0 THEN n_c ELSE 0 END)"
+            f" AS BIGINT) AS tc{i}"
+            for i in range(3))}
+        FROM masks
+    )
+    SELECT channel, n_users_touched, n_conv_touched, shapley_value
+    FROM (
+        SELECT 'click' AS channel, tu0 AS n_users_touched,
+               tc0 AS n_conv_touched,
+               ROUND({_shapley_expr(0)}, 6) AS shapley_value
+        FROM rates CROSS JOIN touched
+        UNION ALL
+        SELECT 'view', tu1, tc1, ROUND({_shapley_expr(1)}, 6)
+        FROM rates CROSS JOIN touched
+        UNION ALL
+        SELECT 'signup', tu2, tc2, ROUND({_shapley_expr(2)}, 6)
+        FROM rates CROSS JOIN touched
+    ) ORDER BY channel
+    """,
+    doc="Exact data-driven Shapley attribution over the three non-"
+    "purchase touch channels (click/view/signup): coalition value "
+    "v(S) = conversion rate of users whose touch-set is EXACTLY S "
+    "(8 observable coalitions, unobserved -> 0), and each channel's "
+    "Shapley value is the closed-form weighted sum of its marginal "
+    "contributions — the game-theoretic credit split that, unlike "
+    "first/last-touch or the U-shaped heuristic, provably satisfies "
+    "efficiency and symmetry. With |C|=3 the 2^3 coalition "
+    "enumeration is exact, not sampled. Scale shape: one user-keyed "
+    "aggregate, an 8-row mask table, and constant-size Shapley math — "
+    "the fact scans once; at 10 channels the same query enumerates "
+    "1024 masks, still metadata-sized.",
+    tags=("experiment", "warehouse", "A7", "A10"),
+)
+def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            + 2
+            * F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            + 4
+            * F.max(
+                F.when(F.col("event_type") == "signup", 1).otherwise(0)
+            )
+        ).alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    masks = per_user.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_u"),
+        F.sum("conv").cast("bigint").alias("n_c"),
+    )
+    rates = masks.agg(
+        *[
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("mask") == m,
+                        F.col("n_c").cast("double") / F.col("n_u"),
+                    )
+                ),
+                F.lit(0.0),
+            ).alias(f"r{m}")
+            for m in range(8)
+        ]
+    )
+    touched = masks.agg(
+        *[
+            expr
+            for i in range(3)
+            for expr in (
+                F.sum(
+                    F.when(
+                        F.expr(f"(mask & {1 << i}) > 0"), F.col("n_u")
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"tu{i}"),
+                F.sum(
+                    F.when(
+                        F.expr(f"(mask & {1 << i}) > 0"), F.col("n_c")
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"tc{i}"),
+            )
+        ]
+    )
+    base = rates.crossJoin(F.broadcast(touched))
+    out = None
+    for i, name in ((0, "click"), (1, "view"), (2, "signup")):
+        row = base.selectExpr(
+            f"'{name}' AS channel",
+            f"tu{i} AS n_users_touched",
+            f"tc{i} AS n_conv_touched",
+            f"ROUND({_shapley_expr(i)}, 6) AS shapley_value",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("channel")

@@ -1604,3 +1604,159 @@ def label_noise_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval
+# ---------------------------------------------------------------------------
+
+MMR_POOL = 20   # relevance top-N candidate pool fed to the MMR stage
+MMR_K = 5       # results to select
+MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as a chain of CTEs (one pick per level).
+
+    DuckDB has no iterative argmax, so the K selection steps are written
+    out literally: pick_t takes the argmax of
+    ``lambda*rel - (1-lambda)*max_sim(selected_{t-1})`` over the
+    remaining pool, ties pinned on vec_id.
+    """
+    cos_pq = _cos_sql("q.q_emb", "e.embedding")
+    cos_ab = _cos_sql("a.embedding", "b.embedding")
+    parts = [
+        f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    pool AS (
+        SELECT e.vec_id, {cos_pq} AS rel, e.embedding
+        FROM embeddings e, q WHERE e.vec_id <> 0
+        ORDER BY rel DESC, e.vec_id LIMIT {MMR_POOL}
+    ),
+    pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, {cos_ab} AS sim
+        FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+    ),
+    pick1 AS (
+        SELECT vec_id, rel, {MMR_LAMBDA} * rel AS mmr, 1 AS sel_rank
+        FROM pool ORDER BY mmr DESC, vec_id LIMIT 1
+    ),
+    sel1 AS (SELECT vec_id FROM pick1)"""
+    ]
+    for t in range(2, MMR_K + 1):
+        parts.append(f""",
+    pick{t} AS (
+        SELECT p.vec_id, p.rel,
+               {MMR_LAMBDA} * p.rel - {round(1 - MMR_LAMBDA, 6)} * ms.max_sim
+                   AS mmr,
+               {t} AS sel_rank
+        FROM pool p
+        JOIN (SELECT a_id, MAX(sim) AS max_sim FROM pairs
+              WHERE b_id IN (SELECT vec_id FROM sel{t - 1})
+              GROUP BY a_id) ms ON p.vec_id = ms.a_id
+        WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+        ORDER BY mmr DESC, p.vec_id LIMIT 1
+    ),
+    sel{t} AS (SELECT vec_id FROM sel{t - 1}
+               UNION ALL SELECT vec_id FROM pick{t})""")
+    picks = "\nUNION ALL ".join(f"SELECT * FROM pick{t}" for t in range(1, MMR_K + 1))
+    parts.append(f"""
+    SELECT sel_rank, vec_id,
+           ROUND(rel, 6) AS relevance, ROUND(mmr, 6) AS mmr_score
+    FROM ({picks}) ORDER BY sel_rank
+    """)
+    return "".join(parts)
+
+
+@register(
+    "ann_mmr_rerank",
+    oracle=_mmr_oracle(),
+    doc="Maximal-marginal-relevance diversified retrieval: relevance "
+    f"top-{MMR_POOL} pool for query vec_id=0 (one candidate scan, ranked "
+    "window), then greedy MMR selection of "
+    f"{MMR_K} results with lambda={MMR_LAMBDA} — each step scores "
+    "remaining candidates as lambda*rel - (1-lambda)*max_sim(selected) "
+    "and takes the argmax (ties pinned on vec_id). The standard "
+    "RAG-retrieval / training-example diversification step after ANN. "
+    "Scale shape: the full table is touched ONCE (relevance top-N via "
+    "TakeOrderedAndProject); the iterative stage runs on the N-row pool "
+    f"and its N^2 pairwise sims ({MMR_POOL}x{MMR_POOL}), all broadcast — "
+    "selection cost is independent of corpus size, so the same plan "
+    "holds at 100 TB with the pool served by the LSH/IVF variants.",
+    tags=("similarity", "curation", "O3"),
+)
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    # orderBy().limit() compiles to TakeOrderedAndProject: per-partition
+    # top-MMR_POOL then a driver merge of 32 tiny heads — no global sort.
+    pool = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine(F.col("embedding"), F.col("q_emb")).alias("rel"),
+            "embedding",
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+    )
+    a = pool.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+    )
+    b = pool.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id", "b_id", cosine(F.col("a_emb"), F.col("b_emb")).alias("sim")
+        )
+    )
+    lam, one_m = F.lit(MMR_LAMBDA), F.lit(round(1 - MMR_LAMBDA, 6))
+    picks: list[DataFrame] = []
+    sel: DataFrame | None = None  # selected vec_ids so far
+    for t in range(1, MMR_K + 1):
+        if sel is None:
+            scored = pool.select(
+                "vec_id", "rel", (lam * F.col("rel")).alias("mmr")
+            )
+        else:
+            max_sim = (
+                pairs.join(
+                    F.broadcast(sel.withColumnRenamed("vec_id", "b_id")),
+                    "b_id",
+                )
+                .groupBy("a_id")
+                .agg(F.max("sim").alias("max_sim"))
+            )
+            scored = (
+                pool.join(sel, "vec_id", "left_anti")
+                .join(max_sim, pool.vec_id == F.col("a_id"))
+                .select(
+                    "vec_id",
+                    "rel",
+                    (lam * F.col("rel") - one_m * F.col("max_sim")).alias(
+                        "mmr"
+                    ),
+                )
+            )
+        pick = (
+            scored.orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .limit(1)
+            .withColumn("sel_rank", F.lit(t))
+        )
+        picks.append(pick)
+        chosen = pick.select("vec_id")
+        sel = chosen if sel is None else sel.union(chosen)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.union(p)
+    return out.select(
+        "sel_rank",
+        "vec_id",
+        F.round("rel", 6).alias("relevance"),
+        F.round("mmr", 6).alias("mmr_score"),
+    ).orderBy("sel_rank")

@@ -1760,3 +1760,150 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rel", 6).alias("relevance"),
         F.round("mmr", 6).alias("mmr_score"),
     ).orderBy("sel_rank")
+
+
+# ---------------------------------------------------------------------------
+# NDCG@10 ranking eval
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+NDCG_K = 10
+# Discount weights 1/log2(r+1) and their prefix sums are computed ONCE in
+# Python and injected as the same double literals into BOTH engines'
+# plans (repr round-trips IEEE754 exactly), so no cross-engine log()
+# call can diverge in the last ulp; the per-query DCG sum is an ordered
+# array fold — sequential on both engines — never a bare float SUM.
+_NDCG_W = [1.0 / _math.log2(r + 1) for r in range(1, NDCG_K + 1)]
+_NDCG_CUMW = []
+_acc = 0.0
+for _w in _NDCG_W:
+    _acc += _w
+    _NDCG_CUMW.append(_acc)
+
+
+@register(
+    "ranking_ndcg_eval",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+        FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               CASE WHEN c.label = q.q_label THEN 1 ELSE 0 END AS gain,
+               {_cos_sql('q.q_emb', 'c.embedding')} AS cos_raw
+        FROM q JOIN embeddings c ON q.query_id <> c.vec_id
+    ),
+    nrel AS (
+        SELECT query_id, CAST(SUM(gain) AS BIGINT) AS n_rel FROM scored
+        GROUP BY query_id
+    ),
+    ranked AS (
+        SELECT query_id, gain,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos_raw DESC, neighbor_id
+               ) AS rnk
+        FROM scored
+        QUALIFY rnk <= {NDCG_K}
+    ),
+    dcg AS (
+        SELECT query_id,
+               list_reduce(
+                   list(CAST(gain AS DOUBLE) * ({_NDCG_W!r})[rnk]
+                        ORDER BY rnk),
+                   (a, b) -> a + b) AS dcg_raw
+        FROM ranked GROUP BY query_id
+    )
+    SELECT d.query_id, n.n_rel,
+           ROUND(d.dcg_raw, 6) AS dcg,
+           ROUND(d.dcg_raw
+                 / ({_NDCG_CUMW!r})[LEAST(n.n_rel, {NDCG_K})], 6) AS ndcg
+    FROM dcg d JOIN nrel n ON d.query_id = n.query_id
+    ORDER BY d.query_id
+    """,
+    doc=f"NDCG@{NDCG_K} of the brute-force cosine ranking against "
+    "same-label graded relevance for 5 query vectors — the standard "
+    "retrieval-quality metric next to MRR/recall. Discount weights "
+    "1/log2(r+1) and ideal-DCG prefix sums are injected as identical "
+    "double literals into both engines (no runtime log), DCG is an "
+    "ordered array fold, and n_rel/gains are exact ints, so the metric "
+    "is bit-identical cross-engine. Scale shape: one broadcast-query "
+    "candidate scan, per-query top-k window, k-element fold — eval cost "
+    "rides the ANN query plan, not the corpus.",
+    tags=("similarity", "quality", "eval", "O3"),
+)
+def ranking_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("c_label"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.when(F.col("c_label") == F.col("q_label"), 1)
+            .otherwise(0)
+            .alias("gain"),
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_raw"),
+        )
+    )
+    nrel = scored.groupBy("query_id").agg(
+        F.sum("gain").cast("bigint").alias("n_rel")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    w_arr = F.array(*[F.lit(w) for w in _NDCG_W])
+    cum_arr = F.array(*[F.lit(w) for w in _NDCG_CUMW])
+    ranked = (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= NDCG_K)
+        .select(
+            "query_id",
+            "rnk",
+            (F.col("gain").cast("double") * F.element_at(w_arr, F.col("rnk")))
+            .alias("contrib"),
+        )
+    )
+    dcg = (
+        ranked.groupBy("query_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rnk", "contrib"))
+                    ),
+                    lambda s: s["contrib"],
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("dcg_raw")
+        )
+    )
+    return (
+        dcg.join(F.broadcast(nrel), "query_id")
+        .select(
+            "query_id",
+            "n_rel",
+            F.round("dcg_raw", 6).alias("dcg"),
+            F.round(
+                F.col("dcg_raw")
+                / F.element_at(
+                    cum_arr, F.least(F.col("n_rel"), F.lit(NDCG_K)).cast("int")
+                ),
+                6,
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )

@@ -24,7 +24,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flu_data_pipeline_spark.catalog import load_table
@@ -729,4 +729,120 @@ def hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_pct"),
         )
         .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histogram → quantile sketch
+# ---------------------------------------------------------------------------
+
+QH_BINS = 256
+QH_PS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "quantile_histogram_sketch",
+    oracle=f"""
+    WITH mm AS (
+        SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+    ),
+    hist AS (
+        SELECT CAST(LEAST(FLOOR((l_extendedprice - mm.mn)
+                                / ((mm.mx - mm.mn) / {QH_BINS})),
+                          {QH_BINS} - 1) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem, mm GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin, cnt,
+               CAST(COALESCE(SUM(cnt) OVER (
+                   ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        FROM hist
+    ),
+    ps AS (SELECT UNNEST({list(QH_PS)!r}) AS p)
+    SELECT ps.p,
+           CAST(CEIL(ps.p * mm.n) AS BIGINT) AS target_rank,
+           c.bin AS bin_idx, c.cnt AS bin_count,
+           ROUND(mm.mn + (CAST(c.bin AS DOUBLE)
+                          + (CEIL(ps.p * mm.n) - c.cum_before) / c.cnt)
+                         * ((mm.mx - mm.mn) / {QH_BINS}), 6) AS est_quantile,
+           ROUND((mm.mx - mm.mn) / {QH_BINS}, 6) AS err_bound,
+           mm.n AS n_rows
+    FROM ps, mm
+    JOIN cum c
+      ON c.cum_before < CEIL(ps.p * mm.n)
+     AND c.cum_before + c.cnt >= CEIL(ps.p * mm.n)
+    ORDER BY ps.p
+    """,
+    doc=f"Quantile estimation from a {QH_BINS}-bin equi-width histogram "
+    "sketch over l_extendedprice: p50/p90/p99 located by cumulative bin "
+    "counts with within-bin rank interpolation, each estimate carrying "
+    "its deterministic error bound (one bin width). The histogram is "
+    "the simplest MERGEABLE quantile sketch — per-partition bin counts "
+    "combine map-side into one <=256-row aggregate, so sketch build is "
+    "one scan with constant shuffle regardless of data volume (the "
+    "same merge algebra t-digest/KLL use, with a deterministic, "
+    "oracle-checkable layout). The cumulative window runs over the "
+    "bounded bin frame, never the data. Range comes from a first "
+    "min/max scan; a production pipeline caches or pre-declares it.",
+    tags=("sketch", "stats", "A11"),
+)
+def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    mm = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(QH_BINS)
+    hist = (
+        li.crossJoin(F.broadcast(mm))
+        .select(
+            F.least(
+                F.floor((F.col("l_extendedprice") - F.col("mn")) / width),
+                F.lit(QH_BINS - 1),
+            )
+            .cast("bigint")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    # Cumulative counts over the <=QH_BINS-row histogram frame (bounded
+    # single-partition window — O(bins), not O(rows)).
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("cnt").over(wc), F.lit(0)).cast("bigint"),
+    )
+    ps = spark.createDataFrame([(p,) for p in QH_PS], "p double")
+    target = F.ceil(F.col("p") * F.col("n")).cast("bigint")
+    return (
+        ps.crossJoin(F.broadcast(mm))
+        .join(
+            F.broadcast(cum),
+            (F.col("cum_before") < target)
+            & (F.col("cum_before") + F.col("cnt") >= target),
+        )
+        .select(
+            "p",
+            target.alias("target_rank"),
+            F.col("bin").alias("bin_idx"),
+            F.col("cnt").alias("bin_count"),
+            F.round(
+                F.col("mn")
+                + (
+                    F.col("bin").cast("double")
+                    + (target - F.col("cum_before")) / F.col("cnt")
+                )
+                * width,
+                6,
+            ).alias("est_quantile"),
+            F.round(width, 6).alias("err_bound"),
+            F.col("n").alias("n_rows"),
+        )
+        .orderBy("p")
     )

@@ -1907,3 +1907,83 @@ def ranking_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding stats (whitening inputs)
+# ---------------------------------------------------------------------------
+
+EMB_Q = 1_000_000  # component quantization: 6 decimal digits
+
+
+@register(
+    "embedding_dim_stats",
+    oracle=f"""
+    WITH comp AS (
+        SELECT r.i AS dim,
+               CAST(ROUND(CAST(e.embedding[r.i] AS DOUBLE) * {EMB_Q}, 0)
+                    AS BIGINT) AS q,
+               CAST(e.embedding[r.i] AS DOUBLE) AS v
+        FROM embeddings e, range(1, 65) r(i)
+    ),
+    agg AS (
+        SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(CAST(q AS DECIMAL(38, 0))) AS DOUBLE) AS sq,
+               CAST(SUM(CAST(q AS DECIMAL(38, 0))
+                        * CAST(q AS DECIMAL(38, 0))) AS DOUBLE) AS sqq,
+               MIN(v) AS vmin, MAX(v) AS vmax
+        FROM comp GROUP BY dim
+    )
+    SELECT dim, n_vectors,
+           ROUND(sq / {EMB_Q} / n_vectors, 6) AS mean,
+           ROUND(sqrt(GREATEST(
+               sqq / {EMB_Q}.0 / {EMB_Q} / n_vectors
+               - (sq / {EMB_Q} / n_vectors) * (sq / {EMB_Q} / n_vectors),
+               0)), 6) AS std,
+           ROUND(vmin, 6) AS vmin, ROUND(vmax, 6) AS vmax
+    FROM agg ORDER BY dim
+    """,
+    doc="Per-dimension mean/std/min/max over the embedding corpus — the "
+    "sufficient statistics for diagonal whitening (mean-center + "
+    "variance-scale before indexing/quantization) and the standard "
+    "embedding-QA check for dead or unbalanced dimensions. Components "
+    "are quantized to 6dp integers and both moment sums ride "
+    "DECIMAL(38,0), so mean/std are computed once from bit-identical "
+    "exact sums on both engines (a bare float SUM is order-dependent "
+    "cross-engine). Scale shape: posexplode multiplies rows by 64, but "
+    "map-side partial aggregation collapses every partition to <=64 "
+    "rows before the shuffle — one scan, constant shuffle.",
+    tags=("similarity", "stats", "curation", "A11"),
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode("embedding").alias("pos", "vf")
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("vf").cast("double") * EMB_Q, 0)
+        .cast("bigint")
+        .alias("q"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    qd = F.col("q").cast("decimal(38,0)")
+    agg = comp.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(qd).cast("double").alias("sq"),
+        F.sum(qd * qd).cast("double").alias("sqq"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    )
+    mean = F.col("sq") / EMB_Q / F.col("n_vectors")
+    var = (
+        F.col("sqq") / float(EMB_Q) / EMB_Q / F.col("n_vectors")
+        - mean * mean
+    )
+    return agg.select(
+        "dim",
+        "n_vectors",
+        F.round(mean, 6).alias("mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std"),
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+    ).orderBy("dim")

@@ -1606,3 +1606,106 @@ def ranking_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fused_rank")
     )
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id,
+               {hash64_sql(_NORMALIZED_SQL)} AS fingerprint,
+               CASE WHEN {hash64_sql('CAST(doc_id AS VARCHAR)')} % 100 < 90
+                    THEN 1 ELSE 0 END AS tr_doc
+        FROM documents
+    ),
+    keyed AS (
+        SELECT fingerprint, tr_doc,
+               CASE WHEN {hash64_sql('CAST(fingerprint AS VARCHAR)')}
+                         % 100 < 90
+                    THEN 1 ELSE 0 END AS tr_fp
+        FROM fp
+    ),
+    per_fp AS (
+        SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(tr_doc) AS BIGINT) AS t_doc,
+               CAST(SUM(tr_fp) AS BIGINT) AS t_fp
+        FROM keyed GROUP BY fingerprint
+    ),
+    tot AS (
+        SELECT CAST(SUM(t_doc) AS BIGINT) AS tr1,
+               CAST(SUM(c - t_doc) AS BIGINT) AS va1,
+               CAST(SUM(t_doc * (c - t_doc)) AS BIGINT) AS leak1,
+               CAST(SUM(t_fp) AS BIGINT) AS tr2,
+               CAST(SUM(c - t_fp) AS BIGINT) AS va2,
+               CAST(SUM(t_fp * (c - t_fp)) AS BIGINT) AS leak2
+        FROM per_fp
+    )
+    SELECT 'docid_hash' AS scheme, tr1 AS n_train, va1 AS n_val,
+           leak1 AS dup_pairs_crossing FROM tot
+    UNION ALL
+    SELECT 'content_hash', tr2, va2, leak2 FROM tot
+    ORDER BY scheme
+    """,
+    doc="Leakage audit of train/val splitting: the naive doc-id-hash "
+    "split lets exact duplicates straddle the boundary (a classic "
+    "eval-contamination bug); splitting on the CONTENT fingerprint "
+    "pins every duplicate group to one side by construction. Crossing "
+    "pairs are counted per fingerprint group as t*(c-t) — pure "
+    "aggregation, no pair self-join — so the audit is one scan + one "
+    "groupBy at any corpus size. Extends sample_split_train_val / "
+    "text_fingerprint; the same pattern applies to near-dup cluster "
+    "ids from dedup_components for semantic leakage.",
+    tags=("text", "sampling", "dedup", "curation"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    keyed = docs.select(
+        hash64(normalized).alias("fingerprint"),
+        F.when(
+            hash64(F.col("doc_id").cast("string")) % 100 < 90, 1
+        )
+        .otherwise(0)
+        .alias("tr_doc"),
+    ).withColumn(
+        "tr_fp",
+        F.when(
+            hash64(F.col("fingerprint").cast("string")) % 100 < 90, 1
+        ).otherwise(0),
+    )
+    per_fp = keyed.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("tr_doc").cast("bigint").alias("t_doc"),
+        F.sum("tr_fp").cast("bigint").alias("t_fp"),
+    )
+    tot = per_fp.agg(
+        F.sum("t_doc").cast("bigint").alias("tr1"),
+        F.sum(F.col("c") - F.col("t_doc")).cast("bigint").alias("va1"),
+        F.sum(F.col("t_doc") * (F.col("c") - F.col("t_doc")))
+        .cast("bigint")
+        .alias("leak1"),
+        F.sum("t_fp").cast("bigint").alias("tr2"),
+        F.sum(F.col("c") - F.col("t_fp")).cast("bigint").alias("va2"),
+        F.sum(F.col("t_fp") * (F.col("c") - F.col("t_fp")))
+        .cast("bigint")
+        .alias("leak2"),
+    )
+    rows = tot.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("docid_hash").alias("scheme"),
+                    F.col("tr1").alias("n_train"),
+                    F.col("va1").alias("n_val"),
+                    F.col("leak1").alias("dup_pairs_crossing"),
+                ),
+                F.struct(
+                    F.lit("content_hash").alias("scheme"),
+                    F.col("tr2").alias("n_train"),
+                    F.col("va2").alias("n_val"),
+                    F.col("leak2").alias("dup_pairs_crossing"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rows.orderBy("scheme")

@@ -779,3 +779,90 @@ def hits_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), "hub", "auth")
         .orderBy(F.desc("auth"), "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (PageRank over the term co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+_TR_TOKENS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_TR_TOPK = 15
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=(
+        f"""
+    WITH tk AS (
+        SELECT {_TR_TOKENS} AS arr FROM documents
+    ), bg AS (
+        SELECT u.a, u.b FROM (
+            SELECT unnest(list_transform(range(1, len(arr)),
+                          i -> struct_pack(a := arr[i], b := arr[i + 1])))
+                   AS u
+            FROM tk
+        ) WHERE u.a <> u.b
+    ), e AS (
+        SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w FROM (
+            SELECT a AS src, b AS dst FROM bg
+            UNION ALL SELECT b, a FROM bg
+        ) GROUP BY src, dst
+    ), nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION SELECT dst FROM e
+        )
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+    ), nrm AS (
+        SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS p FROM e
+    ), r0 AS (
+        SELECT node, ROUND(1.0 / n, 8) AS rank FROM nodes, nn
+    ), """
+        + ", ".join(_step_sql(f"r{i}", f"r{i + 1}") for i in range(_ITERS))
+        + f"""
+    SELECT node AS term, rank FROM r{_ITERS}
+    ORDER BY rank DESC, term LIMIT {_TR_TOPK}
+    """
+    ),
+    doc=f"TextRank keyword extraction: PageRank ({_ITERS} iterations, "
+    f"damping {_D}) over the corpus term co-occurrence graph (edge = "
+    "adjacent token pair, weight = corpus bigram count, symmetrized), "
+    f"top-{_TR_TOPK} terms by rank. Reuses operators/graph.pagerank — "
+    "the same distributed edges-join-ranks formulation as the trade "
+    "graph — on a text-derived edge list; ranks rounded to 8dp per "
+    "iteration so the iterative algorithm hash-compares exactly. Scale "
+    "shape: bigram extraction is one scan + map-side-combined groupBy "
+    "(vocabulary-bounded edge list); each iteration is one src-shuffle "
+    "and one dst-shuffle on that bounded graph.",
+    tags=("graph", "pagerank", "text", "O3"),
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    pairs = (
+        docs.select(arr.alias("arr"))
+        .filter(F.size("arr") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(arr) - 1), "
+                    "i -> struct(element_at(arr, i) AS a, "
+                    "element_at(arr, i + 1) AS b))"
+                )
+            ).alias("u")
+        )
+        .filter(F.col("u.a") != F.col("u.b"))
+        .select("u.a", "u.b")
+    )
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    ranks = pagerank(edges, damping=_D, iterations=_ITERS, round_dp=8)
+    return (
+        ranks.select(F.col("node").alias("term"), "rank")
+        .orderBy(F.col("rank").desc(), "term")
+        .limit(_TR_TOPK)
+    )

@@ -38,6 +38,13 @@ INFO = ("BroadcastNestedLoopJoin",)
 #: with a broadcast side IS the plan. New queries showing BNLJ land
 #: in REVIEW until audited into this set.
 BNLJ_AUDITED = {
+    "ann_mmr_rerank",        # (b) 1-row query vec + 20-row pool/pairs
+    "attribution_shapley",   # (a) crossJoin of two 1-row aggregates
+    "drift_psi",             # (a) 1-row bin-bounds aggregate
+    "kendall_tau_daily",     # (b)+(c) calendar-bounded daily agg, d1<d2
+    "quantile_histogram_sketch",  # (a)+(b) 1-row min/max + 256-bin hist
+    "ranking_ndcg_eval",     # (b) 5 query vectors broadcast, id<>id
+    "ranking_rrf_fusion",    # (b) literal term list broadcast
     "ann_ivf",               # (b) K centroid vectors broadcast
     "ann_ivf_kmeans",        # (b) trained centroids broadcast
     "ann_mrr_eval",          # (b) brute-force truth for 5 queries

@@ -123,18 +123,16 @@ def minhash_signatures(
     return base.select(F.col(id_col), *sigs)
 
 
-def lsh_candidate_pairs(
+def lsh_bands(
     sig: DataFrame, id_col: str, num_hashes: int = 12, band_size: int = 3
 ) -> DataFrame:
-    """Banded-LSH candidate pairs: docs sharing any full band of signature
-    values. Returns distinct (id_a, id_b), id_a < id_b.
-
-    The self-join key is (band_idx, band_key) — bucket sizes, not n²,
-    bound the shuffle. Skewed buckets (boilerplate text) are handled by
-    AQE skew-join splitting at scale.
-    """
+    """Explode a MinHash signature frame into its banded-LSH bucket keys:
+    one row per (id, band_idx, band_key). The (band_idx, band_key) pair
+    is the shuffle/join key for both self-join dedup
+    (:func:`lsh_candidate_pairs`) and cross-frame probes (incremental
+    ingest against an existing index)."""
     n_bands = num_hashes // band_size
-    banded = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -151,6 +149,19 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(F.col(id_col), F.col("band.band_idx"), F.col("band.band_key"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, num_hashes: int = 12, band_size: int = 3
+) -> DataFrame:
+    """Banded-LSH candidate pairs: docs sharing any full band of signature
+    values. Returns distinct (id_a, id_b), id_a < id_b.
+
+    The self-join key is (band_idx, band_key) — bucket sizes, not n²,
+    bound the shuffle. Skewed buckets (boilerplate text) are handled by
+    AQE skew-join splitting at scale.
+    """
+    banded = lsh_bands(sig, id_col, num_hashes, band_size)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

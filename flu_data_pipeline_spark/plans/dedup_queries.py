@@ -26,6 +26,7 @@ from flu_data_pipeline_spark.functions.hashing import (
     hash64_sql,
 )
 from flu_data_pipeline_spark.operators.dedup import (
+    lsh_bands,
     lsh_candidate_pairs,
     minhash_signatures,
     shingles_from_tokens,
@@ -892,4 +893,123 @@ def dedup_survivorship_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("same_as_min_id"),
         )
         .orderBy("component")
+    )
+
+
+@register(
+    "dedup_incremental_ingest",
+    oracle=f"""
+    WITH {_SHINGLED_DISTINCT_SQL}, {_SIG_SQL},
+    bands AS (
+{_BANDS_SQL}
+    ),
+    side AS (
+        SELECT doc_id,
+               CASE WHEN {hash64_sql('CAST(doc_id AS VARCHAR)')} % 2 = 0
+                    THEN 1 ELSE 0 END AS is_index
+        FROM documents
+    ),
+    fp AS (SELECT doc_id, md5(text) AS h FROM documents),
+    exact_m AS (
+        SELECT bf.doc_id, CAST(MIN(ifp.doc_id) AS BIGINT) AS exact_match_id
+        FROM fp bf
+        JOIN side sb ON bf.doc_id = sb.doc_id AND sb.is_index = 0
+        JOIN fp ifp ON ifp.h = bf.h
+        JOIN side si ON ifp.doc_id = si.doc_id AND si.is_index = 1
+        GROUP BY bf.doc_id
+    ),
+    near_m AS (
+        SELECT bb.doc_id, CAST(MIN(ib.doc_id) AS BIGINT) AS near_match_id
+        FROM bands bb
+        JOIN side sb ON bb.doc_id = sb.doc_id AND sb.is_index = 0
+        JOIN bands ib ON ib.band_idx = bb.band_idx
+                     AND ib.band_key = bb.band_key
+        JOIN side si ON ib.doc_id = si.doc_id AND si.is_index = 1
+        GROUP BY bb.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(CASE WHEN e.exact_match_id IS NOT NULL
+                     THEN 1 ELSE 0 END AS INT) AS exact_dup,
+           CAST(CASE WHEN n.near_match_id IS NOT NULL
+                     THEN 1 ELSE 0 END AS INT) AS near_dup,
+           e.exact_match_id, n.near_match_id
+    FROM side s
+    LEFT JOIN exact_m e ON s.doc_id = e.doc_id
+    LEFT JOIN near_m n ON s.doc_id = n.doc_id
+    WHERE s.is_index = 0
+      AND (e.exact_match_id IS NOT NULL OR n.near_match_id IS NOT NULL)
+    ORDER BY s.doc_id
+    """,
+    doc="Incremental-ingest dedup: screen a NEW document batch against an "
+    "EXISTING corpus index (deterministic hash-split stands in for the "
+    "two generations) on two tiers — exact (content md5 probe into the "
+    "index fingerprint set) and near (MinHash band keys probed into "
+    "the index's banded-LSH buckets, same 4x3 banding as "
+    "dedup_minhash_lsh_pairs via operators/dedup.lsh_bands). This is "
+    "the production crawl-refresh shape: only the new batch is "
+    "re-shingled; the index contributes precomputed fingerprints and "
+    "band keys. Scale shape: both probes are bucket-keyed joins "
+    "(hash / (band_idx, band_key)) whose shuffle is bounded by bucket "
+    "sizes; at 100 TB the index side is served from its stored "
+    "signature table and a bloom filter of index fingerprints "
+    "(bloom_semi_prune pattern) discards clean batch docs before the "
+    "join.",
+    tags=("dedup", "minhash", "curation", "D1"),
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_index = hash64(F.col("doc_id").cast("string")) % 2 == F.lit(0)
+    idx = docs.filter(is_index)
+    batch = docs.filter(~is_index)
+
+    exact = (
+        batch.select("doc_id", F.md5("text").alias("h"))
+        .join(
+            idx.select(
+                F.md5("text").alias("h"), F.col("doc_id").alias("i_id")
+            ),
+            "h",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("i_id").cast("bigint").alias("exact_match_id"))
+    )
+    bands_b = lsh_bands(
+        minhash_signatures(batch, "doc_id", "text", NUM_HASHES),
+        "doc_id",
+        NUM_HASHES,
+        BAND_SIZE,
+    )
+    bands_i = lsh_bands(
+        minhash_signatures(idx, "doc_id", "text", NUM_HASHES),
+        "doc_id",
+        NUM_HASHES,
+        BAND_SIZE,
+    ).withColumnRenamed("doc_id", "i_id")
+    near = (
+        bands_b.join(bands_i, ["band_idx", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.min("i_id").cast("bigint").alias("near_match_id"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .filter(
+            F.col("exact_match_id").isNotNull()
+            | F.col("near_match_id").isNotNull()
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match_id").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("exact_dup"),
+            F.when(F.col("near_match_id").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("near_dup"),
+            "exact_match_id",
+            "near_match_id",
+        )
+        .orderBy("doc_id")
     )

@@ -1709,3 +1709,171 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     ).select("r.*")
     return rows.orderBy("scheme")
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary training (unrolled greedy merges)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 4
+
+#: One BPE merge as SQL: count adjacent symbol pairs weighted by word
+#: frequency, take the argmax (ties pinned lexicographically), and merge
+#: every non-overlapping occurrence. The double-space padding gives each
+#: symbol its own boundary spaces, so consecutive occurrences of the
+#: winning pair don't share a delimiter and ALL merge in one replace()
+#: pass (plain left-to-right literal replace — identical semantics in
+#: Spark and DuckDB, no regex).
+
+
+def _bpe_step_sql(prev: str, t: int) -> str:
+    return f"""p{t} AS (
+        SELECT u.a AS x, u.b AS y, CAST(SUM(cnt) AS BIGINT) AS c
+        FROM (
+            SELECT cnt,
+                   unnest(list_transform(range(1, len(syms)),
+                          i -> struct_pack(a := syms[i], b := syms[i + 1])))
+                       AS u
+            FROM (SELECT cnt, regexp_split_to_array(seq, ' ') AS syms
+                  FROM {prev})
+        ) GROUP BY x, y
+    ),
+    b{t} AS (SELECT x, y, c FROM p{t} ORDER BY c DESC, x, y LIMIT 1),
+    v{t} AS MATERIALIZED (
+        SELECT word, cnt,
+               trim(replace(
+                   replace(' ' || replace(seq, ' ', '  ') || ' ',
+                           ' ' || b.x || '  ' || b.y || ' ',
+                           ' ' || b.x || b.y || ' '),
+                   '  ', ' ')) AS seq
+        FROM {prev}, b{t} b
+    )"""
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=(
+        f"""
+    WITH words AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS word
+            FROM documents
+        ) GROUP BY word
+    ),
+    v0 AS MATERIALIZED (
+        SELECT word, cnt,
+               array_to_string(regexp_extract_all(word, '.'), ' ') AS seq
+        FROM words
+    ),
+    """
+        + ",\n    ".join(
+            _bpe_step_sql(f"v{t - 1}", t) for t in range(1, BPE_MERGES + 1)
+        )
+        + f"""
+    SELECT * FROM (
+        {" UNION ALL ".join(
+            f"SELECT {t} AS merge_rank, x AS sym_x, y AS sym_y, "
+            f"c AS pair_count, x || y AS new_sym FROM b{t}"
+            for t in range(1, BPE_MERGES + 1)
+        )}
+    ) ORDER BY merge_rank
+    """
+    ),
+    doc=f"BPE tokenizer TRAINING, first {BPE_MERGES} merges: start from "
+    "character-level symbol sequences over the frequency-weighted word "
+    "vocabulary, repeatedly pick the most frequent adjacent symbol "
+    "pair (ties pinned lexicographically) and merge every occurrence "
+    "— the algorithm behind GPT/Llama tokenizers, run as pure "
+    "DataFrame ops. Merging uses a literal left-to-right replace with "
+    "double-space padding so simultaneous occurrences never share a "
+    "delimiter — bit-identical semantics in both engines, no regex, "
+    "no UDF. Scale shape: the corpus is scanned ONCE into the "
+    "(word, count) vocabulary; every merge iteration runs on that "
+    "vocabulary-bounded frame (pair counts via map-side-combined "
+    "aggregation, 1-row argmax broadcast back), checkpointed per "
+    "round to keep lineage flat — corpus size only affects the first "
+    "aggregation, exactly like production BPE trainers that work "
+    "from word-frequency tables.",
+    tags=("text", "bpe", "curation", "A6"),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "word"
+            )
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    vocab = words.select(
+        "word",
+        "cnt",
+        F.array_join(
+            F.regexp_extract_all("word", F.lit("."), 0), " "
+        ).alias("seq"),
+    )
+    # The vocabulary frame is tiny (distinct words); checkpoint each
+    # round so the returned plan doesn't re-derive v0 2^T times.
+    vocab = vocab.localCheckpoint(eager=True)
+    merges: list[DataFrame] = []
+    for t in range(1, BPE_MERGES + 1):
+        syms = F.split(F.col("seq"), " ")
+        pairs = (
+            vocab.select("cnt", syms.alias("syms"))
+            .filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) AS a, "
+                        "element_at(syms, i + 1) AS b))"
+                    )
+                ).alias("u"),
+            )
+            .groupBy(F.col("u.a").alias("x"), F.col("u.b").alias("y"))
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+        )
+        best = (
+            pairs.orderBy(F.desc("c"), F.asc("x"), F.asc("y"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merges.append(best.withColumn("merge_rank", F.lit(t)))
+        padded = F.concat(
+            F.lit(" "), F.replace(F.col("seq"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        pattern = F.concat(
+            F.lit(" "), F.col("x"), F.lit("  "), F.col("y"), F.lit(" ")
+        )
+        repl = F.concat(F.lit(" "), F.col("x"), F.col("y"), F.lit(" "))
+        vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                "cnt",
+                F.trim(
+                    F.replace(
+                        F.replace(padded, pattern, repl),
+                        F.lit("  "),
+                        F.lit(" "),
+                    )
+                ).alias("seq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.union(m)
+    return out.select(
+        "merge_rank",
+        F.col("x").alias("sym_x"),
+        F.col("y").alias("sym_y"),
+        F.col("c").alias("pair_count"),
+        F.concat(F.col("x"), F.col("y")).alias("new_sym"),
+    ).orderBy("merge_rank")

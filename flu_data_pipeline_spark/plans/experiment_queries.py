@@ -1133,3 +1133,134 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("channel")
+
+
+@register(
+    "abtest_cuped_adjustment",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                             THEN COALESCE(CAST(ROUND(value, 0) AS BIGINT), 0)
+                             ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                             THEN COALESCE(CAST(ROUND(value, 0) AS BIGINT), 0)
+                             ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM per_user
+    ),
+    pv AS (
+        SELECT
+            CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+            CAST(SUM(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+            CAST(SUM(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+            CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+            CAST(SUM(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1
+        FROM per_user
+    )
+    SELECT n0 AS users_control, n1 AS users_treatment,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx), 6) AS theta,
+           ROUND(CAST(sy1 AS DOUBLE) / n1
+                 - CAST(sy0 AS DOUBLE) / n0, 6) AS lift_raw,
+           ROUND((CAST(sy1 AS DOUBLE) / n1
+                  - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
+                    * (CAST(sx1 AS DOUBLE) / n1 - CAST(sx AS DOUBLE) / n))
+                 - (CAST(sy0 AS DOUBLE) / n0
+                    - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
+                      * (CAST(sx0 AS DOUBLE) / n0 - CAST(sx AS DOUBLE) / n)),
+                 6) AS lift_cuped,
+           ROUND(100.0 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                          * CAST(n * sxy - sx * sy AS DOUBLE))
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               AS var_reduction_pct
+    FROM mom, pv
+    """,
+    doc="CUPED variance-reduced A/B lift: per-user pre-period value "
+    "(covariate x) and post-period value (metric y), theta = "
+    "cov(x,y)/var(x) pooled across variants, adjusted lift = raw lift "
+    "- theta * covariate imbalance, variance reduction = rho^2 — the "
+    "standard pre-experiment-data adjustment every experimentation "
+    "platform ships. Values are quantized to whole-dollar int64 so all "
+    "five moment sums are exact (bounds documented: products stay "
+    "under 2^53 at these SFs; DECIMAL(38,0) is the upgrade path), and "
+    "every reported float is derived once from those bit-identical "
+    "integers — adjusted per-variant means come from moment algebra, "
+    "no per-user residual materialization. Scale shape: one "
+    "user-keyed aggregation, then two 1-row moment/variant "
+    "aggregates; no shuffle after the groupBy.",
+    tags=("stats", "experiment", "A10"),
+)
+def abtest_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    q = F.coalesce(F.round("value", 0).cast("bigint"), F.lit(0))
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, q).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= cutoff, q).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    ).withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    pv = per_user.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sx0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sx1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy1"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    theta = d(num) / den
+    mean_x = d(F.col("sx")) / F.col("n")
+    adj1 = d(F.col("sy1")) / F.col("n1") - theta * (
+        d(F.col("sx1")) / F.col("n1") - mean_x
+    )
+    adj0 = d(F.col("sy0")) / F.col("n0") - theta * (
+        d(F.col("sx0")) / F.col("n0") - mean_x
+    )
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return mom.crossJoin(F.broadcast(pv)).select(
+        F.col("n0").alias("users_control"),
+        F.col("n1").alias("users_treatment"),
+        F.round(theta, 6).alias("theta"),
+        F.round(
+            d(F.col("sy1")) / F.col("n1") - d(F.col("sy0")) / F.col("n0"), 6
+        ).alias("lift_raw"),
+        F.round(adj1 - adj0, 6).alias("lift_cuped"),
+        F.round(100.0 * (d(num) * d(num)) / (d(den) * d(deny)), 6).alias(
+            "var_reduction_pct"
+        ),
+    )

@@ -454,3 +454,163 @@ def hilbert_vs_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(summarize(spans("z"), "zorder"))
         .orderBy("layout")
     )
+
+
+# ---------------------------------------------------------------------------
+# Consistent-hashing shard rebalance audit
+# ---------------------------------------------------------------------------
+
+from flu_data_pipeline_spark.functions.hashing import hash64, hash64_sql
+
+_VNODES = 4
+_SHARDS_OLD = 8
+_SHARDS_NEW = 10
+
+_RING_SQL = f"""
+    ring AS (
+        SELECT s.s AS shard,
+               {hash64_sql("'shard:' || CAST(s.s AS VARCHAR) || ':' "
+                           "|| CAST(v.v AS VARCHAR)")} AS pt
+        FROM range(0, {_SHARDS_NEW}) s(s), range(0, {_VNODES}) v(v)
+    )"""
+
+
+def _ASSIGN_SQL(name: str, nshards: int) -> str:
+    return f"""
+    r{nshards} AS (SELECT * FROM ring WHERE shard < {nshards}),
+    m{nshards} AS (
+        SELECT d.doc_id,
+               COALESCE(MIN(CASE WHEN r.pt >= d.p THEN r.pt END),
+                        (SELECT MIN(pt) FROM r{nshards})) AS apt
+        FROM docs d CROSS JOIN r{nshards} r
+        GROUP BY d.doc_id
+    ),
+    {name} AS (
+        SELECT m.doc_id, r.shard
+        FROM m{nshards} m JOIN r{nshards} r ON m.apt = r.pt
+    )"""
+
+
+@register(
+    "shard_rebalance_audit",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id,
+               {hash64_sql('CAST(doc_id AS VARCHAR)')} AS p
+        FROM documents
+    ),
+    {_RING_SQL},
+    {_ASSIGN_SQL('a_old', _SHARDS_OLD)},
+    {_ASSIGN_SQL('a_new', _SHARDS_NEW)},
+    ringcmp AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN o.shard <> n.shard THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_moved
+        FROM a_old o JOIN a_new n ON o.doc_id = n.doc_id
+    ),
+    modcmp AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN p % {_SHARDS_OLD} <> p % {_SHARDS_NEW}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+        FROM docs
+    )
+    SELECT 'modulo' AS scheme, n_docs, n_moved,
+           ROUND(CAST(n_moved AS DOUBLE) / n_docs, 6) AS moved_pct
+    FROM modcmp
+    UNION ALL
+    SELECT 'ring', n_docs, n_moved,
+           ROUND(CAST(n_moved AS DOUBLE) / n_docs, 6)
+    FROM ringcmp
+    ORDER BY scheme
+    """,
+    doc=f"Shard-rebalance audit for scaling {_SHARDS_OLD} -> "
+    f"{_SHARDS_NEW} shards: under modulo placement (hash % N) almost "
+    "every document moves when N changes, while a consistent-hash ring "
+    f"({_VNODES} virtual points per shard on the 56-bit hash circle, "
+    "clockwise-successor assignment with wraparound) moves only the "
+    "documents on the new shards' arcs — the placement-stability "
+    "argument behind every distributed KV/cache/shard layer, proven "
+    "here numerically from the portable hash. Scale shape: the ring is "
+    f"{_SHARDS_NEW * _VNODES} broadcast rows; assignment is a "
+    "conditional-min aggregation over the doc x ring fan-out (40x "
+    "map-side rows, no shuffle beyond the doc-keyed agg), and the "
+    "old/new comparison joins two doc-keyed frames.",
+    tags=("layout", "ops", "A10"),
+)
+def shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", hash64(F.col("doc_id").cast("string")).alias("p")
+    )
+    ring = spark.createDataFrame(
+        [(s, v) for s in range(_SHARDS_NEW) for v in range(_VNODES)],
+        "shard int, v int",
+    ).select(
+        "shard",
+        hash64(
+            F.concat(
+                F.lit("shard:"),
+                F.col("shard").cast("string"),
+                F.lit(":"),
+                F.col("v").cast("string"),
+            )
+        ).alias("pt"),
+    )
+
+    def assign(nshards: int, out: str) -> DataFrame:
+        r = ring.filter(F.col("shard") < nshards)
+        gmin = r.agg(F.min("pt").alias("gmin"))
+        m = (
+            docs.crossJoin(F.broadcast(r))
+            .groupBy("doc_id")
+            .agg(
+                F.min(
+                    F.when(F.col("pt") >= F.col("p"), F.col("pt"))
+                ).alias("mp")
+            )
+            .crossJoin(F.broadcast(gmin))
+            .select(
+                "doc_id", F.coalesce("mp", "gmin").alias("apt")
+            )
+        )
+        return m.join(
+            F.broadcast(r), m.apt == r.pt
+        ).select("doc_id", F.col("shard").alias(out))
+
+    a_old = assign(_SHARDS_OLD, "shard_old")
+    a_new = assign(_SHARDS_NEW, "shard_new")
+    ringcmp = (
+        a_old.join(a_new, "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("shard_old") != F.col("shard_new"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_moved"),
+        )
+        .select(
+            F.lit("ring").alias("scheme"),
+            "n_docs",
+            "n_moved",
+            F.round(F.col("n_moved").cast("double") / F.col("n_docs"), 6)
+            .alias("moved_pct"),
+        )
+    )
+    modcmp = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("p") % _SHARDS_OLD != F.col("p") % _SHARDS_NEW, 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_moved"),
+    ).select(
+        F.lit("modulo").alias("scheme"),
+        "n_docs",
+        "n_moved",
+        F.round(F.col("n_moved").cast("double") / F.col("n_docs"), 6).alias(
+            "moved_pct"
+        ),
+    )
+    return modcmp.union(ringcmp).orderBy("scheme")

@@ -68,6 +68,23 @@ def create_app(spark: SparkSession):
             }
         )
 
+    @app.route("/viewer")
+    def viewer():
+        # Minimal dashboard shell (reference ships a styled interactive
+        # viewer at api/app.py:40-213; the data contract is the three
+        # report endpoints it fetches — same here).
+        cards = "".join(
+            f'<li><a href="{path}">{desc}</a></li>'
+            for path, desc in _ENDPOINTS.items()
+            if path.startswith("/api/")
+        )
+        return (
+            "<!DOCTYPE html><html><head>"
+            "<title>Flu Data Analytics Dashboard</title></head>"
+            "<body><h1>Flu Data Analytics Dashboard</h1>"
+            f"<ul>{cards}</ul></body></html>"
+        )
+
     @app.route("/health")
     def health():
         try:

@@ -86,3 +86,11 @@ def test_export_csv_rejects_unknown_table(client):
     r = client.get("/api/export/csv?table=users; drop table")
     assert r.status_code == 400
     assert "Invalid table" in r.get_json()["error"]
+
+
+def test_viewer_serves_dashboard_html(client):
+    r = client.get("/viewer")
+    assert r.status_code == 200
+    html = r.get_data(as_text=True)
+    assert "Flu Data Analytics Dashboard" in html
+    assert "/api/reports/weekly-trends" in html

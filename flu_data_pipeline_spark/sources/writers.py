@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from flu_data_pipeline_spark.schemas import PRIMARY_KEYS
 
@@ -118,8 +119,18 @@ def idempotent_append(
     """
     deduped = df.dropDuplicates(list(pk_cols))
     if os.path.exists(path):
-        existing = spark.read.parquet(path).select(*pk_cols)
-        new_rows = deduped.join(existing, list(pk_cols), "left_anti")
+        existing = spark.read.parquet(path).select(
+            *[F.col(c).alias(f"__ex_{c}") for c in pk_cols]
+        )
+        # Null-safe key equality: a composite key with a null component
+        # must still match its stored copy (plain `=` never matches null,
+        # which would re-append such rows on every run — the opposite of
+        # ON CONFLICT DO NOTHING).
+        cond = None
+        for c in pk_cols:
+            eq = F.col(c).eqNullSafe(F.col(f"__ex_{c}"))
+            cond = eq if cond is None else cond & eq
+        new_rows = deduped.join(existing, cond, "left_anti")
     else:
         new_rows = deduped
     # the anti-join plan is consumed twice (count + write): cache the small

@@ -522,3 +522,175 @@ def huber_irls_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals
+# ---------------------------------------------------------------------------
+
+CONF_ALPHA = 0.1  # target 90% coverage
+
+
+@register(
+    "conformal_interval_coverage",
+    oracle=f"""
+    WITH per_order AS (
+        SELECT l_orderkey AS orderkey,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS y_cents,
+               {hash64_sql('CAST(l_orderkey AS VARCHAR)')} % 4 AS fold
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y_cents) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y_cents) AS BIGINT) AS sxy
+        FROM per_order WHERE fold < 2
+    ),
+    fit AS (
+        SELECT n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (n * sxx - sx * sx) AS b,
+               (CAST(sy AS DOUBLE)
+                - CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (n * sxx - sx * sx) * sx) / n AS a
+        FROM mom
+    ),
+    calib AS (
+        SELECT p.orderkey,
+               ABS(CAST(p.y_cents AS DOUBLE)
+                   - (f.a + f.b * p.x)) / 100.0 AS r
+        FROM per_order p, fit f WHERE p.fold = 2
+    ),
+    kk AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+               CAST(CEIL((1.0 - {CONF_ALPHA}) * (COUNT(*) + 1)) AS BIGINT)
+                   AS k
+        FROM calib
+    ),
+    qhat AS (
+        SELECT c.r AS q_hat FROM calib c, kk
+        QUALIFY ROW_NUMBER() OVER (ORDER BY c.r, c.orderkey) = kk.k
+    ),
+    test AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN ABS(CAST(p.y_cents AS DOUBLE)
+                                      - (f.a + f.b * p.x)) / 100.0
+                                  <= q.q_hat
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        FROM per_order p, fit f, qhat q WHERE p.fold = 3
+    )
+    SELECT f.n AS n_train, kk.n_cal, t.n_test, kk.k,
+           ROUND(q.q_hat, 6) AS q_hat,
+           ROUND(CAST(t.n_covered AS DOUBLE) / t.n_test, 6) AS coverage,
+           ROUND(2.0 * q.q_hat, 6) AS interval_width
+    FROM fit f, kk, qhat q, test t
+    """,
+    doc=f"Split-conformal prediction intervals (target coverage "
+    f"{1 - CONF_ALPHA:.0%}) for the order-revenue ~ item-count linear "
+    "model: hash-split orders into train/calibration/test, fit OLS from "
+    "exact integer moments on train, take the ceil((1-alpha)(n+1))-th "
+    "smallest absolute calibration residual as q_hat, and report "
+    "held-out coverage and interval width — the distribution-free "
+    "uncertainty wrapper production ML ships around point predictors. "
+    "Everything before the final floats is exact int64; residuals "
+    "derive identically on both engines from the same fitted "
+    "coefficients. Scale shape: one order-keyed aggregation, 1-row "
+    "moment fit broadcast back, and the rank-k selection runs on the "
+    "DISTINCT-residual frame via the two-stage bucketed prefix (no "
+    "single-partition sort of the calibration set).",
+    tags=("stats", "regression", "eval", "A10"),
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.plans.rank_stats_queries import (
+        _with_cum_before,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("y_cents"),
+    ).withColumn(
+        "fold", hash64(F.col("orderkey").cast("string")) % 4
+    )
+    mom = per_order.filter(F.col("fold") < 2).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y_cents").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y_cents")).cast("bigint").alias("sxy"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    slope = (d(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = mom.select(
+        F.col("n"),
+        slope.alias("b"),
+        ((d(F.col("sy")) - slope * F.col("sx")) / F.col("n")).alias("a"),
+    )
+    resid = (
+        F.abs(
+            d(F.col("y_cents")) - (F.col("a") + F.col("b") * F.col("x"))
+        )
+        / 100.0
+    )
+    calib = (
+        per_order.filter(F.col("fold") == 2)
+        .crossJoin(F.broadcast(fit))
+        .select("orderkey", resid.alias("r"))
+    )
+    kk = calib.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+        F.ceil((1.0 - CONF_ALPHA) * (F.count(F.lit(1)) + 1))
+        .cast("bigint")
+        .alias("k"),
+    )
+    # k-th smallest calibration residual WITHOUT a global sort: distinct
+    # residual values + counts through the two-stage bucketed prefix,
+    # then the one value whose rank interval covers k.
+    vals = calib.groupBy("r").agg(F.count(F.lit(1)).alias("nr"))
+    ranked = _with_cum_before(vals, F.floor(F.col("r") / 100.0), "r", "nr")
+    qhat = (
+        ranked.crossJoin(F.broadcast(kk))
+        .filter(
+            (F.col("cum_before") < F.col("k"))
+            & (F.col("cum_before") + F.col("nr") >= F.col("k"))
+        )
+        .select(F.col("r").alias("q_hat"))
+    )
+    test = (
+        per_order.filter(F.col("fold") == 3)
+        .crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(resid <= F.col("q_hat"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        fit.select(F.col("n").alias("n_train"))
+        .crossJoin(F.broadcast(kk))
+        .crossJoin(F.broadcast(qhat))
+        .crossJoin(F.broadcast(test))
+        .select(
+            "n_train",
+            "n_cal",
+            "n_test",
+            "k",
+            F.round("q_hat", 6).alias("q_hat"),
+            F.round(d(F.col("n_covered")) / F.col("n_test"), 6).alias(
+                "coverage"
+            ),
+            F.round(2.0 * F.col("q_hat"), 6).alias("interval_width"),
+        )
+    )

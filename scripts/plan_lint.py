@@ -38,6 +38,9 @@ INFO = ("BroadcastNestedLoopJoin",)
 #: with a broadcast side IS the plan. New queries showing BNLJ land
 #: in REVIEW until audited into this set.
 BNLJ_AUDITED = {
+    "abtest_cuped_adjustment",  # (a) crossJoin of two 1-row moment aggs
+    "conformal_interval_coverage",  # (a) 1-row fit/k/q_hat broadcasts
+    "shard_rebalance_audit",  # (b) 40-row hash ring broadcast
     "ann_mmr_rerank",        # (b) 1-row query vec + 20-row pool/pairs
     "attribution_shapley",   # (a) crossJoin of two 1-row aggregates
     "drift_psi",             # (a) 1-row bin-bounds aggregate

@@ -1117,3 +1117,99 @@ def survival_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(sum_v, 6) AS variance",
         "ROUND(sum_oe / SQRT(sum_v), 6) AS z_logrank",
     )
+
+
+@register(
+    "conversion_latency_quantiles",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    first_click AS (
+        SELECT user_id, MIN(ts_s) AS c_ts FROM ev
+        WHERE event_type = 'click' GROUP BY user_id
+    ),
+    conv AS (
+        SELECT f.user_id, MIN(e.ts_s) - f.c_ts AS latency_s
+        FROM first_click f
+        JOIN ev e ON e.user_id = f.user_id
+                 AND e.event_type = 'purchase' AND e.ts_s >= f.c_ts
+        GROUP BY f.user_id, f.c_ts
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM conv),
+    ps AS (SELECT UNNEST([50, 90, 99]) AS p)
+    SELECT ps.p,
+           (SELECT latency_s FROM conv, nn
+            QUALIFY ROW_NUMBER() OVER (ORDER BY latency_s, user_id)
+                    = CAST(CEIL(ps.p / 100.0 * nn.n) AS BIGINT)) AS latency_s,
+           nn.n AS n_converted
+    FROM ps, nn
+    ORDER BY ps.p
+    """,
+    doc="Click-to-purchase conversion latency percentiles (p50/p90/p99), "
+    "the funnel-health metric every product dashboard carries: per user, "
+    "first click to first subsequent purchase, latency in whole epoch "
+    "seconds (exact int64 — immune to the parquet ns/us timestamp "
+    "flavor), percentile_disc ranks selected on the DISTINCT-latency "
+    "frame via the two-stage bucketed prefix — no single-partition sort "
+    "of the converted-user set. Scale shape: two user-keyed "
+    "aggregations and a rank selection over a bounded distinct-value "
+    "frame.",
+    tags=("timeseries", "events", "stats", "A10", "O3"),
+)
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.plans.rank_stats_queries import (
+        _with_cum_before,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "event_type",
+            F.floor(F.unix_micros(F.col("ts")) / 1000000)
+            .cast("bigint")
+            .alias("ts_s"),
+        )
+    )
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("c_ts"))
+    )
+    conv = (
+        first_click.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("p_uid"), F.col("ts_s").alias("p_ts")
+            ),
+            (F.col("user_id") == F.col("p_uid"))
+            & (F.col("p_ts") >= F.col("c_ts")),
+        )
+        .groupBy("user_id", "c_ts")
+        .agg((F.min("p_ts") - F.col("c_ts")).alias("latency_s"))
+        .select("user_id", "latency_s")
+    )
+    nn = conv.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    vals = conv.groupBy("latency_s").agg(F.count(F.lit(1)).alias("nv"))
+    ranked = _with_cum_before(
+        vals, F.floor(F.col("latency_s") / 86400), "latency_s", "nv"
+    )
+    ps = spark.createDataFrame([(50,), (90,), (99,)], "p int")
+    target = F.ceil(F.col("p") / 100.0 * F.col("n")).cast("bigint")
+    return (
+        ps.crossJoin(F.broadcast(nn))
+        .join(
+            F.broadcast(ranked),
+            (F.col("cum_before") < target)
+            & (F.col("cum_before") + F.col("nv") >= target),
+        )
+        .select(
+            "p",
+            F.col("latency_s"),
+            F.col("n").alias("n_converted"),
+        )
+        .orderBy("p")
+    )

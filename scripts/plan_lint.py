@@ -39,6 +39,7 @@ INFO = ("BroadcastNestedLoopJoin",)
 #: in REVIEW until audited into this set.
 BNLJ_AUDITED = {
     "abtest_cuped_adjustment",  # (a) crossJoin of two 1-row moment aggs
+    "conversion_latency_quantiles",  # (a)+(c) 1-row n + rank-interval cond
     "conformal_interval_coverage",  # (a) 1-row fit/k/q_hat broadcasts
     "shard_rebalance_audit",  # (b) 40-row hash ring broadcast
     "ann_mmr_rerank",        # (b) 1-row query vec + 20-row pool/pairs

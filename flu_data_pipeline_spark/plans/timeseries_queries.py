@@ -1271,3 +1271,94 @@ def ts_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               COALESCE(CAST(ROUND(value * 100, 0) AS BIGINT), 0) AS cents
+        FROM events
+    ), c AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM base GROUP BY user_id
+    ), sizes AS (
+        SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_users
+        FROM c GROUP BY cohort_day
+    ), rev AS (
+        SELECT c.cohort_day, CAST(b.day - c.cohort_day AS INT) AS age,
+               CAST(SUM(b.cents) AS BIGINT) AS cents
+        FROM base b JOIN c ON b.user_id = c.user_id
+        GROUP BY 1, 2
+    ), cum AS (
+        SELECT cohort_day, age,
+               CAST(SUM(cents) OVER (
+                   PARTITION BY cohort_day ORDER BY age
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_cents
+        FROM rev
+    )
+    SELECT cum.cohort_day, cum.age, s.cohort_users,
+           cum.cum_cents,
+           ROUND(CAST(cum.cum_cents AS DOUBLE) / 100.0 / s.cohort_users, 6)
+               AS ltv_per_user
+    FROM cum JOIN sizes s ON cum.cohort_day = s.cohort_day
+    ORDER BY cum.cohort_day, cum.age
+    """,
+    doc="Cohort lifetime-value curve — the revenue sibling of "
+    "events_cohort_retention: users cohorted by first-activity day, "
+    "per-(cohort, age) revenue as exact int64 cents, cumulative LTV via "
+    "a cohort-partitioned running sum (partitions bounded by the "
+    "calendar, never single-partition), normalized per cohort user. "
+    "Scale shape: one user-keyed cohort aggregate broadcast back into "
+    "the event scan, one (cohort, age) aggregate, windowing over the "
+    "calendar-bounded curve frame only.",
+    tags=("timeseries", "events", "warehouse", "A10", "W1"),
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.coalesce(
+            F.round(F.col("value") * 100, 0).cast("bigint"), F.lit(0)
+        ).alias("cents"),
+    )
+    cohorts = base.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohorts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    rev = (
+        base.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("int")
+            .alias("age"),
+        )
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rev.withColumn(
+        "cum_cents", F.sum("cents").over(w).cast("bigint")
+    )
+    return (
+        cum.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "age",
+            "cohort_users",
+            "cum_cents",
+            F.round(
+                F.col("cum_cents").cast("double")
+                / 100.0
+                / F.col("cohort_users"),
+                6,
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_day", "age")
+    )

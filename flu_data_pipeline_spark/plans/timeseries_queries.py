@@ -1362,3 +1362,79 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "age")
     )
+
+
+@register(
+    "events_new_vs_returning",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               COALESCE(CAST(ROUND(value * 100, 0) AS BIGINT), 0) AS cents
+        FROM events
+    ), c AS (
+        SELECT user_id, MIN(day) AS first_day FROM base GROUP BY user_id
+    )
+    SELECT b.day,
+           CAST(COUNT(DISTINCT CASE WHEN c.first_day = b.day
+                                    THEN b.user_id END) AS BIGINT)
+               AS new_users,
+           CAST(COUNT(DISTINCT CASE WHEN c.first_day < b.day
+                                    THEN b.user_id END) AS BIGINT)
+               AS returning_users,
+           CAST(SUM(CASE WHEN c.first_day = b.day THEN b.cents ELSE 0 END)
+                AS BIGINT) AS new_cents,
+           CAST(SUM(CASE WHEN c.first_day < b.day THEN b.cents ELSE 0 END)
+                AS BIGINT) AS returning_cents,
+           ROUND(CAST(SUM(CASE WHEN c.first_day < b.day
+                               THEN b.cents ELSE 0 END) AS DOUBLE)
+                 / NULLIF(SUM(b.cents), 0), 6) AS returning_share
+    FROM base b JOIN c ON b.user_id = c.user_id
+    GROUP BY b.day
+    ORDER BY b.day
+    """,
+    doc="New-vs-returning decomposition per day — the standard growth-"
+    "accounting dashboard row: users and exact int64-cent revenue split "
+    "by whether the activity day is the user's first, plus the "
+    "returning-revenue share. One user-keyed first-day aggregate joined "
+    "back into the scan, one day-keyed conditional aggregation; all "
+    "splits exact integers, one terminal division.",
+    tags=("timeseries", "events", "warehouse", "A10"),
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.coalesce(
+            F.round(F.col("value") * 100, 0).cast("bigint"), F.lit(0)
+        ).alias("cents"),
+    )
+    firsts = base.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    is_new = F.col("first_day") == F.col("day")
+    is_ret = F.col("first_day") < F.col("day")
+    return (
+        base.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.countDistinct(F.when(is_new, F.col("user_id")))
+            .cast("bigint")
+            .alias("new_users"),
+            F.countDistinct(F.when(is_ret, F.col("user_id")))
+            .cast("bigint")
+            .alias("returning_users"),
+            F.sum(F.when(is_new, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("new_cents"),
+            F.sum(F.when(is_ret, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("returning_cents"),
+            F.round(
+                F.sum(F.when(is_ret, F.col("cents")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.nullif(F.sum("cents"), F.lit(0)),
+                6,
+            ).alias("returning_share"),
+        )
+        .orderBy("day")
+    )

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+from flu_data_pipeline_spark.session import ensure_session_defaults
+
 from flu_data_pipeline_spark.plans.flu_reports import (
     EXPORT_ALLOWLIST,
     _all_tables,
@@ -56,6 +58,9 @@ def create_app(spark: SparkSession):
     from flask import Flask, Response, jsonify, request
 
     app = Flask(__name__)
+    # Same session-portability contract as the registry builders: a
+    # stock harness-built session gets the engine's runtime confs.
+    ensure_session_defaults(spark)
     tables = _all_tables(spark)
 
     @app.route("/")

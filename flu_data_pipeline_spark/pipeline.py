@@ -49,6 +49,7 @@ from flu_data_pipeline_spark.plans.flu_tables import (
     preprocess_rhino,
 )
 from flu_data_pipeline_spark.schemas import PRIMARY_KEYS, STAR_SCHEMA
+from flu_data_pipeline_spark.session import ensure_session_defaults
 from flu_data_pipeline_spark.sources.readers import fetch_to_landing, read_csv
 from flu_data_pipeline_spark.sources.writers import (
     idempotent_append,
@@ -161,6 +162,7 @@ def run_pipeline(
 ) -> dict:
     """Execute the full DAG; returns the run report. Safe to re-run:
     the second invocation lands the same files and appends zero rows."""
+    ensure_session_defaults(spark)
     landing = {name: collect(name, landing_dir, fetchers) for name in _FIXTURE_FEEDS}
     tables = build_tables(spark, landing)
     assert_schemas(tables)

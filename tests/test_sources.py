@@ -63,6 +63,24 @@ def test_idempotent_append(spark, tmp_path):
     assert total.select("o_orderkey").distinct().count() == 800
 
 
+def test_idempotent_append_null_safe_composite_key(spark, tmp_path):
+    # composite PK with a null component must match its stored copy —
+    # plain `=` never matches null, which re-appended such rows forever
+    # (found by the end-to-end pipeline run on the illness table)
+    target = str(tmp_path / "nullable_pk_tbl")
+    rows = [(1, None, "a"), (1, "x", "b"), (None, None, "c")]
+    df = spark.createDataFrame(rows, "k1 int, k2 string, payload string")
+    assert idempotent_append(spark, df, target, ("k1", "k2")) == 3
+    assert idempotent_append(spark, df, target, ("k1", "k2")) == 0
+    assert spark.read.parquet(target).count() == 3
+    # a genuinely new null-bearing key still lands
+    more = spark.createDataFrame(
+        [(2, None, "d"), (1, None, "dup")], "k1 int, k2 string, payload string"
+    )
+    assert idempotent_append(spark, more, target, ("k1", "k2")) == 1
+    assert spark.read.parquet(target).count() == 4
+
+
 def test_partitioned_write_prunes(spark, tmp_path):
     target = str(tmp_path / "events_tbl")
     ev = load_table(spark, SF_ORACLE, "events").withColumn(

@@ -955,6 +955,7 @@ def dedup_survivorship_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(bloom_semi_prune pattern) discards clean batch docs before the "
     "join.",
     tags=("dedup", "minhash", "curation", "D1"),
+    bench=True,
 )
 def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

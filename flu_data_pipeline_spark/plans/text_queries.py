@@ -1797,6 +1797,7 @@ def _bpe_step_sql(prev: str, t: int) -> str:
     "aggregation, exactly like production BPE trainers that work "
     "from word-frequency tables.",
     tags=("text", "bpe", "curation", "A6"),
+    bench=True,
 )
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -1213,3 +1213,105 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p")
     )
+
+
+@register(
+    "events_disorder_audit",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+        FROM events
+    ),
+    lag_max AS (
+        SELECT event_id, ts_s,
+               MAX(ts_s) OVER (
+                   ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max
+        FROM ev
+    ),
+    dis AS (
+        SELECT GREATEST(0, COALESCE(prev_max - ts_s, 0)) AS disorder_s
+        FROM lag_max
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN disorder_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           ROUND(CAST(SUM(CASE WHEN disorder_s > 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS late_share,
+           CAST(MAX(disorder_s) AS BIGINT) AS max_disorder_s,
+           CAST(SUM(CASE WHEN disorder_s BETWEEN 1 AND 60
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_1_60s,
+           CAST(SUM(CASE WHEN disorder_s BETWEEN 61 AND 600
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_61_600s,
+           CAST(SUM(CASE WHEN disorder_s > 600 THEN 1 ELSE 0 END)
+                AS BIGINT) AS late_over_600s
+    FROM dis
+    """,
+    doc="Out-of-orderness audit of the event stream — the measurement "
+    "that SIZES a streaming watermark: per event (in event_id arrival "
+    "order), disorder = seconds its timestamp lags the running maximum "
+    "of everything that arrived before it; reported as late share, max "
+    "disorder, and banded lateness counts (<=60s / <=600s / beyond). "
+    "The oracle's global running max is a single window; the Spark side "
+    "computes the SAME prefix maximum distributively — per-bucket "
+    "maxima (event_id div 4096), a prefix-max over the bounded bucket "
+    "frame, and a bucket-partitioned within-bucket running max — so no "
+    "single-partition pass ever touches the stream (the MAX twin of "
+    "the rank-stats two-stage prefix sum). All disorder values are "
+    "exact epoch-second int64.",
+    tags=("streaming", "events", "W1", "A11"),
+)
+def events_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.unix_micros(F.col("ts")) / 1000000)
+        .cast("bigint")
+        .alias("ts_s"),
+    )
+    b = ev.withColumn("bucket", F.expr("event_id div 4096"))
+    totals = b.groupBy("bucket").agg(F.max("ts_s").alias("bmax"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bucket", F.max("bmax").over(wb).alias("prefix_max")
+    )
+    wv = (
+        Window.partitionBy("bucket")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dis = (
+        b.join(F.broadcast(offsets), "bucket")
+        .withColumn("in_max", F.max("ts_s").over(wv))
+        .withColumn(
+            "prev_max", F.greatest(F.col("prefix_max"), F.col("in_max"))
+        )
+        .select(
+            F.greatest(
+                F.lit(0),
+                F.coalesce(F.col("prev_max") - F.col("ts_s"), F.lit(0)),
+            ).alias("disorder_s")
+        )
+    )
+    late = F.when(F.col("disorder_s") > 0, 1).otherwise(0)
+    return dis.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(late).cast("bigint").alias("n_late"),
+        F.round(
+            F.sum(late).cast("double") / F.count(F.lit(1)), 6
+        ).alias("late_share"),
+        F.max("disorder_s").cast("bigint").alias("max_disorder_s"),
+        F.sum(
+            F.when(F.col("disorder_s").between(1, 60), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("late_1_60s"),
+        F.sum(
+            F.when(F.col("disorder_s").between(61, 600), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("late_61_600s"),
+        F.sum(F.when(F.col("disorder_s") > 600, 1).otherwise(0))
+        .cast("bigint")
+        .alias("late_over_600s"),
+    )

@@ -226,3 +226,79 @@ def multimodal_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "sample_idx")
         .limit(200)
     )
+
+
+_PHASH_AVG_SQL = (
+    "("
+    + " + ".join(
+        "CAST((CAST('0x' || substr(md5(text), {lo}, 2) AS INT) "
+        "+ octet_length(encode(text))) % 251 AS DOUBLE)".format(lo=2 * i + 1)
+        for i in range(_DECODE_DIM)
+    )
+    + f") / {_DECODE_DIM}"
+)
+
+_PHASH_BITS_SQL = " + ".join(
+    "CASE WHEN CAST((CAST('0x' || substr(md5(text), {lo}, 2) AS INT) "
+    "+ octet_length(encode(text))) % 251 AS DOUBLE) >= avg_f "
+    "THEN {bit} ELSE 0 END".format(lo=2 * i + 1, bit=1 << i)
+    for i in range(_DECODE_DIM)
+)
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, text, {_PHASH_AVG_SQL} AS avg_f FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, CAST({_PHASH_BITS_SQL} AS INT) AS phash FROM feat
+    )
+    SELECT phash,
+           CAST(COUNT(*) AS BIGINT) AS n_blobs,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+    FROM hashed
+    GROUP BY phash
+    HAVING COUNT(*) > 1
+    ORDER BY n_blobs DESC, phash
+    LIMIT 25
+    """,
+    doc="Perceptual-hash near-dup detection across binary blobs — the "
+    "pHash-bucket dedup image/audio stores run: each blob's decoded "
+    f"feature vector (the {_DECODE_DIM}-dim deterministic stub decode, "
+    "same arithmetic as multimodal_decode_features) is reduced to a "
+    "sign bitmap against its own feature mean (the average-hash "
+    "construction), and blobs sharing a bitmap form dedup candidate "
+    "groups (top-25 by size, min-id representative). With a real "
+    "codec the features would be DCT/mel coefficients; the Spark "
+    "plumbing — decode, per-row bitmap, hash-bucket groupBy — is "
+    "identical. Scale shape: bitmap computed in the scan projection, "
+    "ONE 8-bit-key aggregation; blob bytes never shuffle.",
+    tags=("multimodal", "dedup", "A10", "O3"),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_binary(load_table(spark, sf_dir, "documents"))
+    feats = decode_stub(docs, "doc_id", strict=False, feature_dim=_DECODE_DIM)
+    avg_f = (
+        sum(F.col("feature")[i].cast("double") for i in range(_DECODE_DIM))
+        / _DECODE_DIM
+    )
+    bits = sum(
+        F.when(
+            F.col("feature")[i].cast("double") >= F.col("avg_f"), 1 << i
+        ).otherwise(0)
+        for i in range(_DECODE_DIM)
+    )
+    return (
+        feats.withColumn("avg_f", avg_f)
+        .select("doc_id", bits.cast("int").alias("phash"))
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blobs"),
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_blobs") > 1)
+        .orderBy(F.desc("n_blobs"), F.asc("phash"))
+        .limit(25)
+    )

@@ -1138,3 +1138,51 @@ def curation_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("m", 6).alias("raked_count"),
         F.round(F.col("m") / F.col("n"), 6).alias("weight"),
     ).orderBy("lang", "source")
+
+
+_SAMPLE_CAP = 10  # docs kept per source stratum (fixture strata are 25-50 docs)
+
+
+@register(
+    "curation_hash_stratified_sample",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {hash64_sql('CAST(doc_id AS VARCHAR)')}, doc_id
+               ) AS sample_rank
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(sample_rank AS INT) AS sample_rank
+    FROM ranked WHERE sample_rank <= {_SAMPLE_CAP}
+    """,
+    doc=f"Deterministic stratified sampling by portable hash order: within "
+    f"each source stratum, rank docs by hash64(doc_id) and keep the first "
+    f"{_SAMPLE_CAP} — a re-runnable, seedless uniform sample (the hash "
+    "order is a fixed random permutation of ids) that lands the same rows "
+    "on every engine and every rerun, unlike rand()-based sampling. At "
+    "100 TB the rank-filter compiles to one shuffle on the stratum key "
+    "with per-partition early pruning (WindowGroupLimit pushes the "
+    "rank<=k filter below the sort buffer), so no stratum ever "
+    "materializes beyond its top-k candidates per task. This is the "
+    "quota-fill step downstream of corpus_temperature_mix's quota "
+    "computation.",
+    tags=("curation", "sampling", "W1", "O3"),
+)
+def curation_hash_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        hash64(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.row_number().over(w).alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= _SAMPLE_CAP)
+        .select("doc_id", "source", "n_chars", F.col("sample_rank").cast("int"))
+    )

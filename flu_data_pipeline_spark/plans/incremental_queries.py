@@ -209,3 +209,70 @@ def intervals_merge_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+from flu_data_pipeline_spark.functions.hashing import HASH64_MOD, hash64, hash64_sql  # noqa: E402
+
+_MANIFEST_EXPR_SQL = (
+    "CAST(event_id AS VARCHAR) || '|' || event_type || '|' "
+    "|| CAST(epoch_us(ts) AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)"
+)
+
+
+@register(
+    "incremental_partition_manifest",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT CAST(ts AS DATE) AS day,
+               event_id,
+               {hash64_sql(_MANIFEST_EXPR_SQL)} % {HASH64_MOD} AS h
+        FROM events
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+           CAST(SUM(h) AS BIGINT) AS manifest_sum
+    FROM hashed
+    GROUP BY day
+    ORDER BY day
+    """,
+    doc="Partition manifest for incremental load change detection: per "
+    "day-partition, row count + id range + an ORDER-INSENSITIVE additive "
+    "content fingerprint (sum of portable 31-bit row hashes). An "
+    "incremental loader diffs yesterday's manifest against today's and "
+    "reprocesses only partitions whose (n_rows, manifest_sum) changed — "
+    "O(|partitions|) comparison instead of O(|data|) re-read, the pattern "
+    "snapshot-diff systems use at 100 TB. The additive fingerprint is "
+    "mergeable (sub-partition manifests sum), unlike an order-sensitive "
+    "digest chain; it is computed map-side, so only (day, h) aggregates "
+    "shuffle. Row identity = exact integer/string fields only (no float "
+    "formatting in the hash — cross-engine float rendering is not "
+    "canonical). ts hashes at µs precision, matching the catalog's "
+    "pinned ns→µs truncation.",
+    tags=("incremental", "S6", "A10"),
+)
+def incremental_partition_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    row_str = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("event_type"),
+        F.unix_micros("ts").cast("string"),
+        F.col("user_id").cast("string"),
+    )
+    hashed = ev.select(
+        F.to_date("ts").alias("day"),
+        "event_id",
+        (hash64(row_str) % HASH64_MOD).alias("h"),
+    )
+    return (
+        hashed.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("event_id").cast("long").alias("min_event_id"),
+            F.max("event_id").cast("long").alias("max_event_id"),
+            F.sum("h").cast("long").alias("manifest_sum"),
+        )
+        .orderBy("day")
+    )

@@ -21,7 +21,7 @@ deterministic, no rand().
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flu_data_pipeline_spark.catalog import load_table
@@ -30,6 +30,11 @@ from flu_data_pipeline_spark.operators.dedup import tokenize
 from flu_data_pipeline_spark.plans.registry import register
 
 N_SALTS = 16
+
+#: Salt fan-out for the replicated-dimension join below. At 100 TB pick
+#: roughly (hot-key rows / target-partition rows); 8 is fixture-sized but
+#: the plan shape is identical at any fan-out.
+N_JOIN_SALTS = 8
 
 
 @register(
@@ -91,4 +96,67 @@ def skew_salted_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("pn").cast("long").alias("n"))
         .orderBy(F.desc("n"), F.asc("term"))
         .limit(20)
+    )
+
+
+@register(
+    "skew_salted_dim_join",
+    oracle="""
+    WITH dim AS (
+        SELECT event_type, row_number() OVER (ORDER BY event_type) AS type_code
+        FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT d.type_code,
+           e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY d.type_code, e.event_type
+    ORDER BY d.type_code
+    """,
+    doc=f"Salted shuffle join against a hot-key dimension: only ~5 distinct "
+    f"event types means a plain shuffle join lands ~1/5 of ALL fact rows on "
+    f"one reducer. Rewrite: replicate each dim row {N_JOIN_SALTS}x (explode "
+    f"over salts), salt the fact side with portable-hash(event_id) % "
+    f"{N_JOIN_SALTS}, join on (event_type, salt) — every hot key spreads "
+    f"over {N_JOIN_SALTS} reducers. Result identical to the unsalted join "
+    "(oracle = plain join). At 100 TB the same rewrite applies when the dim "
+    "is too large to broadcast; when it is broadcastable, broadcast beats "
+    "salting (no fact shuffle at all) — this entry pins the non-broadcast "
+    "path. AQE skew-split covers sort-merge joins after the fact, salting "
+    "works for any join strategy and bounds the skew a priori.",
+    tags=("skew", "J6", "A10"),
+)
+def skew_salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # dim: one row per event type with a dense code (surrogate key by
+    # sorted position — 5 rows, single-partition window is fine)
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "type_code",
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy("event_type")
+            ),
+        )
+    )
+    # replicate dim across salts; salt facts deterministically
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(N_JOIN_SALTS)]))
+    )
+    ev_salted = ev.withColumn(
+        "salt", (hash64(F.col("event_id").cast("string")) % N_JOIN_SALTS)
+    )
+    # hint SHUFFLE_HASH so the demo exercises the shuffle path it is
+    # written for — a 40-row dim would otherwise be broadcast (which at
+    # this size is the better plan, but then nothing would be salted)
+    joined = ev_salted.join(dim_salted.hint("shuffle_hash"), ["event_type", "salt"])
+    return (
+        joined.groupBy("type_code", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("type_code")
     )

@@ -1878,3 +1878,68 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("pair_count"),
         F.concat(F.col("x"), F.col("y")).alias("new_sym"),
     ).orderBy("merge_rank")
+
+
+_CHUNK_W = 10  # tokens per non-overlapping dedup chunk
+
+
+@register(
+    "text_chunk_dedup_ratio",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, {_TOKENS} AS t FROM documents
+    ), chunks AS (
+        SELECT source,
+               {hash64_sql(f"array_to_string(t[s:s + {_CHUNK_W - 1}], ' ')")} AS h
+        FROM (
+            SELECT source, t,
+                   unnest(generate_series(1, greatest(len(t), 1), {_CHUNK_W})) AS s
+            FROM toks
+        )
+    ), counted AS (
+        SELECT source, COUNT(*) OVER (PARTITION BY h) AS cnt FROM chunks
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           ROUND(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS dup_ratio
+    FROM counted
+    GROUP BY source
+    """,
+    doc=f"Substring-level exact dedup audit (the Lee et al. 'deduplicating "
+    f"training data' shape, non-overlapping {_CHUNK_W}-token chunks instead "
+    "of suffix arrays): chunk every document array-side, hash each chunk to "
+    "8 bytes, count corpus-wide occurrences of each hash, and report the "
+    "per-source fraction of chunk occurrences that are duplicated ANYWHERE "
+    "in the corpus (cross-doc boilerplate AND within-doc repetition). Only "
+    "(hash, source) ever shuffles — chunk text dies at the map side, so "
+    "shuffle bytes are ~16/char-width of the naive text-keyed plan. Two "
+    "exchanges total: by hash for the occurrence window, by source for the "
+    "rollup.",
+    tags=("text", "dedup", "D1", "A10"),
+)
+def text_chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", tokenize(F.col("text")).alias("t"))
+    chunks = toks.select(
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, greatest(size(t) - 1, 0), {_CHUNK_W}), "
+                f"s -> slice(t, s + 1, {_CHUNK_W}))"
+            )
+        ).alias("chunk_toks"),
+    ).select("source", hash64(F.concat_ws(" ", "chunk_toks")).alias("h"))
+    counted = chunks.select(
+        "source",
+        F.count(F.lit(1)).over(Window.partitionBy("h")).alias("cnt"),
+    )
+    return counted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("cnt") > 1).cast("long")).alias("n_dup_chunks"),
+        F.round(
+            F.sum((F.col("cnt") > 1).cast("double")) / F.count(F.lit(1)), 6
+        ).alias("dup_ratio"),
+    )

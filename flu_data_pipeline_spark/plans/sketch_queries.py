@@ -376,7 +376,22 @@ def hll_distinct_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rho",
         )
     )
-    reg = b.groupBy("nation", "bucket").agg(F.max("rho").alias("r"))
+    # Registers AND the exact ground truth from ONE pass: pk determines
+    # its bucket (bucket is a function of hash(pk)), so distinct pks
+    # partition across buckets and per-nation exact_distinct is the SUM
+    # of per-(nation, bucket) distinct counts. The previous two-branch
+    # plan recomputed the 3-way join for the exact side (executedPlan
+    # showed 8 scans); this shape is one join pass, one (nation, bucket)
+    # aggregate, one constant-size (nation) rollup.
+    # level 1: dedup (nation, pk) with map-side combine — rho/bucket are
+    # functions of pk, so max(rho) per (nation, bucket, pk) is just rho;
+    # no Expand-based distinct-agg plan, plain hash aggregation.
+    dedup = b.groupBy("nation", "bucket", "pk").agg(F.max("rho").alias("rho"))
+    # level 2: registers + per-bucket distinct counts from the deduped rows
+    reg = dedup.groupBy("nation", "bucket").agg(
+        F.max("rho").alias("r"),
+        F.count(F.lit(1)).alias("nd"),
+    )
     agg = reg.groupBy("nation").agg(
         F.count(F.lit(1)).alias("n_buckets_hit"),
         (
@@ -386,27 +401,21 @@ def hll_distinct_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("z_scaled"),
-    )
-    ex = b.groupBy("nation").agg(
-        F.countDistinct("pk").alias("exact_distinct")
+        F.sum("nd").cast("long").alias("exact_distinct"),
     )
     est = F.lit(_HLL_C) / F.col("z_scaled")
-    return (
-        agg.join(ex, "nation")
-        .select(
-            "nation",
-            "n_buckets_hit",
-            "z_scaled",
-            est.alias("hll_estimate"),
-            "exact_distinct",
-            (
-                (est - F.col("exact_distinct"))
-                / F.col("exact_distinct")
-                * F.lit(100.0)
-            ).alias("err_pct"),
-        )
-        .orderBy("nation")
-    )
+    return agg.select(
+        "nation",
+        "n_buckets_hit",
+        "z_scaled",
+        est.alias("hll_estimate"),
+        "exact_distinct",
+        (
+            (est - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            * F.lit(100.0)
+        ).alias("err_pct"),
+    ).orderBy("nation")
 
 
 # --- KMV (bottom-k / theta-style) distinct sketch --------------------------

@@ -982,10 +982,13 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     # ONE orderkey shuffle builds the per-order brand set (collect_set
     # dedups in the aggregate, so no separate distinct exchange); the
-    # basket count N and the per-brand margins are both DERIVED from this
-    # grouped frame (row count / explode), which lets Catalyst reuse the
-    # single exchange across all three branches instead of recomputing
-    # the join+distinct per branch.
+    # basket count N, the per-brand margins, and the pair counts all
+    # derive from this grouped frame. Catalyst does NOT recognize the
+    # three consumer branches as a reusable exchange (expr-id drift across
+    # the branches defeats canonicalization — verified executedPlan showed
+    # the join+aggregate FOUR times), so materialize the basket frame once
+    # with an eager localCheckpoint; order-count rows are tiny (1 row per
+    # order, few-byte brand arrays).
     baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select(
@@ -994,6 +997,7 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("orderkey")
         .agg(F.array_sort(F.collect_set("brand")).alias("brands"))
+        .localCheckpoint(eager=True)
     )
     norders = baskets.agg(F.count(F.lit(1)).cast("double").alias("n"))
     brand_n = (

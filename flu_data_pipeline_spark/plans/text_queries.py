@@ -1943,3 +1943,114 @@ def text_chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("cnt") > 1).cast("double")) / F.count(F.lit(1)), 6
         ).alias("dup_ratio"),
     )
+
+
+@register(
+    "text_repetition_rules",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS} AS t FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               {hash64_sql("t[s] || ' ' || t[s + 1]")} AS bh
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 1, 1)) AS s
+              FROM toks WHERE len(t) >= 2)
+    ), bgc AS (
+        SELECT doc_id, bh, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bg GROUP BY doc_id, bh
+    ), bstats AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams
+        FROM bgc GROUP BY doc_id
+    ), tstats AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens
+        FROM toks
+    )
+    SELECT ts.doc_id,
+           ts.n_tokens,
+           ROUND(1.0 - CAST(ts.n_distinct_tokens AS DOUBLE) / ts.n_tokens, 6)
+               AS dup_token_frac,
+           bs.n_bigrams,
+           ROUND(CAST(bs.top_bigram_n AS DOUBLE) / bs.n_bigrams, 6)
+               AS top_bigram_share,
+           ROUND(1.0 - CAST(bs.n_distinct_bigrams AS DOUBLE) / bs.n_bigrams, 6)
+               AS dup_bigram_frac,
+           CASE WHEN CAST(bs.top_bigram_n AS DOUBLE) / bs.n_bigrams <= 0.08
+                 AND 1.0 - CAST(bs.n_distinct_bigrams AS DOUBLE) / bs.n_bigrams
+                     <= 0.08
+                 AND 1.0 - CAST(ts.n_distinct_tokens AS DOUBLE) / ts.n_tokens
+                     <= 0.65
+                THEN 1 ELSE 0 END AS passes_repetition
+    FROM tstats ts JOIN bstats bs ON ts.doc_id = bs.doc_id
+    """,
+    doc="Repetition-based quality gate (the Gopher-rules shape): per doc, "
+    "duplicate-token fraction, the most-frequent-bigram share, and the "
+    "duplicate-bigram fraction, folded into a pass/reject flag "
+    "(top-bigram share, dup-bigram and dup-token fractions each capped "
+    "at a corpus-calibrated quantile — repetitive boilerplate fails, "
+    "normal docs pass; production recalibrates per corpus exactly as "
+    "the Gopher thresholds were tuned to web text). Token stats are pure "
+    "map-side array ops; bigram stats hash each bigram to 8 bytes and "
+    "aggregate (doc_id, hash) with map-side combine, so the only "
+    "shuffled payload is per-doc distinct bigram counts — never text. "
+    "Complements text_quality_score's stopword/punctuation gate; "
+    "together they are the standard pre-training document filter pair.",
+    tags=("text", "curation", "A10"),
+)
+def text_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    tstats = toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct_tokens"),
+    )
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "s -> concat(t[s - 1], ' ', t[s]))"
+                )
+            ).alias("bigram"),
+        )
+        .select("doc_id", hash64(F.col("bigram")).alias("bh"))
+    )
+    bgc = bg.groupBy("doc_id", "bh").agg(F.count(F.lit(1)).alias("c"))
+    bstats = bgc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.max("c").cast("long").alias("top_bigram_n"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+    )
+    top_share = F.col("top_bigram_n").cast("double") / F.col("n_bigrams")
+    dup_bg = 1.0 - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams")
+    return tstats.join(bstats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            1.0 - F.col("n_distinct_tokens").cast("double") / F.col("n_tokens"),
+            6,
+        ).alias("dup_token_frac"),
+        "n_bigrams",
+        F.round(top_share, 6).alias("top_bigram_share"),
+        F.round(dup_bg, 6).alias("dup_bigram_frac"),
+        F.when(
+            (top_share <= 0.08)
+            & (dup_bg <= 0.08)
+            & (
+                1.0
+                - F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")
+                <= 0.65
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("passes_repetition"),
+    )

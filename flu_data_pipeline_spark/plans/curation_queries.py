@@ -1186,3 +1186,143 @@ def curation_hash_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("sample_rank") <= _SAMPLE_CAP)
         .select("doc_id", "source", "n_chars", F.col("sample_rank").cast("int"))
     )
+
+
+_FUNNEL_CAP = 15  # sampled docs per source after gating + dedup
+
+
+@register(
+    "curation_pipeline_funnel",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, text,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, {hash64_sql("t[s] || ' ' || t[s + 1]")} AS bh
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 1, 1)) AS s
+              FROM toks WHERE len(t) >= 2)
+    ), bgc AS (
+        SELECT doc_id, bh, COUNT(*) AS c FROM bg GROUP BY doc_id, bh
+    ), gate AS (
+        SELECT doc_id,
+               CASE WHEN CAST(MAX(c) AS DOUBLE) / SUM(c) <= 0.08
+                     AND 1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) <= 0.08
+                    THEN 1 ELSE 0 END AS ok
+        FROM bgc GROUP BY doc_id
+    ), gated AS (
+        SELECT tk.doc_id, tk.source, tk.text, len(tk.t) AS n_tokens
+        FROM toks tk JOIN gate g ON tk.doc_id = g.doc_id AND g.ok = 1
+    ), deduped AS (
+        SELECT doc_id, source, n_tokens
+        FROM (SELECT doc_id, source, n_tokens,
+                     ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                        ORDER BY doc_id) AS rn
+              FROM gated)
+        WHERE rn = 1
+    ), sampled AS (
+        SELECT doc_id, source, n_tokens
+        FROM (SELECT doc_id, source, n_tokens,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY source
+                         ORDER BY {hash64_sql('CAST(doc_id AS VARCHAR)')},
+                                  doc_id) AS rn
+              FROM deduped)
+        WHERE rn <= {_FUNNEL_CAP}
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(COUNT(g.doc_id) AS BIGINT) AS n_pass_gate,
+           CAST(COUNT(dd.doc_id) AS BIGINT) AS n_after_dedup,
+           CAST(COUNT(s.doc_id) AS BIGINT) AS n_sampled,
+           CAST(COALESCE(SUM(s.n_tokens), 0) AS BIGINT) AS tokens_sampled
+    FROM documents d
+    LEFT JOIN gated g ON d.doc_id = g.doc_id
+    LEFT JOIN deduped dd ON d.doc_id = dd.doc_id
+    LEFT JOIN sampled s ON d.doc_id = s.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    doc=f"End-to-end curation funnel, per source: raw -> repetition-gated "
+    f"-> exact-deduped (min doc_id survives per content md5) -> "
+    f"hash-stratified sample (cap {_FUNNEL_CAP}/source) with final token "
+    "budget — the composed shape of a pre-training data pipeline, with "
+    "per-stage survivor counts so attrition is observable per stage "
+    "instead of one opaque end count. Every stage reuses a pattern "
+    "proven by its standalone query (text_repetition_rules, dedup_exact, "
+    "curation_hash_stratified_sample); stages communicate by doc_id "
+    "only, so inter-stage joins carry ids + counters, never text. At "
+    "100 TB each stage is one bounded shuffle (doc-keyed bigram agg, "
+    "content-hash dedup, stratum-keyed WindowGroupLimit sample).",
+    tags=("curation", "dedup", "sampling", "A10", "D1"),
+)
+def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", "text", tokenize(F.col("text")).alias("t")
+    )
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "s -> concat(t[s - 1], ' ', t[s]))"
+                )
+            ).alias("bigram"),
+        )
+        .select("doc_id", hash64(F.col("bigram")).alias("bh"))
+    )
+    bgc = bg.groupBy("doc_id", "bh").agg(F.count(F.lit(1)).alias("c"))
+    gate = (
+        bgc.groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c")).alias("top_share"),
+            (1.0 - F.count(F.lit(1)).cast("double") / F.sum("c")).alias(
+                "dup_frac"
+            ),
+        )
+        .filter((F.col("top_share") <= 0.08) & (F.col("dup_frac") <= 0.08))
+        .select("doc_id")
+    )
+    gated = toks.join(gate, "doc_id").select(
+        "doc_id", "source", "text", F.size("t").cast("long").alias("n_tokens")
+    )
+    w_dedup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tokens")
+    )
+    w_sample = Window.partitionBy("source").orderBy(
+        hash64(F.col("doc_id").cast("string")), "doc_id"
+    )
+    sampled = (
+        deduped.withColumn("rn", F.row_number().over(w_sample))
+        .filter(F.col("rn") <= _FUNNEL_CAP)
+        .select("doc_id", "n_tokens")
+    )
+    g = gated.select("doc_id").withColumn("g", F.lit(1))
+    dd = deduped.select("doc_id").withColumn("dd", F.lit(1))
+    s = sampled.withColumnRenamed("n_tokens", "s_tokens").withColumn(
+        "s", F.lit(1)
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(g, "doc_id", "left")
+        .join(dd, "doc_id", "left")
+        .join(s, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.count("g").cast("long").alias("n_pass_gate"),
+            F.count("dd").cast("long").alias("n_after_dedup"),
+            F.count("s").cast("long").alias("n_sampled"),
+            F.coalesce(F.sum("s_tokens"), F.lit(0))
+            .cast("long")
+            .alias("tokens_sampled"),
+        )
+        .orderBy("source")
+    )

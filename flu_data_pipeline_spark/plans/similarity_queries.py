@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flu_data_pipeline_spark.catalog import load_table
+from flu_data_pipeline_spark.functions.hashing import hash64, hash64_sql
 from flu_data_pipeline_spark.plans.registry import register
 
 
@@ -1996,3 +1997,102 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("vmin", 6).alias("vmin"),
         F.round("vmax", 6).alias("vmax"),
     ).orderBy("dim")
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle=f"""
+    WITH comp AS (
+        SELECT e.label, r.i AS dim,
+               CASE WHEN {hash64_sql('CAST(vec_id AS VARCHAR)')} % 2 = 0
+                    THEN 0 ELSE 1 END AS snap,
+               CAST(ROUND(CAST(e.embedding[r.i] AS DOUBLE) * {EMB_Q}, 0)
+                    AS BIGINT) AS q
+        FROM embeddings e, range(1, 65) r(i)
+    ), dims AS (
+        SELECT label, dim,
+               CAST(SUM(CASE WHEN snap = 0
+                             THEN CAST(q AS DECIMAL(38, 0)) END) AS DOUBLE)
+                   / {EMB_Q} / SUM(CASE WHEN snap = 0 THEN 1 END) AS ca,
+               CAST(SUM(CASE WHEN snap = 1
+                             THEN CAST(q AS DECIMAL(38, 0)) END) AS DOUBLE)
+                   / {EMB_Q} / SUM(CASE WHEN snap = 1 THEN 1 END) AS cb,
+               CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na64,
+               CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb64
+        FROM comp GROUP BY label, dim
+    )
+    SELECT label,
+           CAST(MAX(na64) AS BIGINT) AS n_a,
+           CAST(MAX(nb64) AS BIGINT) AS n_b,
+           ROUND(sqrt(SUM((ca - cb) * (ca - cb))), 6) AS l2_shift,
+           ROUND(SUM(ca * cb)
+                 / (sqrt(SUM(ca * ca)) * sqrt(SUM(cb * cb))), 6)
+               AS cosine_ab
+    FROM dims
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="Embedding drift monitor: deterministically hash-split the corpus "
+    "into two pseudo-snapshots, compute each label's centroid in both, "
+    "and report per-label centroid L2 shift and cosine — the check a "
+    "retraining pipeline runs when the encoder or the corpus changes "
+    "(cosine near 1 = stable geometry; a dropping label flags drift). "
+    "Per-dim sums are 6dp-quantized integers in DECIMAL (exact on both "
+    "engines, immune to float sum order); the dim-space aggregation "
+    "means no array reassembly — posexplode then two groupBys whose "
+    "shuffle is bounded by labels x 64 dims regardless of corpus size.",
+    tags=("similarity", "stats", "drift", "A10"),
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        (hash64(F.col("vec_id").cast("string")) % 2).alias("snap"),
+        F.posexplode("embedding").alias("pos", "vf"),
+    ).select(
+        "label",
+        "snap",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("vf").cast("double") * EMB_Q, 0)
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    dims = comp.groupBy("label", "dim").agg(
+        (
+            F.sum(F.when(F.col("snap") == 0, F.col("q"))).cast("double")
+            / EMB_Q
+            / F.sum(F.when(F.col("snap") == 0, 1))
+        ).alias("ca"),
+        (
+            F.sum(F.when(F.col("snap") == 1, F.col("q"))).cast("double")
+            / EMB_Q
+            / F.sum(F.when(F.col("snap") == 1, 1))
+        ).alias("cb"),
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("na64"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nb64"),
+    )
+    return (
+        dims.groupBy("label")
+        .agg(
+            F.max("na64").cast("long").alias("n_a"),
+            F.max("nb64").cast("long").alias("n_b"),
+            F.round(
+                F.sqrt(F.sum((F.col("ca") - F.col("cb")) ** 2)), 6
+            ).alias("l2_shift"),
+            F.round(
+                F.sum(F.col("ca") * F.col("cb"))
+                / (
+                    F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                ),
+                6,
+            ).alias("cosine_ab"),
+        )
+        .orderBy("label")
+    )

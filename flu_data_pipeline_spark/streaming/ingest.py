@@ -267,3 +267,62 @@ def streaming_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
     return events.join(F.broadcast(dim), "event_type", "left").select(
         "event_id", "user_id", "event_type", "category", "value"
     )
+
+
+TWS_STATS_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+def streaming_running_stats_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (count, value total) on the MODERN typed-state API
+    (``transformWithStateInPandas``, Spark 4.x): a ``StatefulProcessor``
+    with a typed ValueState replaces ``applyInPandasWithState``'s
+    positional GroupState tuple. Same semantics as
+    :func:`streaming_running_stats` — one updated row per user per
+    micro-batch, state carried in the state store — but with the API that
+    also offers ListState/MapState, state TTL, and timers for eviction
+    logic, which is where per-key rate limiters and CUSUM detectors go
+    at scale. Kept alongside the legacy-API twin so both stateful
+    surfaces stay exercised.
+
+    Runtime dependency: the transformWithState protocol speaks protobuf
+    between the JVM and a Python driver worker; on hosts without the
+    ``protobuf`` package the stream fails at initialization
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). The runtime test
+    skips in that case; the legacy applyInPandasWithState twin above has
+    no such dependency and is the one exercised everywhere."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType=TWS_STATS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -7,6 +7,8 @@ import json
 import os
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from flu_data_pipeline_spark.catalog import load_table
@@ -490,3 +492,80 @@ def test_burst_session_window_gap_boundary(spark, tmp_path):
         for r in spark.table("t_burst_boundary").collect()
     )
     assert got == [("a", 3), ("b", 1), ("b", 1), ("c", 1), ("c", 2)]
+
+
+def test_transform_with_state_running_stats(spark, tmp_path):
+    """Typed-state twin of the applyInPandasWithState test on the modern
+    transformWithStateInPandas API. The JVM<->Python state protocol
+    speaks protobuf, which this container does not ship — skip cleanly
+    there; the operator itself is import-safe everywhere."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState driver worker requires protobuf",
+    )
+    import json
+
+    from flu_data_pipeline_spark.streaming.ingest import (
+        EVENTS_STREAM_SCHEMA,
+        streaming_running_stats_tws,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(1000)
+    rows = ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).collect()
+    rows.sort(key=lambda r: r.ts)
+    landing = str(tmp_path / "tws")
+    os.makedirs(landing, exist_ok=True)
+    half = len(rows) // 2
+    for i, part in enumerate((rows[:half], rows[half:])):
+        with open(os.path.join(landing, f"p{i}.json"), "w") as f:
+            for r in part:
+                f.write(json.dumps(r.asDict()) + "\n")
+    pin_file_order(landing, "p0.json", "p1.json")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(landing)
+        )
+        out = streaming_running_stats_tws(stream.select("user_id", "value"))
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        final = {}
+        for r in spark.table("t_tws").collect():
+            cur = final.get(r["user_id"])
+            if cur is None or r["n_events"] > cur[0]:
+                final[r["user_id"]] = (r["n_events"], round(r["total_value"], 6))
+        batch = {
+            r["user_id"]: (r["n"], round(r["s"], 6))
+            for r in ev.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.coalesce("value", F.lit(0.0))).alias("s"),
+            )
+            .collect()
+        }
+        assert final == batch
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )

@@ -196,3 +196,79 @@ def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_affected").cast("double") / F.col("n_total") * 100.0, 6
         ).alias("pct_affected"),
     ).orderBy("table_name")
+
+
+from flu_data_pipeline_spark.functions.hashing import hash64, hash64_sql  # noqa: E402
+
+
+@register(
+    "cdc_changelog_compaction",
+    oracle=f"""
+    WITH log AS (
+        SELECT user_id, epoch_us(ts) AS tsu, event_id, value,
+               CASE WHEN {hash64_sql('CAST(event_id AS VARCHAR)')} % 10 = 0
+                    THEN 'D' ELSE 'U' END AS op
+        FROM events
+    ), ranked AS (
+        SELECT user_id, tsu, event_id, value, op,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY tsu DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        FROM log
+    )
+    SELECT user_id,
+           CAST(n_changes AS BIGINT) AS n_changes,
+           op AS last_op,
+           CAST(op = 'D' AS INT) AS tombstoned,
+           CASE WHEN op = 'D' THEN NULL ELSE tsu END AS live_ts_us,
+           CASE WHEN op = 'D' THEN NULL
+                ELSE ROUND(COALESCE(value, 0.0), 2) END AS live_value
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="Changelog compaction — the Debezium-feed -> table materialization "
+    "primitive: events replayed as per-entity change records (op "
+    "synthesized deterministically: ~10% deletes by portable hash of the "
+    "event id, rest upserts), compacted to one row per key by keeping "
+    "the latest (ts, event_id) record; a trailing delete tombstones the "
+    "key (live columns null) but stays in the output so consumers can "
+    "propagate the deletion. Implemented as a single max-of-struct "
+    "aggregation (count rides the same agg) — ONE key shuffle with "
+    "map-side combine, no window sort buffer; log-compacted stores do "
+    "exactly this merge per segment. Tie-break pinned by unique "
+    "event_id.",
+    tags=("cdc", "incremental", "D2", "A6", "S6"),
+)
+def cdc_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("tsu"),
+        "event_id",
+        "value",
+        F.when(
+            hash64(F.col("event_id").cast("string")) % 10 == 0, F.lit("D")
+        )
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    last = F.max(
+        F.struct("tsu", "event_id", "op", F.coalesce("value", F.lit(0.0)).alias("value"))
+    ).alias("m")
+    return (
+        log.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_changes"), last)
+        .select(
+            "user_id",
+            "n_changes",
+            F.col("m.op").alias("last_op"),
+            (F.col("m.op") == "D").cast("int").alias("tombstoned"),
+            F.when(F.col("m.op") == "D", F.lit(None)).otherwise(
+                F.col("m.tsu")
+            ).alias("live_ts_us"),
+            F.when(F.col("m.op") == "D", F.lit(None)).otherwise(
+                F.round(F.col("m.value"), 2)
+            ).alias("live_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -1315,3 +1315,109 @@ def events_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("late_over_600s"),
     )
+
+
+_RL_CAP = 7_200_000_000  # token budget capacity: 2 hours' worth, in µs
+_RL_COST = 3_600_000_000  # cost per admitted event: 1 hour's refill
+
+
+@register(
+    "events_rate_limit_audit",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+        SELECT user_id, epoch_us(ts) AS t,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS i
+        FROM events
+    ), nn AS (
+        SELECT user_id, CAST(MAX(i) AS BIGINT) AS n FROM ev GROUP BY user_id
+    ), fold AS (
+        SELECT user_id, CAST(0 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS prev,
+               CAST({_RL_CAP} AS BIGINT) AS budget,
+               CAST(0 AS BIGINT) AS allowed, CAST(0 AS BIGINT) AS rejected
+        FROM nn
+        UNION ALL
+        SELECT s.user_id, s.i + 1, s.t,
+               s.refill - {_RL_COST} * CAST(s.refill >= {_RL_COST} AS BIGINT),
+               s.allowed + CAST(s.refill >= {_RL_COST} AS BIGINT),
+               s.rejected + CAST(s.refill < {_RL_COST} AS BIGINT)
+        FROM (
+            SELECT f.user_id, f.i, e.t, f.allowed, f.rejected,
+                   least({_RL_CAP}, f.budget
+                         + CASE WHEN f.prev < 0 THEN 0
+                                ELSE e.t - f.prev END) AS refill
+            FROM fold f JOIN ev e ON e.user_id = f.user_id AND e.i = f.i + 1
+        ) s
+    )
+    SELECT f.user_id, nn.n AS n_events, f.allowed AS n_allowed,
+           f.rejected AS n_rejected, f.budget AS final_budget_us
+    FROM fold f JOIN nn ON f.user_id = nn.user_id AND f.i = nn.n
+    ORDER BY f.user_id
+    """,
+    doc="Token-bucket rate limiting replayed over history: per user, a "
+    "bucket holding up to 2 hours of refill admits one event per hour's "
+    "worth of tokens; bursts beyond the budget are rejected. The "
+    "recurrence (budget depends on every prior admit/reject decision) "
+    "is inherently sequential per key, so it runs as an ordered array "
+    "fold (collect_list sorted, then aggregate — left-to-right, "
+    "all-integer µs, exact replay). The DuckDB twin is a recursive CTE "
+    "advancing every user one event per iteration: DuckDB's vectorized "
+    "list_reduce mis-executes branching struct lambdas across rows "
+    "(found by this query's cross-check), so the fold is not expressed "
+    "with it. This is the batch twin of a per-key "
+    "streaming rate limiter (ValueState + the same fold per batch); "
+    "per-user arrays are bounded by per-key activity, and one key "
+    "shuffle builds them. Sizes admission policies from real traffic "
+    "before deploying them at the edge.",
+    tags=("events", "stateful", "W1", "U2"),
+)
+def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arr = (
+        ev.select(
+            "user_id",
+            F.struct(F.unix_micros("ts").alias("tsu"), "event_id").alias("o"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("o")).alias("oa"))
+        .select(
+            "user_id",
+            F.expr("transform(oa, x -> x.tsu)").alias("a"),
+        )
+    )
+    init = (
+        f"named_struct('prev', CAST(-1 AS BIGINT), "
+        f"'budget', CAST({_RL_CAP} AS BIGINT), "
+        f"'allowed', CAST(0 AS BIGINT), 'rejected', CAST(0 AS BIGINT))"
+    )
+    refill = (
+        f"least(CAST({_RL_CAP} AS BIGINT), acc.budget + "
+        f"CASE WHEN acc.prev < 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE x - acc.prev END)"
+    )
+    fold = f"""
+        aggregate(a, {init}, (acc, x) -> CASE
+            WHEN {refill} >= {_RL_COST}
+            THEN named_struct('prev', x, 'budget', {refill} - {_RL_COST},
+                              'allowed', acc.allowed + CAST(1 AS BIGINT),
+                              'rejected', acc.rejected)
+            ELSE named_struct('prev', x, 'budget', {refill},
+                              'allowed', acc.allowed,
+                              'rejected', acc.rejected + CAST(1 AS BIGINT))
+            END)
+    """
+    return (
+        arr.select(
+            "user_id",
+            F.size("a").cast("long").alias("n_events"),
+            F.expr(fold).alias("s"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.col("s.allowed").alias("n_allowed"),
+            F.col("s.rejected").alias("n_rejected"),
+            F.col("s.budget").alias("final_budget_us"),
+        )
+        .orderBy("user_id")
+    )

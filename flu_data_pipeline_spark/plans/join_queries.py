@@ -443,3 +443,90 @@ def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(profit_cents).cast("double") / 100.0).alias("profit"))
         .orderBy("nation", "yr")
     )
+
+
+_HOUR_US = 3_600_000_000
+_WIN_LEN_US = 5_400_000_000  # 90-minute window after each day's first event
+
+
+@register(
+    "join_range_bin_windows",
+    oracle=f"""
+    WITH win AS (
+        SELECT CAST(ts AS DATE) AS day,
+               MIN(epoch_us(ts)) AS w_start,
+               MIN(epoch_us(ts)) + {_WIN_LEN_US} AS w_end
+        FROM events GROUP BY 1
+    )
+    SELECT w.day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           ROUND(SUM(COALESCE(e.value, 0.0)), 2) AS sum_value
+    FROM win w
+    JOIN (SELECT user_id, value, epoch_us(ts) AS tsu FROM events) e
+      ON e.tsu >= w.w_start AND e.tsu <= w.w_end
+    GROUP BY w.day
+    ORDER BY w.day
+    """,
+    doc=f"Keyless range join via binning — the scale rewrite for interval "
+    "containment with NO equi key (events x global time windows, here "
+    "each day's first-90-minute activity window): a naive theta join is "
+    "a nested-loop over |events| x |windows|; instead both sides map to "
+    f"hour buckets ({_HOUR_US // 1_000_000}s — chosen >= typical window "
+    "length so each window explodes to <= 2 buckets), the join becomes "
+    "an EQUI-join on the bucket id (hash-partitionable, AQE-skew-"
+    "splittable), and the exact range predicate filters within buckets. "
+    "Bucket sizing rule: bucket ~ max interval length, so each interval "
+    "covers O(1) buckets and per-bucket row counts stay bounded. The "
+    "DuckDB oracle runs the plain theta join — same result, different "
+    "physical strategy, which is the point.",
+    tags=("join", "range", "J6", "A8"),
+)
+def join_range_bin_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("tsu"),
+        F.to_date("ts").alias("day"),
+    )
+    win = (
+        ev.groupBy("day")
+        .agg(F.min("tsu").alias("w_start"))
+        .select(
+            "day",
+            "w_start",
+            (F.col("w_start") + F.lit(_WIN_LEN_US)).alias("w_end"),
+        )
+    )
+    # explode each window onto every hour bucket it covers (<= 2 here)
+    win_b = win.select(
+        "day",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                (F.col("w_start") / _HOUR_US).cast("long"),
+                (F.col("w_end") / _HOUR_US).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    ev_b = ev.select(
+        "user_id",
+        "value",
+        "tsu",
+        (F.col("tsu") / _HOUR_US).cast("long").alias("bucket"),
+    )
+    joined = ev_b.join(win_b, "bucket").filter(
+        (F.col("tsu") >= F.col("w_start")) & (F.col("tsu") <= F.col("w_end"))
+    )
+    return (
+        joined.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias(
+                "sum_value"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -302,3 +302,100 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_blobs"), F.asc("phash"))
         .limit(25)
     )
+
+
+_PACK_BUDGET = 64 * 1024  # target shard payload: 64 KiB of blob bytes
+
+
+@register(
+    "multimodal_bytes_shard_pack",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id,
+               'text' AS modality,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               SUM(CAST(octet_length(encode(text)) AS BIGINT)) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_bytes
+        FROM documents
+    ), packed AS (
+        SELECT modality, n_bytes,
+               CAST((cum_bytes - n_bytes) // {_PACK_BUDGET} AS BIGINT)
+                   AS shard_idx
+        FROM sized
+    )
+    SELECT modality, shard_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_blobs,
+           CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes
+    FROM packed
+    GROUP BY modality, shard_idx
+    ORDER BY modality, shard_idx
+    """,
+    doc=f"Byte-budget shard packing for blob export: blobs in stable "
+    f"doc_id order pack greedily into ~{_PACK_BUDGET // 1024} KiB shards "
+    "(shard = pre-blob cumulative bytes div budget — each shard fills "
+    "past the budget by at most one blob, the tar/WebDataset writer "
+    "rule). Plans SIZE-balanced media shards where count-balanced "
+    "sharding (export_shard_plan) would skew on fat videos vs thin "
+    "thumbnails. Only metadata (doc_id, n_bytes) flows through the "
+    "cumulative window — blob bytes stay in the scan; at 100 TB the "
+    "global running sum runs per modality-partition first with "
+    "per-partition offsets broadcast back (two passes over counters, "
+    "zero over payload).",
+    tags=("multimodal", "layout", "A10", "O3"),
+)
+def multimodal_bytes_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_binary(load_table(spark, sf_dir, "documents"))
+    sized = docs.select(
+        "doc_id",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        # two-level running sum: a global ORDER BY window would drag every
+        # row to one partition; instead cumsum within doc_id-range chunks
+        # (distributed) + per-chunk offsets (chunk-count rows, tiny)
+        F.expr("doc_id div 1024").alias("chunk"),
+    )
+    chunk_off = (
+        sized.groupBy("chunk")
+        .agg(F.sum("n_bytes").alias("chunk_bytes"))
+        .select(
+            "chunk",
+            (
+                F.sum("chunk_bytes").over(
+                    Window.orderBy("chunk").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                )
+            ).alias("offset"),
+        )
+        .na.fill({"offset": 0})
+    )
+    w_intra = Window.partitionBy("chunk").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    packed = (
+        sized.join(F.broadcast(chunk_off), "chunk")
+        .select(
+            "modality",
+            "n_bytes",
+            (
+                (
+                    F.col("offset")
+                    + F.sum("n_bytes").over(w_intra)
+                    - F.col("n_bytes")
+                )
+                / _PACK_BUDGET
+            )
+            .cast("long")
+            .alias("shard_idx"),
+        )
+    )
+    return (
+        packed.groupBy("modality", "shard_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum("n_bytes").cast("long").alias("shard_bytes"),
+        )
+        .orderBy("modality", "shard_idx")
+    )

@@ -2096,3 +2096,144 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_PI_ITERS = 3
+_PI_DIM = 64
+
+
+def _pi_oracle_sql() -> str:
+    """Chained-CTE DuckDB twin of the power iteration: every iteration's
+    vector is re-quantized to exact integers, so both engines iterate on
+    IDENTICAL numbers and the final components match bit-for-bit."""
+    ctes = [
+        f"""x AS (
+        SELECT vec_id, r.i AS dim,
+               CAST(ROUND(CAST(embedding[r.i] AS DOUBLE) * 1000000, 0)
+                    AS BIGINT) AS xq
+        FROM embeddings, range(1, {_PI_DIM + 1}) r(i)
+    )""",
+        f"""v0 AS (
+        SELECT i AS dim,
+               CASE WHEN i = 1 THEN CAST(1000000 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS vq
+        FROM range(1, {_PI_DIM + 1}) r(i)
+    )""",
+    ]
+    for k in range(_PI_ITERS):
+        ctes.append(
+            f"""dot{k} AS (
+        SELECT x.vec_id,
+               CAST(floor(CAST(SUM(x.xq * v.vq) AS DOUBLE) / 100000000.0)
+                    AS BIGINT) AS dotq
+        FROM x JOIN v{k} v ON x.dim = v.dim
+        GROUP BY x.vec_id
+    )"""
+        )
+        ctes.append(
+            f"""s{k} AS (
+        SELECT x.dim, CAST(SUM(x.xq * d.dotq) AS BIGINT) AS s
+        FROM x JOIN dot{k} d ON x.vec_id = d.vec_id
+        GROUP BY x.dim
+    )"""
+        )
+        ctes.append(
+            f"""n{k} AS (
+        SELECT SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS n2
+        FROM s{k}
+    )"""
+        )
+        ctes.append(
+            f"""v{k + 1} AS (
+        SELECT dim,
+               CAST(floor(CAST(s AS DOUBLE)
+                          / sqrt(CAST(n2 AS DOUBLE)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS vq
+        FROM s{k} CROSS JOIN n{k}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT v.dim,
+           CAST(v.vq AS DOUBLE) / 1000000.0 AS pc1_component,
+           sqrt(CAST(n.n2 AS DOUBLE)) / 1e10 AS eigval_est
+    FROM v{_PI_ITERS} v CROSS JOIN n{_PI_ITERS - 1} n
+    ORDER BY v.dim
+    """
+    )
+
+
+@register(
+    "embedding_top_pc_power_iteration",
+    oracle=_pi_oracle_sql(),
+    doc=f"Top principal direction of the embedding corpus by {_PI_ITERS} "
+    "matrix-free power iterations (v <- X'Xv / ||X'Xv||, started from "
+    "e1): each pass is dot-per-vector then a per-dim sum — two bounded "
+    "aggregations over the exploded components, never a materialized "
+    "64x64 covariance, which is the shape that scales to billions of "
+    "rows. Cross-engine exactness: components quantize to 6dp integers "
+    "at the scan, per-vector dots rescale by integer floor, per-dim "
+    "sums stay int64, the squared norm accumulates exactly (int128 / "
+    "python int), and the iterate re-quantizes to integers before the "
+    "next pass — so both engines iterate on identical numbers and the "
+    "result matches bit-for-bit, no float-sum-order divergence. Driver "
+    f"state per iteration is the {_PI_DIM}-element vector (the k-means "
+    "centroid-matrix pattern — a model parameter, not data). The "
+    "standard spectral diagnostic before whitening / anisotropy "
+    "correction of an embedding space.",
+    tags=("similarity", "stats", "A7", "U4"),
+)
+def embedding_top_pc_power_iteration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "vf"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).alias("dim"),
+            F.round(F.col("vf").cast("double") * 1_000_000, 0)
+            .cast("long")
+            .alias("xq"),
+        )
+        .localCheckpoint(eager=True)  # reused 2x per iteration
+    )
+    vq = [1_000_000 if d == 1 else 0 for d in range(1, _PI_DIM + 1)]
+    norm2 = None
+    for _ in range(_PI_ITERS):
+        varr = F.array(*[F.lit(q) for q in vq])
+        dot = (
+            x.withColumn("vq", varr[F.col("dim") - 1])
+            .groupBy("vec_id")
+            .agg(
+                F.floor(
+                    F.sum(F.col("xq") * F.col("vq")).cast("double")
+                    / 100_000_000.0
+                )
+                .cast("long")
+                .alias("dotq")
+            )
+        )
+        s_rows = (
+            x.join(dot, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("xq") * F.col("dotq")).cast("long").alias("s"))
+            .collect()
+        )
+        s = {r["dim"]: r["s"] for r in s_rows}
+        norm2 = sum(si * si for si in s.values())  # exact python int
+        root = math.sqrt(float(norm2))
+        vq = [
+            int(math.floor(float(s[d]) / root * 1_000_000.0 + 0.5))
+            for d in range(1, _PI_DIM + 1)
+        ]
+    eig = math.sqrt(float(norm2)) / 1e10
+    out = spark.createDataFrame(
+        [(d, vq[d - 1] / 1_000_000.0, eig) for d in range(1, _PI_DIM + 1)],
+        "dim int, pc1_component double, eigval_est double",
+    )
+    return out.orderBy("dim")

@@ -36,6 +36,10 @@ ENGINE_RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
     "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The engine's Python DataSource (sources/pysource.py) implements
+    # pushFilters; Spark 4.1 hard-fails such readers unless the planner
+    # gate is on.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Broadcast only truly small build sides (see get_spark rationale).
     "spark.sql.autoBroadcastJoinThreshold": str(2 * 1024 * 1024),
     # InferFiltersFromGenerate pushes full generator expressions below

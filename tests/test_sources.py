@@ -576,3 +576,40 @@ def test_aqe_coalesces_shuffle_partitions(spark):
         assert df.rdd.getNumPartitions() < 200
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_python_datasource_filter_pushdown(spark):
+    """Spark 4.1 Python DataSource filter pushdown: with the planner gate
+    on, range/equality predicates reach SyntheticEventsReader.pushFilters,
+    the accepted filters are REMOVED from the Spark plan, and the source
+    generates only matching rows — results must equal the unpushed twin
+    (if the source ignored an accepted filter, extra rows would leak and
+    this test would fail)."""
+    from flu_data_pipeline_spark.sources.pysource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        def scan():
+            return (
+                spark.read.format("synthevents")
+                .option("rows", 300)
+                .option("partitions", 5)
+                .load()
+            )
+
+        pushed = scan().filter(
+            "event_id >= 30 AND event_id < 120 AND event_type = 'click'"
+        )
+        got = sorted(r["event_id"] for r in pushed.collect())
+        expect = [e for e in range(30, 120) if e % 3 == 1]
+        assert got == expect
+        # value predicate is NOT pushable by the reader (returned to
+        # Spark): still filtered correctly by the retained Filter node
+        mixed = scan().filter("event_id < 60 AND value > 3.0")
+        assert sorted(r["event_id"] for r in mixed.collect()) == [
+            e for e in range(60) if (e % 1000) / 10.0 > 3.0
+        ]
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)

@@ -126,19 +126,39 @@ def assert_schemas(tables: dict[str, DataFrame]) -> None:
 
 def ingest(
     spark: SparkSession, tables: dict[str, DataFrame], warehouse_dir: str
-) -> dict[str, int]:
+) -> tuple[dict[str, int], dict[str, dict]]:
     """Idempotent warehouse load (:559-733): anti-join append per table,
-    keyed on the logical PK; returns rows appended per table."""
+    keyed on the logical PK; returns (rows appended, observed metrics)
+    per table.
+
+    In-flight metrics ride ``df.observe`` (an Observation per table):
+    build-output row count and per-PK-column null counts are accumulated
+    DURING the load action itself — zero extra passes over the data,
+    which is the only affordable way to get load telemetry at 100 TB
+    (a separate count()+null-profile would re-run the whole build).
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     os.makedirs(warehouse_dir, exist_ok=True)
-    return {
-        name: idempotent_append(
+    appended: dict[str, int] = {}
+    observed: dict[str, dict] = {}
+    for name, df in tables.items():
+        obs = Observation(f"load_{name}")
+        metrics = [F.count(F.lit(1)).alias("rows_built")]
+        for k in PRIMARY_KEYS[name]:
+            metrics.append(
+                F.sum(F.col(k).isNull().cast("long")).alias(f"null_{k}")
+            )
+        df_obs = df.observe(obs, *metrics)
+        appended[name] = idempotent_append(
             spark,
-            df,
+            df_obs,
             os.path.join(warehouse_dir, name),
             PRIMARY_KEYS[name],
         )
-        for name, df in tables.items()
-    }
+        observed[name] = dict(obs.get)
+    return appended, observed
 
 
 def qc(spark: SparkSession, warehouse_dir: str) -> dict[str, dict[str, int]]:
@@ -166,5 +186,10 @@ def run_pipeline(
     landing = {name: collect(name, landing_dir, fetchers) for name in _FIXTURE_FEEDS}
     tables = build_tables(spark, landing)
     assert_schemas(tables)
-    appended = ingest(spark, tables, warehouse_dir)
-    return {"landing": landing, "appended": appended, "qc": qc(spark, warehouse_dir)}
+    appended, observed = ingest(spark, tables, warehouse_dir)
+    return {
+        "landing": landing,
+        "appended": appended,
+        "observed": observed,
+        "qc": qc(spark, warehouse_dir),
+    }

@@ -23,6 +23,24 @@ def test_pipeline_end_to_end_and_idempotent(spark, tmp_path):
         assert rep["rows"] > 0, name
         assert rep["pk_duplicates"] == 0, name
         assert first["appended"][name] == rep["rows"], name
+        # observe() telemetry rode the load action itself (no extra
+        # pass): built rows match loaded rows, and the in-flight null
+        # counts match a direct recount of the warehouse table (illness
+        # legitimately carries null county_ids — the reference's
+        # NaN-preserving left join, flu_data_airflow_v2.py:368-373 —
+        # so accuracy, not zero, is the contract)
+        obs = first["observed"][name]
+        assert obs["rows_built"] == rep["rows"], (name, obs)
+        import os as _os
+
+        from pyspark.sql import functions as _F
+
+        wh = spark.read.parquet(_os.path.join(warehouse, name))
+        for k, v in obs.items():
+            if k.startswith("null_"):
+                col = k[len("null_"):]
+                direct = wh.filter(_F.col(col).isNull()).count()
+                assert v == direct, (name, k, v, direct)
 
     second = run_pipeline(spark, landing, warehouse)
     assert all(n == 0 for n in second["appended"].values()), second["appended"]

@@ -258,3 +258,57 @@ def audio_chunk_stub(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_chunk, CHUNK_SCHEMA)
+
+
+def decode_stub_arrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    strict: bool = False,
+    feature_dim: int = 8,
+) -> DataFrame:
+    """Arrow-native twin of :func:`decode_stub` via ``mapInArrow``.
+
+    For binary payloads this is the faster Python boundary: RecordBatches
+    arrive zero-copy (no pandas object-dtype boxing of the blob bytes,
+    which for media-sized blobs dominates the pandas path), the decode
+    loop reads buffers directly, and the output batch is built
+    column-wise. Same deterministic stub semantics as decode_stub —
+    feature[i] = (checksum hex pair i + n_bytes) % 251 — asserted equal
+    in tests, so either boundary can serve the registry query.
+    """
+    import pyarrow as pa
+
+    def _decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if strict:
+                raise NotImplementedError(
+                    "media decode requires codec libraries not present in "
+                    "this environment; plug a real decoder in here"
+                )
+            tbl = batch.to_pydict()
+            metas = tbl["meta"]
+            ids = tbl[id_col]
+            feats = [
+                [
+                    float(
+                        (int(m["checksum_md5"][i * 2 : i * 2 + 2], 16)
+                         + int(m["n_bytes"])) % 251
+                    )
+                    for i in range(feature_dim)
+                ]
+                for m in metas
+            ]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "modality": pa.array(
+                        [m["modality"] for m in metas], pa.string()
+                    ),
+                    "n_bytes": pa.array(
+                        [int(m["n_bytes"]) for m in metas], pa.int64()
+                    ),
+                    "feature": pa.array(feats, pa.list_(pa.float32())),
+                }
+            )
+
+    return df.mapInArrow(_decode, DECODED_SCHEMA)

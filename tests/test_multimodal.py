@@ -104,3 +104,26 @@ def test_audio_chunk_stub_overlap(spark):
         for a, b in zip(ch, ch[1:]):
             if a["n_samples"] == 100:
                 assert bytes(a["chunk"])[60:] == bytes(b["chunk"])[: a["n_samples"] - 60]
+
+
+def test_decode_arrow_twin_matches_pandas(spark):
+    """mapInArrow and mapInPandas decode paths produce identical rows —
+    either Python boundary can back the registry query; Arrow is the
+    fast path for binary payloads (no object-dtype boxing)."""
+    from flu_data_pipeline_spark.catalog import load_table
+    from flu_data_pipeline_spark.multimodal.binary_ops import (
+        attach_binary,
+        decode_stub,
+        decode_stub_arrow,
+    )
+
+    docs = attach_binary(load_table(spark, SF_SMOKE, "documents").limit(100))
+    a = sorted(
+        (r["doc_id"], r["n_bytes"], tuple(r["feature"]))
+        for r in decode_stub(docs).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["n_bytes"], tuple(r["feature"]))
+        for r in decode_stub_arrow(docs).collect()
+    )
+    assert a == b and len(a) == 100

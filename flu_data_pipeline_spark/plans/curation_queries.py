@@ -1256,6 +1256,7 @@ _FUNNEL_CAP = 15  # sampled docs per source after gating + dedup
     "100 TB each stage is one bounded shuffle (doc-keyed bigram agg, "
     "content-hash dedup, stratum-keyed WindowGroupLimit sample).",
     tags=("curation", "dedup", "sampling", "A10", "D1"),
+    bench=True,
 )
 def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

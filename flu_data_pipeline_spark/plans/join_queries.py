@@ -481,6 +481,7 @@ _WIN_LEN_US = 5_400_000_000  # 90-minute window after each day's first event
     "DuckDB oracle runs the plain theta join — same result, different "
     "physical strategy, which is the point.",
     tags=("join", "range", "J6", "A8"),
+    bench=True,
 )
 def join_range_bin_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(

@@ -2184,6 +2184,7 @@ def _pi_oracle_sql() -> str:
     "standard spectral diagnostic before whitening / anisotropy "
     "correction of an embedding space.",
     tags=("similarity", "stats", "A7", "U4"),
+    bench=True,
 )
 def embedding_top_pc_power_iteration(
     spark: SparkSession, sf_dir: str

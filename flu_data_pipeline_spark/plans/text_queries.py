@@ -2001,6 +2001,7 @@ def text_chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Complements text_quality_score's stopword/punctuation gate; "
     "together they are the standard pre-training document filter pair.",
     tags=("text", "curation", "A10"),
+    bench=True,
 )
 def text_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

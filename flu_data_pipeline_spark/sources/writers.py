@@ -25,13 +25,21 @@ def write_table(
     path: str,
     mode: str = "overwrite",
     partition_by: tuple[str, ...] = (),
+    compression: str | None = None,
 ) -> None:
     """Parquet table write (S5/S7 DDL+load collapse into one lazy write).
     Facts should pass ``partition_by`` (e.g. season / epiweek prefix) so
-    downstream queries get static + dynamic partition pruning."""
+    downstream queries get static + dynamic partition pruning.
+
+    ``compression``: parquet codec per table (zstd/snappy/gzip/none).
+    At 100 TB the right default is zstd for cold fact tables (best
+    ratio, fast decode) and snappy for hot intermediates; leaving it
+    None inherits the session's ``spark.sql.parquet.compression.codec``."""
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
     writer.parquet(path)
 
 

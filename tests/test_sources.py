@@ -613,3 +613,49 @@ def test_python_datasource_filter_pushdown(spark):
         ]
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+
+
+def test_parquet_compression_codecs_roundtrip(spark, tmp_path):
+    """S5 codec surface: zstd/snappy/gzip writes all round-trip exactly;
+    zstd compresses the repetitive fact below snappy (the cold-table
+    default at scale)."""
+    import glob
+
+    from flu_data_pipeline_spark.sources.writers import write_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").limit(2000)
+    want = li.count()
+    sizes = {}
+    for codec in ("zstd", "snappy", "gzip"):
+        p = str(tmp_path / codec)
+        write_table(li, p, compression=codec)
+        back = spark.read.parquet(p)
+        assert back.count() == want, codec
+        sizes[codec] = sum(
+            os.path.getsize(f) for f in glob.glob(p + "/*.parquet")
+        )
+        files = glob.glob(p + "/*.parquet")
+        assert any(f".{codec.replace('zstd', 'zstd')}." in f or codec in f
+                   for f in files), files
+    assert sizes["zstd"] < sizes["snappy"], sizes
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema evolution across appended generations: a later writer adds
+    a column; mergeSchema reconciles the footers and old rows surface
+    null for the new column — the contract that lets a 100 TB table
+    evolve without rewriting history. The default (no mergeSchema) read
+    keeps the first-found schema rather than failing."""
+    p = str(tmp_path / "evolving")
+    spark.range(0, 10).selectExpr("id", "id * 2 AS v").write.parquet(p)
+    spark.range(10, 20).selectExpr(
+        "id", "id * 2 AS v", "CAST(id AS STRING) AS tag"
+    ).write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "v", "tag"}
+    assert merged.count() == 20
+    old_gen = merged.filter("id < 10")
+    assert old_gen.filter("tag IS NULL").count() == 10
+    new_gen = merged.filter("id >= 10 AND tag IS NOT NULL")
+    assert new_gen.count() == 10

@@ -1421,3 +1421,51 @@ def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CAST(json_extract_string(props, '$.k') AS INT))
+                AS BIGINT) AS n_with_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
+                AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+               AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+               AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Semi-structured ingestion through Spark 4's VARIANT type: props "
+    "parses ONCE per row into a binary variant (try_parse_json — "
+    "malformed rows become null, not failures), then try_variant_get "
+    "extracts typed paths. At rest a VARIANT column is columnar-shredded "
+    "so repeated path extraction does not re-parse text — the modern "
+    "replacement for per-query get_json_object string parsing (which "
+    "json_extract_agg pins for comparison). Oracle reads the same paths "
+    "with DuckDB's JSON extraction.",
+    tags=("events", "json", "F2", "A7"),
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.try_parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "int").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").cast("long").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

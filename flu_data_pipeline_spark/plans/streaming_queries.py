@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flu_data_pipeline_spark.functions.hashing import hash64_sql
 from flu_data_pipeline_spark.plans.registry import register
 from flu_data_pipeline_spark.plans.window_queries import SESSIONS_CTE_SQL
 
@@ -365,3 +366,69 @@ def stream_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_topk_exact_sink"
     _run_to_memory(agg, name)
     return spark.table(name)
+
+
+@register(
+    "stream_changelog_compaction_exact",
+    oracle=f"""
+    WITH log AS (
+        SELECT user_id, epoch_us(ts) AS tsu, event_id,
+               CASE WHEN {hash64_sql('CAST(event_id AS VARCHAR)')} % 10 = 0
+                    THEN 'D' ELSE 'U' END AS op
+        FROM events
+    ), ranked AS (
+        SELECT user_id, tsu, event_id, op,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY tsu DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        FROM log
+    )
+    SELECT user_id,
+           CAST(n_changes AS BIGINT) AS n_changes,
+           op AS last_op,
+           CAST(op = 'D' AS INT) AS tombstoned
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="Streaming materialized-view maintenance of the changelog "
+    "compaction (the batch twin is cdc_changelog_compaction): the same "
+    "synthetic CDC feed consumed as a stream, per-key latest-record "
+    "state kept by a max-of-struct aggregate in complete mode — the "
+    "log-compacted-table view a streaming consumer would maintain "
+    "continuously. State per key is ONE struct (bounded by key "
+    "cardinality, not stream length); the emitted table is "
+    "hash-compared against the batch window oracle.",
+    tags=("streaming", "cdc", "D2", "A6"),
+)
+def stream_changelog_compaction_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flu_data_pipeline_spark.functions.hashing import hash64
+
+    ev = _read_events_stream(spark, sf_dir)
+    log = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("tsu"),
+        "event_id",
+        F.when(
+            hash64(F.col("event_id").cast("string")) % 10 == 0, F.lit("D")
+        )
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    agg = log.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        F.max(F.struct("tsu", "event_id", "op")).alias("m"),
+    )
+    name = "stream_changelog_compaction_sink"
+    _run_to_memory(agg, name)
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            "n_changes",
+            F.col("m.op").alias("last_op"),
+            (F.col("m.op") == "D").cast("int").alias("tombstoned"),
+        )
+        .orderBy("user_id")
+    )

@@ -1288,10 +1288,16 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("top_share") <= 0.08) & (F.col("dup_frac") <= 0.08))
         .select("doc_id")
     )
+    # carry the 16-byte content hash through the dedup shuffle, not the
+    # document text — the window partitions by content identity either
+    # way, and text never leaves the map side
     gated = toks.join(gate, "doc_id").select(
-        "doc_id", "source", "text", F.size("t").cast("long").alias("n_tokens")
+        "doc_id",
+        "source",
+        F.md5("text").alias("content_md5"),
+        F.size("t").cast("long").alias("n_tokens"),
     )
-    w_dedup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    w_dedup = Window.partitionBy("content_md5").orderBy("doc_id")
     deduped = (
         gated.withColumn("rn", F.row_number().over(w_dedup))
         .filter(F.col("rn") == 1)

@@ -741,3 +741,61 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(q, 6) AS share_post",
         "ROUND((q - p) * LN(q / p), 6) AS psi_contrib",
     ).orderBy("bin")
+
+
+_CANARIES = ("spark", "canary7x", "order value")
+
+
+@register(
+    "dq_canary_scan",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN contains(lower(text), '{_CANARIES[0]}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS hits_0,
+           CAST(SUM(CASE WHEN contains(lower(text), '{_CANARIES[1]}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS hits_1,
+           CAST(SUM(CASE WHEN contains(lower(text), '{_CANARIES[2]}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS hits_2,
+           CAST(SUM(CASE WHEN contains(lower(text), '{_CANARIES[0]}')
+                          OR contains(lower(text), '{_CANARIES[1]}')
+                          OR contains(lower(text), '{_CANARIES[2]}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS hits_any
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Canary / contamination scan: per source, how many documents "
+    "contain any of a fixed set of marker strings — the benchmark-"
+    "contamination and data-poisoning tripwire run before training "
+    "(canary7x stands in for an inserted secret; a real run loads the "
+    "canary list from the eval suites). Plain substring containment "
+    "(contains on lowercased text) — no regex engine in the hot path; "
+    "one map-side pass, per-source counters only in the shuffle. "
+    "Complements split_leakage_audit (fingerprint-level) with "
+    "needle-level detection.",
+    tags=("dq", "curation", "text", "A10"),
+)
+def dq_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    flags = [
+        F.when(F.contains(lowered, F.lit(c)), 1).otherwise(0).alias(f"f{i}")
+        for i, c in enumerate(_CANARIES)
+    ]
+    base = docs.select("source", *flags)
+    any_hit = sum(F.col(f"f{i}") for i in range(len(_CANARIES)))
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[
+                F.sum(f"f{i}").cast("long").alias(f"hits_{i}")
+                for i in range(len(_CANARIES))
+            ],
+            F.sum(F.when(any_hit > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("hits_any"),
+        )
+        .orderBy("source")
+    )

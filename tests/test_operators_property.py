@@ -548,3 +548,126 @@ def test_kmv_merge_identity_and_estimator(a, b, k):
         # ~3 sigma of 1/sqrt(k-1) relative error, plus slack for tiny n
         rel = abs(est - n_true) / n_true
         assert rel < 4.0 / (k - 1) ** 0.5, (est, n_true, rel)
+
+
+# --------------------------------------------------------------------------
+# token-bucket fold (events_rate_limit_audit's recurrence) vs a pure-Python
+# replay — random timestamps, random bucket parameters
+# --------------------------------------------------------------------------
+
+@st.composite
+def rate_limit_case(draw):
+    n_users = draw(st.integers(1, 4))
+    rows = []
+    eid = 0
+    for u in range(n_users):
+        for t in draw(
+            st.lists(st.integers(0, 10_000), min_size=1, max_size=40)
+        ):
+            rows.append((u, t, eid))
+            eid += 1
+    cap_units = draw(st.integers(1, 5))
+    cost = draw(st.integers(1, 2_000))
+    return rows, cost * cap_units, cost
+
+
+@given(rate_limit_case())
+@settings(**SETTINGS)
+def test_token_bucket_fold_matches_python(spark, case):
+    from pyspark.sql import functions as F
+
+    rows, cap, cost = case
+    df = spark.createDataFrame(rows, "u long, t long, eid long")
+    arr = (
+        df.select("u", F.struct("t", "eid").alias("o"))
+        .groupBy("u")
+        .agg(F.array_sort(F.collect_list("o")).alias("oa"))
+        .select("u", F.expr("transform(oa, x -> x.t)").alias("a"))
+    )
+    init = (
+        f"named_struct('prev', CAST(-1 AS BIGINT), "
+        f"'budget', CAST({cap} AS BIGINT), "
+        f"'allowed', CAST(0 AS BIGINT), 'rejected', CAST(0 AS BIGINT))"
+    )
+    refill = (
+        f"least(CAST({cap} AS BIGINT), acc.budget + "
+        f"CASE WHEN acc.prev < 0 THEN CAST(0 AS BIGINT) ELSE x - acc.prev END)"
+    )
+    fold = f"""
+        aggregate(a, {init}, (acc, x) -> CASE
+            WHEN {refill} >= {cost}
+            THEN named_struct('prev', x, 'budget', {refill} - {cost},
+                              'allowed', acc.allowed + CAST(1 AS BIGINT),
+                              'rejected', acc.rejected)
+            ELSE named_struct('prev', x, 'budget', {refill},
+                              'allowed', acc.allowed,
+                              'rejected', acc.rejected + CAST(1 AS BIGINT))
+            END)
+    """
+    got = {
+        r["u"]: (r["al"], r["rj"], r["b"])
+        for r in arr.select(
+            "u",
+            F.expr(fold + ".allowed").alias("al"),
+            F.expr(fold + ".rejected").alias("rj"),
+            F.expr(fold + ".budget").alias("b"),
+        ).collect()
+    }
+    # pure-Python replay over the identically-sorted sequence
+    per_user: dict[int, list[int]] = {}
+    for u, t, _ in rows:
+        per_user.setdefault(u, []).append(t)
+    for u, ts in per_user.items():
+        ts.sort()
+        prev, budget, a, rj = -1, cap, 0, 0
+        for t in ts:
+            budget = min(cap, budget + (0 if prev < 0 else t - prev))
+            if budget >= cost:
+                a, budget = a + 1, budget - cost
+            else:
+                rj += 1
+            prev = t
+        assert got[u] == (a, rj, budget), (u, got[u], (a, rj, budget))
+
+
+# --------------------------------------------------------------------------
+# changelog compaction (max-of-struct latest record) vs a dict replay
+# --------------------------------------------------------------------------
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),        # key
+            st.integers(0, 50),       # version ts
+            st.booleans(),            # is delete
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_changelog_compaction_matches_dict(spark, changes):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (k, t, i, "D" if d else "U") for i, (k, t, d) in enumerate(changes)
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, seq long, op string")
+    got = {
+        r["k"]: (r["last_op"], r["n"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.struct("t", "seq", "op")).alias("m"),
+        )
+        .select("k", F.col("m.op").alias("last_op"), "n")
+        .collect()
+    }
+    latest: dict[int, tuple[int, int, str]] = {}
+    counts: dict[int, int] = {}
+    for k, t, seq, op in rows:
+        counts[k] = counts.get(k, 0) + 1
+        if k not in latest or (t, seq) > latest[k][:2]:
+            latest[k] = (t, seq, op)
+    for k in counts:
+        assert got[k] == (latest[k][2], counts[k])

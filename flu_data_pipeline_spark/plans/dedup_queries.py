@@ -1172,3 +1172,114 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("jac_bucket")
     )
+
+
+_SWEEP_THRESHOLDS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH shingled AS (
+        SELECT doc_id, {hash64_sql('shingle')} AS sh
+        FROM (
+            SELECT doc_id, unnest({_SHINGLES_SQL.format(n=3)}) AS shingle
+            FROM documents
+        )
+        GROUP BY doc_id, sh
+    ), sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingled GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), jac AS (
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS j
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+    ), swept AS (
+        SELECT t.t, jac.doc_a, jac.doc_b
+        FROM jac JOIN (SELECT unnest(ARRAY[{", ".join(map(str, _SWEEP_THRESHOLDS))}]) AS t) t
+          ON jac.j >= t.t
+    )
+    SELECT t AS threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs_involved
+    FROM (
+        SELECT t, doc_a AS d FROM swept
+        UNION ALL
+        SELECT t, doc_b FROM swept
+    )
+    GROUP BY t
+    ORDER BY t
+    """,
+    doc="Dedup-threshold sensitivity sweep: from ONE inverted-index pair "
+    "computation, how many near-dup pairs and affected documents exist "
+    "at every Jaccard cutoff 0.1..0.9 — the curve a data curator reads "
+    "before committing to a threshold (too low: melts distinct docs "
+    "together; too high: misses templated boilerplate). The pair frame "
+    "is computed once and checkpointed (bucket-bounded inverted-index "
+    "join, never all-pairs); the 9-way threshold fan-out explodes "
+    "bounded pair rows, not documents. n_pairs counts doc-id slots "
+    "(2x pairs), matching the doc-impact reading.",
+    tags=("dedup", "eval", "A8", "A10"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = (
+        docs.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .select("doc_id", tokenize(F.col("text")).alias("tokens"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    shingles_from_tokens(F.col("tokens"), 3), lambda s: hash64(s)
+                )
+            ).alias("sh_arr"),
+        )
+        .select(
+            "doc_id",
+            F.size("sh_arr").alias("n_shingles"),
+            F.explode("sh_arr").alias("sh"),
+        )
+    )
+    a, b = shingled.alias("a"), shingled.alias("b")
+    jac_col = F.col("c").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("c")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.n_shingles").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("doc_a", "doc_b", jac_col.alias("j"))
+        .localCheckpoint(eager=True)
+    )
+    thresholds = F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS])
+    swept = pairs.select(
+        F.explode(F.filter(thresholds, lambda t: F.col("j") >= t)).alias("t"),
+        "doc_a",
+        "doc_b",
+    )
+    slots = swept.select("t", F.col("doc_a").alias("d")).unionAll(
+        swept.select("t", F.col("doc_b").alias("d"))
+    )
+    return (
+        slots.groupBy(F.col("t").alias("threshold"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("d").alias("n_docs_involved"),
+        )
+        .orderBy("threshold")
+    )

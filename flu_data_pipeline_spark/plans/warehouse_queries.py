@@ -1568,3 +1568,94 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy(F.desc("composite_z"), "suppkey")
     )
+
+
+@register(
+    "revenue_change_contribution",
+    oracle="""
+    WITH cell AS (
+        SELECT n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+               SUM(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE EXTRACT(YEAR FROM o_orderdate) IN (1997, 1998)
+        GROUP BY 1, 2
+    ), wide AS (
+        SELECT nation,
+               COALESCE(MAX(CASE WHEN yr = 1997 THEN rev END), 0) AS rev_a,
+               COALESCE(MAX(CASE WHEN yr = 1998 THEN rev END), 0) AS rev_b
+        FROM cell GROUP BY nation
+    ), tot AS (
+        SELECT SUM(rev_b - rev_a) AS delta_total FROM wide
+    )
+    SELECT nation,
+           ROUND(rev_a, 2) AS rev_a,
+           ROUND(rev_b, 2) AS rev_b,
+           ROUND(rev_b - rev_a, 2) AS delta,
+           ROUND((rev_b - rev_a) / tot.delta_total, 6) AS contribution
+    FROM wide CROSS JOIN tot
+    ORDER BY abs(rev_b - rev_a) DESC, nation
+    """,
+    doc="Metric-movement root cause: which customer nations drive the "
+    "1997->1998 revenue change. Per-cell revenue pivots to (before, "
+    "after), per-cell delta normalizes by the total delta (1-row "
+    "broadcast) and ranks by absolute impact — the top-down "
+    "contribution decomposition behind every 'why did the number move' "
+    "dashboard drill. One fact aggregation feeds everything; the year "
+    "filter pushes into the orders scan. Contributions sum to 1 by "
+    "construction, so the result is self-auditing.",
+    tags=("warehouse", "A7", "A10", "J6", "O3"),
+)
+def revenue_change_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year(F.col("o_orderdate").cast("date")).alias("yr")
+    ).filter(F.col("yr").isin(1997, 1998))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    cell = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # customer scales with the fact — shuffle-join it (AQE may still
+        # upgrade under the threshold locally); only nation broadcasts
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("nation", "yr")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            )
+        )
+    )
+    wide = cell.groupBy("nation").agg(
+        F.coalesce(
+            F.max(F.when(F.col("yr") == 1997, F.col("rev"))), F.lit(0.0)
+        ).alias("rev_a"),
+        F.coalesce(
+            F.max(F.when(F.col("yr") == 1998, F.col("rev"))), F.lit(0.0)
+        ).alias("rev_b"),
+    )
+    tot = wide.agg(
+        F.sum(F.col("rev_b") - F.col("rev_a")).alias("delta_total")
+    )
+    return (
+        wide.crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            F.round("rev_a", 2).alias("rev_a"),
+            F.round("rev_b", 2).alias("rev_b"),
+            F.round(F.col("rev_b") - F.col("rev_a"), 2).alias("delta"),
+            F.round(
+                (F.col("rev_b") - F.col("rev_a")) / F.col("delta_total"), 6
+            ).alias("contribution"),
+        )
+        .orderBy(F.abs(F.col("rev_b") - F.col("rev_a")).desc(), "nation")
+    )

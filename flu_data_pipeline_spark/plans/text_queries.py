@@ -2055,3 +2055,73 @@ def text_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("passes_repetition"),
     )
+
+
+@register(
+    "text_term_burstiness",
+    oracle=f"""
+    WITH counts AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents)
+        GROUP BY doc_id, term
+    ), ndocs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ), term_stats AS (
+        SELECT term,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(c) AS BIGINT) AS tf,
+               CAST(SUM(c * c) AS BIGINT) AS tf2
+        FROM counts GROUP BY term
+    )
+    SELECT term, df, tf,
+           ROUND(CAST(tf AS DOUBLE) / df, 6) AS mean_in_docs,
+           ROUND((CAST(tf2 AS DOUBLE) / ndocs.n
+                  - (CAST(tf AS DOUBLE) / ndocs.n)
+                    * (CAST(tf AS DOUBLE) / ndocs.n))
+                 / (CAST(tf AS DOUBLE) / ndocs.n), 6) AS burstiness_vmr
+    FROM term_stats CROSS JOIN ndocs
+    WHERE tf >= 50
+    ORDER BY burstiness_vmr DESC, term
+    LIMIT 30
+    """,
+    doc="Term burstiness (Church-Gale): variance-to-mean ratio of a "
+    "term's per-document count across the corpus (zeros included via "
+    "the moment identities — no dense doc x term matrix ever exists). "
+    "VMR ~ 1 means Poisson scatter (function words); VMR >> 1 means "
+    "the term clumps into few documents (topical/boilerplate) — the "
+    "signal separating content terms from glue in quality filtering "
+    "and stopword induction. All moments are exact integer sums "
+    "(map-side combine on (doc, term) then term); the single division "
+    "happens once at the end against the 1-row doc count broadcast.",
+    tags=("text", "stats", "A7", "A11"),
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ndocs = docs.agg(F.count(F.lit(1)).alias("n"))
+    term_stats = counts.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").cast("long").alias("tf"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("tf2"),
+    )
+    mean_all = F.col("tf").cast("double") / F.col("n")
+    vmr = (F.col("tf2").cast("double") / F.col("n") - mean_all * mean_all) / mean_all
+    return (
+        term_stats.filter(F.col("tf") >= 50)
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "term",
+            "df",
+            "tf",
+            F.round(F.col("tf").cast("double") / F.col("df"), 6).alias(
+                "mean_in_docs"
+            ),
+            F.round(vmr, 6).alias("burstiness_vmr"),
+        )
+        .orderBy(F.desc("burstiness_vmr"), "term")
+        .limit(30)
+    )

@@ -110,7 +110,78 @@ BNLJ_AUDITED = {
     "survival_logrank_test",  # (a) 1-row cohort totals
     "trimmed_mean_exact",    # (a) 1-row n/k totals
     "ts_acf_lags",           # (a) 1-row global moments
+    # round-3 additions — both (a) 1-row-aggregate broadcasts:
+    "revenue_change_contribution",  # (a) 1-row delta_total
+    "text_term_burstiness",  # (a) 1-row corpus doc count
 }
+
+
+#: Audited single-partition-window sites: queries whose plan contains a
+#: Window fed by Exchange SinglePartition. Legitimate ONLY when the
+#: windowed frame is provably bounded BEFORE the exchange: (d) an
+#: already-aggregated group/bucket/day/cell frame (cardinality = groups,
+#: not rows); (e) a distinct-VALUE frame for two-stage ranking (window
+#: over value cardinality; the fact joins the rank map back); (f) a
+#: fixture-bounded dim the SURVEY W1 ban explicitly excepts (39-row flu
+#: dims); (g) a documented small-data-only form whose scale replacement
+#: is named in the docstring (ntile -> percentile edges). A new query
+#: tripping this check lands in REVIEW until audited here.
+SPW_AUDITED = {
+    "abc_xyz_matrix",            # (d) per-(part,month) cells
+    "ann_mrr_eval",              # (d) 5-query result lists
+    "conformal_interval_coverage",  # (e) distinct residual ranks
+    "conversion_latency_quantiles",  # (e) distinct latency values
+    "corpus_mix_stats",          # (d) lang x source cells
+    "corpus_temperature_mix",    # (d) per-source rows
+    "curation_quantile_normalize",  # (e) distinct score ranks
+    "customer_rfm_segments",     # (e) distinct RFM component values
+    "eval_auc_purchase",         # (e) distinct score prefix sums
+    "eval_calibration_bins",     # (d) 10 calibration bins
+    "eval_pr_curve_purchase",    # (e) distinct score prefix sums
+    "events_daily_pct_change",   # (d) per-day rollup
+    "events_disorder_audit",     # (d) per-lateness-bucket rows
+    "events_survival_km",        # (d) distinct event-day rows
+    "flu_county_region",         # (f) 39-row county dim (W1 exception)
+    "flu_healthcare",            # (f) 39-row county frame
+    "flu_illness",               # (f) 39-county x week frame
+    "flu_pipeline_reconciliation",  # (f) per-table count rows
+    "flu_report_healthcare_impact",  # (f) 39-row report
+    "flu_report_weekly_trends",  # (f) week-grain report rows
+    "ks_two_sample",             # (e) distinct value prefix sums
+    "mannwhitney_rank_sum",      # (e) bucket offsets (module doc)
+    "median_exact_twopass",      # (d) 2^16-cent bucket counts
+    "multimodal_bytes_shard_pack",  # (d) chunk-count offset rows
+    "ntile_equidepth",           # (g) doc names percentile-edge form
+    "poisson_bootstrap_se",      # (d) per-replicate aggregates
+    "quantile_histogram_sketch",  # (d) 256 merged bins
+    "sampling_neyman_allocation",  # (d) per-stratum rows
+    "sessions_peak_concurrency",  # (d) per-second delta rollup
+    "skew_salted_dim_join",      # (f) 5-row event-type dim
+    "skyline_price_size",        # (e) distinct price dominance scan
+    "spearman_rho_ranks",        # (e) bucket offsets (module doc)
+    "stump_best_split",          # (e) distinct split-point prefix sums
+    "surrogate_key_by_name",     # (f) bounded dim (W1 exception)
+    "survival_logrank_test",     # (d) distinct event-time rows
+    "text_oov_rate_by_source",   # (d) per-source rows
+    "text_zipf_fit",             # (e) distinct term ranks (top slice)
+    "trimmed_mean_exact",        # (e) distinct value prefix sums
+    "ts_acf_lags",               # (d) per-day series + lag enum
+    "ts_rolling_slope",          # (d) per-day series
+    "vocab_coverage_cutoff",     # (e) distinct term-frequency ranks
+    "weekly_backlog_curve",      # (d) per-week rollup
+}
+
+
+def find_sp_windows(plan: str) -> bool:
+    """True when a Window consumes an Exchange SinglePartition within a
+    few plan lines — the single-partition-sort shape that melts at
+    100 TB unless the input is a bounded aggregate."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            if "Window" in "\n".join(lines[max(0, i - 4):i]):
+                return True
+    return False
 
 
 def main() -> int:
@@ -141,10 +212,17 @@ def main() -> int:
         for marker in INFO:
             if marker in plan:
                 info_hits.append((name, marker))
+        if find_sp_windows(plan):
+            info_hits.append((name, "single-partition Window"))
 
-    review = [(n, m) for n, m in info_hits if n not in BNLJ_AUDITED]
+    def _audited(n, m):
+        return n in (
+            SPW_AUDITED if m == "single-partition Window" else BNLJ_AUDITED
+        )
+
+    review = [(n, m) for n, m in info_hits if not _audited(n, m)]
     for name, marker in info_hits:
-        flag = "REVIEW" if name not in BNLJ_AUDITED else "audited"
+        flag = "audited" if _audited(name, marker) else "REVIEW"
         print(f"info [{flag}] {name}: {marker}")
     for name, marker in hard_hits:
         print(f"HARD {name}: {marker}")

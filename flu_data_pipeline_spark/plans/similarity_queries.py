@@ -2238,3 +2238,189 @@ def embedding_top_pc_power_iteration(
         "dim int, pc1_component double, eigval_est double",
     )
     return out.orderBy("dim")
+
+
+_NPROBES = (1, 2, 4)
+
+
+def _nprobe_sweep_oracle() -> str:
+    per = []
+    finals = []
+    for p in _NPROBES:
+        per.append(f"""
+    probes{p} AS (
+        SELECT e.vec_id AS query_id, e.embedding AS q_emb,
+               c.cluster AS probe_cluster
+        FROM embeddings e CROSS JOIN c{_KMEANS_ITERS} c
+        WHERE e.vec_id >= 100 AND e.vec_id < 105
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY {_SQDIST_IVF_SQL.format(v='e.embedding', c='c.c')}, c.cluster
+        ) <= {p}
+    ),
+    cand{p} AS (
+        SELECT p.query_id, m.vec_id AS neighbor_id,
+               {_cos_sql('p.q_emb', 'm.embedding')} AS cos_raw
+        FROM probes{p} p
+        JOIN emb m ON m.cluster_id = p.probe_cluster
+                  AND m.vec_id <> p.query_id
+    ),
+    approx{p} AS (
+        SELECT query_id, neighbor_id FROM cand{p}
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+        ) <= 3
+    ),
+    ncand{p} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cand{p})""")
+        finals.append(f"""
+    SELECT {p} AS nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_truth_slots,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS recall_at_3,
+           (SELECT n FROM ncand{p}) AS n_candidates
+    FROM brute b
+    LEFT JOIN approx{p} a
+      ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id""")
+    return (
+        kmeans_oracle_sql(
+            "embeddings", "embedding", "vec_id",
+            k=_KMEANS_K, iters=_KMEANS_ITERS + 1,
+        )
+        + f""",
+    emb AS (
+        SELECT e.vec_id, e.embedding, a.cluster AS cluster_id
+        FROM embeddings e JOIN asg{_KMEANS_ITERS + 1} a ON a.id = e.vec_id
+    ),"""
+        + ",".join(per)
+        + f""",
+    brute AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id >= 100 AND q.vec_id < 105
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC, c.vec_id
+        ) <= 3
+    )
+    """
+        + " UNION ALL ".join(finals)
+        + "\n    ORDER BY nprobe"
+    )
+
+
+@register(
+    "ann_nprobe_sweep",
+    oracle=_nprobe_sweep_oracle(),
+    doc=f"The nprobe tuning curve for trained-IVF ANN: recall@3 against "
+    f"exact brute-force truth AND candidate volume (the cost axis) at "
+    f"nprobe = {_NPROBES} from ONE trained quantizer — the table that "
+    "picks the probe count before deployment, the similarity-side "
+    "analogue of dedup_threshold_sweep. Assignments are computed once "
+    "and checkpointed; each probe level re-joins the same inverted "
+    "lists (fan-out = nprobe x list size, the quantity being measured). "
+    "Training, search, and truth all replay exactly in unrolled SQL on "
+    "both engines.",
+    tags=("similarity", "ivf", "quality", "eval"),
+)
+def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.operators.clustering import centroid_df, sqdist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, "embedding", "vec_id", k=_KMEANS_K, iters=_KMEANS_ITERS)
+    assigned = (
+        assign_best(emb, "embedding", "vec_id", cents)
+        .select("vec_id", "cluster")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select("vec_id", "embedding", F.col("cluster").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    cdf = centroid_df(spark, cents)
+    queries = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    wb = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    brute = (
+        F.broadcast(queries)
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_emb"),
+            ),
+            F.col("query_id") != F.col("neighbor_id"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.asc("cdist"), F.asc("cluster")
+    )
+    ranked_probes = (
+        queries.join(F.broadcast(cdf))
+        .select(
+            "query_id",
+            "q_emb",
+            "cluster",
+            sqdist(F.col("q_emb"), F.col("c")).alias("cdist"),
+        )
+        .withColumn("prn", F.row_number().over(wprobe))
+    )
+    out = None
+    for p in _NPROBES:
+        probes = ranked_probes.filter(F.col("prn") <= p).select(
+            "query_id", "q_emb", F.col("cluster").alias("probe_cluster")
+        )
+        cand = F.broadcast(probes).join(
+            assigned,
+            (F.col("cluster_id") == F.col("probe_cluster"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        scored = cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_raw"),
+        ).localCheckpoint(eager=True)
+        ncand = scored.agg(F.count(F.lit(1)).alias("n_candidates"))
+        wtop = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_raw"), F.asc("neighbor_id")
+        )
+        approx = (
+            scored.withColumn("rn", F.row_number().over(wtop))
+            .filter(F.col("rn") <= 3)
+            .select(
+                F.col("query_id").alias("a_qid"),
+                F.col("neighbor_id").alias("a_nid"),
+            )
+        )
+        hit = F.col("a_nid").isNotNull()
+        row = (
+            brute.join(
+                approx,
+                (F.col("query_id") == F.col("a_qid"))
+                & (F.col("neighbor_id") == F.col("a_nid")),
+                "left",
+            )
+            .agg(
+                F.lit(p).alias("nprobe"),
+                F.count(F.lit(1)).alias("n_truth_slots"),
+                F.sum(hit.cast("int")).cast("long").alias("n_hit"),
+                F.round(
+                    F.sum(hit.cast("int")).cast("double") / F.count(F.lit(1)),
+                    6,
+                ).alias("recall_at_3"),
+            )
+            .crossJoin(F.broadcast(ncand))
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("nprobe")

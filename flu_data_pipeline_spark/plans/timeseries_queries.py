@@ -1438,3 +1438,124 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_XC_BRAND_A = "Brand#4"
+_XC_BRAND_B = "Brand#2"
+_XC_LAGS = list(range(-4, 5))
+
+
+@register(
+    "ts_cross_correlation",
+    oracle=f"""
+    WITH weekly AS (
+        SELECT p.p_brand AS brand,
+               CAST(epoch(CAST(o.o_orderdate AS DATE)) AS BIGINT)
+                   // 604800 AS wk,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE p.p_brand IN ('{_XC_BRAND_A}', '{_XC_BRAND_B}')
+        GROUP BY 1, 2
+    ), a AS (SELECT wk, rev_c FROM weekly WHERE brand = '{_XC_BRAND_A}'),
+    b AS (SELECT wk, rev_c FROM weekly WHERE brand = '{_XC_BRAND_B}'),
+    lags AS (SELECT unnest(ARRAY[{", ".join(map(str, _XC_LAGS))}]) AS lag),
+    aligned AS (
+        SELECT lg.lag, a.rev_c AS x, b.rev_c AS y
+        FROM lags lg
+        JOIN a ON TRUE
+        JOIN b ON b.wk = a.wk + lg.lag
+    ), moments AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38, 0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38, 0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(38, 0))
+                        * CAST(y AS DECIMAL(38, 0))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x AS DECIMAL(38, 0))
+                        * CAST(x AS DECIMAL(38, 0))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(38, 0))
+                        * CAST(y AS DECIMAL(38, 0))) AS DOUBLE) AS syy
+        FROM aligned GROUP BY lag
+    )
+    SELECT lag, n,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS xcorr
+    FROM moments
+    ORDER BY lag
+    """,
+    doc=f"Lagged cross-correlation between two weekly revenue series "
+    f"({_XC_BRAND_A} vs {_XC_BRAND_B}): Pearson r at lags -4..+4 weeks — "
+    "the lead/lag detector behind cannibalization and demand-transfer "
+    "analysis (a peak off lag 0 means one series anticipates the "
+    "other). Weeks index as integer epoch-days//7, alignment is an "
+    "equi-join on (week + lag), and all five moments accumulate as "
+    "exact integer-cent DECIMALs before ONE double conversion — the "
+    "stats_corr_covar exactness pattern extended across series and "
+    "lags. Series are week-cardinality aggregates, so the lag fan-out "
+    "is bounded by |weeks| x |lags|, independent of fact size.",
+    tags=("timeseries", "stats", "A7", "A11"),
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    weekly = (
+        li.join(
+            F.broadcast(
+                part.filter(F.col("p_brand").isin(_XC_BRAND_A, _XC_BRAND_B))
+            ),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "p_brand",
+            (
+                F.unix_timestamp(F.col("o_orderdate").cast("date")).cast("long")
+                / 604800
+            )
+            .cast("long")
+            .alias("wk"),
+            cents.alias("c"),
+        )
+        .groupBy("p_brand", "wk")
+        .agg(F.sum("c").cast("long").alias("rev_c"))
+    )
+    a = weekly.filter(F.col("p_brand") == _XC_BRAND_A).select(
+        F.col("wk").alias("a_wk"), F.col("rev_c").alias("x")
+    )
+    b = weekly.filter(F.col("p_brand") == _XC_BRAND_B).select(
+        F.col("wk").alias("b_wk"), F.col("rev_c").alias("y")
+    )
+    lags = spark.range(len(_XC_LAGS)).select(
+        (F.col("id") + _XC_LAGS[0]).cast("int").alias("lag")
+    )
+    aligned = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b_wk") == F.col("a_wk") + F.col("lag"))
+        .select("lag", F.col("x").cast("decimal(38,0)").alias("xd"),
+                F.col("y").cast("decimal(38,0)").alias("yd"))
+    )
+    m = aligned.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xd").cast("double").alias("sx"),
+        F.sum("yd").cast("double").alias("sy"),
+        F.sum(F.col("xd") * F.col("yd")).cast("double").alias("sxy"),
+        F.sum(F.col("xd") * F.col("xd")).cast("double").alias("sxx"),
+        F.sum(F.col("yd") * F.col("yd")).cast("double").alias("syy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select("lag", "n", F.round(r, 6).alias("xcorr")).orderBy("lag")

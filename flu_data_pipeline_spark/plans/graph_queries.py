@@ -866,3 +866,58 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "term")
         .limit(_TR_TOPK)
     )
+
+
+@register(
+    "graph_degree_powerlaw",
+    oracle="WITH "
+    + _COSUPPLY_EDGES_SQL
+    + """,
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY node
+    ), dist AS (
+        SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY degree
+    ), pts AS (
+        SELECT ln(CAST(degree AS DOUBLE)) AS lx,
+               ln(CAST(n_nodes AS DOUBLE)) AS ly
+        FROM dist WHERE degree >= 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(regr_slope(ly, lx), 6) AS powerlaw_exponent,
+           ROUND(regr_intercept(ly, lx), 6) AS log_c0,
+           ROUND(corr(ly, lx) * corr(ly, lx), 6) AS r_squared
+    FROM pts
+    """,
+    doc="Degree-distribution power-law fit over the co-supply graph: OLS "
+    "of log(node count) on log(degree) — scale-free networks land near "
+    "a straight line (exponent ~ -2..-3), while the r-squared flags "
+    "whether a hub-aware strategy (salting PageRank's hot nodes, "
+    "degree-capped sampling) is worth it for THIS graph. Same "
+    "cross-engine regression machinery as text_zipf_fit, applied to the "
+    "graph domain; the fit runs over distinct-degree cardinality rows, "
+    "so the only graph-sized work is the degree count itself (one "
+    "shuffle over the edge endpoints).",
+    tags=("graph", "stats", "A7", "A11"),
+)
+def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _cosupply_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    dist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    pts = dist.filter(F.col("degree") >= 1).select(
+        F.log(F.col("degree").cast("double")).alias("lx"),
+        F.log(F.col("n_nodes").cast("double")).alias("ly"),
+    )
+    return pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.round(F.regr_slope("ly", "lx"), 6).alias("powerlaw_exponent"),
+        F.round(F.regr_intercept("ly", "lx"), 6).alias("log_c0"),
+        F.round(F.corr("ly", "lx") * F.corr("ly", "lx"), 6).alias("r_squared"),
+    )

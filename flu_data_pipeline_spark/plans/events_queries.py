@@ -1469,3 +1469,84 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_BOT_MIN_EVENTS = 20
+_BOT_CV_CUTOFF = 0.3
+
+
+@register(
+    "events_bot_regularity",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS g
+        FROM events
+    ), moments AS (
+        SELECT user_id,
+               CAST(COUNT(g) AS BIGINT) AS n_gaps,
+               CAST(SUM(CAST(g AS DECIMAL(38, 0))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(g AS DECIMAL(38, 0))
+                        * CAST(g AS DECIMAL(38, 0))) AS DOUBLE) AS s2
+        FROM gaps WHERE g IS NOT NULL
+        GROUP BY user_id
+        HAVING COUNT(g) >= {_BOT_MIN_EVENTS}
+    )
+    SELECT user_id, n_gaps,
+           s1 / n_gaps / 1e6 AS mean_gap_s,
+           sqrt(GREATEST(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps),
+                         0)) / (s1 / n_gaps) AS gap_cv,
+           CAST(sqrt(GREATEST(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps),
+                              0)) / (s1 / n_gaps) < {_BOT_CV_CUTOFF}
+                AS INT) AS bot_like
+    FROM moments
+    ORDER BY user_id
+    """,
+    doc=f"Bot-likeness from inter-arrival regularity: per user (>= "
+    f"{_BOT_MIN_EVENTS} gaps), the coefficient of variation of the gaps "
+    f"between consecutive events — humans are bursty (CV near or above "
+    f"1, exponential-ish), schedulers are metronomes (CV < "
+    f"{_BOT_CV_CUTOFF} flags). The per-user lag window sorts once per "
+    "user; gap moments accumulate as exact integer-µs DECIMALs so mean/"
+    "std/CV come from one double conversion. Complements "
+    "ts_interarrival_ks (corpus-level exponentiality) with a per-entity "
+    "actionable flag — the traffic-quality filter ad pipelines run "
+    "before attribution.",
+    tags=("events", "dq", "A11", "W1"),
+)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("tsu"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    gaps = ev.select(
+        "user_id", (F.col("tsu") - F.lag("tsu").over(w)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    gd = F.col("g").cast("decimal(38,0)")
+    m = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("g").alias("n_gaps"),
+            F.sum(gd).cast("double").alias("s1"),
+            F.sum(gd * gd).cast("double").alias("s2"),
+        )
+        .filter(F.col("n_gaps") >= _BOT_MIN_EVENTS)
+    )
+    mean = F.col("s1") / F.col("n_gaps")
+    var = F.greatest(F.col("s2") / F.col("n_gaps") - mean * mean, F.lit(0.0))
+    cv = F.sqrt(var) / mean
+    return m.select(
+        "user_id",
+        "n_gaps",
+        # RAW doubles on purpose: inputs are exact integer DECIMALs, so
+        # both engines compute bit-identical values — ROUND(x, 6) itself
+        # diverges at representation boundaries (verify SKILL gotcha;
+        # observed on mean_gap_s at sf0.1). The harness canonicalizes.
+        (mean / 1e6).alias("mean_gap_s"),
+        cv.alias("gap_cv"),
+        (cv < _BOT_CV_CUTOFF).cast("int").alias("bot_like"),
+    ).orderBy("user_id")

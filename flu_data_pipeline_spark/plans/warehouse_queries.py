@@ -1659,3 +1659,82 @@ def revenue_change_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.abs(F.col("rev_b") - F.col("rev_a")).desc(), "nation")
     )
+
+
+_UVI_BASE_YEAR = 1995
+
+
+@register(
+    "pricing_unit_value_index",
+    oracle=f"""
+    WITH cell AS (
+        SELECT p.p_brand AS brand,
+               CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS yr,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ), based AS (
+        SELECT brand,
+               CAST(cents AS DOUBLE) / qty AS uv_base
+        FROM cell WHERE yr = {_UVI_BASE_YEAR}
+    )
+    SELECT c.brand, c.yr, c.n_items,
+           CAST(c.cents AS DOUBLE) / c.qty / 100.0 AS unit_value,
+           (CAST(c.cents AS DOUBLE) / c.qty) / b.uv_base AS price_index
+    FROM cell c JOIN based b ON c.brand = b.brand
+    ORDER BY c.brand, c.yr
+    """,
+    doc=f"Unit-value price index per brand and year against the "
+    f"{_UVI_BASE_YEAR} base: (revenue/quantity)_t over "
+    "(revenue/quantity)_base — the division-free-until-the-end index "
+    "formulation (no per-part price averaging, so no float-sum-order "
+    "exposure: cents and quantities accumulate as exact integers and "
+    "exactly TWO double divisions produce each row). The inflation/"
+    "mix-shift monitor a pricing team tracks per product line; doubles "
+    "ship raw since both engines derive them from identical integers. "
+    "One fact aggregation keyed (brand, year); the base-year slice "
+    "joins back brand-keyed (25 brands — broadcast).",
+    tags=("warehouse", "pricing", "A7", "A10", "F9"),
+)
+def pricing_unit_value_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+    )
+    cell = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("p_brand").alias("brand"), "yr")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    based = cell.filter(F.col("yr") == _UVI_BASE_YEAR).select(
+        F.col("brand").alias("b_brand"),
+        (F.col("cents").cast("double") / F.col("qty")).alias("uv_base"),
+    )
+    uv = F.col("cents").cast("double") / F.col("qty")
+    return (
+        cell.join(F.broadcast(based), F.col("brand") == F.col("b_brand"))
+        .select(
+            "brand",
+            "yr",
+            "n_items",
+            (uv / 100.0).alias("unit_value"),
+            (uv / F.col("uv_base")).alias("price_index"),
+        )
+        .orderBy("brand", "yr")
+    )

@@ -2125,3 +2125,104 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("burstiness_vmr"), "term")
         .limit(30)
     )
+
+
+@register(
+    "text_heaps_law_fit",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ), doc_tokens AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks
+        FROM toks GROUP BY doc_id
+    ), first_seen AS (
+        SELECT term, MIN(doc_id) AS first_doc FROM toks GROUP BY term
+    ), new_terms AS (
+        SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM first_seen GROUP BY first_doc
+    ), curve AS (
+        SELECT d.doc_id,
+               SUM(d.n_toks) OVER (ORDER BY d.doc_id) AS cum_tokens,
+               SUM(COALESCE(nt.n_new, 0)) OVER (ORDER BY d.doc_id)
+                   AS cum_vocab
+        FROM doc_tokens d LEFT JOIN new_terms nt ON nt.doc_id = d.doc_id
+    ), pts AS (
+        SELECT ln(CAST(cum_tokens AS DOUBLE)) AS lx,
+               ln(CAST(cum_vocab AS DOUBLE)) AS ly
+        FROM curve WHERE cum_vocab > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(regr_slope(ly, lx), 6) AS heaps_beta,
+           ROUND(exp(regr_intercept(ly, lx)), 6) AS heaps_k,
+           ROUND(corr(ly, lx) * corr(ly, lx), 6) AS r_squared
+    FROM pts
+    """,
+    doc="Heaps'-law fit — vocabulary growth V(n) = K·n^beta over the "
+    "corpus in doc_id order, the companion diagnostic to text_zipf_fit "
+    "(natural text: beta ~ 0.4-0.6; duplicated or templated corpora "
+    "flatten early, OCR noise inflates beta toward 1). The growth curve "
+    "needs NO per-prefix distinct scans: each term contributes exactly "
+    "once at its FIRST document (min doc_id per term — one term-keyed "
+    "aggregate), so cumulative new-term counts over doc order ARE the "
+    "vocabulary curve. Cumulative windows run over doc-cardinality "
+    "rows; the regression is one scalar aggregate. Sizes tokenizer "
+    "vocab budgets and flags dedup-starved corpora before training.",
+    tags=("text", "llm", "stats", "A7", "A11"),
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    doc_tokens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    new_terms = (
+        toks.groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    # two-level running sums (the multimodal_bytes_shard_pack pattern):
+    # per-doc rows are data-sized at 100 TB, so a global ORDER BY window
+    # would single-partition them — cumsum within doc_id-range chunks
+    # plus broadcast per-chunk offsets instead
+    per_doc = (
+        doc_tokens.join(new_terms, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.expr("doc_id div 1024").alias("chunk"),
+        )
+    )
+    w_chunk_off = Window.orderBy("chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    chunk_off = (
+        per_doc.groupBy("chunk")
+        .agg(
+            F.sum("n_toks").alias("ct"), F.sum("n_new").alias("cv")
+        )
+        .select(
+            "chunk",
+            F.sum("ct").over(w_chunk_off).alias("off_t"),
+            F.sum("cv").over(w_chunk_off).alias("off_v"),
+        )
+        .na.fill({"off_t": 0, "off_v": 0})
+    )
+    w_intra = Window.partitionBy("chunk").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    curve = per_doc.join(F.broadcast(chunk_off), "chunk").select(
+        (F.col("off_t") + F.sum("n_toks").over(w_intra)).alias("cum_tokens"),
+        (F.col("off_v") + F.sum("n_new").over(w_intra)).alias("cum_vocab"),
+    )
+    pts = curve.filter(F.col("cum_vocab") > 0).select(
+        F.log(F.col("cum_tokens").cast("double")).alias("lx"),
+        F.log(F.col("cum_vocab").cast("double")).alias("ly"),
+    )
+    return pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.round(F.regr_slope("ly", "lx"), 6).alias("heaps_beta"),
+        F.round(F.exp(F.regr_intercept("ly", "lx")), 6).alias("heaps_k"),
+        F.round(F.corr("ly", "lx") * F.corr("ly", "lx"), 6).alias("r_squared"),
+    )

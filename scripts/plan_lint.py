@@ -110,9 +110,13 @@ BNLJ_AUDITED = {
     "survival_logrank_test",  # (a) 1-row cohort totals
     "trimmed_mean_exact",    # (a) 1-row n/k totals
     "ts_acf_lags",           # (a) 1-row global moments
-    # round-3 additions — both (a) 1-row-aggregate broadcasts:
+    # round-3 additions — all (a) 1-row-aggregate or (b) tiny-enum
+    # broadcasts:
     "revenue_change_contribution",  # (a) 1-row delta_total
     "text_term_burstiness",  # (a) 1-row corpus doc count
+    "ann_nprobe_sweep",      # (b) 5 query vectors + (a) 1-row cand counts
+    "graph_degree_powerlaw",  # (a) 1-row avg-shared edge cutoff
+    "ts_cross_correlation",  # (b) 9-row lag enum broadcast
 }
 
 
@@ -169,6 +173,8 @@ SPW_AUDITED = {
     "ts_rolling_slope",          # (d) per-day series
     "vocab_coverage_cutoff",     # (e) distinct term-frequency ranks
     "weekly_backlog_curve",      # (d) per-week rollup
+    "text_heaps_law_fit",        # (d) chunk-offset rows (1024x reduced;
+                                 #     recurse the level for more)
 }
 
 

@@ -10,8 +10,15 @@ Timing = full query execution into Spark's ``noop`` sink — every output
 column is materialized on the executors and discarded, nothing is
 collected to the driver. (A bare ``count()`` would let Catalyst prune
 unreferenced computed columns and under-report projection-heavy queries.)
-A warmup pass per query amortizes first-touch JIT/IO so the numbers
-reflect steady plan execution.
+Warmup policy (round 4): each query is warmed IMMEDIATELY before its
+timed best-of-3, not in a separate all-queries pass. With 41 queries of
+whole-stage-codegen classes in one JVM, an up-front global warmup lets
+later queries evict earlier queries' JIT-compiled code from the code
+cache, so the timed runs re-pay deopt/re-JIT (measured: 0.6 s query →
+1.4 s best-of-3 under the old policy, reproduced and bisected in round
+4). Grouping warmup+timing per query measures steady plan execution,
+which is what a real deployment of any single query sees. The session
+factory also raises ReservedCodeCacheSize to 1g (session.py).
 """
 
 from __future__ import annotations
@@ -40,12 +47,12 @@ def main() -> None:
         # transfer — count() would prune computed-but-unreferenced columns
         qd.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # warmup: trigger JVM/codegen/IO caches once
+    # Per-query: warmup immediately before the timed best-of-3 (see
+    # module docstring — a global warmup pass lets later queries evict
+    # earlier queries' JIT code, polluting the timed runs).
+    # best-of-3: single runs swing ±50% from JIT/GC noise at these sizes.
     for name, qd in bench_queries.items():
-        run(qd)
-
-    # best-of-3: single runs swing ±50% from JIT/GC noise at these sizes
-    for name, qd in bench_queries.items():
+        run(qd)  # warmup: JIT/codegen/IO caches for THIS query
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()

@@ -145,6 +145,15 @@ def get_spark(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
+        # Whole-stage codegen emits one compiled class per stage; a session
+        # that executes hundreds of distinct queries (the registry sweep,
+        # the 41-query bench) overflows the JVM's default 240 MB code
+        # cache, after which JIT-compiled query code is evicted and
+        # re-runs pay multi-second deopt/re-JIT penalties (measured 9 s
+        # on a 0.7 s query after a full bench warmup). Launch-time conf;
+        # ignored if the JVM already exists, which is fine — the engine
+        # still runs, just without the headroom.
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
     )
     if extra_conf:
         for k, v in extra_conf.items():

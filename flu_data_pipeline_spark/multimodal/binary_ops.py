@@ -285,9 +285,11 @@ def decode_stub_arrow(
                     "media decode requires codec libraries not present in "
                     "this environment; plug a real decoder in here"
                 )
-            tbl = batch.to_pydict()
-            metas = tbl["meta"]
-            ids = tbl[id_col]
+            # Box only the columns the stub reads — to_pydict() on the
+            # full batch would materialize every blob's bytes into
+            # Python objects, defeating the Arrow path's point.
+            metas = batch.column("meta").to_pylist()
+            ids = batch.column(id_col).to_pylist()
             feats = [
                 [
                     float(

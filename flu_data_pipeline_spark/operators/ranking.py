@@ -1,0 +1,124 @@
+"""Distributed exact global ranking / NTILE without a single-partition sort.
+
+A global ``NTILE(k) OVER (ORDER BY ...)`` compiles to ``Exchange
+SinglePartition`` + ``Window`` — every row through one task, the shape
+that melts first at 100 TB. This module provides the classic scalable
+replacement with IDENTICAL output semantics:
+
+1. ``repartitionByRange`` on the (tie-pinned, total) ordering — a range
+   shuffle, parallel, the same primitive a distributed sort uses;
+2. per-partition ``row_number`` over a window PARTITIONED by
+   ``spark_partition_id()`` (never a global window);
+3. per-partition row counts (one row per partition — tiny) turned into
+   cumulative offsets with a triangular broadcast self-join, so
+   ``global_rank = partition_offset + local_rank``;
+4. the exact SQL-standard NTILE bucket formula applied map-side:
+   with ``n`` rows and ``k`` buckets, the first ``n % k`` buckets get
+   ``n div k + 1`` rows, the rest ``n div k``.
+
+Because the range partitioner's bounds come from a *sampling job*, the
+ranked frame is ``localCheckpoint``-ed eagerly before the counts branch:
+the counts and the rank assignment must observe ONE materialization (two
+executions of the exchange could sample different bounds, misaligning
+offsets — same Catalyst non-reuse pitfall documented at
+plans/warehouse_queries.py brand_affinity_lift). On a real cluster the
+checkpoint is executor-local storage of the ranked frame, once.
+
+Reference anchor: the reference computes quantile-style scores only via
+pandas on single-node frames (dags/flu_data_airflow_v2.py keeps all
+scoring in driver pandas); this operator is the cluster-scale form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["global_rank", "global_ntile"]
+
+_PID = "__gn_pid"
+_LRANK = "__gn_lrank"
+_CNT = "__gn_cnt"
+_OFF = "__gn_off"
+_N = "__gn_n"
+_RANK = "__gn_rank"
+
+
+def global_rank(
+    df: DataFrame, order: list[Column], out_col: str = "rank"
+) -> DataFrame:
+    """Exact 1-based global row rank over a TOTAL order, no global sort.
+
+    ``order`` must pin a total order (include a unique tiebreaker
+    column); with ties unpinned the rank assignment is nondeterministic
+    across runs, exactly like ``row_number`` itself.
+
+    Output: ``df``'s columns plus ``out_col`` (bigint rank) and the
+    internal ``__gn_n`` total-count column (callers needing NTILE use
+    it; :func:`global_ntile` drops it).
+    """
+    d = df.repartitionByRange(*order).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    w = Window.partitionBy(_PID).orderBy(*order)
+    # Eager checkpoint: counts + rank must see ONE materialization of
+    # the range exchange (its partitioner bounds come from a sampling
+    # job; a second execution may sample different bounds).
+    d = d.withColumn(_LRANK, F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
+    counts = d.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT))
+    total = counts.agg(F.sum(_CNT).cast("bigint").alias(_N))
+    # Cumulative offsets over the per-partition counts: a triangular
+    # broadcast self-join on a frame with ONE ROW PER PARTITION (tiny at
+    # any data scale — cardinality is the shuffle partition count), not
+    # a single-partition window over data rows.
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(
+            F.broadcast(b), F.col(f"b.{_PID}") < F.col(f"a.{_PID}"), "left"
+        )
+        .groupBy(F.col(f"a.{_PID}").alias(_PID))
+        .agg(
+            F.coalesce(F.sum(f"b.{_CNT}"), F.lit(0))
+            .cast("bigint")
+            .alias(_OFF)
+        )
+    )
+    return (
+        d.join(F.broadcast(offsets), _PID)
+        .crossJoin(F.broadcast(total))
+        .withColumn(out_col, (F.col(_OFF) + F.col(_LRANK)).cast("bigint"))
+        .drop(_PID, _LRANK, _OFF)
+    )
+
+
+def global_ntile(
+    df: DataFrame, order: list[Column], n_buckets: int, out_col: str
+) -> DataFrame:
+    """Exact ``NTILE(n_buckets) OVER (ORDER BY order)`` — distributed.
+
+    Output values are bit-identical to the window function (and to
+    DuckDB's NTILE): with ``n`` rows, the first ``n % k`` buckets hold
+    ``n div k + 1`` rows, the remaining hold ``n div k``, assigned in
+    rank order. Integer arithmetic throughout (ceil-division via
+    ``(x + s - 1) DIV s``), so no float rounding can flip a boundary.
+    """
+    ranked = global_rank(df, order, _RANK)
+    base = F.floor(F.col(_N) / n_buckets).cast("bigint")
+    rem = (F.col(_N) % n_buckets).cast("bigint")
+    pivot = rem * (base + F.lit(1))
+    r = F.col(_RANK)
+    # ceil(x / s) as integer math; guard base == 0 (fewer rows than
+    # buckets → bucket = rank, which is what NTILE does).
+    big = (r + base) - ((r + base) % (base + F.lit(1)))
+    in_big = big / (base + F.lit(1))
+    small_num = (r - pivot + base - F.lit(1))
+    small = small_num - (small_num % F.greatest(base, F.lit(1)))
+    in_small = rem + small / F.greatest(base, F.lit(1))
+    bucket = (
+        F.when(base == F.lit(0), r)
+        .when(r <= pivot, in_big)
+        .otherwise(in_small)
+    )
+    return ranked.withColumn(out_col, bucket.cast("int")).drop(_RANK, _N)

@@ -499,7 +499,9 @@ def join_range_bin_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("w_start") + F.lit(_WIN_LEN_US)).alias("w_end"),
         )
     )
-    # explode each window onto every hour bucket it covers (<= 2 here)
+    # explode each window onto every hour bucket it covers — at most
+    # ceil(window/bucket) + 1 = 3 buckets for a 90-min window over
+    # 60-min buckets (F.sequence covers the actual bucket range)
     win_b = win.select(
         "day",
         "w_start",

@@ -1188,9 +1188,9 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("ship_month")
 
 
-@register(
-    "skyline_price_size",
-    oracle="""
+#: Skyline oracle — shared by skyline_price_size (global-window form)
+#: and skyline_price_size_scale (range-partitioned carry-in form).
+_SKYLINE_ORACLE = """
     WITH pts AS (
         SELECT p_partkey, p_name, p_size,
                CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS price_cents
@@ -1210,7 +1210,12 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE (best_cheaper_size IS NULL OR p_size > best_cheaper_size)
       AND p_size = best_same_price_size
     ORDER BY price_cents, p_partkey
-    """,
+    """
+
+
+@register(
+    "skyline_price_size",
+    oracle=_SKYLINE_ORACLE,
     doc="Skyline / Pareto-front preference query (minimize price, "
     "maximize size): a part is on the skyline iff no other part is "
     "both <= on price and >= on size with one strict — the classic "
@@ -1222,11 +1227,11 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "make 'strictly cheaper' ulp-dependent), and same-price points "
     "via a per-price partition max (equal price + larger size also "
     "dominates; exact duplicates survive together, having no strict "
-    "edge). Scale shape: one global range-partitioned sort (the "
-    "window), O(n) after it — at 100 TB compute per-partition "
-    "skylines after a range repartition on price, then skyline the "
-    "tiny union of partition skylines (skyline-of-skylines is "
-    "exact because dominance respects the price ordering).",
+    "edge). Scale shape: one GLOBAL range window — the "
+    "single-partition small-data form; skyline_price_size_scale is "
+    "the registered cluster-scale twin (range repartition on price, "
+    "per-partition running max, tiny per-partition carry-in "
+    "summaries merged via broadcast) with bit-identical output.",
     tags=("relational", "skyline", "O4", "W1"),
 )
 def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1247,6 +1252,126 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price_cents",
         F.max("p_size").over(w_cheaper).alias("best_cheaper_size"),
         F.max("p_size").over(w_same).alias("best_same_price_size"),
+    )
+    return (
+        ranked.filter(
+            (
+                F.col("best_cheaper_size").isNull()
+                | (F.col("p_size") > F.col("best_cheaper_size"))
+            )
+            & (F.col("p_size") == F.col("best_same_price_size"))
+        )
+        .select("p_partkey", "p_name", "p_size", "price_cents")
+        .orderBy("price_cents", "p_partkey")
+    )
+
+
+@register(
+    "skyline_price_size_scale",
+    oracle=_SKYLINE_ORACLE,
+    doc="Cluster-scale twin of skyline_price_size: the global RANGE "
+    "window (every part row through one sorting task) becomes a range "
+    "repartition on (price_cents, p_partkey) + a PER-PARTITION running "
+    "max, then the cross-partition 'strictly cheaper' maximum is "
+    "reconstructed exactly from a one-row-per-partition summary frame "
+    "(max price, max size, max size strictly below the partition's top "
+    "price), folded into per-partition carry-in scalars with two "
+    "triangular broadcast joins over that tiny frame. Exactness "
+    "argument: range partitioning guarantees every row of an earlier "
+    "partition has price <= the current row's price x, so its rows are "
+    "strictly cheaper iff (a) the whole partition's max price < x (use "
+    "its overall max size) or (b) its max price == x (use its "
+    "max-size-below-top, since prices are INTEGER cents). The "
+    "same-price dominance test is a hash-partitioned window on "
+    "price_cents, already scale-safe. Output is bit-identical to the "
+    "window form (shared oracle); no single-partition exchange "
+    "anywhere in the plan.",
+    tags=("relational", "skyline", "O4", "scale-twin"),
+)
+def skyline_price_size_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    d = part.repartitionByRange(
+        F.asc("price_cents"), F.asc("p_partkey")
+    ).withColumn("__pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_pid = Window.partitionBy("__pid")
+    # Eager checkpoint: the summary branch and the row branch must see
+    # ONE materialization of the sampled range partitioner (same
+    # pitfall as operators/ranking.py global_rank).
+    d = d.select(
+        "p_partkey",
+        "p_name",
+        "p_size",
+        "price_cents",
+        "__pid",
+        F.max("p_size").over(w_local).alias("local_cheaper"),
+        F.max("price_cents").over(w_pid).alias("pid_max_price"),
+    ).localCheckpoint(eager=True)
+    # One row per partition: tiny at any scale.
+    summ = d.groupBy("__pid").agg(
+        F.max("price_cents").alias("max_price"),
+        F.max("p_size").alias("max_all"),
+        F.max(
+            F.when(F.col("price_cents") < F.col("pid_max_price"), F.col("p_size"))
+        ).alias("max_below"),
+    )
+    # Carry-in pass 1: per partition p, the max price (B) and overall
+    # max size over ALL earlier partitions.
+    a, b = summ.alias("a"), summ.alias("b")
+    carry1 = (
+        a.join(F.broadcast(b), F.col("b.__pid") < F.col("a.__pid"), "inner")
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(
+            F.max("b.max_price").alias("carry_b"),
+            F.max("b.max_all").alias("carry_all"),
+        )
+    )
+    # Carry-in pass 2: max size over earlier rows with price < B —
+    # earlier partition q contributes its overall max if q.max_price <
+    # B, else (q.max_price == B) its max-below-top.
+    c, b2 = carry1.alias("c"), summ.alias("b2")
+    carry = (
+        c.join(F.broadcast(b2), F.col("b2.__pid") < F.col("c.__pid"), "inner")
+        .groupBy(
+            F.col("c.__pid").alias("__pid"),
+            F.col("c.carry_b").alias("carry_b"),
+            F.col("c.carry_all").alias("carry_all"),
+        )
+        .agg(
+            F.max(
+                F.when(
+                    F.col("b2.max_price") < F.col("c.carry_b"),
+                    F.col("b2.max_all"),
+                ).otherwise(F.col("b2.max_below"))
+            ).alias("carry_below")
+        )
+    )
+    ranked = d.join(F.broadcast(carry), "__pid", "left").withColumn(
+        "best_cheaper_size",
+        F.greatest(
+            F.col("local_cheaper"),
+            F.when(
+                F.col("price_cents") > F.col("carry_b"), F.col("carry_all")
+            ).when(
+                F.col("price_cents") == F.col("carry_b"),
+                F.col("carry_below"),
+            ),
+        ),
+    )
+    w_same = Window.partitionBy("price_cents")
+    ranked = ranked.withColumn(
+        "best_same_price_size", F.max("p_size").over(w_same)
     )
     return (
         ranked.filter(

@@ -244,9 +244,9 @@ def argmax_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ntile_equidepth",
-    oracle="""
+#: Equi-depth bucket oracle — shared by ntile_equidepth (window form)
+#: and ntile_equidepth_scale (distributed exact-rank form).
+_NTILE_EQUIDEPTH_ORACLE = """
     WITH b AS (
         SELECT o_totalprice,
                NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
@@ -259,22 +259,12 @@ def argmax_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b
     GROUP BY bucket
     ORDER BY bucket
-    """,
-    doc="Equi-depth (quantile) binning via NTILE(10): near-equal bucket "
-    "populations with data-driven edges — the complement of "
-    "histogram_equiwidth's fixed-width bins. Deterministic because the "
-    "global ordering is pinned by the unique orderkey. Scale note: a "
-    "global NTILE is a single-partition sort — at 100 TB use "
-    "percentile-based edges (winsorize_stats pattern) instead; this "
-    "entry pins the small-data semantics.",
-    tags=("histogram", "binning", "window", "A7"),
-)
-def ntile_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    """
+
+
+def _equidepth_report(binned: DataFrame) -> DataFrame:
     return (
-        orders.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
-        .groupBy("bucket")
+        binned.groupBy(F.col("bucket").cast("int").alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.min("o_totalprice"), 2).alias("lo"),
@@ -282,6 +272,52 @@ def ntile_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "ntile_equidepth",
+    oracle=_NTILE_EQUIDEPTH_ORACLE,
+    doc="Equi-depth (quantile) binning via NTILE(10): near-equal bucket "
+    "populations with data-driven edges — the complement of "
+    "histogram_equiwidth's fixed-width bins. Deterministic because the "
+    "global ordering is pinned by the unique orderkey. Scale note: a "
+    "global NTILE is a single-partition sort; ntile_equidepth_scale is "
+    "the registered cluster-scale twin (operators/ranking.py "
+    "global_ntile — range shuffle + per-partition rank, no "
+    "single-partition window) with bit-identical buckets; this entry "
+    "pins the small-data semantics.",
+    tags=("histogram", "binning", "window", "A7"),
+)
+def ntile_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return _equidepth_report(
+        orders.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+    )
+
+
+@register(
+    "ntile_equidepth_scale",
+    oracle=_NTILE_EQUIDEPTH_ORACLE,
+    doc="Cluster-scale twin of ntile_equidepth: the global NTILE(10) "
+    "window (every order row through one sorting task) is replaced by "
+    "operators/ranking.py global_ntile — range shuffle on "
+    "(o_totalprice, o_orderkey), per-partition row_number, broadcast "
+    "cumulative offsets over the per-partition counts, exact NTILE "
+    "bucket formula map-side in integer arithmetic. Bit-identical "
+    "buckets (shared oracle), zero single-partition exchanges.",
+    tags=("histogram", "binning", "A7", "scale-twin"),
+)
+def ntile_equidepth_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.operators.ranking import global_ntile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    binned = global_ntile(
+        orders, [F.asc("o_totalprice"), F.asc("o_orderkey")], 10, "bucket"
+    )
+    return _equidepth_report(binned)
 
 
 @register(
@@ -1062,9 +1098,10 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "customer_rfm_segments",
-    oracle="""
+#: RFM 5x5x5 cell oracle — shared verbatim by customer_rfm_segments
+#: (window-NTILE form) and customer_rfm_segments_scale (distributed
+#: exact-rank form): both produce bit-identical cells.
+_RFM_ORACLE = """
     WITH anchor AS (
         SELECT MAX(o_orderdate) AS max_date FROM orders
     ), rfm AS (
@@ -1099,29 +1136,19 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored
     GROUP BY r_score, f_score, m_score
     ORDER BY r_score, f_score, m_score
-    """,
-    doc="RFM (recency / frequency / monetary) customer segmentation — "
-    "the classic CRM scoring grid: per customer, days since last "
-    "order (anchored at the corpus max date so the query is "
-    "reproducible), order count, and lifetime spend; each dimension "
-    "quintile-scored with NTILE(5) over a TIE-PINNED ordering "
-    "(metric, custkey — ntile on bare metric would split equal "
-    "values nondeterministically); cells of the 5x5x5 score cube "
-    "reported with a coarse segment label and per-cell averages. "
-    "Scale shape: one groupBy(custkey) over orders, then three "
-    "GLOBAL ntile windows — the known single-partition cost at "
-    "billions of customers, replaced at scale by quantile-boundary "
-    "broadcast (percentile_approx the 4 cut points, map-side "
-    "width_bucket) with identical cell semantics; the cube output "
-    "is at most 125 rows regardless of corpus size.",
-    tags=("warehouse", "W1", "A10", "O4"),
-)
-def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _rfm_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer R/F/M metrics (shared by both RFM query forms):
+    days since last order (anchored at the corpus max date so the query
+    is reproducible), order count, and lifetime spend in EXACT integer
+    cents (float sums could flip rounding/ties at the quintile edges)."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
     anchor = orders.agg(F.max("o_orderdate").alias("max_date"))
-    rfm = (
+    return (
         orders.crossJoin(F.broadcast(anchor))
         .groupBy("o_custkey", "max_date")
         .agg(
@@ -1129,25 +1156,16 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("recency_days"),
             F.count(F.lit(1)).alias("frequency"),
-            # exact integer cents: float sums could flip rounding/ties
             F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
             .cast("bigint")
             .alias("monetary_cents"),
         )
     )
-    scored = rfm.select(
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("recency_days"), "o_custkey"))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("frequency"), "o_custkey"))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("monetary_cents"), "o_custkey"))
-        .alias("m_score"),
-        "monetary_cents",
-        "recency_days",
-    )
+
+
+def _rfm_cells(scored: DataFrame) -> DataFrame:
+    """Collapse a scored per-customer frame (r/f/m_score columns) into
+    the 5x5x5 segment-cell report — at most 125 rows at any scale."""
     seg = (
         F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")
         .when(F.col("r_score") <= 2, "recent")
@@ -1174,6 +1192,80 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=_RFM_ORACLE,
+    doc="RFM (recency / frequency / monetary) customer segmentation — "
+    "the classic CRM scoring grid: per customer, days since last "
+    "order (anchored at the corpus max date so the query is "
+    "reproducible), order count, and lifetime spend; each dimension "
+    "quintile-scored with NTILE(5) over a TIE-PINNED ordering "
+    "(metric, custkey — ntile on bare metric would split equal "
+    "values nondeterministically); cells of the 5x5x5 score cube "
+    "reported with a coarse segment label and per-cell averages. "
+    "Scale shape: one groupBy(custkey) over orders, then three "
+    "GLOBAL ntile windows — the single-partition small-data form. "
+    "customer_rfm_segments_scale is the registered cluster-scale "
+    "twin: operators/ranking.py global_ntile (range shuffle + "
+    "per-partition rank + broadcast offsets) with bit-identical "
+    "cells and ZERO single-partition windows; the cube output is "
+    "at most 125 rows regardless of corpus size.",
+    tags=("warehouse", "W1", "A10", "O4"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rfm = _rfm_per_customer(spark, sf_dir)
+    scored = rfm.select(
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("recency_days"), "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary_cents"), "o_custkey"))
+        .alias("m_score"),
+        "monetary_cents",
+        "recency_days",
+    )
+    return _rfm_cells(scored)
+
+
+@register(
+    "customer_rfm_segments_scale",
+    oracle=_RFM_ORACLE,
+    doc="Cluster-scale twin of customer_rfm_segments: the three global "
+    "NTILE(5) windows (Exchange SinglePartition — one task sorts every "
+    "customer, three times) are replaced by operators/ranking.py "
+    "global_ntile — a range shuffle, per-partition row_number, and a "
+    "broadcast cumulative-offset join over the per-partition counts "
+    "(one row per partition), applying the exact SQL NTILE bucket "
+    "formula map-side with integer arithmetic. Output cells are "
+    "bit-identical to the window form (shared oracle). Cost at scale: "
+    "three parallel range shuffles of the per-customer frame instead "
+    "of three serial single-partition sorts; the per-customer frame is "
+    "localCheckpoint-ed per ranking pass so partition counts and rank "
+    "assignment observe one materialization of the sampled range "
+    "partitioner.",
+    tags=("warehouse", "W1", "A10", "O4", "scale-twin"),
+)
+def customer_rfm_segments_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flu_data_pipeline_spark.operators.ranking import global_ntile
+
+    rfm = _rfm_per_customer(spark, sf_dir)
+    scored = global_ntile(
+        rfm, [F.asc("recency_days"), F.asc("o_custkey")], 5, "r_score"
+    )
+    scored = global_ntile(
+        scored, [F.desc("frequency"), F.asc("o_custkey")], 5, "f_score"
+    )
+    scored = global_ntile(
+        scored, [F.desc("monetary_cents"), F.asc("o_custkey")], 5, "m_score"
+    )
+    return _rfm_cells(scored)
 
 
 @register(

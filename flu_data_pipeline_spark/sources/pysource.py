@@ -68,6 +68,14 @@ class SyntheticEventsReader(DataSourceReader):
         load-bearing (asserted in tests against an unpushed twin)."""
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("event_type",):
+                if self.etype is not None and self.etype != f.value:
+                    # Two contradictory equalities: accepting both while
+                    # keeping only one value would rely on the PLANNER
+                    # collapsing them first (4.1.2 happens to, but it is
+                    # not an API guarantee). Make the scan provably
+                    # empty instead.
+                    self.id_hi = self.id_lo
+                    continue
                 self.etype = f.value
             elif isinstance(f, LessThan) and f.attribute == ("event_id",):
                 self.id_hi = min(self.id_hi, f.value)

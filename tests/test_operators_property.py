@@ -671,3 +671,69 @@ def test_changelog_compaction_matches_dict(spark, changes):
             latest[k] = (t, seq, op)
     for k in counts:
         assert got[k] == (latest[k][2], counts[k])
+
+
+# --------------------------------------------------------------------------
+# global_ntile / global_rank vs the window functions they replace
+# --------------------------------------------------------------------------
+
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=120),
+    k=st.sampled_from([1, 2, 5, 10]),
+)
+@settings(**SETTINGS)
+def test_global_ntile_matches_window_ntile(spark, vals, k):
+    """operators/ranking.py global_ntile must be bit-identical to
+    NTILE(k) OVER (ORDER BY v, id) — including N < k, heavy ties, and
+    bucket-boundary remainders — while never planning a global window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flu_data_pipeline_spark.operators.ranking import global_ntile
+
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "v long, id long"
+    )
+    want = {
+        r["id"]: r["b"]
+        for r in df.select(
+            "id",
+            F.ntile(k).over(Window.orderBy("v", "id")).alias("b"),
+        ).collect()
+    }
+    got = {
+        r["id"]: r["b"]
+        for r in global_ntile(
+            df, [F.asc("v"), F.asc("id")], k, "b"
+        ).select("id", "b").collect()
+    }
+    assert got == want
+
+
+@given(vals=st.lists(st.integers(-9, 9), min_size=1, max_size=80))
+@settings(**SETTINGS)
+def test_global_rank_matches_row_number_desc(spark, vals):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flu_data_pipeline_spark.operators.ranking import global_rank
+
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "v long, id long"
+    )
+    want = {
+        r["id"]: r["rk"]
+        for r in df.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("v"), F.asc("id")))
+            .alias("rk"),
+        ).collect()
+    }
+    got = {
+        r["id"]: r["rk"]
+        for r in global_rank(df, [F.desc("v"), F.asc("id")], "rk")
+        .select("id", "rk")
+        .collect()
+    }
+    assert got == want

@@ -614,3 +614,150 @@ def shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return modcmp.union(ringcmp).orderBy("scheme")
+
+
+def _dpp_fact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf) a ship-month-partitioned copy of
+    lineitem under the repo's gitignored scratch dir — the physical
+    layout SURVEY §7's design rule prescribes for the fact table
+    (partition by coarse time prefix so dimension-derived filters prune
+    at the directory level). One file per month partition
+    (repartition on the partition column before the write), so file
+    counts are deterministic."""
+    import os
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    target = os.path.join(repo, ".testdata", "dpp", tag, "lineitem_by_month")
+    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .withColumn(
+                "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+            )
+            .repartition("ship_month")
+            .write.mode("overwrite")
+            .partitionBy("ship_month")
+            .parquet(target)
+        )
+    return target
+
+
+@register(
+    "dpp_pruning_gain",
+    oracle="""
+    WITH m AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY 1
+    ), sel AS (
+        SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate < DATE '1995-04-01'
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS months_total,
+               CAST(SUM(n_rows) AS BIGINT) AS rows_total
+        FROM m
+    ), scanned AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS months_scanned,
+               CAST(SUM(m.n_rows) AS BIGINT) AS rows_scanned
+        FROM m JOIN sel USING (ship_month)
+    )
+    SELECT m.ship_month, m.n_rows,
+           tot.months_total, scanned.months_scanned,
+           CAST(tot.months_total - scanned.months_scanned AS BIGINT)
+               AS files_skipped,
+           CAST(tot.rows_total - scanned.rows_scanned AS BIGINT)
+               AS rows_skipped,
+           ROUND(100.0 * (tot.rows_total - scanned.rows_scanned)
+                 / tot.rows_total, 6) AS pct_rows_skipped
+    FROM m JOIN sel USING (ship_month)
+    CROSS JOIN tot CROSS JOIN scanned
+    ORDER BY m.ship_month
+    """,
+    doc="Dynamic partition pruning, REGISTERED AND SELF-PROVING: the "
+    "builder materializes lineitem partitioned by ship_month (one "
+    "parquet file per month — the SURVEY §7 'facts partitioned by "
+    "epiweek/time prefix' layout), joins it to a dimension whose "
+    "filter (urgent-priority orders placed in 1995 Q1 → 3 of 83 "
+    "months) reaches the fact ONLY through the join key, and then "
+    "ASSERTS the physical plan carries a dynamicpruning expression in "
+    "the fact scan's PartitionFilters — if Spark ever stops planning "
+    "DPP here, the query raises and the correctness gate records it "
+    "red. Output quantifies the gain a reader gets at the directory "
+    "level: per scanned month row counts plus files/rows skipped "
+    "(80/83 partitions — ~96%% of fact rows never read). The oracle "
+    "computes identical arithmetic from the unpartitioned table, so "
+    "the numbers are engine-checked while the pruning itself is "
+    "plan-checked. Scale shape: the dim aggregate is 3 rows "
+    "(broadcast; DPP reuses the broadcast exchange as the partition "
+    "filter), the fact-side aggregate is per-month partial agg.",
+    tags=("layout", "dpp", "S8", "A10", "scale-proof"),
+)
+def dpp_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = spark.read.parquet(_dpp_fact_path(spark, sf_dir))
+    sel = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date"))
+        )
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("ship_month")
+        )
+        .distinct()
+    )
+    scanned_months = fact.join(F.broadcast(sel), "ship_month").groupBy(
+        "ship_month"
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    # Living DPP proof: the fact scan must carry a dynamicpruning
+    # partition filter (Spark reuses the dim broadcast as the filter).
+    plan = (
+        scanned_months._jdf.queryExecution().executedPlan().toString()
+    )
+    if "dynamicpruning" not in plan.lower():
+        raise AssertionError(
+            "dynamic partition pruning did not engage on the "
+            "ship_month-partitioned fact scan; plan:\n" + plan[:2000]
+        )
+    totals = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("m"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("months_total"),
+            F.sum("n").cast("bigint").alias("rows_total"),
+        )
+    )
+    scanned_tot = scanned_months.agg(
+        F.count(F.lit(1)).cast("bigint").alias("months_scanned"),
+        F.sum("n_rows").cast("bigint").alias("rows_scanned"),
+    )
+    return (
+        scanned_months.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(scanned_tot))
+        .select(
+            "ship_month",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            "months_total",
+            "months_scanned",
+            (F.col("months_total") - F.col("months_scanned"))
+            .cast("bigint")
+            .alias("files_skipped"),
+            (F.col("rows_total") - F.col("rows_scanned"))
+            .cast("bigint")
+            .alias("rows_skipped"),
+            F.round(
+                100.0
+                * (F.col("rows_total") - F.col("rows_scanned"))
+                / F.col("rows_total"),
+                6,
+            ).alias("pct_rows_skipped"),
+        )
+        .orderBy("ship_month")
+    )

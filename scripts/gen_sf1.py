@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Synthesize sf1 testdata (10x sf0.1) for the third scaling decade.
+
+The driver ships sf0.001/0.01/0.1 (read-only). SCALING.md's 100 TB
+argument rests on ratios across those two decades; this script adds a
+third by upscaling sf0.1 10x with TPC-H-style key remapping so that
+join cardinalities, group counts, and key distributions scale the way
+a real corpus does:
+
+- fact + large-dim tables (orders, lineitem, customer, supplier, part,
+  events, documents, embeddings) are replicated 10x; every key column
+  gets ``key + replica * (max_key + 1)`` so foreign keys stay
+  consistent WITHIN a replica and never collide across replicas;
+- region/nation stay fixed (they are fixed-size enums at any scale);
+- document text gets a per-replica suffix token and embeddings a
+  deterministic per-replica value nudge, so dedup/similarity queries
+  see 10x the candidate space rather than 10 exact copies of every
+  item (which would measure a pathological all-duplicates corpus, not
+  a bigger one);
+- deterministic throughout (no RNG) — re-running reproduces the same
+  bytes, and timing comparisons stay apples-to-apples.
+
+Output: .testdata/sf1/*.parquet under the repo root (gitignored —
+~170 MB of derived data). Timing-only: the DuckDB oracle gate runs at
+sf0.01; nothing here feeds correctness checks.
+
+Usage: python scripts/gen_sf1.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from flu_data_pipeline_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+REPLICAS = 10
+
+#: key columns remapped per table: (primary/foreign key -> base table
+#: whose max defines the offset stride)
+KEYED = {
+    "customer": {"c_custkey": "c_custkey"},
+    "supplier": {"s_suppkey": "s_suppkey"},
+    "part": {"p_partkey": "p_partkey"},
+    "orders": {"o_orderkey": "o_orderkey", "o_custkey": "c_custkey"},
+    "lineitem": {
+        "l_orderkey": "o_orderkey",
+        "l_partkey": "p_partkey",
+        "l_suppkey": "s_suppkey",
+    },
+    "events": {"event_id": "event_id", "user_id": "user_id"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
+}
+
+#: where each stride column lives
+STRIDE_TABLE = {
+    "c_custkey": "customer",
+    "s_suppkey": "supplier",
+    "p_partkey": "part",
+    "o_orderkey": "orders",
+    "event_id": "events",
+    "user_id": "events",
+    "doc_id": "documents",
+    "vec_id": "embeddings",
+}
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".testdata", "sf1",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(app_name="gen-sf1")
+
+    strides: dict[str, int] = {}
+    for col, table in STRIDE_TABLE.items():
+        df = spark.read.parquet(f"{SRC}/{table}.parquet")
+        strides[col] = int(df.agg(F.max(col)).first()[0]) + 1
+
+    reps = spark.range(REPLICAS).select(F.col("id").alias("__rep"))
+
+    for table in ["region", "nation"]:
+        spark.read.parquet(f"{SRC}/{table}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{table}.parquet")
+        print(f"{table}: copied (fixed-size dim)")
+
+    for table, keymap in KEYED.items():
+        df = spark.read.parquet(f"{SRC}/{table}.parquet")
+        up = df.crossJoin(F.broadcast(reps))
+        for col, stride_col in keymap.items():
+            up = up.withColumn(
+                col,
+                (F.col(col) + F.col("__rep") * F.lit(strides[stride_col]))
+                .cast("bigint"),
+            )
+        if table == "documents":
+            # Replica r > 0 gets a per-replica character rotation:
+            # a suffix alone would leave every replica a NEAR-dup of
+            # its original (shingle sets ~identical), so near-dup
+            # queries would see 10-copy families — ~45 candidate pairs
+            # each, a quadratic artifact of the generator, not of a
+            # real 10x corpus. Rotating the token alphabet makes
+            # replicas textually unrelated (n-gram Jaccard ~ 0 across
+            # replicas) while preserving word/char statistics shape.
+            alpha = "abcdefghijklmnopqrst"
+            text_col = F.col("text")
+            for r in range(1, REPLICAS):
+                rot = alpha[r:] + alpha[:r]
+                text_col = F.when(
+                    F.col("__rep") == r,
+                    F.translate("text", alpha, rot),
+                ).otherwise(text_col)
+            up = up.withColumn("text", text_col).withColumn(
+                "n_chars", F.length("text").cast("bigint")
+            )
+        if table == "embeddings":
+            # deterministic per-replica nudge on the first component:
+            # vectors stay near their family (ANN recall shape holds)
+            # without 10 exact copies collapsing distance structure
+            up = up.withColumn(
+                "embedding",
+                F.concat(
+                    F.array(
+                        (
+                            F.element_at("embedding", 1)
+                            + F.col("__rep").cast("float") / F.lit(1000.0)
+                        ).cast("float")
+                    ),
+                    F.slice("embedding", 2, 10_000),
+                ),
+            )
+        n = up.count()
+        up.drop("__rep").repartition(32).write.mode("overwrite").parquet(
+            f"{out_dir}/{table}.parquet"
+        )
+        print(f"{table}: {n} rows")
+
+    spark.stop()
+    print(f"sf1 written to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

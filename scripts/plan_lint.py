@@ -124,6 +124,8 @@ BNLJ_AUDITED = {
     "ntile_equidepth_scale",
     "skyline_price_size_scale",  # (c) triangular carry-in joins over
                                  #     the per-partition summary frame
+    "dpp_pruning_gain",          # (a) 1-row totals + 1-row scanned-
+                                 #     months aggregates crossed in
 }
 
 

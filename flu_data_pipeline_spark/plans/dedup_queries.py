@@ -162,6 +162,153 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Max document frequency for an index shingle in the capped variant.
+#: Lee et al.-style absolute cap: candidate-join cost is then bounded by
+#: cap * total_postings — LINEAR in corpus size, vs the uncapped
+#: inverted index's sum(df^2), which grows super-linearly because hot
+#: shingles ("of the X") gain df proportionally to the corpus.
+_NGRAM_DF_CAP = 64
+
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    oracle=f"""
+    WITH shingled AS (
+        SELECT doc_id, {hash64_sql('shingle')} AS sh
+        FROM (
+            SELECT doc_id, unnest({_SHINGLES_SQL.format(n=3)}) AS shingle
+            FROM documents
+        )
+        GROUP BY doc_id, sh
+    ), sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        FROM shingled GROUP BY doc_id
+    ), rare AS (
+        SELECT sh FROM shingled GROUP BY sh
+        HAVING COUNT(*) <= {_NGRAM_DF_CAP}
+    ), idx AS (
+        SELECT s.doc_id, s.sh FROM shingled s JOIN rare USING (sh)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM idx a JOIN idx b
+          ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ), inter AS (
+        SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM cand c
+        JOIN shingled a ON a.doc_id = c.doc_a
+        JOIN shingled b ON b.doc_id = c.doc_b AND b.sh = a.sh
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(i.n_common AS DOUBLE)
+                 / (sa.n_shingles + sb.n_shingles - i.n_common), 6)
+               AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE)
+          / (sa.n_shingles + sb.n_shingles - i.n_common) >= 0.2
+    """,
+    doc="Scale-bounded variant of dedup_ngram_jaccard: candidate pairs "
+    "come from an inverted index that DROPS shingles with document "
+    f"frequency > {_NGRAM_DF_CAP} (the Lee-et-al-style hot-shingle "
+    "cap), so the self-join cost is bounded by cap * postings — LINEAR "
+    "in corpus size, where the uncapped index pays sum(df^2) and goes "
+    "super-linear as common shingles' df grows with the corpus "
+    "(measured: the third SCALING.md decade). Jaccard is then computed "
+    "EXACTLY for every candidate from the full per-doc distinct "
+    "shingle arrays (size(array_intersect)) — reported pairs are "
+    "exact; the only approximation is recall: a pair sharing ONLY "
+    "hot shingles produces no candidate (such pairs are precisely the "
+    "boilerplate-overlap ones a near-dup pass wants to ignore). The "
+    "full arrays ride a hash join on doc_id, never through the "
+    "candidate shuffle. Measured honesty (round 4): the SYNTHETIC "
+    "corpus's vocabulary grows with corpus size (Heaps-like; max "
+    "shingle df at sf1 is 25), so here the cap prunes nothing and the "
+    "uncapped form's inverted index is already linear — this variant "
+    "pays its extra candidate-distinct + array joins for insurance "
+    "the fixture never cashes. On a natural-language corpus, common "
+    "shingles' df grows ~linearly with the corpus and the uncapped "
+    "sum(df^2) does not survive; this form does.",
+    tags=("dedup", "scale-twin"),
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    arrs = (
+        docs.repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+        .select("doc_id", tokenize(F.col("text")).alias("tokens"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    shingles_from_tokens(F.col("tokens"), 3),
+                    lambda s: hash64(s),
+                )
+            ).alias("sh_arr"),
+        )
+        .withColumn("n_shingles", F.size("sh_arr"))
+        # reused three times (postings + both sides of the pair join):
+        # one materialization of the CPU-heavy shingle/hash pass
+        .localCheckpoint(eager=True)
+    )
+    posts = arrs.select("doc_id", F.explode("sh_arr").alias("sh"))
+    # ONE shuffle of the postings builds the per-shingle doc bucket;
+    # the df cap is a size filter on the bucket, and candidate pairs
+    # are generated MAP-SIDE from each sorted bucket (nested transform
+    # — the brand_affinity_lift pattern), never via an index self-join.
+    buckets = (
+        posts.groupBy("sh")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(
+            (F.size("ds") >= 2) & (F.size("ds") <= _NGRAM_DF_CAP)
+        )
+        .select(F.array_sort("ds").alias("ds"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, _NGRAM_DF_CAP),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    pairs = (
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("sh_arr").alias("arr_a"),
+                F.col("n_shingles").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sh_arr").alias("arr_b"),
+                F.col("n_shingles").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "n_common", F.size(F.array_intersect("arr_a", "arr_b"))
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return pairs.filter(jac >= 0.2).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (portable-hash family → identical signatures in DuckDB)
 # ---------------------------------------------------------------------------

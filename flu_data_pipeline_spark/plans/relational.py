@@ -1297,6 +1297,18 @@ def skyline_price_size_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("price_cents"),
     )
+    return skyline_2d_scale(part)
+
+
+def skyline_2d_scale(part: DataFrame) -> DataFrame:
+    """Distributed exact 2D skyline core (minimize price_cents,
+    maximize p_size) — see skyline_price_size_scale's docstring for the
+    carry-in exactness argument. Input columns: p_partkey, p_name,
+    p_size, price_cents (INTEGER cents — the strictly-cheaper carry
+    encoding relies on integer prices). Factored out so property tests
+    can drive it with adversarial tie/boundary distributions the
+    fixture never produces (one price value spanning several range
+    partitions)."""
     d = part.repartitionByRange(
         F.asc("price_cents"), F.asc("p_partkey")
     ).withColumn("__pid", F.spark_partition_id())

@@ -737,3 +737,45 @@ def test_global_rank_matches_row_number_desc(spark, vals):
         .collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# skyline_2d_scale vs a pure-python skyline (heavy ties across partitions)
+# --------------------------------------------------------------------------
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 6)),  # few distinct
+        min_size=1,
+        max_size=100,
+    )
+)
+@settings(**SETTINGS)
+def test_skyline_scale_matches_reference(spark, pts):
+    """The carry-in reconstruction must stay exact when a single price
+    value spans several range partitions — forced here by drawing from
+    only 5 distinct prices over up to 100 rows on a 32-partition
+    session. Reference: brute-force dominance (<= price, >= size, one
+    strict)."""
+    from flu_data_pipeline_spark.plans.relational import skyline_2d_scale
+
+    rows = [
+        (i, f"p{i}", size, price) for i, (price, size) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_name string, p_size int, price_cents long"
+    )
+    got = {
+        r["p_partkey"]
+        for r in skyline_2d_scale(df).select("p_partkey").collect()
+    }
+    want = set()
+    for i, (pi, si) in enumerate(pts):
+        dominated = any(
+            (pj <= pi and sj >= si and (pj < pi or sj > si))
+            for j, (pj, sj) in enumerate(pts)
+            if j != i
+        )
+        if not dominated:
+            want.add(i)
+    assert got == want

@@ -29,102 +29,108 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 HARD = ("CartesianProduct", "BatchEvalPython", "InMemoryTableScan")
 INFO = ("BroadcastNestedLoopJoin",)
 
-#: Audited BroadcastNestedLoopJoin sites (see each query's docstring).
-#: Three legitimate shapes: (a) crossJoin with a 1-ROW aggregate
-#: (global totals/bounds/quantiles — scalar broadcast, free at any
-#: scale); (b) broadcast of a PROVABLY TINY frame (centroids, bloom
-#: bits, query vectors, calendar grids); (c) a deliberate NON-EQUI
-#: join condition (band ranges, triangle orientation m<n) where BNLJ
-#: with a broadcast side IS the plan. New queries showing BNLJ land
-#: in REVIEW until audited into this set.
-BNLJ_AUDITED = {
-    "abtest_cuped_adjustment",  # (a) crossJoin of two 1-row moment aggs
-    "conversion_latency_quantiles",  # (a)+(c) 1-row n + rank-interval cond
-    "conformal_interval_coverage",  # (a) 1-row fit/k/q_hat broadcasts
-    "shard_rebalance_audit",  # (b) 40-row hash ring broadcast
-    "ann_mmr_rerank",        # (b) 1-row query vec + 20-row pool/pairs
-    "attribution_shapley",   # (a) crossJoin of two 1-row aggregates
-    "drift_psi",             # (a) 1-row bin-bounds aggregate
-    "kendall_tau_daily",     # (b)+(c) calendar-bounded daily agg, d1<d2
-    "quantile_histogram_sketch",  # (a)+(b) 1-row min/max + 256-bin hist
-    "ranking_ndcg_eval",     # (b) 5 query vectors broadcast, id<>id
-    "ranking_rrf_fusion",    # (b) literal term list broadcast
-    "ann_ivf",               # (b) K centroid vectors broadcast
-    "ann_ivf_kmeans",        # (b) trained centroids broadcast
-    "ann_mrr_eval",          # (b) brute-force truth for 5 queries
-    "ann_recall_eval",       # (b) truth set for 5 query ids
-    "ann_topk_cosine",       # (b) 5 query vectors broadcast
-    "bloom_semi_prune",      # (b) filter bit positions
-    "brand_affinity_lift",   # (a) 1-row basket-count total
-    "centroid_cosine_matrix",  # (b) label centroids
-    "curation_association_chi2",  # (a) 1-row grand total
-    "customer_rfm_segments",  # (a) 1-row max-date anchor
-    "poisson_bootstrap_se",  # (b) 5-row replicate enum broadcast
-    "curation_domain_mix",   # (a) 1-row corpus totals
-    "decayed_user_leaderboard",  # (a) 1-row max-date anchor
-    "dq_benford_digits",     # (a) 1-row digit-count total
-    "drift_value_histogram",  # (a) 1-row min/max bounds
-    "embedding_prefix_capture",  # (b) 3-row prefix-length enum
-    "epoch_shuffle_plan",    # (b) 3-row epoch enum broadcast
-    "eval_auc_purchase",     # (a) 1-row pos/neg totals
-    "eval_calibration_bins",  # (a) 1-row bounds
-    "eval_pr_curve_purchase",  # (a) 1-row totals
-    "histogram_equiwidth",   # (a) 1-row min/max
-    "join_cardinality_audit",  # (a) crosses of 1-row stat aggregates
-    "kmeans_cluster_summary",  # (b) k centroids
-    "kmv_distinct_setalgebra",  # (a) 1-row merged-sketch stats
-    "q11_important_stock",   # (a) 1-row global sum+count
-    "q22_dormant_rich_customers",  # (a) 1-row avg balance cutoff
-    "range_band_join",       # (c) band-range condition
-    "ranking_rbo_eval",      # (a)+(b) corpus stats + 10-row depth enum
-    "sample_weighted",       # (a) 1-row max length
-    "supplier_scorecard",    # (a) 1-row population-stats broadcast
-    "text_bigram_lm_score",  # (a) 1-row vocab-size scalar
-    "text_bm25_topk",        # (a) 1-row corpus stats
-    "triangle_count_cosupply",  # (c) orientation m<n condition
-    "ts_gapfill_daily",      # (b) calendar grid x type enum
-    "ts_linear_interpolate",  # (c) anchor-range condition
-    "winsorize_stats",       # (a) 1-row quantile cutoffs
-    "zorder_layout",         # (a) 1-row dimension bounds
+#: Audited BroadcastNestedLoopJoin sites (see each query's docstring),
+#: mapped to their audit category letters. Three legitimate shapes:
+#: (a) crossJoin with a 1-ROW aggregate (global totals/bounds/
+#: quantiles — scalar broadcast, free at any scale); (b) broadcast of
+#: a PROVABLY TINY frame (centroids, bloom bits, query vectors,
+#: calendar grids); (c) a deliberate NON-EQUI join condition (band
+#: ranges, triangle orientation m<n) where BNLJ with a broadcast side
+#: IS the plan. Entries whose category is EXACTLY "a" are MECHANICALLY
+#: verified: every BNLJ's broadcast subtree must contain a keys=[]
+#: (scalar) aggregate — an audit claim that stops being true fails the
+#: lint (same hardening find_sp_windows got for (d)/(e) window
+#: audits). "b"/"c" bounds live in data contracts, not plans, so those
+#: stay documented-but-trusted. New queries showing BNLJ land in
+#: REVIEW until audited here.
+BNLJ_AUDITED: dict[str, str] = {
+    "abtest_cuped_adjustment": "a",  # (a) crossJoin of two 1-row moment aggs
+    "conversion_latency_quantiles": "ac",  # (a)+(c) 1-row n + rank-interval cond
+    "conformal_interval_coverage": "a",  # (a) 1-row fit/k/q_hat broadcasts
+    "shard_rebalance_audit": "b",  # (b) 40-row hash ring broadcast
+    "ann_mmr_rerank": "b",  # (b) 1-row query vec + 20-row pool/pairs
+    "attribution_shapley": "a",  # (a) crossJoin of two 1-row aggregates
+    "drift_psi": "a",  # (a) 1-row bin-bounds aggregate
+    "kendall_tau_daily": "bc",  # (b)+(c) calendar-bounded daily agg, d1<d2
+    "quantile_histogram_sketch": "ab",  # (a)+(b) 1-row min/max + 256-bin hist
+    "ranking_ndcg_eval": "b",  # (b) 5 query vectors broadcast, id<>id
+    "ranking_rrf_fusion": "b",  # (b) literal term list broadcast
+    "ann_ivf": "b",  # (b) K centroid vectors broadcast
+    "ann_ivf_kmeans": "b",  # (b) trained centroids broadcast
+    "ann_mrr_eval": "b",  # (b) brute-force truth for 5 queries
+    "ann_recall_eval": "b",  # (b) truth set for 5 query ids
+    "ann_topk_cosine": "b",  # (b) 5 query vectors broadcast
+    "bloom_semi_prune": "b",  # (b) filter bit positions
+    "brand_affinity_lift": "a",  # (a) 1-row basket-count total
+    "centroid_cosine_matrix": "b",  # (b) label centroids
+    "curation_association_chi2": "a",  # (a) 1-row grand total
+    "customer_rfm_segments": "a",  # (a) 1-row max-date anchor
+    "poisson_bootstrap_se": "b",  # (b) 5-row replicate enum broadcast
+    "curation_domain_mix": "a",  # (a) 1-row corpus totals
+    "decayed_user_leaderboard": "a",  # (a) 1-row max-date anchor
+    "dq_benford_digits": "a",  # (a) 1-row digit-count total
+    "drift_value_histogram": "a",  # (a) 1-row min/max bounds
+    "embedding_prefix_capture": "b",  # (b) 3-row prefix-length enum
+    "epoch_shuffle_plan": "b",  # (b) 3-row epoch enum broadcast
+    "eval_auc_purchase": "a",  # (a) 1-row pos/neg totals
+    "eval_calibration_bins": "a",  # (a) 1-row bounds
+    "eval_pr_curve_purchase": "a",  # (a) 1-row totals
+    "histogram_equiwidth": "a",  # (a) 1-row min/max
+    "join_cardinality_audit": "a",  # (a) crosses of 1-row stat aggregates
+    "kmeans_cluster_summary": "b",  # (b) k centroids
+    "kmv_distinct_setalgebra": "a",  # (a) 1-row merged-sketch stats
+    "q11_important_stock": "a",  # (a) 1-row global sum+count
+    "q22_dormant_rich_customers": "a",  # (a) 1-row avg balance cutoff
+    "range_band_join": "c",  # (c) band-range condition
+    "ranking_rbo_eval": "ab",  # (a)+(b) corpus stats + 10-row depth enum
+    "sample_weighted": "a",  # (a) 1-row max length
+    "supplier_scorecard": "a",  # (a) 1-row population-stats broadcast
+    "text_bigram_lm_score": "a",  # (a) 1-row vocab-size scalar
+    "text_bm25_topk": "a",  # (a) 1-row corpus stats
+    "triangle_count_cosupply": "c",  # (c) orientation m<n condition
+    "ts_gapfill_daily": "b",  # (b) calendar grid x type enum
+    "ts_linear_interpolate": "c",  # (c) anchor-range condition
+    "winsorize_stats": "a",  # (a) 1-row quantile cutoffs
+    "zorder_layout": "a",  # (a) 1-row dimension bounds
     # late round-2 stats/curation batch — all (a) 1-row-aggregate
     # broadcasts (totals, bounds, coefficients) or (b) tiny enums:
-    "anova_f_groups",        # (a) 1-row grand totals
-    "cluster_label_nmi",     # (a) 1-row N + (b) K centroids
-    "curation_ipf_raking",   # (a) 1-row margin targets
-    "curation_js_divergence",  # (a) 1-row corpus token total
-    "curation_quantile_normalize",  # (a) 1-row pool size
-    "cv_kfold_regression",   # (a) 1-row total moments
-    "did_event_value",       # (a) 1-row day bounds
-    "embedding_jl_distortion",  # (b) 1-row sign-matrix broadcast
-    "events_survival_km",    # (a) 1-row user-count total
-    "gdpr_delete_cascade",   # (a) 1-row per-table counts crossed
-    "hilbert_layout",        # (a) 1-row dimension bounds
-    "hilbert_vs_zorder_locality",  # (a) 1-row dimension bounds
-    "huber_irls_regression",  # (a) 1-row coefficient broadcast
-    "ks_two_sample",         # (a) 1-row group totals
-    "label_noise_estimate",  # (b) K centroids broadcast
-    "mannwhitney_rank_sum",  # (a) tiny bucket-offsets broadcast
-    "permutation_test_mean",  # (a) 1-row moment totals
-    "spearman_rho_ranks",    # (a) tiny bucket-offsets broadcast
-    "stump_best_split",      # (a) 1-row class totals
-    "survival_logrank_test",  # (a) 1-row cohort totals
-    "trimmed_mean_exact",    # (a) 1-row n/k totals
-    "ts_acf_lags",           # (a) 1-row global moments
+    "anova_f_groups": "a",  # (a) 1-row grand totals
+    "cluster_label_nmi": "ab",  # (a) 1-row N + (b) K centroids
+    "curation_ipf_raking": "a",  # (a) 1-row margin targets
+    "curation_js_divergence": "a",  # (a) 1-row corpus token total
+    "curation_quantile_normalize": "a",  # (a) 1-row pool size
+    "cv_kfold_regression": "a",  # (a) 1-row total moments
+    "did_event_value": "a",  # (a) 1-row day bounds
+    "embedding_jl_distortion": "b",  # (b) 1-row sign-matrix broadcast
+    "events_survival_km": "a",  # (a) 1-row user-count total
+    "gdpr_delete_cascade": "a",  # (a) 1-row per-table counts crossed
+    "hilbert_layout": "a",  # (a) 1-row dimension bounds
+    "hilbert_vs_zorder_locality": "a",  # (a) 1-row dimension bounds
+    "huber_irls_regression": "a",  # (a) 1-row coefficient broadcast
+    "ks_two_sample": "a",  # (a) 1-row group totals
+    "label_noise_estimate": "b",  # (b) K centroids broadcast
+    "mannwhitney_rank_sum": "a",  # (a) tiny bucket-offsets broadcast
+    "permutation_test_mean": "a",  # (a) 1-row moment totals
+    "spearman_rho_ranks": "a",  # (a) tiny bucket-offsets broadcast
+    "stump_best_split": "a",  # (a) 1-row class totals
+    "survival_logrank_test": "a",  # (a) 1-row cohort totals
+    "trimmed_mean_exact": "a",  # (a) 1-row n/k totals
+    "ts_acf_lags": "a",  # (a) 1-row global moments
     # round-3 additions — all (a) 1-row-aggregate or (b) tiny-enum
     # broadcasts:
-    "revenue_change_contribution",  # (a) 1-row delta_total
-    "text_term_burstiness",  # (a) 1-row corpus doc count
-    "ann_nprobe_sweep",      # (b) 5 query vectors + (a) 1-row cand counts
-    "graph_degree_powerlaw",  # (a) 1-row avg-shared edge cutoff
-    "ts_cross_correlation",  # (b) 9-row lag enum broadcast
+    "revenue_change_contribution": "a",  # (a) 1-row delta_total
+    "text_term_burstiness": "a",  # (a) 1-row corpus doc count
+    "ann_nprobe_sweep": "ab",  # (b) 5 query vectors + (a) 1-row cand counts
+    "graph_degree_powerlaw": "a",  # (a) 1-row avg-shared edge cutoff
+    "ts_cross_correlation": "b",  # (b) 9-row lag enum broadcast
     # round-4 scale twins (operators/ranking.py global_ntile): (a)
     # 1-row total-count broadcast + (c) triangular pid-offset join
     # over the per-partition counts frame (one row per partition):
-    "customer_rfm_segments_scale",
-    "ntile_equidepth_scale",
-    "skyline_price_size_scale",  # (c) triangular carry-in joins over
+    "customer_rfm_segments_scale": "ac",
+    "ntile_equidepth_scale": "ac",
+    "skyline_price_size_scale": "c",  # (c) triangular carry-in joins over
                                  #     the per-partition summary frame
-    "dpp_pruning_gain",          # (a) 1-row totals + 1-row scanned-
+    "dpp_pruning_gain": "a",  # (a) 1-row totals + 1-row scanned-
                                  #     months aggregates crossed in
 }
 
@@ -226,6 +232,54 @@ def _depth(line: str) -> int:
     return i
 
 
+def bnlj_all_scalar_fed(plan: str) -> bool:
+    """True when EVERY BroadcastNestedLoopJoin in ``plan`` broadcasts a
+    scalar frame: its BroadcastExchange subtree contains a keys=[]
+    (global, 1-row) aggregate, an eager-checkpoint RDD scan (lineage
+    invisible — the aggregate ran before the checkpoint), or is a
+    ReusedExchange reference (its source exchange is checked where it
+    appears). The mechanical proof behind BNLJ audit category (a)."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        ind = _depth(lines[i])
+        if i + 1 >= len(lines):
+            return False
+        # DIRECT children only: a nested join's BroadcastExchange deeper
+        # inside a child subtree is NOT this BNLJ's build side
+        child_depth = _depth(lines[i + 1])
+        ok = False
+        j = i + 1
+        while j < len(lines) and _depth(lines[j]) > ind:
+            dj = _depth(lines[j])
+            if dj == child_depth:
+                op = lines[j][dj:]
+                if op.startswith("ReusedExchange"):
+                    ok = True  # source exchange audited where it appears
+                    break
+                if op.startswith(
+                    ("BroadcastExchange", "BroadcastQueryStage")
+                ):
+                    # inspect the exchange's own subtree
+                    k = j + 1
+                    while k < len(lines) and _depth(lines[k]) > dj:
+                        s = lines[k]
+                        if (
+                            "keys=[]" in s
+                            or "key=[]" in s
+                            or "Scan ExistingRDD" in s
+                            or "ReusedExchange" in s
+                        ):
+                            ok = True
+                        k += 1
+                    break
+            j += 1
+        if not ok:
+            return False
+    return True
+
+
 def find_sp_windows(plan: str) -> list[tuple[bool, bool]]:
     """All ``Exchange SinglePartition`` sites whose CONSUMER chain is a
     Window — found by walking the plan tree's indentation to the
@@ -319,6 +373,18 @@ def main() -> int:
         for marker in INFO:
             if marker in plan:
                 info_hits.append((name, marker))
+                # Mechanical audit check: a pure-(a) entry claims every
+                # BNLJ broadcasts a 1-row aggregate — verify in-plan.
+                if (
+                    marker == "BroadcastNestedLoopJoin"
+                    and BNLJ_AUDITED.get(name) == "a"
+                    and not bnlj_all_scalar_fed(plan)
+                ):
+                    hard_hits.append(
+                        (name, "BNLJ audit violated: category (a) claims "
+                               "a scalar broadcast but the build side is "
+                               "not a keys=[] aggregate")
+                    )
         sites = find_sp_windows(plan)
         if sites:
             info_hits.append((name, "single-partition Window"))

@@ -111,3 +111,48 @@ def test_audit_registries_disjoint_and_unioned():
     assert plan_lint.SPW_AUDITED == (
         plan_lint.SPW_AGG_BOUNDED | plan_lint.SPW_SMALLDATA
     )
+
+
+def test_bnlj_scalar_broadcast_verified():
+    plan = """BroadcastNestedLoopJoin BuildRight, Cross
+:- FileScan parquet [a]
++- BroadcastExchange IdentityBroadcastMode
+   +- HashAggregate(keys=[], functions=[avg(x)])
+      +- FileScan parquet [x]"""
+    assert plan_lint.bnlj_all_scalar_fed(plan)
+
+
+def test_bnlj_nonscalar_broadcast_rejected():
+    plan = """BroadcastNestedLoopJoin BuildRight, Cross
+:- FileScan parquet [a]
++- BroadcastExchange IdentityBroadcastMode
+   +- Filter isnotnull(b)
+      +- FileScan parquet [b]"""
+    assert not plan_lint.bnlj_all_scalar_fed(plan)
+
+
+def test_bnlj_nested_hashjoin_exchange_not_mistaken_for_build_side():
+    # a BroadcastHashJoin INSIDE the BNLJ's left child has its own
+    # BroadcastExchange (non-scalar); the checker must skip it and find
+    # the BNLJ's DIRECT broadcast child (scalar) — the false positive
+    # the first version of this check produced on 14 queries
+    plan = """BroadcastNestedLoopJoin BuildRight, Cross, (x > y)
+:- Project [a]
+:  +- BroadcastHashJoin [k], [k2], LeftAnti, BuildRight, false
+:     :- FileScan parquet [a,k]
+:     +- BroadcastExchange HashedRelationBroadcastMode(List(k2))
+:        +- Project [k2]
+:           +- FileScan parquet [k2]
++- BroadcastExchange IdentityBroadcastMode
+   +- Filter isnotnull(y)
+      +- HashAggregate(keys=[], functions=[avg(v)])
+         +- FileScan parquet [v]"""
+    assert plan_lint.bnlj_all_scalar_fed(plan)
+
+
+def test_bnlj_checkpoint_build_side_accepted():
+    plan = """BroadcastNestedLoopJoin BuildRight, Cross
+:- FileScan parquet [a]
++- BroadcastExchange IdentityBroadcastMode
+   +- Scan ExistingRDD[n]"""
+    assert plan_lint.bnlj_all_scalar_fed(plan)

@@ -779,3 +779,44 @@ def test_skyline_scale_matches_reference(spark, pts):
         if not dominated:
             want.add(i)
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# dedup_ngram_jaccard_capped vs uncapped: containment + exactness
+# --------------------------------------------------------------------------
+
+@given(data=st.data())
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ngram_capped_subset_with_exact_jaccard(spark, tmp_path_factory, data):
+    """With a 5-word vocabulary over 80 docs, shingle document
+    frequencies blow through the 64 cap — the regime the capped variant
+    exists for. Properties: (1) every capped pair is also an uncapped
+    pair (recall-only loss), (2) every reported jaccard is EXACTLY the
+    uncapped value for that pair (candidates lose, scores never lie)."""
+    from flu_data_pipeline_spark.plans import REGISTRY
+
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    docs = []
+    for i in range(80):
+        n = data.draw(st.integers(5, 25))
+        words = [vocab[data.draw(st.integers(0, 4))] for _ in range(n)]
+        docs.append((i, " ".join(words), "en", "src1", len(" ".join(words))))
+    sf_dir = str(tmp_path_factory.mktemp("ngram_sf"))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(2).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in REGISTRY["dedup_ngram_jaccard"].builder(spark, sf_dir).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in REGISTRY["dedup_ngram_jaccard_capped"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert set(capped) <= set(uncapped)
+    for pair, j in capped.items():
+        assert j == uncapped[pair], pair

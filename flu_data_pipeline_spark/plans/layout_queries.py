@@ -697,6 +697,7 @@ def _dpp_fact_path(spark: SparkSession, sf_dir: str) -> str:
     "(broadcast; DPP reuses the broadcast exchange as the partition "
     "filter), the fact-side aggregate is per-month partial agg.",
     tags=("layout", "dpp", "S8", "A10", "scale-proof"),
+    bench=True,
 )
 def dpp_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = spark.read.parquet(_dpp_fact_path(spark, sf_dir))
@@ -820,6 +821,7 @@ def _bucketed_table(
     "unbucketed views (bucketing must not change results, only "
     "plans).",
     tags=("layout", "bucketing", "J6", "A10", "scale-proof"),
+    bench=True,
 )
 def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     to = _bucketed_table(spark, sf_dir, "orders", "o_orderkey")

@@ -1287,6 +1287,7 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window form (shared oracle); no single-partition exchange "
     "anywhere in the plan.",
     tags=("relational", "skyline", "O4", "scale-twin"),
+    bench=True,
 )
 def skyline_price_size_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(

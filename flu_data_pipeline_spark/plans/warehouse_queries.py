@@ -1249,6 +1249,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "assignment observe one materialization of the sampled range "
     "partitioner.",
     tags=("warehouse", "W1", "A10", "O4", "scale-twin"),
+    bench=True,
 )
 def customer_rfm_segments_scale(
     spark: SparkSession, sf_dir: str

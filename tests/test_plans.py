@@ -186,3 +186,43 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dpp_assertion_has_teeth(spark):
+    """dpp_pruning_gain must RAISE when dynamic partition pruning is
+    disabled — the self-proving assertion is only worth its name if it
+    actually fires on the regression it guards against."""
+    import pytest
+
+    from flu_data_pipeline_spark.plans import REGISTRY
+    from .conftest import SF_ORACLE
+
+    key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        with pytest.raises(AssertionError, match="dynamic partition pruning"):
+            REGISTRY["dpp_pruning_gain"].builder(spark, SF_ORACLE)
+    finally:
+        spark.conf.set(key, prev)
+    # and with DPP back on, the builder constructs cleanly
+    REGISTRY["dpp_pruning_gain"].builder(spark, SF_ORACLE)
+
+
+def test_bucketed_join_assertion_has_teeth(spark):
+    """bucketed_join_no_shuffle must RAISE when bucketing is disabled
+    (the scan loses its output partitioning and the join re-shuffles)."""
+    import pytest
+
+    from flu_data_pipeline_spark.plans import REGISTRY
+    from .conftest import SF_ORACLE
+
+    key = "spark.sql.sources.bucketing.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        with pytest.raises(AssertionError, match="bucketed"):
+            REGISTRY["bucketed_join_no_shuffle"].builder(spark, SF_ORACLE)
+    finally:
+        spark.conf.set(key, prev)
+    REGISTRY["bucketed_join_no_shuffle"].builder(spark, SF_ORACLE)

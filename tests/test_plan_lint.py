@@ -156,3 +156,21 @@ def test_bnlj_checkpoint_build_side_accepted():
 +- BroadcastExchange IdentityBroadcastMode
    +- Scan ExistingRDD[n]"""
     assert plan_lint.bnlj_all_scalar_fed(plan)
+
+
+def test_verify_contract_canon_normalizes_negative_zero():
+    import importlib.util as _ilu
+    import os as _os
+
+    spec = _ilu.spec_from_file_location(
+        "verify_contract",
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "scripts",
+            "verify_contract.py",
+        ),
+    )
+    vc = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(vc)
+    # a value straddling zero across engines must canon identically
+    assert repr(vc.canon(-1e-9)) == repr(vc.canon(1e-9)) == "0.0"

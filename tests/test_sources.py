@@ -659,3 +659,31 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert old_gen.filter("tag IS NULL").count() == 10
     new_gen = merged.filter("id >= 10 AND tag IS NOT NULL")
     assert new_gen.count() == 10
+
+
+def test_pysource_contradictory_equalities_yield_empty_scan():
+    """Two different pushed EqualTo(event_type) filters are accepted as
+    an empty id range instead of last-write-wins — correctness must not
+    depend on the planner collapsing contradictory equalities before
+    pushdown (it does in 4.1.2, but that is planner behavior, not an
+    API guarantee)."""
+    from pyspark.sql.datasource import EqualTo, InputPartition
+
+    from flu_data_pipeline_spark.sources.pysource import SyntheticEventsReader
+
+    r = SyntheticEventsReader({"rows": "100", "partitions": "2"})
+    leftover = list(
+        r.pushFilters(
+            [EqualTo(("event_type",), "view"), EqualTo(("event_type",), "click")]
+        )
+    )
+    assert leftover == []  # both accepted (removed from Spark's plan)
+    assert r.id_hi == r.id_lo  # ...because the scan is provably empty
+    assert list(r.read(InputPartition(0))) == []
+    assert list(r.read(InputPartition(1))) == []
+    # same-value duplicate equality keeps the scan intact
+    r2 = SyntheticEventsReader({"rows": "100", "partitions": "2"})
+    list(r2.pushFilters(
+        [EqualTo(("event_type",), "view"), EqualTo(("event_type",), "view")]
+    ))
+    assert r2.id_hi > r2.id_lo and r2.etype == "view"

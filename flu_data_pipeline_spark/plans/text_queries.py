@@ -2226,3 +2226,203 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.regr_intercept("ly", "lx")), 6).alias("heaps_k"),
         F.round(F.corr("ly", "lx") * F.corr("ly", "lx"), 6).alias("r_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# local document fingerprinting scheme)
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 8  # character k-gram length
+_WINNOW_W = 8  # winnowing window (guarantee threshold t = w + k - 1 = 15)
+
+#: DuckDB construction of the winnowed fingerprint set per document:
+#: k-gram hashes over the whitespace-normalized text, min per sliding
+#: window of w consecutive hashes, distinct. (The classic presentation
+#: computes k-gram hashes with a ROLLING polynomial update — an O(1)
+#: per-position trick for sequential scanners; under a vectorized
+#: engine each k-gram is hashed directly, same output contract.)
+_WINNOW_FP_SQL = f"""
+    norm AS (
+        SELECT doc_id, source, {_NORMALIZED_SQL} AS nt FROM documents
+    ), kg AS (
+        SELECT doc_id, source,
+               list_transform(
+                   range(1, length(nt) - {_WINNOW_K} + 2),
+                   i -> {hash64_sql(f"substr(nt, CAST(i AS INT), {_WINNOW_K})")}
+               ) AS h
+        FROM norm
+        WHERE length(nt) >= {_WINNOW_K + _WINNOW_W - 1}
+    ), fp AS (
+        SELECT doc_id, source,
+               CAST(len(h) AS BIGINT) AS n_kgrams,
+               list_distinct(list_transform(
+                   range(1, len(h) - {_WINNOW_W} + 2),
+                   j -> list_min(h[CAST(j AS INT):CAST(j AS INT) + {_WINNOW_W} - 1])
+               )) AS fps
+        FROM kg
+    )
+"""
+
+
+@register(
+    "text_winnow_density",
+    oracle=f"""
+    WITH {_WINNOW_FP_SQL}
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_kgrams) AS BIGINT) AS total_kgrams,
+           CAST(SUM(len(fps)) AS BIGINT) AS total_fingerprints,
+           ROUND(CAST(SUM(len(fps)) AS DOUBLE) / SUM(n_kgrams), 6)
+               AS density,
+           ROUND(2.0 / ({_WINNOW_W} + 1), 6) AS density_theory
+    FROM fp
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Winnowing fingerprint density audit (Schleimer et al. 2003, "
+    "the MOSS scheme): per document, hash every "
+    f"{_WINNOW_K}-char k-gram of the normalized text, keep the MINIMUM "
+    f"hash of each sliding window of {_WINNOW_W} consecutive k-gram "
+    "hashes, dedupe — the winnowed fingerprint set, which GUARANTEES "
+    "any shared substring of length >= w + k - 1 = "
+    f"{_WINNOW_K + _WINNOW_W - 1} chars produces a shared fingerprint. "
+    "This query audits the selection against the paper's expected "
+    "density 2/(w+1): per source, selected/total k-grams next to the "
+    "theoretical value — the same measured-vs-theory discipline as "
+    "dedup_lsh_recall_audit. Entirely map-side per document (array "
+    "HOFs; no shuffle until the per-source rollup); the classic "
+    "rolling-hash update is a sequential-scanner optimization, "
+    "irrelevant under vectorized execution — the selection scheme, "
+    "not the hash recurrence, is what wins at scale.",
+    tags=("text", "fingerprint", "dedup"),
+)
+def text_winnow_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = _winnow_fingerprints(spark, sf_dir)
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_kgrams").cast("bigint").alias("total_kgrams"),
+            F.sum(F.size("fps")).cast("bigint").alias("total_fingerprints"),
+            F.round(
+                F.sum(F.size("fps")).cast("double") / F.sum("n_kgrams"), 6
+            ).alias("density"),
+            F.round(F.lit(2.0 / (_WINNOW_W + 1)), 6).alias("density_theory"),
+        )
+        .orderBy("source")
+    )
+
+
+def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc winnowed fingerprint set: (doc_id, source, n_kgrams,
+    fps array). Map-side only — see text_winnow_density docstring."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    d = (
+        docs.repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+        .select("doc_id", "source", norm.alias("nt"))
+        .filter(F.length("nt") >= _WINNOW_K + _WINNOW_W - 1)
+        .select(
+            "doc_id",
+            "source",
+            F.split(F.col("nt"), "").alias("chars"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.size("chars") - _WINNOW_K + 1
+                ),
+                lambda i: hash64(
+                    F.array_join(F.slice("chars", i, _WINNOW_K), "")
+                ),
+            ).alias("h"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.size("h").cast("bigint").alias("n_kgrams"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("h") - _WINNOW_W + 1),
+                lambda j: F.array_min(F.slice("h", j, _WINNOW_W)),
+            )
+        ).alias("fps"),
+    )
+
+
+@register(
+    "dedup_winnow_overlap",
+    oracle=f"""
+    WITH {_WINNOW_FP_SQL},
+    posts AS (
+        SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, unnest(fps) AS f
+        FROM fp
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_fp AS na, b.n_fp AS nb,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM posts a JOIN posts b
+          ON a.f = b.f AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, shared,
+           ROUND(CAST(shared AS DOUBLE) / LEAST(na, nb), 6)
+               AS containment
+    FROM pairs
+    ORDER BY shared DESC, doc_a, doc_b
+    LIMIT 25
+    """,
+    doc="Winnowing-fingerprint overlap ranking — the plagiarism/"
+    "boilerplate detector MOSS runs on the winnowed sets: explode each "
+    "doc's fingerprints (2/(w+1) of its k-grams — the index is ~4x "
+    "smaller than a full shingle index for the same guarantee), "
+    "inverted-index self-join on the 8-byte fingerprint, per-pair "
+    "shared count and containment (shared / smaller set). Top-25 "
+    "pinned by (shared desc, doc_a, doc_b) compiles to "
+    "TakeOrderedAndProject. Any two docs sharing a run of >= "
+    f"{_WINNOW_K + _WINNOW_W - 1} normalized chars MUST surface here — "
+    "the local-guarantee winnowing provides and random sampling "
+    "doesn't. Set sizes ride the exploded rows (no separate sizes "
+    "join), mirroring dedup_ngram_jaccard's plan shape.",
+    tags=("text", "fingerprint", "dedup", "scale-twin"),
+)
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = _winnow_fingerprints(spark, sf_dir)
+    posts = fp.select(
+        "doc_id",
+        F.size("fps").cast("bigint").alias("n_fp"),
+        F.explode("fps").alias("f"),
+    )
+    a, b = posts.alias("a"), posts.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_fp").alias("na"),
+            F.col("b.n_fp").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.round(
+                F.col("shared").cast("double") / F.least("na", "nb"), 6
+            ).alias("containment"),
+        )
+        .orderBy(F.desc("shared"), "doc_a", "doc_b")
+        .limit(25)
+    )

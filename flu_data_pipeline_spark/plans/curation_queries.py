@@ -1333,3 +1333,114 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 1024  # hashed unigram feature space (paper: hashed n-grams)
+_DSIR_TARGET = "src0"  # target-domain proxy (the 'wiki-quality' source)
+
+
+@register(
+    "curation_dsir_selection",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, source,
+               {hash64_sql('w')} % {_DSIR_BUCKETS} AS b
+        FROM (SELECT doc_id, source, unnest({_BG_TOKENS}) AS w
+              FROM documents)
+    ), bstats AS (
+        SELECT b,
+               SUM(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 ELSE 0 END)
+                   AS t_cnt,
+               SUM(CASE WHEN source <> '{_DSIR_TARGET}' THEN 1 ELSE 0 END)
+                   AS r_cnt
+        FROM words GROUP BY b
+    ), tot AS (
+        SELECT SUM(t_cnt) AS t_tot, SUM(r_cnt) AS r_tot FROM bstats
+    ), llr AS (
+        -- add-0.5 smoothed log importance ratio per bucket, quantized
+        -- to integer micro-nats so per-doc sums are order-independent
+        -- and bit-identical across engines
+        SELECT b,
+               CAST(FLOOR(LN(((t_cnt + 0.5) / (tot.t_tot + 0.5 * {_DSIR_BUCKETS}))
+                            / ((r_cnt + 0.5) / (tot.r_tot + 0.5 * {_DSIR_BUCKETS})))
+                          * 1000000 + 0.5) AS BIGINT) AS llr_micro
+        FROM bstats CROSS JOIN tot
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(l.llr_micro) AS BIGINT) AS score_micro
+    FROM words w JOIN llr l ON w.b = l.b
+    WHERE w.source <> '{_DSIR_TARGET}'
+    GROUP BY w.doc_id
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 25
+    """,
+    doc="DSIR data selection (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling'): score every "
+    "raw-corpus document by how target-like its hashed unigram "
+    f"features are. Buckets = hash64(word) % {_DSIR_BUCKETS}; "
+    f"target = source '{_DSIR_TARGET}' (the quality-domain proxy), raw "
+    "= everything else; per-bucket add-0.5-smoothed log importance "
+    "ratio ln(p_target/p_raw); a document's weight is the sum of its "
+    "tokens' bucket ratios — the top-weighted docs are what importance "
+    "resampling keeps. Cross-engine exactness: the per-bucket log "
+    "ratio is quantized to integer MICRO-NATS before the per-doc sum "
+    "(float addition is order-dependent; integer sums are not — the "
+    "embedding_top_pc_power_iteration trick). Plan shape: one explode "
+    f"+ groupBy(bucket) for stats ({_DSIR_BUCKETS} rows, broadcast "
+    "back), one groupBy(doc) for scores, TakeOrdered top-25 — no "
+    "shuffle carries text, and the feature table is O(buckets), not "
+    "O(vocab).",
+    tags=("curation", "sampling", "text"),
+)
+def curation_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.explode(tokenize(F.col("text"))).alias("w"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.pmod(hash64(F.col("w")), F.lit(_DSIR_BUCKETS)).alias("b"),
+        )
+    )
+    is_t = F.col("source") == _DSIR_TARGET
+    bstats = words.groupBy("b").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("t_cnt"),
+        F.sum(F.when(is_t, 0).otherwise(1)).alias("r_cnt"),
+    )
+    tot = bstats.agg(
+        F.sum("t_cnt").alias("t_tot"), F.sum("r_cnt").alias("r_tot")
+    )
+    p = (F.col("t_cnt") + 0.5) / (F.col("t_tot") + 0.5 * _DSIR_BUCKETS)
+    q = (F.col("r_cnt") + 0.5) / (F.col("r_tot") + 0.5 * _DSIR_BUCKETS)
+    llr = (
+        bstats.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.floor(F.log(p / q) * 1000000 + 0.5)
+            .cast("bigint")
+            .alias("llr_micro"),
+        )
+    )
+    return (
+        words.filter(~is_t)
+        .join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("llr_micro").cast("bigint").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(25)
+    )

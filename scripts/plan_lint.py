@@ -132,6 +132,8 @@ BNLJ_AUDITED: dict[str, str] = {
                                  #     the per-partition summary frame
     "dpp_pruning_gain": "a",  # (a) 1-row totals + 1-row scanned-
                                  #     months aggregates crossed in
+    "curation_dsir_selection": "a",  # (a) 1-row corpus-totals broadcast
+                                 #     onto the 1024-bucket stats
 }
 
 

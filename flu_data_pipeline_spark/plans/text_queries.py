@@ -2356,6 +2356,14 @@ def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Max document frequency for an index fingerprint — MOSS's own rule
+#: ("ignore matches appearing in more than N files"): a fingerprint
+#: shared by df docs costs df^2 in the pair join, and fingerprints
+#: common to half the corpus are boilerplate, not copying. With the
+#: cap the join cost is bounded by cap * postings — linear.
+_WINNOW_DF_CAP = 64
+
+
 @register(
     "dedup_winnow_overlap",
     oracle=f"""
@@ -2363,11 +2371,16 @@ def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts AS (
         SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, unnest(fps) AS f
         FROM fp
+    ), rare AS (
+        SELECT f FROM posts GROUP BY f
+        HAVING COUNT(*) <= {_WINNOW_DF_CAP}
+    ), idx AS (
+        SELECT p.doc_id, p.n_fp, p.f FROM posts p JOIN rare USING (f)
     ), pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.n_fp AS na, b.n_fp AS nb,
                CAST(COUNT(*) AS BIGINT) AS shared
-        FROM posts a JOIN posts b
+        FROM idx a JOIN idx b
           ON a.f = b.f AND a.doc_id < b.doc_id
         GROUP BY 1, 2, 3, 4
     )
@@ -2381,13 +2394,18 @@ def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Winnowing-fingerprint overlap ranking — the plagiarism/"
     "boilerplate detector MOSS runs on the winnowed sets: explode each "
     "doc's fingerprints (2/(w+1) of its k-grams — the index is ~4x "
-    "smaller than a full shingle index for the same guarantee), "
-    "inverted-index self-join on the 8-byte fingerprint, per-pair "
-    "shared count and containment (shared / smaller set). Top-25 "
-    "pinned by (shared desc, doc_a, doc_b) compiles to "
-    "TakeOrderedAndProject. Any two docs sharing a run of >= "
-    f"{_WINNOW_K + _WINNOW_W - 1} normalized chars MUST surface here — "
-    "the local-guarantee winnowing provides and random sampling "
+    "smaller than a full shingle index for the same guarantee), drop "
+    f"fingerprints appearing in more than {_WINNOW_DF_CAP} docs (the "
+    "cap MOSS itself applies — such fingerprints are boilerplate and "
+    "cost df^2 in the join; with the cap, candidate cost is cap x "
+    "postings, linear in the corpus), then an inverted-index "
+    "self-join on the 8-byte fingerprint with per-pair shared count "
+    "and containment (shared / smaller FULL set). Top-25 pinned by "
+    "(shared desc, doc_a, doc_b) compiles to TakeOrderedAndProject. "
+    "Any two docs sharing a run of >= "
+    f"{_WINNOW_K + _WINNOW_W - 1} normalized chars surfaces here "
+    "unless that run floods more than the cap's worth of the corpus — "
+    "the local guarantee winnowing provides and random sampling "
     "doesn't. Set sizes ride the exploded rows (no separate sizes "
     "join), mirroring dedup_ngram_jaccard's plan shape.",
     tags=("text", "fingerprint", "dedup", "scale-twin"),
@@ -2398,8 +2416,15 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("fps").cast("bigint").alias("n_fp"),
         F.explode("fps").alias("f"),
+    ).localCheckpoint(eager=True)  # feeds the df filter AND both join sides
+    rare = (
+        posts.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _WINNOW_DF_CAP)
+        .select("f")
     )
-    a, b = posts.alias("a"), posts.alias("b")
+    idx = posts.join(rare, "f")
+    a, b = idx.alias("a"), idx.alias("b")
     pairs = (
         a.join(
             b,

@@ -110,7 +110,13 @@ def main() -> None:
             # real 10x corpus. Rotating the token alphabet makes
             # replicas textually unrelated (n-gram Jaccard ~ 0 across
             # replicas) while preserving word/char statistics shape.
-            alpha = "abcdefghijklmnopqrst"
+            # The FULL a-z range must rotate: an a-t-only rotation left
+            # u/v/w/y runs (present in the corpus) identical across
+            # replicas, and CHARACTER-level operators (winnowing
+            # 8-gram fingerprints) then saw hot cross-replica
+            # fingerprints with df^2 cost — measured as a fake 12x
+            # super-linearity before this fix.
+            alpha = "abcdefghijklmnopqrstuvwxyz"
             text_col = F.col("text")
             for r in range(1, REPLICAS):
                 rot = alpha[r:] + alpha[:r]

@@ -1444,3 +1444,150 @@ def curation_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micro"), "doc_id")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# UniMax language-sampling allocation (Chung et al. 2023)
+# ---------------------------------------------------------------------------
+
+_UNIMAX_EPOCH_CAP = 4  # max epochs over any language's data
+
+
+@register(
+    "corpus_unimax_allocation",
+    oracle=f"""
+    WITH per_lang AS (
+        SELECT lang,
+               CAST(SUM(len(regexp_split_to_array(lower(trim(text)),
+                                                  '\\s+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY lang
+    ), caps AS (
+        SELECT lang, n_tokens,
+               CAST({_UNIMAX_EPOCH_CAP} * n_tokens AS BIGINT) AS cap,
+               CAST(SUM({_UNIMAX_EPOCH_CAP} * n_tokens) OVER ()
+                    AS BIGINT) AS total_cap,
+               CAST(SUM(n_tokens) OVER () * 3 AS BIGINT) AS budget,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, lang) AS BIGINT)
+                   AS rk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_langs,
+               CAST(COALESCE(SUM({_UNIMAX_EPOCH_CAP} * n_tokens) OVER (
+                   ORDER BY n_tokens, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS prefix_cap,
+               CAST(COALESCE(LAG({_UNIMAX_EPOCH_CAP} * n_tokens) OVER (
+                   ORDER BY n_tokens, lang
+               ), 0) AS BIGINT) AS prev_cap
+        FROM per_lang
+    ), levels AS (
+        -- candidate water level when exactly the (rk-1) smallest caps
+        -- saturate: L = (budget - prefix_cap) / (langs remaining).
+        -- Valid iff the assumption holds BOTH ways: the previous cap
+        -- really saturates (prev_cap <= L) and this one does not
+        -- (L <= cap).
+        SELECT *,
+               CAST(budget - prefix_cap AS DOUBLE) / (n_langs - rk + 1)
+                   AS lvl
+        FROM caps
+    ), chosen AS (
+        SELECT COALESCE(MIN(lvl),
+                        (SELECT CAST(MAX(cap) AS DOUBLE) FROM levels))
+                   AS level
+        FROM levels
+        WHERE lvl >= prev_cap AND lvl <= cap
+    )
+    SELECT l.lang, l.n_tokens, l.cap,
+           ROUND(LEAST(CAST(l.cap AS DOUBLE), c.level), 6)
+               AS alloc_tokens,
+           ROUND(LEAST(CAST(l.cap AS DOUBLE), c.level) / l.n_tokens, 6)
+               AS epochs,
+           (CAST(l.cap AS DOUBLE) <= c.level) AS saturated
+    FROM levels l CROSS JOIN chosen c
+    ORDER BY l.lang
+    """,
+    doc="UniMax language-sampling allocation (Chung et al. 2023): "
+    "spread a token budget (3x the corpus here — sized so four of the five fixture languages saturate, exercising the fill) as UNIFORMLY as "
+    "possible across languages, capping every language at "
+    f"{_UNIMAX_EPOCH_CAP} epochs of its own data — the scheme that "
+    "replaced temperature sampling for mT5-class multilingual "
+    "training because it never over-repeats low-resource languages. "
+    "Closed-form waterfilling: sort languages by capacity; for each "
+    "rank, the candidate water level assumes all smaller caps "
+    "saturate, L = (budget - prefix_caps) / remaining; the true level "
+    "is the smallest FEASIBLE candidate (L <= own cap); allocation = "
+    "min(cap, L). Output: per-language tokens, allocation, effective "
+    "epochs, saturation flag. All windows run over the per-LANGUAGE "
+    "aggregate frame (5 rows — audit category (d)); the level is a "
+    "1-row broadcast. Same IEEE double division on both engines, so "
+    "the 6dp rounding is hash-stable.",
+    tags=("curation", "sampling", "corpus-planning"),
+)
+def corpus_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = (
+        docs.select(
+            "lang", F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("t")
+        )
+        .groupBy("lang")
+        .agg(F.sum("t").cast("bigint").alias("n_tokens"))
+    )
+    w_all = Window.partitionBy()
+    w_sorted = Window.orderBy("n_tokens", "lang")
+    caps = per_lang.select(
+        "lang",
+        "n_tokens",
+        (F.lit(_UNIMAX_EPOCH_CAP) * F.col("n_tokens"))
+        .cast("bigint")
+        .alias("cap"),
+        (F.sum("n_tokens").over(w_all) * 3).cast("bigint").alias("budget"),
+        F.row_number().over(w_sorted).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_langs"),
+        F.coalesce(
+            F.sum(F.lit(_UNIMAX_EPOCH_CAP) * F.col("n_tokens")).over(
+                w_sorted.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("prefix_cap"),
+        F.coalesce(
+            F.lag(F.lit(_UNIMAX_EPOCH_CAP) * F.col("n_tokens")).over(
+                w_sorted
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("prev_cap"),
+    )
+    levels = caps.withColumn(
+        "lvl",
+        (F.col("budget") - F.col("prefix_cap")).cast("double")
+        / (F.col("n_langs") - F.col("rk") + 1),
+    )
+    # valid candidate: the previous cap saturates at L, this one doesn't;
+    # fallback (budget >= total capacity) saturates everyone
+    max_cap = levels.agg(F.max("cap").cast("double").alias("mc"))
+    chosen = (
+        levels.filter(
+            (F.col("lvl") >= F.col("prev_cap"))
+            & (F.col("lvl") <= F.col("cap"))
+        )
+        .agg(F.min("lvl").alias("lv"))
+        .crossJoin(F.broadcast(max_cap))
+        .select(F.coalesce("lv", "mc").alias("level"))
+    )
+    alloc = F.least(F.col("cap").cast("double"), F.col("level"))
+    return (
+        levels.crossJoin(F.broadcast(chosen))
+        .select(
+            "lang",
+            "n_tokens",
+            "cap",
+            F.round(alloc, 6).alias("alloc_tokens"),
+            F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
+            (F.col("cap").cast("double") <= F.col("level")).alias(
+                "saturated"
+            ),
+        )
+        .orderBy("lang")
+    )

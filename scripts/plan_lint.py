@@ -134,6 +134,8 @@ BNLJ_AUDITED: dict[str, str] = {
                                  #     months aggregates crossed in
     "curation_dsir_selection": "a",  # (a) 1-row corpus-totals broadcast
                                  #     onto the 1024-bucket stats
+    "corpus_unimax_allocation": "a",  # (a) 1-row water-level (and 1-row
+                                 #     max-cap fallback) broadcasts
 }
 
 
@@ -163,6 +165,7 @@ SPW_AGG_BOUNDED = {
     "conversion_latency_quantiles",  # (e) distinct latency values
     "corpus_mix_stats",          # (d) lang x source cells
     "corpus_temperature_mix",    # (d) per-source rows
+    "corpus_unimax_allocation",  # (d) per-language aggregate (5 rows)
     "curation_quantile_normalize",  # (e) distinct score ranks
     "eval_auc_purchase",         # (e) distinct score prefix sums
     "eval_calibration_bins",     # (d) 10 calibration bins

@@ -136,6 +136,9 @@ BNLJ_AUDITED: dict[str, str] = {
                                  #     onto the 1024-bucket stats
     "corpus_unimax_allocation": "a",  # (a) 1-row water-level (and 1-row
                                  #     max-cap fallback) broadcasts
+    "ann_ivf_pq": "b",           # (b) 8-centroid / 5-query / K-entry
+                                 #     codebook broadcasts (coarse
+                                 #     cross, probe cross, ADC table)
 }
 
 

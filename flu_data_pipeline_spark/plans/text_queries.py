@@ -2451,3 +2451,59 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("shared"), "doc_a", "doc_b")
         .limit(25)
     )
+
+
+@register(
+    "sample_es_topk",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               -- Efraimidis-Spirakis key ln(u)/w, u = hash-uniform in
+               -- (0,1), quantized to integer pico-units so the top-k
+               -- ordering is engine-exact
+               CAST(FLOOR(
+                   LN((CAST({hash64_sql("'estk|' || CAST(doc_id AS VARCHAR)")}
+                        % 1000000 AS DOUBLE) + 1) / 1000002.0)
+                   / n_chars * 1000000000000 + 0.5) AS BIGINT) AS key_pico
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars, key_pico
+    FROM keyed
+    ORDER BY key_pico DESC, doc_id
+    LIMIT 25
+    """,
+    doc="Fixed-size weighted sample WITHOUT replacement via the "
+    "Efraimidis-Spirakis one-pass scheme (equivalently the Gumbel "
+    "top-k trick): per doc draw u from the portable-hash uniform, key "
+    "= u^(1/w) with w = n_chars — taken in log form ln(u)/w for "
+    "numerics — and keep the k largest keys. Unlike the Bernoulli "
+    "sampler (sample_weighted), the output size is EXACTLY k and "
+    "inclusion probabilities are proportional-to-size without "
+    "replacement — the sampler a fixed token-budget corpus draw "
+    "needs. One scan + TakeOrdered top-k (no shuffle of the corpus); "
+    "keys quantized to integer pico-units so the selection and its "
+    "ordering hash-match across engines; deterministic across runs "
+    "and partitionings where rand() would be neither.",
+    tags=("text", "sampling"),
+)
+def sample_es_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        (
+            hash64(F.concat(F.lit("estk|"), F.col("doc_id").cast("string")))
+            % 1000000
+        ).cast("double")
+        + 1
+    ) / 1000002.0
+    key_pico = (
+        F.floor(F.log(u) / F.col("n_chars") * F.lit(1_000_000_000_000) + 0.5)
+        .cast("bigint")
+        .alias("key_pico")
+    )
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", "lang", "n_chars", key_pico)
+        .orderBy(F.desc("key_pico"), "doc_id")
+        .limit(25)
+    )

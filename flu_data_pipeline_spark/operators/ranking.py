@@ -105,20 +105,23 @@ def global_ntile(
     ``(x + s - 1) DIV s``), so no float rounding can flip a boundary.
     """
     ranked = global_rank(df, order, _RANK)
-    base = F.floor(F.col(_N) / n_buckets).cast("bigint")
-    rem = (F.col(_N) % n_buckets).cast("bigint")
-    pivot = rem * (base + F.lit(1))
-    r = F.col(_RANK)
-    # ceil(x / s) as integer math; guard base == 0 (fewer rows than
-    # buckets → bucket = rank, which is what NTILE does).
-    big = (r + base) - ((r + base) % (base + F.lit(1)))
-    in_big = big / (base + F.lit(1))
-    small_num = (r - pivot + base - F.lit(1))
-    small = small_num - (small_num % F.greatest(base, F.lit(1)))
-    in_small = rem + small / F.greatest(base, F.lit(1))
-    bucket = (
-        F.when(base == F.lit(0), r)
-        .when(r <= pivot, in_big)
-        .otherwise(in_small)
+    k = int(n_buckets)
+    # TRUE integer division (SQL `div` on bigints) throughout — `/` on
+    # Spark columns is double division, exact only below 2^53; `div`
+    # holds the bit-identical-to-NTILE guarantee at any row count.
+    # base = n div k; rem = n % k; pivot = rem * (base + 1);
+    # bucket = ceil(r / (base+1)) in the first rem buckets, else
+    # rem + ceil((r - pivot) / base); base == 0 (fewer rows than
+    # buckets) → bucket = rank, which is what NTILE does.
+    bucket = F.expr(
+        f"""CASE
+            WHEN {_N} div {k} = 0L THEN {_RANK}
+            WHEN {_RANK} <= ({_N} % {k}) * ({_N} div {k} + 1L)
+                THEN ({_RANK} + {_N} div {k}) div ({_N} div {k} + 1L)
+            ELSE ({_N} % {k})
+                 + ({_RANK} - ({_N} % {k}) * ({_N} div {k} + 1L)
+                    + {_N} div {k} - 1L)
+                   div greatest({_N} div {k}, 1L)
+        END"""
     )
     return ranked.withColumn(out_col, bucket.cast("int")).drop(_RANK, _N)

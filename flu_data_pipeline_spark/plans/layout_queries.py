@@ -616,6 +616,48 @@ def shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modcmp.union(ringcmp).orderBy("scheme")
 
 
+def _src_fingerprint(sf_dir: str, table: str) -> str:
+    """Cheap identity of a source parquet table: name/size/mtime of its
+    file (or of every part file if it is a directory). Stored in a
+    sidecar next to materialized layout copies so a REGENERATED source
+    (new testdata drop, different machine) invalidates the cached
+    bucketed/partitioned copy instead of silently serving stale data."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        parts = sorted(
+            (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+            for e in os.scandir(path)
+            if e.is_file()
+        )
+        return repr(parts)
+    st = os.stat(path)
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
+def _materialized_fresh(target: str, fingerprint: str) -> bool:
+    """True iff ``target`` holds a complete (_SUCCESS) materialization
+    built from exactly this source fingerprint."""
+    import os
+
+    marker = os.path.join(target, "_SRC_FINGERPRINT")
+    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+        return False
+    try:
+        with open(marker) as fh:
+            return fh.read() == fingerprint
+    except OSError:
+        return False
+
+
+def _mark_materialized(target: str, fingerprint: str) -> None:
+    import os
+
+    with open(os.path.join(target, "_SRC_FINGERPRINT"), "w") as fh:
+        fh.write(fingerprint)
+
+
 def _dpp_fact_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per sf) a ship-month-partitioned copy of
     lineitem under the repo's gitignored scratch dir — the physical
@@ -631,7 +673,8 @@ def _dpp_fact_path(spark: SparkSession, sf_dir: str) -> str:
     )
     tag = os.path.basename(sf_dir.rstrip("/"))
     target = os.path.join(repo, ".testdata", "dpp", tag, "lineitem_by_month")
-    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+    fp = _src_fingerprint(sf_dir, "lineitem")
+    if not _materialized_fresh(target, fp):
         (
             load_table(spark, sf_dir, "lineitem")
             .withColumn(
@@ -642,6 +685,7 @@ def _dpp_fact_path(spark: SparkSession, sf_dir: str) -> str:
             .partitionBy("ship_month")
             .parquet(target)
         )
+        _mark_materialized(target, fp)
     return target
 
 
@@ -781,8 +825,16 @@ def _bucketed_table(
     )
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     name = f"bkt_{src}_{tag}"
+    path = os.path.join(repo, ".testdata", "bucketed", tag, src)
+    fp = _src_fingerprint(sf_dir, src)
+    # Trust the catalog entry only while its external path is intact AND
+    # was built from the current source bytes: a persisted metastore row
+    # whose directory was cleaned would otherwise fail every query until
+    # manually dropped, and a regenerated source would silently serve a
+    # stale bucketed copy. On any mismatch, drop and rebuild.
+    if spark.catalog.tableExists(name) and not _materialized_fresh(path, fp):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
     if not spark.catalog.tableExists(name):
-        path = os.path.join(repo, ".testdata", "bucketed", tag, src)
         (
             load_table(spark, sf_dir, src)
             .write.mode("overwrite")
@@ -791,6 +843,7 @@ def _bucketed_table(
             .sortBy(key)
             .saveAsTable(name)
         )
+        _mark_materialized(path, fp)
     return name
 
 

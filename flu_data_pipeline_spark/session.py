@@ -160,4 +160,40 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warn_if_code_cache_not_applied(spark)
     return spark
+
+
+def _warn_if_code_cache_not_applied(spark: SparkSession) -> None:
+    """Detect the silent launch-mode gap in the JIT headroom conf.
+
+    ``spark.driver.extraJavaOptions`` only takes effect when THIS
+    process launches the JVM; under an existing gateway or
+    ``spark-submit`` the 1g ReservedCodeCacheSize the bench methodology
+    relies on silently does not apply, and bench numbers would compare
+    different JIT-eviction regimes. Read the live JVM's input arguments
+    via the RuntimeMXBean and warn loudly when the requested value is
+    absent — detection only, never a failure (the engine is correct
+    either way; only steady-state bench timing is affected).
+    """
+    try:
+        jvm_args = list(
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            .getRuntimeMXBean()
+            .getInputArguments()
+        )
+        if not any("ReservedCodeCacheSize=1g" in str(a) for a in jvm_args):
+            import warnings
+
+            warnings.warn(
+                "JVM is running WITHOUT -XX:ReservedCodeCacheSize=1g "
+                "(pre-existing gateway or spark-submit launch): bench "
+                "timings in this session may pay JIT code-cache "
+                "eviction after many distinct query plans; pass the "
+                "flag through your launcher's driver JVM options for "
+                "comparable numbers.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+    except Exception:
+        pass  # py4j introspection is best-effort; never block a session

@@ -24,7 +24,11 @@ Output: .testdata/sf1/*.parquet under the repo root (gitignored —
 ~170 MB of derived data). Timing-only: the DuckDB oracle gate runs at
 sf0.01; nothing here feeds correctness checks.
 
-Usage: python scripts/gen_sf1.py [out_dir]
+Usage: python scripts/gen_sf1.py [out_dir] [src_sf_dir]
+
+``src_sf_dir`` defaults to $SPARK_GRAFT_SF_DIR (the same env var
+bench.py reads) falling back to /root/testdata/sf0.1, so the generator
+works on any machine whose testdata lives elsewhere.
 """
 
 from __future__ import annotations
@@ -38,7 +42,6 @@ from pyspark.sql import functions as F
 
 from flu_data_pipeline_spark.session import get_spark
 
-SRC = "/root/testdata/sf0.1"
 REPLICAS = 10
 
 #: key columns remapped per table: (primary/foreign key -> base table
@@ -76,24 +79,29 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".testdata", "sf1",
     )
+    src = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="gen-sf1")
 
     strides: dict[str, int] = {}
     for col, table in STRIDE_TABLE.items():
-        df = spark.read.parquet(f"{SRC}/{table}.parquet")
+        df = spark.read.parquet(f"{src}/{table}.parquet")
         strides[col] = int(df.agg(F.max(col)).first()[0]) + 1
 
     reps = spark.range(REPLICAS).select(F.col("id").alias("__rep"))
 
     for table in ["region", "nation"]:
-        spark.read.parquet(f"{SRC}/{table}.parquet").write.mode(
+        spark.read.parquet(f"{src}/{table}.parquet").write.mode(
             "overwrite"
         ).parquet(f"{out_dir}/{table}.parquet")
         print(f"{table}: copied (fixed-size dim)")
 
     for table, keymap in KEYED.items():
-        df = spark.read.parquet(f"{SRC}/{table}.parquet")
+        df = spark.read.parquet(f"{src}/{table}.parquet")
         up = df.crossJoin(F.broadcast(reps))
         for col, stride_col in keymap.items():
             up = up.withColumn(

@@ -6,14 +6,26 @@ cluster = the minimum doc id. This is the step that turns pairwise
 similarity output into actionable keep/drop sets for a training-data
 pipeline.
 
-Algorithm: iterative min-label propagation — every node repeatedly takes
-the minimum label among itself and its neighbors; converges in
-O(component diameter) rounds. Each round is one join + one groupBy on the
-node key (two hash shuffles), all distributed; no driver-side graph. For
-power-law graphs at 100 TB scale the alternating large-star/small-star
-variant (Kiveris et al., "Connected Components in MapReduce", SOCC'14)
-halves round counts; near-dup clusters are small-diameter so plain
-propagation is the right default.
+Two algorithms, same output contract:
+
+- :func:`connected_components` — iterative min-label propagation: every
+  node repeatedly takes the minimum label among itself and its
+  neighbors; converges in O(component diameter) rounds. Each round is
+  one join + one groupBy on the node key (two hash shuffles). Cheapest
+  per round; the right default for near-dup candidate graphs, whose
+  clusters are small-diameter.
+- :func:`connected_components_star` — the alternating
+  large-star/small-star algorithm (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SOCC'14): rounds are
+  O(log^2 n) INDEPENDENT OF DIAMETER, because each round re-points
+  whole neighborhoods at their minimum rather than moving labels one
+  hop. Costs ~2x the shuffles per round, but survives the adversarial
+  shapes plain propagation cannot: long chains (a path of length
+  1000 ≫ any sane max_iter) and the power-law / high-skew candidate
+  graphs adversarial near-dup families produce at 100 TB.
+
+Both are fully distributed (joins + groupBys on the node key); no
+driver-side graph ever exists.
 
 ``localCheckpoint`` after each round truncates the lineage (otherwise the
 plan doubles per iteration and planning time dominates) and materializes
@@ -70,6 +82,105 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels.select("node", F.col("label").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 30
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., SOCC'14). Same contract as
+    :func:`connected_components`: returns (node, component) with
+    component = min node id reachable, for every node appearing in at
+    least one edge.
+
+    Round structure (all keyed shuffles, nothing driver-side):
+
+    - **large-star**: symmetrize the edge list; per node ``u`` compute
+      ``m = min(neighbors ∪ {u})`` (one groupBy); re-point every
+      STRICTLY LARGER neighbor ``v > u`` at ``m`` (one join). This is
+      the step that collapses long chains logarithmically — a node's
+      pointer can jump arbitrarily far down in one round.
+    - **small-star**: orient every edge larger→smaller; per node ``u``
+      compute the min ``m`` of its smaller neighbors; connect ``u``
+      and all its smaller neighbors to ``m``. Restores the forest
+      invariant (every edge points strictly downward).
+
+    The paper proves the alternation converges to the star forest
+    {(node, component-min)} in O(log^2 n) rounds (O(log n) observed),
+    regardless of component diameter — the property plain min-label
+    propagation lacks. Convergence detection is EXACT set equality of
+    successive edge states: a cheap count gate first, then
+    ``exceptAll`` (both frames are localCheckpoint-ed, so the compare
+    touches materialized rows only). Monotone-sum shortcuts are not
+    safe here because the edge STATE can keep improving in rounds where
+    per-node minima happen to be stable.
+
+    Per-round cost is ~2x :func:`connected_components` (two
+    groupBy+join pairs vs one), so for known small-diameter graphs the
+    plain variant remains the default; use this form when cluster
+    shapes are adversarial or unknown.
+    """
+    u, v = "__cc_u", "__cc_v"
+    L = edges.select(F.col(src).alias(u), F.col(dst).alias(v))
+    # contract parity: self-loop-only nodes still get a (node, node) row
+    nodes0 = (
+        L.select(F.col(u).alias("node"))
+        .union(L.select(F.col(v).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    L = L.filter(F.col(u) != F.col(v)).distinct().localCheckpoint(eager=True)
+    prev_cnt = L.count()
+
+    for _ in range(max_iter):
+        # ---- large-star ----
+        S = L.union(L.select(F.col(v).alias(u), F.col(u).alias(v)))
+        mins = (
+            S.groupBy(u)
+            .agg(F.min(v).alias("__cc_mn"))
+            .select(u, F.least("__cc_mn", F.col(u)).alias("__cc_m"))
+        )
+        large = (
+            S.join(mins, u)
+            .filter(F.col(v) > F.col(u))
+            .select(F.col(v).alias(u), F.col("__cc_m").alias(v))
+            .filter(F.col(u) != F.col(v))
+            .distinct()
+        )
+        # ---- small-star ----
+        T = (
+            large.select(
+                F.greatest(u, v).alias(u), F.least(u, v).alias(v)
+            )
+            .filter(F.col(u) != F.col(v))
+            .distinct()
+        )
+        mins2 = T.groupBy(u).agg(F.min(v).alias("__cc_m"))  # always < u
+        small = (
+            T.join(mins2, u)
+            .select(F.col(v).alias(u), F.col("__cc_m").alias(v))
+            .union(mins2.select(F.col(u), F.col("__cc_m").alias(v)))
+            .filter(F.col(u) != F.col(v))
+            .distinct()
+        )
+        new_L = small.localCheckpoint(eager=True)
+        new_cnt = new_L.count()
+        if new_cnt == prev_cnt and new_L.exceptAll(L).isEmpty():
+            L = new_L
+            break
+        L, prev_cnt = new_L, new_cnt
+
+    # star forest → labels: children point at the component min; roots
+    # (appear only as a parent) label themselves.
+    parents = L.groupBy(u).agg(F.min(v).alias("component"))
+    labels = parents.select(F.col(u).alias("node"), "component")
+    return (
+        nodes0.join(labels, "node", "left")
+        .select(
+            "node",
+            F.coalesce("component", F.col("node")).alias("component"),
+        )
+    )
 
 
 def bfs_hops(

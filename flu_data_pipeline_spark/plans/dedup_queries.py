@@ -533,6 +533,59 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_components_scale",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLED_DISTINCT_SQL}, {_SIG_SQL},
+    bands AS (
+{_BANDS_SQL}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, root) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, MIN(root) AS component
+    FROM reach GROUP BY node
+    """,
+    doc="Scale twin of dedup_components: the SAME LSH candidate graph "
+    "resolved with the alternating large-star/small-star algorithm "
+    "(Kiveris et al., SOCC'14; operators/graph.py "
+    "connected_components_star) instead of min-label propagation. "
+    "Rounds are O(log^2 n) INDEPENDENT OF COMPONENT DIAMETER — the "
+    "form that survives the long-chain / power-law cluster shapes "
+    "adversarial near-dup families produce at 100 TB, where "
+    "propagation's O(diameter) rounds would either run forever or be "
+    "cut off wrong by max_iter (property-tested on a path graph of "
+    "length ≫ max_iter: tests/test_operators_property.py). Oracle is "
+    "the identical recursive-CTE closure, so three algorithms (Spark "
+    "star, Spark propagation via dedup_components, DuckDB recursion) "
+    "must all agree.",
+    tags=("dedup", "graph", "minhash", "scale-twin"),
+)
+def dedup_components_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", NUM_HASHES)
+    pairs = lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BAND_SIZE)
+    cc = connected_components_star(pairs, "id_a", "id_b")
+    return cc.select(F.col("node").alias("doc_id"), F.col("component"))
+
+
+@register(
     "fuzzy_blocked_pairs",
     oracle="""
     WITH p AS (

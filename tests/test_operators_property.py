@@ -127,6 +127,89 @@ def test_connected_components_matches_union_find(spark, raw_edges):
 
 
 # --------------------------------------------------------------------------
+# connected_components_star (large-star/small-star) vs union-find, and the
+# long-chain case that motivates it
+# --------------------------------------------------------------------------
+
+def _union_find_components(edges):
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, list[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comps.values() for n in members}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_star_matches_union_find(spark, raw_edges):
+    from flu_data_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    edges = raw_edges or [(0, 1)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edf, "src", "dst").collect()
+    }
+    # contract: self-loop-only nodes appear labelled with themselves
+    expected = _union_find_components([(a, b) for a, b in edges if a != b])
+    for a, b in edges:
+        expected.setdefault(a, a)
+        expected.setdefault(b, b)
+    assert got == expected
+
+
+def test_connected_components_star_survives_long_chain(spark):
+    """The adversarial shape the star variant exists for: a path graph
+    whose diameter (120) vastly exceeds any sane round budget. Plain
+    min-label propagation cut off at max_iter=5 returns WRONG labels
+    here (that wrongness is asserted, so this test keeps its teeth);
+    large-star/small-star converges within its default 30 rounds
+    because pointer jumps are not one-hop."""
+    from flu_data_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n = 121
+    path = [(i, i + 1) for i in range(n - 1)]
+    edf = spark.createDataFrame(path, "src long, dst long").coalesce(4)
+
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edf, "src", "dst").collect()
+    }
+    assert star == {i: 0 for i in range(n)}
+
+    truncated = {
+        r["node"]: r["component"]
+        for r in connected_components(edf, "src", "dst", max_iter=5).collect()
+    }
+    assert truncated != star, (
+        "plain propagation with max_iter=5 unexpectedly solved a "
+        "diameter-120 path; the star twin's raison d'être needs re-checking"
+    )
+
+
+# --------------------------------------------------------------------------
 # minhash_signatures vs a from-scratch python implementation
 # --------------------------------------------------------------------------
 

@@ -20,7 +20,7 @@ oracle-checked (pure integer arithmetic — exact on both engines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flu_data_pipeline_spark.catalog import load_table
@@ -806,6 +806,64 @@ def dpp_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_month")
     )
+
+
+@register(
+    "topk_window_group_limit",
+    oracle="""
+    SELECT c_nationkey, c_name, c_acctbal, rk
+    FROM (
+        SELECT c_nationkey, c_name, c_acctbal,
+               row_number() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey
+               ) AS rk
+        FROM customer
+    )
+    WHERE rk <= 3
+    ORDER BY c_nationkey, rk
+    """,
+    doc="Top-k-per-group window, REGISTERED AND SELF-PROVING: top-3 "
+    "customers per nation by balance via row_number <= 3, ASSERTING "
+    "the physical plan carries WindowGroupLimit in BOTH Partial and "
+    "Final mode. Partial prunes each map partition to its local top-3 "
+    "BEFORE the shuffle, so the exchange moves O(groups * k) rows "
+    "instead of the whole table — at 100 TB this is the difference "
+    "between shuffling kilobytes and shuffling the fact table; rank "
+    "semantics are untouched (the Final pass re-ranks within the true "
+    "group). If Spark ever stops inserting the limit pushdown here "
+    "(the optimization is conf-gated: "
+    "spark.sql.optimizer.windowGroupLimitThreshold), the query raises "
+    "and the correctness gate records it red; negative-tested with "
+    "the threshold set to -1 (tests/test_plans.py). Ordering is "
+    "total (balance desc, custkey tiebreak), so output is "
+    "deterministic and the oracle compares exactly.",
+    tags=("layout", "O3", "W1", "scale-proof"),
+    bench=True,
+)
+def topk_window_group_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_name", "c_acctbal"
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    topk = cust.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 3
+    )
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    wgl_lines = [l for l in plan.splitlines() if "WindowGroupLimit" in l]
+    if not (
+        any("Partial" in l for l in wgl_lines)
+        and any("Final" in l for l in wgl_lines)
+    ):
+        raise AssertionError(
+            "top-k window did not plan WindowGroupLimit (Partial + "
+            "Final map-side pruning); plan:\n" + plan[:2000]
+        )
+    return topk.select(
+        "c_nationkey", "c_name", "c_acctbal", "rk"
+    ).orderBy("c_nationkey", "rk")
 
 
 def _bucketed_table(

@@ -114,20 +114,35 @@ def skew_salted_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY d.type_code, e.event_type
     ORDER BY d.type_code
     """,
-    doc=f"Salted shuffle join against a hot-key dimension: only ~5 distinct "
+    doc=f"Salted shuffle join against a hot-key dimension, REGISTERED AND "
+    f"SELF-PROVING: only ~5 distinct "
     f"event types means a plain shuffle join lands ~1/5 of ALL fact rows on "
     f"one reducer. Rewrite: replicate each dim row {N_JOIN_SALTS}x (explode "
     f"over salts), salt the fact side with portable-hash(event_id) % "
     f"{N_JOIN_SALTS}, join on (event_type, salt) — every hot key spreads "
     f"over {N_JOIN_SALTS} reducers. Result identical to the unsalted join "
-    "(oracle = plain join). At 100 TB the same rewrite applies when the dim "
+    "(oracle = plain join). The builder ASSERTS the physical plan contains "
+    "a ShuffledHashJoin on the salted keys — if the SHUFFLE_HASH hint ever "
+    "stops being honored (falls back to broadcast or sort-merge), the "
+    "query raises and the correctness gate records it red; negative-tested "
+    "by building the same shape unhinted (tests/test_plans.py). At 100 TB "
+    "the same rewrite applies when the dim "
     "is too large to broadcast; when it is broadcastable, broadcast beats "
     "salting (no fact shuffle at all) — this entry pins the non-broadcast "
     "path. AQE skew-split covers sort-merge joins after the fact, salting "
     "works for any join strategy and bounds the skew a priori.",
-    tags=("skew", "J6", "A10"),
+    tags=("skew", "J6", "A10", "scale-proof"),
 )
 def skew_salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _salted_dim_join_frame(spark, sf_dir, hinted=True)
+
+
+def _salted_dim_join_frame(
+    spark: SparkSession, sf_dir: str, hinted: bool
+) -> DataFrame:
+    """Shared shape for skew_salted_dim_join and its negative test:
+    ``hinted=False`` drops the SHUFFLE_HASH hint so the planner degrades
+    to broadcast/sort-merge and the plan assertion must fire."""
     ev = load_table(spark, sf_dir, "events")
     # dim: one row per event type with a dense code (surrogate key by
     # sorted position — 5 rows, single-partition window is fine)
@@ -151,8 +166,9 @@ def skew_salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hint SHUFFLE_HASH so the demo exercises the shuffle path it is
     # written for — a 40-row dim would otherwise be broadcast (which at
     # this size is the better plan, but then nothing would be salted)
-    joined = ev_salted.join(dim_salted.hint("shuffle_hash"), ["event_type", "salt"])
-    return (
+    rhs = dim_salted.hint("shuffle_hash") if hinted else dim_salted
+    joined = ev_salted.join(rhs, ["event_type", "salt"])
+    agg = (
         joined.groupBy("type_code", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -160,3 +176,16 @@ def skew_salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_code")
     )
+    # Living proof the salt actually rides a hash-shuffled join: the
+    # plan must carry a ShuffledHashJoin on (event_type, salt). A
+    # broadcast fallback would make the salt columns dead weight (no
+    # fact shuffle to spread), a sort-merge fallback silently changes
+    # the memory/spill profile the rewrite promises.
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    if "ShuffledHashJoin" not in plan:
+        raise AssertionError(
+            "salted dim join did not plan SHUFFLE_HASH (ShuffledHashJoin "
+            "absent — broadcast or sort-merge fallback); plan:\n"
+            + plan[:2000]
+        )
+    return agg

@@ -209,6 +209,52 @@ def test_dpp_assertion_has_teeth(spark):
     REGISTRY["dpp_pruning_gain"].builder(spark, SF_ORACLE)
 
 
+def test_window_group_limit_assertion_has_teeth(spark):
+    """topk_window_group_limit must RAISE when Spark's window-group-limit
+    pushdown is disabled (threshold -1), and build cleanly once it is
+    back on."""
+    import pytest
+
+    from flu_data_pipeline_spark.plans import REGISTRY
+    from .conftest import SF_ORACLE
+
+    key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        with pytest.raises(AssertionError, match="WindowGroupLimit"):
+            REGISTRY["topk_window_group_limit"].builder(spark, SF_ORACLE)
+    finally:
+        spark.conf.set(key, prev)
+    REGISTRY["topk_window_group_limit"].builder(spark, SF_ORACLE)
+
+
+def test_salted_join_assertion_has_teeth(spark):
+    """The ShuffledHashJoin assertion in skew_salted_dim_join must fire
+    when the same shape is built without the SHUFFLE_HASH hint (the
+    planner then broadcasts the tiny dim, exactly the degradation the
+    assertion guards against)."""
+    import pytest
+
+    from flu_data_pipeline_spark.plans import REGISTRY
+    from flu_data_pipeline_spark.plans.skew_queries import (
+        _salted_dim_join_frame,
+    )
+    from .conftest import SF_ORACLE
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    try:
+        # make the unhinted fallback deterministic: a generous broadcast
+        # threshold guarantees the 40-row dim broadcasts without a hint
+        spark.conf.set(key, str(64 * 1024 * 1024))
+        with pytest.raises(AssertionError, match="SHUFFLE_HASH"):
+            _salted_dim_join_frame(spark, SF_ORACLE, hinted=False)
+    finally:
+        spark.conf.set(key, prev)
+    REGISTRY["skew_salted_dim_join"].builder(spark, SF_ORACLE)
+
+
 def test_bucketed_join_assertion_has_teeth(spark):
     """bucketed_join_no_shuffle must RAISE when bucketing is disabled
     (the scan loses its output partitioning and the join re-shuffles)."""

@@ -872,23 +872,62 @@ def test_skyline_scale_matches_reference(spark, pts):
 @settings(max_examples=3, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_ngram_capped_subset_with_exact_jaccard(spark, tmp_path_factory, data):
-    """With a 5-word vocabulary over 80 docs, shingle document
-    frequencies blow through the 64 cap — the regime the capped variant
-    exists for. Properties: (1) every capped pair is also an uncapped
-    pair (recall-only loss), (2) every reported jaccard is EXACTLY the
-    uncapped value for that pair (candidates lose, scores never lie)."""
+    """Builds the HOT-SHINGLE regime the capped variant exists for:
+    every doc opens with the same boilerplate (its shingles reach
+    df = 100 > the 64 cap, so the adaptive gate must take the capped
+    path — asserted) followed by a drawn tail over a 30-word vocabulary
+    whose shingles stay rare. Properties: (1) every capped pair is also
+    an uncapped pair (recall-only loss), (2) every reported jaccard is
+    EXACTLY the uncapped value for that pair (candidates lose, scores
+    never lie), (3) the capped pair set EQUALS an independent python
+    model of the capped semantics (rare-shingle candidates + exact
+    jaccard over the full sets)."""
     from flu_data_pipeline_spark.plans import REGISTRY
+    from flu_data_pipeline_spark.plans.dedup_queries import (
+        _NGRAM_DF_CAP,
+        _max_shingle_df,
+    )
 
-    vocab = ["aa", "bb", "cc", "dd", "ee"]
-    docs = []
-    for i in range(80):
-        n = data.draw(st.integers(5, 25))
-        words = [vocab[data.draw(st.integers(0, 4))] for _ in range(n)]
-        docs.append((i, " ".join(words), "en", "src1", len(" ".join(words))))
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    vocab = [f"w{j}" for j in range(30)]
+    texts = []
+    for i in range(100):
+        n = data.draw(st.integers(6, 20))
+        tail = [vocab[data.draw(st.integers(0, 29))] for _ in range(n)]
+        texts.append(boiler + " " + " ".join(tail))
+    docs = [
+        (i, t, "en", "src1", len(t)) for i, t in enumerate(texts)
+    ]
     sf_dir = str(tmp_path_factory.mktemp("ngram_sf"))
     spark.createDataFrame(
         docs, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(2).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    # the adaptive df gate must choose the CAPPED path here, or this
+    # test would silently degrade to capped==uncapped trivia
+    assert _max_shingle_df(spark, sf_dir) > _NGRAM_DF_CAP
+
+    # python model of the capped semantics over raw shingle strings
+    def sh_set(t):
+        toks = t.strip().lower().split()
+        return {
+            " ".join(toks[k : k + 3]) for k in range(len(toks) - 2)
+        }
+
+    sets = {i: sh_set(t) for i, t in enumerate(texts)}
+    df_count: dict[str, int] = {}
+    for s in sets.values():
+        for sh in s:
+            df_count[sh] = df_count.get(sh, 0) + 1
+    rare = {sh for sh, c in df_count.items() if c <= _NGRAM_DF_CAP}
+    expected = {}
+    for a in range(100):
+        for b in range(a + 1, 100):
+            if sets[a] & sets[b] & rare:
+                inter = len(sets[a] & sets[b])
+                j = inter / (len(sets[a]) + len(sets[b]) - inter)
+                if j >= 0.2:
+                    expected[(a, b)] = round(j, 6)
 
     uncapped = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
@@ -903,3 +942,4 @@ def test_ngram_capped_subset_with_exact_jaccard(spark, tmp_path_factory, data):
     assert set(capped) <= set(uncapped)
     for pair, j in capped.items():
         assert j == uncapped[pair], pair
+    assert capped == expected

@@ -4,14 +4,17 @@
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": ...}
+     "queries": {"q": sec, ...}, "sf": ...,
+     "queries_median": {...}, "value_median": ...,
+     "calibration": {...}, "loadavg": {...}, "value_normalized": ...}
 
 Timing = full query execution into Spark's ``noop`` sink — every output
 column is materialized on the executors and discarded, nothing is
 collected to the driver. (A bare ``count()`` would let Catalyst prune
 unreferenced computed columns and under-report projection-heavy queries.)
+
 Warmup policy (round 4): each query is warmed IMMEDIATELY before its
-timed best-of-3, not in a separate all-queries pass. With 41 queries of
+timed runs, not in a separate all-queries pass. With 45 queries of
 whole-stage-codegen classes in one JVM, an up-front global warmup lets
 later queries evict earlier queries' JIT-compiled code from the code
 cache, so the timed runs re-pay deopt/re-JIT (measured: 0.6 s query →
@@ -19,12 +22,44 @@ cache, so the timed runs re-pay deopt/re-JIT (measured: 0.6 s query →
 4). Grouping warmup+timing per query measures steady plan execution,
 which is what a real deployment of any single query sees. The session
 factory also raises ReservedCodeCacheSize to 1g (session.py).
+
+Environment-proofing (round 5): the one hard perf signal a reader gets
+is this JSON line, and it is load-sensitive — round 4's driver artifact
+read a phantom 1.15x "regression" that an idle-box rerun dismissed as
+ambient load. Three fields let a reader normalize without a rerun:
+
+- ``calibration``: a PINNED constant-cost CPU probe (4e9-row range →
+  double xxhash64 → sum, pure whole-stage codegen, zero IO) timed
+  median-of-5 at suite start AND end. ``load_factor`` = mean(start,
+  end) / PROBE_REF_SEC, where PROBE_REF_SEC was measured on an idle
+  32-thread container. The probe is PERFECTLY parallel, so ambient
+  CPU load inflates it by the full contention factor; the suite's
+  queries carry serial/driver/few-task phases and inflate LESS.
+  Naive division therefore overcorrects (measured: probe 1.74x but
+  suite 1.16x under 32 busy procs). The Amdahl-style correction
+  ``value_normalized = value / (1 + SUITE_CPU_SENSITIVITY *
+  (load_factor - 1))`` uses the suite's fitted parallel-phase
+  fraction (~0.24 at sf0.1), which lands idle / 16-proc / 32-proc
+  runs within ±2% of each other (BASELINE.md, "Bench calibration").
+  Scope: models CPU contention on this hardware class only — a
+  load_factor near 1.0 with a slow subtotal points at IO or memory
+  bandwidth instead, and the raw probe numbers stay in the JSON so a
+  reader can re-derive.
+- ``loadavg``: os.getloadavg() at start and end (context, not math —
+  note the suite itself keeps ~32 cores busy, so the END loadavg
+  includes our own work).
+- ``queries_median`` / ``value_median``: median-of-5 per query
+  alongside the historical best-of-3 (min of the first 3 runs, kept
+  bit-compatible with rounds 1-4 artifacts). Median is robust to a
+  single background burst; a large median/best gap per query flags
+  intra-run interference.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -33,41 +68,104 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from flu_data_pipeline_spark.plans import REGISTRY
 from flu_data_pipeline_spark.session import get_spark
 
+#: Idle-box reference for the calibration probe (median-of-5 seconds),
+#: measured on the development container: 32 threads, local[32],
+#: ReservedCodeCacheSize=1g, no background load. Re-pin when the
+#: hardware class changes; the probe/ref RATIO is what normalizes.
+PROBE_REF_SEC = 1.12
+
+#: Fraction of suite wall-time that scales with full-parallel CPU
+#: contention (the Amdahl "parallel share" of the bench set at sf0.1).
+#: Fitted from a controlled two-level load experiment (16 and 32
+#: background busy-loops on 32 cores): suite inflation / probe
+#: inflation gave 0.268 and 0.215; 0.24 normalizes all observed runs
+#: to within ±2% of the idle subtotal (BASELINE.md). Grows with SF as
+#: queries become compute-bound — refit if the bench SF changes.
+SUITE_CPU_SENSITIVITY = 0.24
+
+_PROBE_ROWS = 4_000_000_000
+_PROBE_PARTS = 64
+
+
+def _probe_once(spark) -> float:
+    t0 = time.perf_counter()
+    (
+        spark.range(0, _PROBE_ROWS, 1, _PROBE_PARTS)
+        .selectExpr("sum(xxhash64(xxhash64(id))) as s")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.perf_counter() - t0
+
+
+def _probe_median5(spark) -> float:
+    _probe_once(spark)  # JIT warm
+    return round(statistics.median(_probe_once(spark) for _ in range(5)), 4)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="flu_data_pipeline_spark-bench")
 
+    load_start = os.getloadavg()
+    probe_start = _probe_median5(spark)
+
     bench_queries = {n: q for n, q in REGISTRY.items() if q.bench}
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
 
     def run(qd) -> None:
         # noop sink: full evaluation of every output column, zero driver
         # transfer — count() would prune computed-but-unreferenced columns
         qd.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Per-query: warmup immediately before the timed best-of-3 (see
-    # module docstring — a global warmup pass lets later queries evict
-    # earlier queries' JIT code, polluting the timed runs).
-    # best-of-3: single runs swing ±50% from JIT/GC noise at these sizes.
+    # Per-query: warmup immediately before the timed runs (see module
+    # docstring — a global warmup pass lets later queries evict earlier
+    # queries' JIT code, polluting the timed runs). 5 timed runs: the
+    # first 3 keep the historical best-of-3 series; all 5 feed the
+    # median. Single runs swing ±50% from JIT/GC noise at these sizes.
     for name, qd in bench_queries.items():
         run(qd)  # warmup: JIT/codegen/IO caches for THIS query
-        best = float("inf")
-        for _ in range(3):
+        runs: list[float] = []
+        for _ in range(5):
             t0 = time.perf_counter()
             run(qd)
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs[:3]), 4)
+        medians[name] = round(statistics.median(runs), 4)
 
+    probe_end = _probe_median5(spark)
+    load_end = os.getloadavg()
+    load_factor = round(
+        ((probe_start + probe_end) / 2.0) / PROBE_REF_SEC, 4
+    )
+    correction = 1.0 + SUITE_CPU_SENSITIVITY * (load_factor - 1.0)
+
+    total = round(sum(timings.values()), 4)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 4),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries_median": medians,
+                "value_median": round(sum(medians.values()), 4),
+                "calibration": {
+                    "probe_sec_start": probe_start,
+                    "probe_sec_end": probe_end,
+                    "probe_ref_sec": PROBE_REF_SEC,
+                    "load_factor": load_factor,
+                    "suite_cpu_sensitivity": SUITE_CPU_SENSITIVITY,
+                },
+                "loadavg": {
+                    "start": [round(x, 2) for x in load_start],
+                    "end": [round(x, 2) for x in load_end],
+                },
+                "value_normalized": round(total / correction, 4),
             }
         )
     )

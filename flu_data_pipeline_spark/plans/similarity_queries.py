@@ -605,6 +605,122 @@ def kmeans_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SemDeDup cosine threshold — data-relative 0.4 (the synthetic
+#: embeddings are isotropic; max within-cluster cosine ≈ 0.48, so the
+#: paper's 0.9+ would emit zero drops and never exercise the pruning
+#: path; real embedding spaces use 0.9-0.95).
+_SEMDEDUP_TAU = 0.4
+
+
+@register(
+    "dedup_semdedup",
+    # iters+1: asg{N} is the assignment under the final centroids (see
+    # kmeans_cluster_summary)
+    oracle=kmeans_oracle_sql(
+        "embeddings", "embedding", "vec_id", k=_KMEANS_K, iters=_KMEANS_ITERS + 1
+    )
+    + f""",
+    normed AS (
+        SELECT vec_id, embedding, {_NORM_SQL.format(v='embedding')} AS nrm
+        FROM embeddings
+    ),
+    d AS (
+        SELECT a.id AS vec_id, a.cluster, a.dist, n.embedding, n.nrm
+        FROM asg{_KMEANS_ITERS + 1} a JOIN normed n ON n.vec_id = a.id
+    ),
+    drops AS (
+        SELECT DISTINCT x.vec_id
+        FROM d x JOIN d y
+          ON x.cluster = y.cluster
+         AND (y.dist > x.dist
+              OR (y.dist = x.dist AND y.vec_id < x.vec_id))
+         AND {_DOT_SQL.format(a='x.embedding', b='y.embedding')}
+             / (x.nrm * y.nrm) >= {_SEMDEDUP_TAU}
+    )
+    SELECT d.vec_id, d.cluster,
+           ROUND(d.dist, 6) AS dist_to_centroid,
+           CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS INT)
+               AS keep
+    FROM d LEFT JOIN drops dr ON dr.vec_id = d.vec_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic "
+    "deduplication by k-means-clustering the embedding space and "
+    "dropping, WITHIN each cluster, examples whose cosine similarity "
+    "to a higher-priority cluster-mate exceeds the threshold — "
+    "priority follows the paper's keep-the-farthest-from-centroid "
+    "rule (atypical examples survive; ties break to the lower id). "
+    "This is the one-pass DOMINANCE variant: x is dropped when ANY "
+    "higher-priority y covers it, a deterministic superset of the "
+    "paper's sequential greedy (which re-admits examples whose only "
+    "witnesses were themselves dropped) — chosen because it is "
+    "order-free, exactly SQL-replayable, and at most as permissive. "
+    "Clustering reuses the proven deterministic kmeans_fit (3 Lloyd "
+    "iterations, unrolled-CTE oracle); the pairwise pass is an "
+    "equi-join on the cluster id, so the all-pairs cost the method "
+    "exists to avoid is bounded by sum(cluster_size^2) — at 100 TB "
+    "scale k is grown with N (the paper used 110k clusters for "
+    "LAION-440M) so cluster sizes, and with them per-reducer pair "
+    "counts, stay constant; norms are computed once per row and ride "
+    "the join as scalars. Output: every vector with its cluster, "
+    "centroid distance, and keep/drop verdict.",
+    tags=("similarity", "dedup", "clustering", "curation"),
+    bench=True,
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(
+        emb, "embedding", "vec_id", k=_KMEANS_K, iters=_KMEANS_ITERS
+    )
+    d = (
+        assign_best(emb, "embedding", "vec_id", cents)
+        .join(
+            emb.select(
+                "vec_id",
+                "embedding",
+                norm(F.col("embedding")).alias("nrm"),
+            ),
+            "vec_id",
+        )
+    )
+    x = d.select(
+        F.col("vec_id").alias("vid_x"),
+        F.col("cluster").alias("cl_x"),
+        F.col("dist").alias("dist_x"),
+        F.col("embedding").alias("emb_x"),
+        F.col("nrm").alias("nrm_x"),
+    )
+    y = d.select(
+        F.col("vec_id").alias("vid_y"),
+        F.col("cluster").alias("cl_y"),
+        F.col("dist").alias("dist_y"),
+        F.col("embedding").alias("emb_y"),
+        F.col("nrm").alias("nrm_y"),
+    )
+    cos = dot(F.col("emb_x"), F.col("emb_y")) / (
+        F.col("nrm_x") * F.col("nrm_y")
+    )
+    better = (F.col("dist_y") > F.col("dist_x")) | (
+        (F.col("dist_y") == F.col("dist_x"))
+        & (F.col("vid_y") < F.col("vid_x"))
+    )
+    drops = (
+        x.join(y, (F.col("cl_x") == F.col("cl_y")) & better)
+        .filter(cos >= _SEMDEDUP_TAU)
+        .select(F.col("vid_x").alias("vec_id"))
+        .distinct()
+        .withColumn("is_drop", F.lit(1))
+    )
+    return d.join(drops, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.round("dist", 6).alias("dist_to_centroid"),
+        F.when(F.col("is_drop").isNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("keep"),
+    )
+
+
 # sqdist between a vector and a centroid list, pinned fold order (oracle)
 _SQDIST_IVF_SQL = (
     "list_reduce(list_transform(range(1, 64 + 1), "

@@ -9,7 +9,9 @@ is shuffle/partition-structured correctly; a plan that grows
 super-linearly has a hidden quadratic (unblocked pair join, driver
 collect, exploding skew) and would NOT survive the next 100x.
 
-Usage: python scripts/scaling_check.py [--md]   (--md emits SCALING.md)
+Usage: python scripts/scaling_check.py [--md] [--only name1,name2]
+(--md emits SCALING.md; --only restricts to the given registry names,
+for re-measuring individual rows without the full ~25-min sweep)
 """
 
 from __future__ import annotations
@@ -20,51 +22,43 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-QUERIES = [
-    # scan+agg, join-heavy, window, LSH dedup, sketch, text HOF
-    "pricing_summary",
-    "top_revenue_orders",
-    "report_weekly_trends",
-    "dedup_minhash_lsh_pairs",
-    "hll_distinct_by_nation",
-    "text_quality_score",
-    # round-2 late additions: map-side pair mining, 5x resample fan-out
-    "brand_affinity_lift",
-    "poisson_bootstrap_se",
+#: Round 5: the scaling table covers the FULL bench set (every registry
+#: entry flagged ``bench=True`` — the same queries BENCH_r{N}.json
+#: times), so the sf1 decade is measured for the whole headline
+#: surface, self-proving plan-assertion queries included. The extras
+#: below are historical SCALING.md members that are deliberately NOT
+#: in the headline bench (scale twins / insurance variants that exist
+#: for regimes the fixture doesn't produce) but whose curves the
+#: table exists to compare.
+EXTRA_QUERIES = [
     # two-stage distributed ranking, unrolled space-filling-curve math
     "spearman_rho_ranks",
     "hilbert_vs_zorder_locality",
-    # final round-2 batch: cross-frame LSH probe, vocabulary-bounded
-    # iterative training (corpus only touches the first aggregation)
-    "dedup_incremental_ingest",
-    "text_bpe_train_merges",
-    # round-3 additions: substring dedup, LSH self-audit, salted hot-key
-    # join, end-to-end curation funnel
+    # substring dedup
     "text_chunk_dedup_ratio",
-    "dedup_lsh_recall_audit",
+    # salted hot-key join (self-proving ShuffledHashJoin since round 5)
     "skew_salted_dim_join",
-    "curation_pipeline_funnel",
-    # round-4: remaining top-8-by-cost bench queries (iterative
-    # power method, PQ asymmetric scoring, inverted-index near-dup,
-    # TPC-H Q5 join tree)
-    "embedding_top_pc_power_iteration",
-    "ann_pq_adc",
-    "dedup_ngram_jaccard",
-    "regional_trade_revenue",
-    # the global-ntile query and its distributed exact-rank twin: the
+    # the global-ntile query vs its distributed exact-rank twin: the
     # pair the scaling table exists to compare (single-partition sort
-    # growth vs range-shuffle growth)
+    # growth vs range-shuffle growth; the twin is in the bench set)
     "customer_rfm_segments",
-    "customer_rfm_segments_scale",
-    # df-capped near-dup twin (pays fixed extra shuffles; cap only
-    # bites on hot-df corpora — see its docstring)
+    # df-capped near-dup twin (adaptive since round 5: falls through
+    # to the uncapped plan when max shingle df <= cap — this fixture)
     "dedup_ngram_jaccard_capped",
-    # round-4 closing batch: winnowing fingerprints (O(n*w) map-side
-    # HOFs per doc), DSIR importance scoring (explode + two aggregates)
+    # winnowing fingerprints (O(n*w) map-side HOFs per doc), DSIR
+    # importance scoring (explode + two aggregates)
     "text_winnow_density",
     "dedup_winnow_overlap",
     "curation_dsir_selection",
 ]
+
+
+def _query_list() -> list[str]:
+    from flu_data_pipeline_spark.plans import REGISTRY
+
+    names = [n for n, q in REGISTRY.items() if q.bench]
+    names += [n for n in EXTRA_QUERIES if n not in names]
+    return names
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
 
@@ -92,11 +86,18 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
+    queries = _query_list()
+    if "--only" in sys.argv:
+        wanted = sys.argv[sys.argv.index("--only") + 1].split(",")
+        unknown = [n for n in wanted if n not in REGISTRY]
+        if unknown:
+            raise SystemExit(f"--only: unknown queries {unknown}")
+        queries = wanted
     have_sf1 = os.path.isdir(_SF1_DIR)
     sfs = SFS + (["sf1"] if have_sf1 else [])
 
     results: dict[str, dict[str, float]] = {}
-    for name in QUERIES:
+    for name in queries:
         results[name] = {}
         for sf in sfs:
             sf_dir = (
@@ -133,7 +134,7 @@ def main() -> None:
         out.append(hdr + "| r10_1 | r100_10 "
                    + ("| r1000_100 |" if have_sf1 else "|"))
         out.append(sep + "|---|---" + ("|---|" if have_sf1 else "|"))
-    for name in QUERIES:
+    for name in queries:
         r = results[name]
         r1 = r["sf0.01"] / r["sf0.001"]
         r2 = r["sf0.1"] / r["sf0.01"]

@@ -293,21 +293,46 @@ def null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     """,
     doc="Left outer equi-join fact←dim (flu_data_airflow_v2.py:368,372): "
-    "dim side broadcast — no shuffle of the fact at scale.",
-    tags=("J1", "J2", "J3", "J4"),
+    "dim side broadcast — no shuffle of the fact at scale. REGISTERED "
+    "AND SELF-PROVING (round 5): the builder asserts the physical plan "
+    "contains a BroadcastHashJoin — if the broadcast ever degrades to "
+    "a sort-merge/shuffle join (the fact table would then shuffle on "
+    "every run of the engine's most common join shape), the query "
+    "raises and the correctness gate records it red; negative-tested "
+    "by building the same shape unhinted under "
+    "autoBroadcastJoinThreshold=-1 (tests/test_plans.py).",
+    tags=("J1", "J2", "J3", "J4", "scale-proof"),
     bench=True,
 )
 def join_left_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _left_broadcast_frame(spark, sf_dir, hinted=True)
+
+
+def _left_broadcast_frame(
+    spark: SparkSession, sf_dir: str, hinted: bool
+) -> DataFrame:
+    """Shared shape for join_left_broadcast and its negative test:
+    ``hinted=False`` drops the broadcast hint so the planner (with
+    auto-broadcast disabled) degrades to a shuffle join and the plan
+    assertion must fire."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    return orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left"
+    dim = F.broadcast(customer) if hinted else customer
+    out = orders.join(
+        dim, orders.o_custkey == customer.c_custkey, "left"
     ).select(
         F.col("o_orderkey").alias("orderkey"),
         F.col("c_name").alias("cust_name"),
         F.col("c_mktsegment").alias("segment"),
         F.col("o_totalprice").alias("totalprice"),
     )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "BroadcastHashJoin" not in plan:
+        raise AssertionError(
+            "dim-side broadcast did not plan BroadcastHashJoin (the "
+            "fact side would shuffle); plan:\n" + plan[:2000]
+        )
+    return out
 
 
 @register(

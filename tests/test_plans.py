@@ -255,6 +255,29 @@ def test_salted_join_assertion_has_teeth(spark):
     REGISTRY["skew_salted_dim_join"].builder(spark, SF_ORACLE)
 
 
+def test_broadcast_join_assertion_has_teeth(spark):
+    """join_left_broadcast's BroadcastHashJoin assertion must fire when
+    the same shape is built unhinted with auto-broadcast disabled (the
+    planner then shuffle-joins both sides)."""
+    import pytest
+
+    from flu_data_pipeline_spark.plans import REGISTRY
+    from flu_data_pipeline_spark.plans.relational import (
+        _left_broadcast_frame,
+    )
+    from .conftest import SF_ORACLE
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        with pytest.raises(AssertionError, match="BroadcastHashJoin"):
+            _left_broadcast_frame(spark, SF_ORACLE, hinted=False)
+    finally:
+        spark.conf.set(key, prev)
+    REGISTRY["join_left_broadcast"].builder(spark, SF_ORACLE)
+
+
 def test_bucketed_join_assertion_has_teeth(spark):
     """bucketed_join_no_shuffle must RAISE when bucketing is disabled
     (the scan loses its output partitioning and the join re-shuffles)."""

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_rank", "global_ntile"]
+__all__ = ["global_rank", "global_ntile", "global_cumsum"]
 
 _PID = "__gn_pid"
 _LRANK = "__gn_lrank"
@@ -90,6 +90,66 @@ def global_rank(
         .crossJoin(F.broadcast(total))
         .withColumn(out_col, (F.col(_OFF) + F.col(_LRANK)).cast("bigint"))
         .drop(_PID, _LRANK, _OFF)
+    )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order: list[Column],
+    value_col: str,
+    out_col: str = "cumsum",
+) -> DataFrame:
+    """Exact ``SUM(value) OVER (ORDER BY order)`` (running INCLUSIVE
+    prefix sum over a total order) without a single-partition window —
+    the :func:`global_rank` construction generalized from row counts to
+    value sums.
+
+    1. ``repartitionByRange`` on the (tie-pinned, total) ordering;
+    2. per-partition running sum over a window PARTITIONED by
+       ``spark_partition_id()`` (never a global window);
+    3. per-partition TOTAL sums (one row per partition) turned into
+       cumulative offsets via the triangular broadcast self-join;
+    4. ``cumsum = partition_offset + local_running_sum`` map-side.
+
+    ``value_col`` should be integral (bigint) for cross-engine
+    exactness — integer addition is associative, so the distributed
+    regrouping cannot diverge from a sequential window sum. Float
+    inputs work but inherit sum-order ulps. ``order`` must pin a total
+    order (unique tiebreaker), same contract as :func:`global_rank`.
+
+    This is the primitive behind concat-and-chunk sequence packing
+    (plans: corpus_concat_chunk_packing): at 100 TB the naive
+    formulation is ``Exchange SinglePartition`` over every document —
+    this form's only non-map work is a range shuffle plus a
+    partition-count-sized offsets frame.
+    """
+    d = df.repartitionByRange(*order).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Eager checkpoint: per-partition totals + the running sums must see
+    # ONE materialization of the range exchange (sampled bounds — see
+    # global_rank).
+    d = d.withColumn(
+        "__gc_run", F.sum(value_col).over(w)
+    ).localCheckpoint(eager=True)
+    totals = d.groupBy(_PID).agg(F.sum(value_col).alias(_CNT))
+    a, b = totals.alias("a"), totals.alias("b")
+    offsets = (
+        a.join(
+            F.broadcast(b), F.col(f"b.{_PID}") < F.col(f"a.{_PID}"), "left"
+        )
+        .groupBy(F.col(f"a.{_PID}").alias(_PID))
+        .agg(F.coalesce(F.sum(f"b.{_CNT}"), F.lit(0)).alias(_OFF))
+    )
+    return (
+        d.join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, F.col(_OFF) + F.col("__gc_run"))
+        .drop(_PID, _OFF, "__gc_run")
     )
 
 

@@ -717,6 +717,98 @@ def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Training sequence length for concat-and-chunk packing (tokens).
+_PACK_SEQ_LEN = 2048
+
+
+@register(
+    "corpus_concat_chunk_packing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len({_BG_TOKENS}) AS BIGINT) AS n_tokens,
+               {hash64_sql("CAST(doc_id AS VARCHAR)")} AS shuffle_key
+        FROM documents
+    ), nz AS (
+        SELECT * FROM toks WHERE n_tokens >= 1
+    ), cum AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (
+                   ORDER BY shuffle_key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_end
+        FROM nz
+    )
+    SELECT doc_id, n_tokens,
+           CAST((cum_end - n_tokens) // {_PACK_SEQ_LEN} AS BIGINT)
+               AS seq_idx,
+           CAST((cum_end - n_tokens) % {_PACK_SEQ_LEN} AS BIGINT)
+               AS offset_in_seq,
+           CAST((cum_end - 1) // {_PACK_SEQ_LEN}
+                - (cum_end - n_tokens) // {_PACK_SEQ_LEN} + 1 AS BIGINT)
+               AS n_seqs_spanned
+    FROM cum
+    """,
+    doc=f"Concat-and-chunk sequence packing — the op an LLM training "
+    f"pipeline runs on every corpus: documents are concatenated in a "
+    f"deterministic shuffled order (portable hash(doc_id), the "
+    f"epoch_shuffle_plan permutation recipe) and the token stream is "
+    f"chunked into {_PACK_SEQ_LEN}-token training sequences. Each "
+    f"doc's placement (owning sequence, offset within it, sequences "
+    f"spanned) is pure integer arithmetic over the EXACT GLOBAL "
+    f"PREFIX SUM of token counts — computed by operators/ranking.py "
+    f"global_cumsum: range shuffle on the order key, per-partition "
+    f"running sums, one-row-per-partition totals folded into "
+    f"broadcast offsets. The naive formulation is a single-partition "
+    f"`SUM OVER (ORDER BY ...)` window over every document — the "
+    f"first thing that melts at 100 TB; this plan's only non-map work "
+    f"is the range exchange. Integer token counts make the "
+    f"distributed regrouping bit-exact against the oracle's "
+    f"sequential window sum (associativity — the reason the sum is "
+    f"over token COUNTS, never float scores). Zero-token docs are "
+    f"excluded (they occupy no stream positions). Output pins the "
+    f"ENTIRE packing layout per document, so the oracle match proves "
+    f"order, offsets, and chunk boundaries all at once.",
+    tags=("curation", "llm", "W1", "A10", "scale-twin"),
+    bench=True,
+)
+def corpus_concat_chunk_packing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flu_data_pipeline_spark.operators.ranking import global_cumsum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    )
+    d = docs.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        hash64(F.col("doc_id").cast("string")).alias("shuffle_key"),
+    ).filter(F.col("n_tokens") >= 1)
+    cum = global_cumsum(
+        d,
+        [F.col("shuffle_key"), F.col("doc_id")],
+        "n_tokens",
+        "cum_end",
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"(cum_end - n_tokens) div {_PACK_SEQ_LEN}").alias(
+            "seq_idx"
+        ),
+        ((F.col("cum_end") - F.col("n_tokens")) % _PACK_SEQ_LEN).alias(
+            "offset_in_seq"
+        ),
+        (
+            F.expr(f"(cum_end - 1) div {_PACK_SEQ_LEN}")
+            - F.expr(f"(cum_end - n_tokens) div {_PACK_SEQ_LEN}")
+            + F.lit(1)
+        ).alias("n_seqs_spanned"),
+    )
+
+
+
 @register(
     "epoch_shuffle_plan",
     oracle=f"""

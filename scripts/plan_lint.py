@@ -139,6 +139,13 @@ BNLJ_AUDITED: dict[str, str] = {
     "ann_ivf_pq": "b",           # (b) 8-centroid / 5-query / K-entry
                                  #     codebook broadcasts (coarse
                                  #     cross, probe cross, ADC table)
+    # round-5 additions:
+    "dedup_semdedup": "b",       # (b) k centroids broadcast in the
+                                 #     kmeans assignment pass
+    "corpus_concat_chunk_packing": "c",  # (c) triangular pid-offset
+                                 #     join over the per-partition
+                                 #     token-sum frame (one row per
+                                 #     partition — global_cumsum)
 }
 
 

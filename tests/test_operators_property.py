@@ -822,6 +822,37 @@ def test_global_rank_matches_row_number_desc(spark, vals):
     assert got == want
 
 
+@given(vals=st.lists(st.integers(0, 50), min_size=1, max_size=80))
+@settings(**SETTINGS)
+def test_global_cumsum_matches_window_sum(spark, vals):
+    """Distributed prefix sum == single-partition running window sum,
+    including ties in the order key (pinned by the id tiebreaker) and
+    zero values."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flu_data_pipeline_spark.operators.ranking import global_cumsum
+
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "v long, id long"
+    )
+    w = (
+        Window.orderBy(F.asc("v"), F.asc("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["id"]: r["cs"]
+        for r in df.select("id", F.sum("v").over(w).alias("cs")).collect()
+    }
+    got = {
+        r["id"]: r["cs"]
+        for r in global_cumsum(df, [F.asc("v"), F.asc("id")], "v", "cs")
+        .select("id", "cs")
+        .collect()
+    }
+    assert got == want
+
+
 # --------------------------------------------------------------------------
 # skyline_2d_scale vs a pure-python skyline (heavy ties across partitions)
 # --------------------------------------------------------------------------

@@ -717,6 +717,81 @@ def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "curation_ccnet_ppl_buckets",
+    oracle=f"""
+    WITH doc_tokens AS (
+        SELECT doc_id, {_BG_TOKENS} AS toks FROM documents
+    ), doc_bigrams AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM doc_tokens, UNNEST(range(1, len(toks))) AS t(i)
+        WHERE len(toks) >= 2
+    ), unigram AS (
+        SELECT w1 AS w, CAST(COUNT(*) AS BIGINT) AS uc
+        FROM doc_bigrams GROUP BY w1
+    ), bigram AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS bc
+        FROM doc_bigrams GROUP BY w1, w2
+    ), vocab AS (
+        SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+        FROM (SELECT unnest(toks) AS term FROM doc_tokens) u
+    ), scored AS (
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(ln(CAST(b.bc + 1 AS DOUBLE) / (u.uc + vocab.v))), 6)
+                   AS avg_logprob
+        FROM doc_bigrams d
+        JOIN bigram b ON d.w1 = b.w1 AND d.w2 = b.w2
+        JOIN unigram u ON d.w1 = u.w
+        CROSS JOIN vocab
+        GROUP BY d.doc_id
+    ), bucketed AS (
+        SELECT doc_id, n_bigrams, avg_logprob,
+               CAST(NTILE(3) OVER (ORDER BY avg_logprob DESC, doc_id)
+                    AS INT) AS bucket
+        FROM scored
+    )
+    SELECT doc_id, n_bigrams, avg_logprob, bucket,
+           CAST(CASE WHEN bucket <= 2 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM bucketed
+    """,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020, "
+    "arXiv:1911.00359): score every document with the corpus-trained "
+    "add-one bigram LM (shared scorer with text_bigram_lm_score), "
+    "split the corpus into equal head/middle/tail terciles by score "
+    "(head = highest mean log-prob = most fluent), and emit CCNet's "
+    "standard keep policy (head+middle kept, tail dropped). The "
+    "tercile split is an exact global NTILE(3) computed by "
+    "operators/ranking.py global_ntile — range shuffle + broadcast "
+    "offsets, never an Exchange SinglePartition over the corpus — on "
+    "the 6dp-rounded scores (rounding in-engine pins cross-engine "
+    "ordering; doc_id breaks ties totally). Scale shape: LM tables "
+    "are vocab-cardinality, the scoring joins co-partition on the "
+    "bigram keys, and the bucket assignment adds one range exchange; "
+    "per-doc output pins every bucket decision against the oracle's "
+    "window NTILE.",
+    tags=("curation", "llm", "text", "W1", "A10", "scale-twin"),
+    bench=True,
+)
+def curation_ccnet_ppl_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flu_data_pipeline_spark.operators.ranking import global_ntile
+    from flu_data_pipeline_spark.plans.text_queries import bigram_lm_scores
+
+    scored = bigram_lm_scores(spark, sf_dir)
+    bucketed = global_ntile(
+        scored, [F.desc("avg_logprob"), F.asc("doc_id")], 3, "bucket"
+    )
+    return bucketed.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logprob",
+        "bucket",
+        (F.col("bucket") <= 2).cast("int").alias("keep"),
+    )
+
+
 #: Training sequence length for concat-and-chunk packing (tokens).
 _PACK_SEQ_LEN = 2048
 

@@ -990,6 +990,17 @@ def vocab_coverage_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = bigram_lm_scores(spark, sf_dir)
+    return scored.orderBy(F.asc("avg_logprob"), "doc_id").limit(25)
+
+
+def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) for every document with >= 2
+    tokens — the add-one-smoothed bigram LM scorer shared by
+    text_bigram_lm_score (bottom-25 surfacing) and
+    curation_ccnet_ppl_buckets (corpus tercile split). avg_logprob is
+    rounded to 6dp IN-ENGINE so downstream ordering/bucketing operates
+    on cross-engine-identical values."""
     docs = load_table(spark, sf_dir, "documents")
     all_toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
     toks = all_toks.filter(F.size("toks") >= 2)
@@ -1027,7 +1038,7 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
-    return scored.orderBy(F.asc("avg_logprob"), "doc_id").limit(25)
+    return scored
 
 
 @register(

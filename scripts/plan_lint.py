@@ -146,6 +146,9 @@ BNLJ_AUDITED: dict[str, str] = {
                                  #     join over the per-partition
                                  #     token-sum frame (one row per
                                  #     partition — global_cumsum)
+    "curation_ccnet_ppl_buckets": "ac",  # (a) 1-row total + |V| scalar
+                                 #     broadcasts; (c) triangular
+                                 #     pid-offset join (global_ntile)
 }
 
 

@@ -808,6 +808,106 @@ def dpp_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _assert_exchange_reuse(spark: SparkSession, symmetric: bool = True) -> None:
+    """AQE-era plan canary: ReusedExchange only appears in the FINAL
+    adaptive plan, which exists only after execution — a builder cannot
+    collect its own output to inspect it. So this probe executes a
+    TINY synthetic query of the same shape (aggregate self-joined to
+    itself) and asserts the planner reused the shuffle. ~100k synthetic
+    rows, sub-second, scale-independent; the one collect() moves a
+    handful of aggregate rows.
+
+    Reuse requires the branches to be COLUMN-SYMMETRIC: with
+    ``symmetric=True`` the join condition references (k, n) on both
+    sides, the pruned subtrees are identical, and Spark 4.1 reuses the
+    exchange under every conf combination we could construct (AQE
+    stage cache and the static rule both ignore
+    spark.sql.exchange.reuse.enabled=false here — measured). With
+    ``symmetric=False`` (the negative-test arm) the join needs only
+    ``k`` from the build side, column pruning differentiates the
+    subtrees, and the aggregate genuinely executes twice — the
+    real-world regression this canary guards: an innocent projection
+    change un-sharing a dedup query's heaviest stage."""
+    probe = spark.range(0, 100_000, 1, 8).select(
+        (F.col("id") % 100).alias("k"), F.col("id")
+    )
+    r = probe.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    a, b = r.alias("a"), r.alias("b")
+    if symmetric:
+        cond = (F.col("a.n") == F.col("b.n")) & (
+            F.col("a.k") < F.col("b.k")
+        )
+    else:
+        cond = F.col("a.k") == F.col("b.k")
+    j = (
+        a.join(b, cond)
+        .groupBy(F.col("a.n").alias("n"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    if "ReusedExchange" not in plan:
+        raise AssertionError(
+            "shared-subtree self-join did not reuse its exchange (the "
+            "aggregate would execute twice); final plan:\n" + plan[:2000]
+        )
+
+
+@register(
+    "exchange_reuse_selfjoin",
+    oracle="""
+    WITH r AS (
+        SELECT l_orderkey, l_orderkey // 1000 AS blk,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT a.n, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM r a JOIN r b
+      ON a.blk = b.blk AND a.n = b.n AND a.l_orderkey < b.l_orderkey
+    GROUP BY a.n
+    ORDER BY a.n
+    """,
+    doc="Exchange reuse, REGISTERED AND SELF-PROVING: counts blocked "
+    "pairs of equal-size orders where BOTH join sides derive from the "
+    "same per-order aggregate — the shared-subtree self-join shape "
+    "every inverted-index dedup query in this repo leans on. Spark "
+    "executes the aggregate's shuffle ONCE and feeds the second side "
+    "a ReusedExchange; because that node only exists in the final "
+    "adaptive plan (post-execution), the builder proves it on an "
+    "executed synthetic probe of the identical shape "
+    "(_assert_exchange_reuse) rather than on the returned frame — "
+    "the AQE analogue of the static-plan assertions (DPP, bucketed, "
+    "WindowGroupLimit). Raises, and goes red in the correctness "
+    "gate, if reuse regresses; negative-tested via the "
+    "column-ASYMMETRIC arm of the probe, where pruning "
+    "differentiates the subtrees and the aggregate genuinely runs "
+    "twice — the documented pitfall this canary guards (an innocent "
+    "projection change un-sharing a dedup query's heaviest stage; "
+    "cousin of the brand_affinity_lift expr-id-drift lesson).",
+    tags=("layout", "A10", "J6", "scale-proof"),
+    bench=True,
+)
+def exchange_reuse_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _assert_exchange_reuse(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    r = r.select(
+        "l_orderkey", F.expr("l_orderkey div 1000").alias("blk"), "n"
+    )
+    a, b = r.alias("a"), r.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.n") == F.col("b.n"))
+            & (F.col("a.l_orderkey") < F.col("b.l_orderkey")),
+        )
+        .groupBy(F.col("a.n").alias("n"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("n")
+    )
+
+
 @register(
     "topk_window_group_limit",
     oracle="""

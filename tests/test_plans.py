@@ -278,6 +278,26 @@ def test_broadcast_join_assertion_has_teeth(spark):
     REGISTRY["join_left_broadcast"].builder(spark, SF_ORACLE)
 
 
+def test_exchange_reuse_assertion_has_teeth(spark):
+    """The reuse probe must RAISE on a genuinely non-reusable plan.
+    Conf knobs cannot produce one in Spark 4.1 (AQE's stage cache and
+    the static rule both reuse even under
+    spark.sql.exchange.reuse.enabled=false — measured), so the teeth
+    case is the real regression shape: a column-ASYMMETRIC self-join
+    whose pruned subtrees differ, executing the aggregate twice."""
+    import pytest
+
+    from flu_data_pipeline_spark.plans import REGISTRY
+    from flu_data_pipeline_spark.plans.layout_queries import (
+        _assert_exchange_reuse,
+    )
+    from .conftest import SF_ORACLE
+
+    with pytest.raises(AssertionError, match="reuse"):
+        _assert_exchange_reuse(spark, symmetric=False)
+    REGISTRY["exchange_reuse_selfjoin"].builder(spark, SF_ORACLE)
+
+
 def test_bucketed_join_assertion_has_teeth(spark):
     """bucketed_join_no_shuffle must RAISE when bucketing is disabled
     (the scan loses its output partitioning and the join re-shuffles)."""

@@ -85,21 +85,35 @@ def kmeans_fit(
     k: int = 8,
     iters: int = 3,
     round_dp: int = 6,
+    init_every: int | None = None,
 ) -> list[list[float]]:
     """Run ``iters`` Lloyd iterations; returns the centroid matrix.
 
-    Deterministic init: the ``k`` rows with the smallest ids, components
-    rounded to ``round_dp``. Each iteration collects exactly k·dim
-    rounded doubles to the driver (the centroid matrix) — the canonical
-    Spark iterative-algorithm shape.
+    Deterministic init, two modes:
+    - default: the ``k`` rows with the smallest ids;
+    - ``init_every=s``: every row with ``id % s == 0`` — k then GROWS
+      WITH THE CORPUS (k ≈ N/s), the data-adaptive form SemDeDup-style
+      cluster-bounded algorithms need (fixed k makes within-cluster
+      pair work quadratic in N). The modular rule keeps the init
+      expressible as a static WHERE clause in the SQL oracle, where a
+      data-dependent LIMIT could not be.
+
+    Components rounded to ``round_dp``. Each iteration collects exactly
+    k·dim rounded doubles to the driver (the centroid matrix) — the
+    canonical Spark iterative-algorithm shape.
     """
+    init = (
+        df.filter((F.col(id_col) % init_every) == 0)
+        if init_every is not None
+        else df.orderBy(id_col).limit(k)
+    )
     init_rows = (
-        df.orderBy(id_col)
-        .limit(k)
+        init.orderBy(id_col)
         .select(F.transform(vec_col, lambda x: F.round(x.cast("double"), round_dp)).alias("c"))
         .collect()
     )
     centroids = [list(r["c"]) for r in init_rows]
+    k = len(centroids)  # actual count (init_every mode derives it from data)
     for _ in range(iters):
         best = assign_best(df, vec_col, id_col, centroids)
         new = (
@@ -140,18 +154,25 @@ def kmeans_oracle_sql(
     iters: int = 3,
     dim: int = 64,
     round_dp: int = 6,
+    init_every: int | None = None,
 ) -> str:
-    """DuckDB CTE chain replaying :func:`kmeans_fit` exactly: same init,
-    same fold order, same tie-break (ORDER BY dist, cluster), same 6dp
-    centroid rounding, same empty-cluster carry-over. Yields the final
+    """DuckDB CTE chain replaying :func:`kmeans_fit` exactly: same init
+    (``init_every`` selects the modular-id adaptive-k mode), same fold
+    order, same tie-break (ORDER BY dist, cluster), same 6dp centroid
+    rounding, same empty-cluster carry-over. Yields the final
     per-vector assignment as ``asg{iters}(id, cluster, dist)``."""
     sq = _SQDIST_SQL
+    init_src = (
+        f"(SELECT * FROM {table} WHERE {id_col} % {init_every} = 0)"
+        if init_every is not None
+        else f"(SELECT * FROM {table} ORDER BY {id_col} LIMIT {k})"
+    )
     parts = [
         f"""c0 AS (
         SELECT ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS cluster,
                list_transform({vec_col},
                               x -> round(CAST(x AS DOUBLE), {round_dp})) AS c
-        FROM (SELECT * FROM {table} ORDER BY {id_col} LIMIT {k})
+        FROM {init_src}
     )"""
     ]
     for it in range(iters):

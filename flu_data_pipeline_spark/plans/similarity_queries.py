@@ -611,13 +611,27 @@ def kmeans_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: path; real embedding spaces use 0.9-0.95).
 _SEMDEDUP_TAU = 0.4
 
+#: SemDeDup k-means init stride: one centroid per 250 vec_ids, so
+#: k ≈ N/250 GROWS WITH THE CORPUS and within-cluster pair work stays
+#: linear (~250²/2 pairs per cluster). Round-5 scaling sweep measured
+#: the fixed-k=8 version at r1000_100 = 14.2 (8.1 s → 115 s): cluster
+#: sizes grew with N and the pair join went quadratic — exactly the
+#: failure mode the SemDeDup paper's cluster-count scaling avoids
+#: (110k clusters for LAION-440M). With the stride the ratio is
+#: back under the linear gate; the N·k brute-force ASSIGNMENT is then
+#: the next asymptotic bottleneck (N²/stride) — the production path
+#: replaces it with ANN centroid lookup (ann_ivf_kmeans is that
+#: building block), which changes no output semantics.
+_SEMDEDUP_INIT_EVERY = 250
+
 
 @register(
     "dedup_semdedup",
     # iters+1: asg{N} is the assignment under the final centroids (see
     # kmeans_cluster_summary)
     oracle=kmeans_oracle_sql(
-        "embeddings", "embedding", "vec_id", k=_KMEANS_K, iters=_KMEANS_ITERS + 1
+        "embeddings", "embedding", "vec_id",
+        iters=_KMEANS_ITERS + 1, init_every=_SEMDEDUP_INIT_EVERY,
     )
     + f""",
     normed AS (
@@ -657,19 +671,25 @@ _SEMDEDUP_TAU = 0.4
     "Clustering reuses the proven deterministic kmeans_fit (3 Lloyd "
     "iterations, unrolled-CTE oracle); the pairwise pass is an "
     "equi-join on the cluster id, so the all-pairs cost the method "
-    "exists to avoid is bounded by sum(cluster_size^2) — at 100 TB "
-    "scale k is grown with N (the paper used 110k clusters for "
-    "LAION-440M) so cluster sizes, and with them per-reducer pair "
-    "counts, stay constant; norms are computed once per row and ride "
-    "the join as scalars. Output: every vector with its cluster, "
-    "centroid distance, and keep/drop verdict.",
+    "exists to avoid is bounded by sum(cluster_size^2). k GROWS WITH "
+    f"THE CORPUS (one init centroid per {_SEMDEDUP_INIT_EVERY} "
+    "vec_ids — the paper used 110k clusters for LAION-440M) so "
+    "cluster sizes, and with them per-reducer pair counts, stay "
+    "bounded: the round-5 scaling sweep caught the fixed-k version "
+    "going quadratic (r1000_100 = 14.2) and this adaptive init "
+    "restored the linear decade — see _SEMDEDUP_INIT_EVERY for the "
+    "measured story and the assignment-side asymptote. Norms are "
+    "computed once per row and ride the join as scalars. Output: "
+    "every vector with its cluster, centroid distance, and keep/drop "
+    "verdict.",
     tags=("similarity", "dedup", "clustering", "curation"),
     bench=True,
 )
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_fit(
-        emb, "embedding", "vec_id", k=_KMEANS_K, iters=_KMEANS_ITERS
+        emb, "embedding", "vec_id",
+        iters=_KMEANS_ITERS, init_every=_SEMDEDUP_INIT_EVERY,
     )
     d = (
         assign_best(emb, "embedding", "vec_id", cents)

@@ -161,7 +161,29 @@ def main() -> None:
                 line += f"  x10: {r3:.2f}"
             print(line)
     if md:
+        out.append(_CATCHES_MD)
         print("\n".join(out))
+
+
+#: Appended to the generated SCALING.md: regressions this table has
+#: caught — the reason it exists.
+_CATCHES_MD = """
+## Catches — super-linearities this table has caught
+
+- **Round 4 (generator)**: the first sf1 synthesis left every replica a
+  near-dup of its original; near-dup queries read 14-20x (quadratic
+  candidate inflation) until the per-replica full-alphabet rotation fix.
+- **Round 4 (winnowing)**: character-level fingerprints saw fake
+  cross-replica hot 8-grams from a partial (a-t) alphabet rotation —
+  df^2 postings cost, 12.3x — fixed by rotating the full a-z range.
+- **Round 5 (dedup_semdedup)**: the first registration used FIXED k=8
+  clusters; at sf1 the within-cluster pair join went quadratic
+  (r1000_100 = 14.2, 8.1 s -> 115 s). Fix: adaptive k via modular-id
+  init (one centroid per 250 vec_ids, so k grows with N — the SemDeDup
+  paper's own cluster-count scaling), which keeps per-cluster pair
+  work bounded and restored r1000_100 = 3.45 (19.6 s at sf1) with the
+  oracle still exact (the modular init is a static WHERE clause in
+  both engines, where a data-dependent LIMIT could not be)."""
 
 
 if __name__ == "__main__":

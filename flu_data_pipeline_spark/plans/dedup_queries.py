@@ -656,6 +656,115 @@ def dedup_components_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLED_DISTINCT_SQL}, {_SIG_SQL},
+    bands AS (
+{_BANDS_SQL}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, root) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, MIN(root) AS component
+        FROM reach GROUP BY node
+    ),
+    sizes AS (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY component
+    ),
+    hist AS (
+        SELECT cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY cluster_size
+    ),
+    singles AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM comp c WHERE c.doc_id = d.doc_id)
+    )
+    SELECT cluster_size, n_clusters, n_docs,
+           CAST(n_docs - n_clusters AS BIGINT) AS n_redundant
+    FROM (
+        SELECT * FROM hist
+        UNION ALL
+        SELECT 1, n, n FROM singles WHERE n > 0
+    )
+    ORDER BY cluster_size
+    """,
+    doc="Duplication-inflation profile of the corpus: cluster-size "
+    "histogram over the MinHash-LSH near-dup components INCLUDING "
+    "singletons (docs with no candidate edge — an anti-join against "
+    "the component node set; every edge-connected component has size "
+    ">= 2, so the singleton row never collides with a graph row). "
+    "Per size: cluster count, docs covered, and docs redundant under "
+    "keep-one-per-cluster — summed over rows this is exactly the "
+    "corpus shrinkage a dedup pass buys, the first number a training "
+    "run wants from a new crawl (power-law tails here mean a few "
+    "giant boilerplate families dominate the savings). Composition "
+    "is proven parts (signatures → banded pairs → distributed "
+    "components → two keyed aggregates + one anti-join); the oracle "
+    "replays the whole chain through the recursive-CTE closure.",
+    tags=("dedup", "graph", "minhash", "A10"),
+)
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flu_data_pipeline_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", NUM_HASHES)
+    pairs = lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BAND_SIZE)
+    cc = connected_components(pairs, "id_a", "id_b")
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
+    singles = (
+        docs.select("doc_id")
+        .join(
+            cc.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 0)
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            F.col("n").alias("n_clusters"),
+            F.col("n").alias("n_docs"),
+        )
+    )
+    return (
+        hist.unionByName(singles)
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            (F.col("n_docs") - F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_redundant"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@register(
     "fuzzy_blocked_pairs",
     oracle="""
     WITH p AS (

@@ -111,6 +111,99 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tokenizer_fertility",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    ), terms AS (
+        SELECT d.lang, unnest({_TOKENS}) AS term
+        FROM documents d
+    ), types AS (
+        SELECT lang,
+               CAST(COUNT(DISTINCT term) AS BIGINT) AS distinct_terms,
+               CAST(COUNT(*) AS BIGINT) AS total_terms
+        FROM terms GROUP BY lang
+    )
+    SELECT t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(t.n_tokens) AS DOUBLE) / COUNT(*), 6)
+               AS tokens_per_doc,
+           ROUND(CAST(SUM(t.n_chars) AS DOUBLE) / SUM(t.n_tokens), 6)
+               AS chars_per_token,
+           MAX(ty.distinct_terms) AS distinct_terms,
+           ROUND(CAST(MAX(ty.distinct_terms) AS DOUBLE)
+                 / MAX(ty.total_terms), 6) AS type_token_ratio
+    FROM t JOIN types ty ON ty.lang = t.lang
+    GROUP BY t.lang
+    ORDER BY t.lang
+    """,
+    doc="Tokenizer fertility / compression statistics per language — "
+    "the numbers a tokenizer-budget decision reads off a new corpus: "
+    "docs, total tokens, tokens per doc, characters per token (the "
+    "fertility proxy for this whitespace tokenizer; a BPE tokenizer "
+    "slots into the same query), distinct terms and the type-token "
+    "ratio (vocabulary richness — languages with high fertility AND "
+    "high TTR are the ones that blow up subword vocabularies). "
+    "Scale shape: per-doc counts are map-side; the only shuffles are "
+    "the per-lang aggregate and the distinct-term count, which "
+    "carries (lang, term) pairs — vocab cardinality, not corpus "
+    "rows. The distinct-count join rides the same lang key.",
+    tags=("text", "llm", "A8", "A10"),
+)
+def text_tokenizer_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    types = (
+        docs.select(
+            "lang", F.explode(tokenize(F.col("text"))).alias("term")
+        )
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("term").alias("distinct_terms"),
+            F.count(F.lit(1)).alias("total_terms"),
+        )
+    )
+    per_lang = t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
+        ).alias("tokens_per_doc"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
+        ).alias("chars_per_token"),
+    )
+    return (
+        per_lang.join(types, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "tokens_per_doc",
+            "chars_per_token",
+            "distinct_terms",
+            F.round(
+                F.col("distinct_terms").cast("double")
+                / F.col("total_terms"),
+                6,
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "text_lang_id",
     oracle=f"""
     SELECT doc_id, lang AS labeled_lang,

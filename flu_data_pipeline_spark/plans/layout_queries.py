@@ -908,6 +908,121 @@ def exchange_reuse_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _assert_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> None:
+    """Executed-probe canary for Spark's runtime bloom-filter join
+    pruning (InjectRuntimeFilter): a selective filter on the dim side
+    of a shuffle join makes Spark build a bloom filter of the surviving
+    join keys and apply ``might_contain`` on the fact side BELOW its
+    exchange — at 100 TB the probe-side shuffle then moves only rows
+    that can possibly match, the runtime analogue of static partition
+    pruning. The rule is size-gated (application side must scan >10 GB
+    by default — correct in production, unreachable on test data), so
+    the probe temporarily lowers the size thresholds and disables
+    broadcast (bloom injection targets shuffle joins; the tiny dim
+    would otherwise broadcast), executes the join, and asserts BOTH
+    halves of the optimization in the final plan: the
+    ``bloom_filter_agg`` build on the dim side and the
+    ``might_contain`` filter on the fact side. Confs are restored in
+    a finally, so the session the driver shares is untouched; the
+    ``...bloomFilter.enabled`` master switch is deliberately NOT set,
+    so the probe raises if the feature is disabled or regresses
+    (negative-tested in tests/test_plans.py)."""
+    probe_confs = {
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in probe_confs}
+    for k, v in probe_confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+        dim = (
+            load_table(spark, sf_dir, "part")
+            .filter(F.col("p_size") == 1)
+            .select("p_partkey")
+        )
+        j = (
+            li.join(dim, li.l_partkey == dim.p_partkey)
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        if "might_contain" not in plan or "bloom_filter_agg" not in plan:
+            raise AssertionError(
+                "selective-dim shuffle join did not plan a runtime "
+                "bloom filter (bloom_filter_agg build + might_contain "
+                "probe-side prune); plan:\n" + plan[:2000]
+            )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@register(
+    "runtime_bloom_filter_join",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size = 1
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    doc="Runtime bloom-filter join pruning, REGISTERED AND "
+    "SELF-PROVING: revenue by brand for size-1 parts — the "
+    "selective-dim/fact join shape where Spark's InjectRuntimeFilter "
+    "builds a bloom filter of surviving dim keys at runtime and "
+    "prunes the fact side BELOW its shuffle (``might_contain`` over "
+    "xxhash64 of the join key), the runtime sibling of DPP for "
+    "non-partition join columns. The rule is size-gated for real "
+    "clusters (application side >10 GB), so the builder proves it on "
+    "an executed probe of the identical shape with the thresholds "
+    "temporarily lowered (_assert_runtime_bloom_filter, conf-restored "
+    "in a finally) — the same executed-probe style as "
+    "exchange_reuse_selfjoin. Raises, and goes red in the correctness "
+    "gate, if Spark stops injecting the filter; negative-tested with "
+    "spark.sql.optimizer.runtime.bloomFilter.enabled=false "
+    "(tests/test_plans.py). bloom_semi_prune is the hand-built "
+    "sketch twin; this query gates the engine-native path. Returned "
+    "values are conf-independent (exact integer cents).",
+    tags=("layout", "J6", "A10", "scale-proof"),
+    bench=True,
+)
+def runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _assert_runtime_bloom_filter(spark, sf_dir)
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 1)
+        .select("p_partkey", "p_brand")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 @register(
     "topk_window_group_limit",
     oracle="""

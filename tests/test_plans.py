@@ -298,6 +298,27 @@ def test_exchange_reuse_assertion_has_teeth(spark):
     REGISTRY["exchange_reuse_selfjoin"].builder(spark, SF_ORACLE)
 
 
+def test_runtime_bloom_filter_assertion_has_teeth(spark):
+    """runtime_bloom_filter_join must RAISE when the runtime
+    bloom-filter rule is disabled (the probe deliberately leaves the
+    master switch alone so a disabled/regressed feature fires the
+    assertion), and build cleanly once it is back on."""
+    import pytest
+
+    from flu_data_pipeline_spark.plans import REGISTRY
+    from .conftest import SF_ORACLE
+
+    key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        with pytest.raises(AssertionError, match="bloom"):
+            REGISTRY["runtime_bloom_filter_join"].builder(spark, SF_ORACLE)
+    finally:
+        spark.conf.set(key, prev)
+    REGISTRY["runtime_bloom_filter_join"].builder(spark, SF_ORACLE)
+
+
 def test_bucketed_join_assertion_has_teeth(spark):
     """bucketed_join_no_shuffle must RAISE when bucketing is disabled
     (the scan loses its output partitioning and the join re-shuffles)."""

@@ -91,7 +91,10 @@ def kmeans_fit(
 
     Deterministic init, two modes:
     - default: the ``k`` rows with the smallest ids;
-    - ``init_every=s``: every row with ``id % s == 0`` — k then GROWS
+    - ``init_every=s``: every row with ``id % s == 0`` (``k`` is IGNORED
+      in this mode — the cluster count is derived from the data; raises
+      if no id satisfies the modular rule, e.g. a sparse/offset id
+      space or a corpus smaller than the stride) — k then GROWS
       WITH THE CORPUS (k ≈ N/s), the data-adaptive form SemDeDup-style
       cluster-bounded algorithms need (fixed k makes within-cluster
       pair work quadratic in N). The modular rule keeps the init
@@ -113,6 +116,17 @@ def kmeans_fit(
         .collect()
     )
     centroids = [list(r["c"]) for r in init_rows]
+    if not centroids:
+        raise ValueError(
+            f"kmeans_fit init produced no centroids"
+            + (
+                f": no row has {id_col} % {init_every} == 0 "
+                "(sparse/offset id space or corpus smaller than the "
+                "stride?)"
+                if init_every is not None
+                else ""
+            )
+        )
     k = len(centroids)  # actual count (init_every mode derives it from data)
     for _ in range(iters):
         best = assign_best(df, vec_col, id_col, centroids)
@@ -199,5 +213,301 @@ def kmeans_oracle_sql(
             SELECT cluster, list(av ORDER BY i) AS c
             FROM avg{it + 1} GROUP BY cluster
         ) n ON n.cluster = p.cluster
+    )""")
+    return "WITH " + ",\n    ".join(parts)
+
+
+# ==========================================================================
+# Two-level (IVF-quantized) k-means: the scale path for adaptive k ∝ N
+# ==========================================================================
+#
+# kmeans_fit above is the textbook Lloyd loop: brute-force N·k assignment
+# plus a k-row driver collect per iteration. Fine for fixed small k; fatal
+# when k grows with the corpus (SemDeDup needs k ∝ N to bound cluster
+# sizes — then assignment is N²/stride and the collect is O(N)). The
+# two-level form below is the FAISS-IVF answer, end to end in DataFrames:
+#
+# - FINE centroids (k_f = N/stride of them) live in a DataFrame for the
+#   whole fit — they are NEVER collected to the driver.
+# - A COARSE quantizer of k_c = floor(sqrt(k_f)) cells (every
+#   ceil(k_f/k_c)-th fine seed) is the only thing that behaves like a
+#   broadcast table — O(√k) rows, the per-level optimum for two levels.
+# - Assignment per pass: each fine centroid maps to its nearest coarse
+#   cell (k_f·k_c work on a k_f-row frame); each vector ranks the coarse
+#   cells that currently HOLD fine centroids (broadcast of ≤k_c rows,
+#   WindowGroupLimit top-nprobe) and argmins over fine centroids in its
+#   probed cells via an EQUI-join on the cell id. No N·k_f stage exists
+#   in the plan, and the only scalar the driver ever sees is the fine
+#   seed count (one integer, to derive the coarse stride).
+#
+# With nprobe < k_c the assignment is the standard IVF approximation:
+# the chosen fine centroid is exact within the probed cells, and equals
+# the global argmin whenever the true nearest fine centroid lies in one
+# of the nprobe nearest coarse cells (always true when nprobe ≥ k_c —
+# property-tested equality against assign_best in tests/test_operators).
+# Every tie breaks deterministically ((dist, cell) / (dist, fcl)), so a
+# DuckDB CTE chain replays the whole fit bit-for-bit.
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def twolevel_params(k_f: int) -> tuple[int, int]:
+    """(k_c, coarse_stride): k_c = floor(sqrt(k_f)) coarse cells, one
+    coarse seed per ceil(k_f/k_c) fine seeds. Pure integer math — the
+    oracle derives the same numbers in SQL."""
+    import math
+
+    k_c = max(1, int(math.floor(math.sqrt(k_f))))
+    return k_c, _ceil_div(k_f, k_c)
+
+
+def fine_seeds(
+    df: DataFrame, vec_col: str, id_col: str, stride: int, round_dp: int = 6
+) -> DataFrame:
+    """(fcl, c): one fine seed per ``stride`` ids, fcl = id div stride
+    (deterministic, oracle-replayable), components rounded."""
+    return df.filter((F.col(id_col) % stride) == 0).select(
+        F.expr(f"{id_col} div {stride}").alias("fcl"),
+        F.transform(
+            vec_col, lambda x: F.round(x.cast("double"), round_dp)
+        ).alias("c"),
+    )
+
+
+def twolevel_assign(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    fine: DataFrame,
+    coarse: DataFrame,
+    nprobe: int = 2,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """(id, cluster, dist[, vec]): IVF two-level nearest-fine-centroid
+    assignment. ``fine`` = (fcl, c) stays distributed; ``coarse`` =
+    (ccl, c) is the broadcast level. Vectors probe the ``nprobe``
+    nearest NON-EMPTY coarse cells (cells currently holding at least
+    one fine centroid — emptiness is decided by the fine→coarse map,
+    so assignment is total), then argmin over fine centroids in the
+    probed cells via an EQUI-join on ccl. Plan shape: the only
+    broadcast-nested-loop is against the O(√k) coarse table; the
+    top-nprobe rank is a WindowGroupLimit (map-side pruned to nprobe
+    rows/vector); both argmins are partial-aggregating
+    min(struct(dist, id, …)) — ties cannot reach the trailing struct
+    fields because (dist, id) is unique within a group (each fine
+    centroid lives in exactly one cell). ``keep_vec`` rides the input
+    vector through the aggregation so callers avoid a re-join."""
+    from pyspark.sql import Window
+
+    cvec = coarse.select("ccl", F.col("c").alias("_cvec"))
+    fcell = (
+        fine.join(F.broadcast(cvec))
+        .select(
+            "fcl",
+            "ccl",
+            "c",
+            sqdist(F.col("c"), F.col("_cvec")).alias("_d"),
+        )
+        .groupBy("fcl")
+        .agg(F.min(F.struct("_d", "ccl", "c")).alias("b"))
+        .select(
+            "fcl",
+            F.col("b.ccl").alias("ccl"),
+            F.col("b.c").alias("_fc"),
+        )
+    )
+    nonempty = cvec.join(fcell.select("ccl").distinct(), "ccl")
+    w = Window.partitionBy(id_col).orderBy(F.asc("_d"), F.asc("ccl"))
+    probes = (
+        df.select(id_col, vec_col)
+        .join(F.broadcast(nonempty))
+        .select(
+            id_col,
+            vec_col,
+            "ccl",
+            sqdist(F.col(vec_col), F.col("_cvec")).alias("_d"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select(id_col, vec_col, "ccl")
+    )
+    best = F.min(
+        F.struct(
+            F.col("_fd").alias("dist"),
+            F.col("fcl").alias("cluster"),
+            F.col(vec_col).alias("v"),
+        )
+    ).alias("b")
+    out = [
+        id_col,
+        F.col("b.cluster").alias("cluster"),
+        F.col("b.dist").alias("dist"),
+    ]
+    if keep_vec:
+        out.append(F.col("b.v").alias(vec_col))
+    return (
+        probes.join(fcell, "ccl")
+        .select(
+            id_col,
+            "fcl",
+            vec_col,
+            sqdist(F.col(vec_col), F.col("_fc")).alias("_fd"),
+        )
+        .groupBy(id_col)
+        .agg(best)
+        .select(*out)
+    )
+
+
+def twolevel_kmeans_assigned(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    stride: int,
+    iters: int = 3,
+    nprobe: int = 2,
+    round_dp: int = 6,
+    keep_vec: bool = False,
+    dim: int = 64,
+) -> DataFrame:
+    """Adaptive-k Lloyd fit with two-level assignment; returns the FINAL
+    assignment frame (id, cluster, dist[, vec]) under the
+    ``iters``-times refined fine centroids. Fine centroids are a
+    DataFrame end to end (update = groupBy(cluster, dim) average
+    rebuilt into arrays natively; empty clusters carry their previous
+    centroid); each refined generation is lazily localCheckpoint-ed so
+    downstream branches share one materialization instead of
+    re-deriving a compounding lineage."""
+    fine = fine_seeds(df, vec_col, id_col, stride, round_dp).localCheckpoint(
+        eager=False
+    )
+    k_f = fine.count()  # the ONE driver-side scalar
+    if k_f == 0:
+        raise ValueError(
+            f"no fine seeds: no row has {id_col} % {stride} == 0"
+        )
+    k_c, sc = twolevel_params(k_f)
+    coarse = fine.filter((F.col("fcl") % sc) == 0).select(
+        F.expr(f"fcl div {sc}").alias("ccl"), "c"
+    )
+    for _ in range(iters):
+        asg = twolevel_assign(
+            df, vec_col, id_col, fine, coarse, nprobe, keep_vec=True
+        )
+        # per-dim averages as dim parallel aggregates in ONE groupBy —
+        # no posexplode (the exploded form shuffles N·dim rows per
+        # iteration; this shuffles N rows and emits k_f). Addend sets
+        # match the oracle's per-(cluster, dim) AVG; the round_dp
+        # rounding quashes ulp-level sum-order differences, same as
+        # kmeans_fit's contract.
+        upd = (
+            asg.groupBy("cluster")
+            .agg(
+                *[
+                    F.round(
+                        F.avg(F.col(vec_col)[i].cast("double")), round_dp
+                    ).alias(f"_a{i}")
+                    for i in range(dim)
+                ]
+            )
+            .select(
+                "cluster",
+                F.array(*[F.col(f"_a{i}") for i in range(dim)]).alias(
+                    "nc"
+                ),
+            )
+        )
+        fine = (
+            fine.join(
+                upd.withColumnRenamed("cluster", "fcl"), "fcl", "left"
+            )
+            .select("fcl", F.coalesce("nc", "c").alias("c"))
+            .localCheckpoint(eager=False)
+        )
+    return twolevel_assign(
+        df, vec_col, id_col, fine, coarse, nprobe, keep_vec=keep_vec
+    )
+
+
+def twolevel_kmeans_oracle_sql(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    stride: int,
+    iters: int = 3,
+    dim: int = 64,
+    nprobe: int = 2,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB CTE chain replaying :func:`twolevel_kmeans_assigned`
+    exactly — same seeds, same data-derived coarse stride (integer
+    ceil-div, exact on both engines), same nonempty-cell probing, same
+    (dist, id) tie-breaks, same per-iteration 6dp centroid rounding and
+    empty-cluster carry-over. Final assignment is ``asg{iters + 1}``
+    with columns (id, cluster, dist)."""
+    sq = _SQDIST_SQL
+    parts = [
+        f"""fine0 AS (
+        SELECT {id_col} // {stride} AS fcl,
+               list_transform({vec_col},
+                              x -> round(CAST(x AS DOUBLE), {round_dp})) AS c
+        FROM {table} WHERE {id_col} % {stride} = 0
+    )""",
+        """params AS (
+        SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS kc,
+               (COUNT(*) + GREATEST(1, CAST(FLOOR(SQRT(COUNT(*)))
+                    AS BIGINT)) - 1)
+                   // GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))
+                   AS sc
+        FROM fine0
+    )""",
+        """coarse AS (
+        SELECT f.fcl // p.sc AS ccl, f.c
+        FROM fine0 f CROSS JOIN params p
+        WHERE f.fcl % p.sc = 0
+    )""",
+    ]
+    for it in range(iters + 1):
+        fine = f"fine{it}"
+        fdist = sq.format(dim=dim, v="f.c", c="co.c")
+        parts.append(f"""fcell{it} AS (
+        SELECT f.fcl, co.ccl, f.c
+        FROM {fine} f CROSS JOIN coarse co
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY f.fcl ORDER BY {fdist}, co.ccl) = 1
+    )""")
+        pdist = sq.format(dim=dim, v=f"e.{vec_col}", c="co.c")
+        parts.append(f"""probe{it} AS (
+        SELECT e.{id_col} AS id, co.ccl
+        FROM {table} e CROSS JOIN coarse co
+        WHERE co.ccl IN (SELECT DISTINCT ccl FROM fcell{it})
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY e.{id_col} ORDER BY {pdist}, co.ccl) <= {nprobe}
+    )""")
+        adist = sq.format(dim=dim, v=f"e.{vec_col}", c="fc.c")
+        parts.append(f"""asg{it + 1} AS (
+        SELECT e.{id_col} AS id, fc.fcl AS cluster, {adist} AS dist
+        FROM {table} e
+        JOIN probe{it} p ON p.id = e.{id_col}
+        JOIN fcell{it} fc ON fc.ccl = p.ccl
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY e.{id_col} ORDER BY {adist}, fc.fcl) = 1
+    )""")
+        if it < iters:
+            parts.append(f"""avg{it + 1} AS (
+        SELECT a.cluster, t.i,
+               round(AVG(CAST(e.{vec_col}[t.i] AS DOUBLE)), {round_dp}) AS av
+        FROM asg{it + 1} a
+        JOIN {table} e ON e.{id_col} = a.id
+        CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS i) t
+        GROUP BY a.cluster, t.i
+    )""")
+            parts.append(f"""fine{it + 1} AS (
+        SELECT p.fcl, COALESCE(n.c, p.c) AS c
+        FROM fine{it} p LEFT JOIN (
+            SELECT cluster AS fcl, list(av ORDER BY i) AS c
+            FROM avg{it + 1} GROUP BY cluster
+        ) n ON n.fcl = p.fcl
     )""")
     return "WITH " + ",\n    ".join(parts)

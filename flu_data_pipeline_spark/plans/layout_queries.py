@@ -808,6 +808,38 @@ def dpp_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _probe_once(
+    spark: SparkSession,
+    name: str,
+    conf_keys: tuple[str, ...],
+    fn,
+) -> None:
+    """Run an executed-probe assertion ONCE per (session, conf state).
+
+    Self-proving queries pay their probe inside the builder, so a bench
+    that times a query 6 times would re-pay the probe 6 times — this
+    memoizes a green probe on the session (a custom runtime conf keyed
+    to the probe name), fingerprinted by the conf values the probe's
+    outcome depends on. Flipping a gating conf (the negative tests do)
+    changes the fingerprint, so the probe re-runs and still RAISES —
+    memoization never caches across the conf states it is sensitive
+    to, only across repeat runs in the same state."""
+    def _val(k: str) -> str:
+        # no string default: Spark 4 type-validates defaults of typed
+        # confs; a bare get returns the conf's own default instead
+        try:
+            return str(spark.conf.get(k))
+        except Exception:
+            return "<unset>"
+
+    fp = "|".join(f"{k}={_val(k)}" for k in conf_keys) or "<none>"
+    marker = f"spark.flu_data_pipeline.probe.{name}.provenFor"
+    if spark.conf.get(marker, None) == fp:
+        return
+    fn()
+    spark.conf.set(marker, fp)
+
+
 def _assert_exchange_reuse(spark: SparkSession, symmetric: bool = True) -> None:
     """AQE-era plan canary: ReusedExchange only appears in the FINAL
     adaptive plan, which exists only after execution — a builder cannot
@@ -888,7 +920,12 @@ def _assert_exchange_reuse(spark: SparkSession, symmetric: bool = True) -> None:
     bench=True,
 )
 def exchange_reuse_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _assert_exchange_reuse(spark)
+    _probe_once(
+        spark,
+        "exchangeReuse",
+        ("spark.sql.adaptive.enabled",),
+        lambda: _assert_exchange_reuse(spark),
+    )
     li = load_table(spark, sf_dir, "lineitem")
     r = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
     r = r.select(
@@ -999,7 +1036,12 @@ def _assert_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> None:
     bench=True,
 )
 def runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _assert_runtime_bloom_filter(spark, sf_dir)
+    _probe_once(
+        spark,
+        "runtimeBloomFilter",
+        ("spark.sql.optimizer.runtime.bloomFilter.enabled",),
+        lambda: _assert_runtime_bloom_filter(spark, sf_dir),
+    )
     part = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_size") == 1)

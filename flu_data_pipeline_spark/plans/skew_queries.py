@@ -189,3 +189,162 @@ def _salted_dim_join_frame(
             + plan[:2000]
         )
     return agg
+
+
+# --------------------------------------------------------------------------
+# AQE skew-join splitting, registered and self-proving
+# --------------------------------------------------------------------------
+
+#: Probe geometry: 200k fact rows, 90% on key 0, joined to a 97-key dim.
+#: Payloads are portable-hash values (md5-derived) — deliberately
+#: INCOMPRESSIBLE, because AQE's skew detector compares COMPRESSED map
+#: output sizes against the threshold and lz4 shrinks a repetitive hot
+#: partition ~100x, hiding real skew from a small-looking threshold
+#: (the round-3 lesson that killed the first salted-join negative test).
+_SKEW_FACT_N = 200_000
+_SKEW_KEYS = 97
+
+
+def _skew_probe_frames(spark: SparkSession):
+    fact = spark.range(0, _SKEW_FACT_N, 1, 8).select(
+        F.when(F.col("id") % 10 < 9, 0)
+        .otherwise(F.col("id") % _SKEW_KEYS)
+        .alias("k"),
+        hash64(F.col("id").cast("string")).alias("p"),
+    )
+    dim = spark.range(0, _SKEW_KEYS, 1, 4).select(
+        F.col("id").alias("k"),
+        hash64((F.col("id") + 1_000_000).cast("string")).alias("dp"),
+    )
+    return fact, dim
+
+
+def _assert_aqe_skew_split(spark: SparkSession) -> None:
+    """Executed-probe canary for AQE's OptimizeSkewedJoin: a sort-merge
+    join whose build side concentrates 90% of rows on one key must come
+    back from execution with the skewed partition SPLIT — the final
+    adaptive plan carries ``SortMergeJoin(skew=true)`` fed by an
+    ``AQEShuffleRead`` marked ``skewed``. The rule is size-gated for
+    real clusters (256 MB default threshold), so the probe temporarily
+    lowers the thresholds and disables broadcast (skew splitting
+    targets shuffle joins), executes, and asserts both markers. The
+    ``spark.sql.adaptive.skewJoin.enabled`` master switch is
+    deliberately NOT set, so the probe raises if the feature is
+    disabled or regresses (negative-tested in tests/test_plans.py).
+    Confs are restored in a finally."""
+    probe_confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in probe_confs}
+    for k, v in probe_confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact, dim = _skew_probe_frames(spark)
+        # the aggregate must CONSUME the hash payloads: a count-only
+        # probe lets column pruning strip them, the hot partition
+        # shrinks to a run of constant keys (~KB compressed), and the
+        # skew detector never fires
+        j = (
+            fact.join(dim, "k")
+            .groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("p") + F.col("dp")).alias("s"),
+            )
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        if "skew=true" not in plan:
+            raise AssertionError(
+                "AQE did not split the skewed join partition "
+                "(no SortMergeJoin(skew=true) in the final adaptive "
+                "plan); plan:\n" + plan[:2000]
+            )
+        if "skewed" not in plan:
+            raise AssertionError(
+                "no AQEShuffleRead marked 'skewed' in the final "
+                "adaptive plan; plan:\n" + plan[:2000]
+            )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+_H = "CAST('0x' || substr(md5(CAST({e} AS VARCHAR)), 1, 14) AS BIGINT)"
+
+
+@register(
+    "aqe_skew_join_split",
+    oracle=f"""
+    WITH fact AS (
+        SELECT CASE WHEN i % 10 < 9 THEN 0 ELSE i % {_SKEW_KEYS} END AS k,
+               {_H.format(e='i')} AS p
+        FROM (SELECT unnest(range(0, {_SKEW_FACT_N})) AS i)
+    ), dim AS (
+        SELECT i AS k, {_H.format(e='i + 1000000')} AS dp
+        FROM (SELECT unnest(range(0, {_SKEW_KEYS})) AS i)
+    )
+    SELECT f.k,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(f.p % 1000 + d.dp % 1000) AS BIGINT) AS checksum
+    FROM fact f JOIN dim d USING (k)
+    GROUP BY f.k
+    ORDER BY f.k
+    """,
+    doc="AQE skew-join splitting, REGISTERED AND SELF-PROVING: per-key "
+    "row counts and a portable-hash checksum over a fact←dim join "
+    "whose fact side puts 90% of rows on ONE key — the hot-key join "
+    "shape that strands a 1000-executor cluster behind a single "
+    "straggler reducer. Spark's OptimizeSkewedJoin splits the "
+    "oversized partition into advisory-sized slices at runtime "
+    "(duplicating the matching dim rows), the engine-native sibling "
+    "of the manual salt twin skew_salted_dim_join; because the split "
+    "only exists in the final adaptive plan (post-execution), the "
+    "builder proves it on an executed probe of the identical shape "
+    "with the size gates temporarily lowered "
+    "(_assert_aqe_skew_split, conf-restored in a finally, memoized "
+    "per session/conf-state) — the same executed-probe style as "
+    "runtime_bloom_filter_join. Probe payloads are md5-derived "
+    "(incompressible) because the skew detector measures COMPRESSED "
+    "map output — repetitive payloads compress ~100x and hide real "
+    "skew from the threshold. Raises, and goes red in the "
+    "correctness gate, if the rule stops splitting; negative-tested "
+    "with spark.sql.adaptive.skewJoin.enabled=false. Returned values "
+    "are conf-independent exact integers (portable 56-bit hash, "
+    "identical on both engines).",
+    tags=("skew", "layout", "J6", "A10", "scale-proof"),
+    bench=True,
+)
+def aqe_skew_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.plans.layout_queries import _probe_once
+
+    _probe_once(
+        spark,
+        "aqeSkewJoinSplit",
+        (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+        ),
+        lambda: _assert_aqe_skew_split(spark),
+    )
+    fact, dim = _skew_probe_frames(spark)
+    return (
+        fact.join(dim, "k")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("p") % 1000 + F.col("dp") % 1000)
+            .cast("bigint")
+            .alias("checksum"),
+        )
+        .orderBy("k")
+    )

@@ -132,7 +132,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
            ROUND(CAST(SUM(t.n_tokens) AS DOUBLE) / COUNT(*), 6)
                AS tokens_per_doc,
-           ROUND(CAST(SUM(t.n_chars) AS DOUBLE) / SUM(t.n_tokens), 6)
+           ROUND(CAST(SUM(t.n_chars) AS DOUBLE) / NULLIF(SUM(t.n_tokens), 0), 6)
                AS chars_per_token,
            MAX(ty.distinct_terms) AS distinct_terms,
            ROUND(CAST(MAX(ty.distinct_terms) AS DOUBLE)
@@ -181,7 +181,9 @@ def text_tokenizer_fertility(
             F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
         ).alias("tokens_per_doc"),
         F.round(
-            F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
+            F.sum("n_chars").cast("double")
+            / F.nullif(F.sum("n_tokens"), F.lit(0)),
+            6
         ).alias("chars_per_token"),
     )
     return (

@@ -182,7 +182,25 @@ def _warn_if_code_cache_not_applied(spark: SparkSession) -> None:
             .getRuntimeMXBean()
             .getInputArguments()
         )
-        if not any("ReservedCodeCacheSize=1g" in str(a) for a in jvm_args):
+        def _cache_mb(arg: str) -> float:
+            # -XX:ReservedCodeCacheSize=<n>[kKmMgG] → MiB
+            val = arg.split("=", 1)[1].strip()
+            unit = val[-1].lower()
+            scale = {"k": 1 / 1024, "m": 1, "g": 1024}.get(unit)
+            return (
+                float(val[:-1]) * scale
+                if scale is not None
+                else float(val) / (1024 * 1024)
+            )
+
+        sizes = [
+            _cache_mb(str(a))
+            for a in jvm_args
+            if "-XX:ReservedCodeCacheSize=" in str(a)
+        ]
+        # any equivalent-or-larger setting (2g, 1024m, …) satisfies the
+        # bench methodology; warn only when absent or below 1 GiB
+        if not sizes or max(sizes) < 1024:
             import warnings
 
             warnings.warn(

@@ -181,9 +181,20 @@ _CATCHES_MD = """
   (r1000_100 = 14.2, 8.1 s -> 115 s). Fix: adaptive k via modular-id
   init (one centroid per 250 vec_ids, so k grows with N — the SemDeDup
   paper's own cluster-count scaling), which keeps per-cluster pair
-  work bounded and restored r1000_100 = 3.45 (19.6 s at sf1) with the
-  oracle still exact (the modular init is a static WHERE clause in
-  both engines, where a data-dependent LIMIT could not be)."""
+  work bounded and restored the decade to the linear gate (see the
+  measured dedup_semdedup row above — the narrative deliberately
+  carries no frozen numbers, so the table stays the single source of
+  truth across regens) with the oracle still exact (the modular init
+  is a static WHERE clause in both engines, where a data-dependent
+  LIMIT could not be).
+- **Round 6 (dedup_semdedup assignment)**: adaptive k fixed the pair
+  pass but left the brute-force N*k centroid assignment (k grows with
+  N => N^2/stride) plus an O(N) driver collect in kmeans_fit — named
+  design-weak in VERDICT r5. Fix: dedup_semdedup_scale's two-level
+  (IVF) fit in operators/clustering.py — fine centroids stay in a
+  DataFrame, only the O(sqrt(k)) coarse level broadcasts, assignment
+  probes 2 coarse cells and equi-joins fine centroids; compare the
+  two semdedup rows above at the sf1 decade."""
 
 
 if __name__ == "__main__":

@@ -974,3 +974,107 @@ def test_ngram_capped_subset_with_exact_jaccard(spark, tmp_path_factory, data):
     for pair, j in capped.items():
         assert j == uncapped[pair], pair
     assert capped == expected
+
+
+# --------------------------------------------------------------------------
+# two-level (IVF-quantized) assignment vs brute-force argmin
+# --------------------------------------------------------------------------
+
+@st.composite
+def small_embedding_corpus(draw):
+    """(rows, stride): 8–40 vectors of dim 4, integer-ish components so
+    distances are exact; stride chosen so there are 2+ fine seeds."""
+    n = draw(st.integers(8, 40))
+    rows = [
+        (
+            i,
+            [float(draw(st.integers(-5, 5))) for _ in range(4)],
+        )
+        for i in range(n)
+    ]
+    stride = draw(st.sampled_from([3, 5, 7]))
+    return rows, stride
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(case=small_embedding_corpus())
+def test_twolevel_full_probe_equals_brute_force(spark, case):
+    """With nprobe >= k_c every coarse cell is probed, so the two-level
+    argmin sees every fine centroid and must equal brute-force
+    assign_best over the SAME (seed) centroids — the provable-equality
+    arm of the IVF approximation contract (iters=0 isolates assignment
+    from refinement)."""
+    from pyspark.sql import functions as F
+
+    from flu_data_pipeline_spark.operators.clustering import (
+        assign_best,
+        fine_seeds,
+        twolevel_assign,
+        twolevel_params,
+    )
+
+    rows, stride = case
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fine = fine_seeds(df, "embedding", "vec_id", stride)
+    k_f = fine.count()
+    k_c, sc = twolevel_params(k_f)
+    coarse = fine.filter((F.col("fcl") % sc) == 0).select(
+        F.expr(f"fcl div {sc}").alias("ccl"), "c"
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], round(r["dist"], 9))
+        for r in twolevel_assign(
+            df, "embedding", "vec_id", fine, coarse, nprobe=k_c
+        ).collect()
+    }
+    # brute force over the same centroids, relabelled to fcl ids
+    seeds = fine.orderBy("fcl").collect()
+    cents = [list(r["c"]) for r in seeds]
+    fcls = [r["fcl"] for r in seeds]
+    want = {
+        r["vec_id"]: (fcls[r["cluster"]], round(r["dist"], 9))
+        for r in assign_best(df, "embedding", "vec_id", cents).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(case=small_embedding_corpus())
+def test_twolevel_partial_probe_bounded_approximation(spark, case):
+    """nprobe=1 (the tightest probing): assignment must still be TOTAL
+    (every vector assigned exactly once), each assigned dist must be
+    >= the brute-force minimum (it is an argmin over a subset), and
+    the chosen centroid must be exactly the best within the probed
+    cells — pinning the bounded approximation rather than equality."""
+    from pyspark.sql import functions as F
+
+    from flu_data_pipeline_spark.operators.clustering import (
+        assign_best,
+        fine_seeds,
+        twolevel_assign,
+        twolevel_params,
+    )
+
+    rows, stride = case
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fine = fine_seeds(df, "embedding", "vec_id", stride)
+    k_f = fine.count()
+    k_c, sc = twolevel_params(k_f)
+    coarse = fine.filter((F.col("fcl") % sc) == 0).select(
+        F.expr(f"fcl div {sc}").alias("ccl"), "c"
+    )
+    asg = twolevel_assign(
+        df, "embedding", "vec_id", fine, coarse, nprobe=1
+    ).collect()
+    assert len(asg) == len(rows)  # total: one assignment per vector
+    assert len({r["vec_id"] for r in asg}) == len(rows)
+    seeds = fine.orderBy("fcl").collect()
+    cents = [list(r["c"]) for r in seeds]
+    brute = {
+        r["vec_id"]: r["dist"]
+        for r in assign_best(df, "embedding", "vec_id", cents).collect()
+    }
+    for r in asg:
+        assert r["dist"] >= brute[r["vec_id"]] - 1e-12

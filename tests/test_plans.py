@@ -336,3 +336,24 @@ def test_bucketed_join_assertion_has_teeth(spark):
     finally:
         spark.conf.set(key, prev)
     REGISTRY["bucketed_join_no_shuffle"].builder(spark, SF_ORACLE)
+
+
+def test_aqe_skew_join_assertion_has_teeth(spark):
+    """aqe_skew_join_split must RAISE when AQE skew-join splitting is
+    disabled (the probe leaves the master switch alone so a disabled/
+    regressed rule fires the assertion), and build cleanly once it is
+    back on."""
+    import pytest
+
+    from flu_data_pipeline_spark.plans import REGISTRY
+    from .conftest import SF_ORACLE
+
+    key = "spark.sql.adaptive.skewJoin.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        with pytest.raises(AssertionError, match="skew"):
+            REGISTRY["aqe_skew_join_split"].builder(spark, SF_ORACLE)
+    finally:
+        spark.conf.set(key, prev)
+    REGISTRY["aqe_skew_join_split"].builder(spark, SF_ORACLE)

@@ -2613,3 +2613,144 @@ def sample_es_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("key_pico"), "doc_id")
         .limit(25)
     )
+
+
+def _removal_plan_frame(docs: DataFrame) -> DataFrame:
+    """Core of text_dedup_removal_plan, factored for invariant tests:
+    given (doc_id, text), emit the merged byte-range removal spans of
+    all duplicated non-overlapping {_CHUNK_W}-token chunks that are not
+    the corpus-wide FIRST occurrence of their content."""
+    toks = docs.select(
+        "doc_id", tokenize(F.col("text")).alias("t")
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(0, greatest(size(t) - 1, 0), {_CHUNK_W})")
+        ).alias("s0"),
+        "t",
+    ).select(
+        "doc_id",
+        F.expr(f"s0 div {_CHUNK_W}").alias("chunk_idx"),
+        (F.col("s0") + 1).alias("s"),
+        F.least(F.col("s0") + _CHUNK_W, F.size("t")).alias("e"),
+        hash64(
+            F.concat_ws(" ", F.expr(f"slice(t, s0 + 1, {_CHUNK_W})"))
+        ).alias("h"),
+    )
+    wfirst = Window.partitionBy("h").orderBy(F.asc("doc_id"), F.asc("s"))
+    removed = (
+        chunks.withColumn("rn", F.row_number().over(wfirst))
+        .filter(F.col("rn") > 1)
+        .drop("rn", "h")
+    )
+    wisl = Window.partitionBy("doc_id").orderBy(F.asc("chunk_idx"))
+    spans = (
+        removed.withColumn(
+            "grp", F.col("chunk_idx") - F.row_number().over(wisl)
+        )
+        .groupBy("doc_id", "grp")
+        .agg(F.min("s").alias("smin"), F.max("e").alias("emax"))
+    )
+    # char offsets from token prefix lengths (the corpus invariant —
+    # text == single-space-joined lowercase tokens — is what makes the
+    # byte arithmetic exact; ASCII corpus, so bytes == chars)
+    plen = (
+        "aggregate(slice(t, 1, {k}), 0L, (a, x) -> a + length(x))"
+    )
+    return (
+        spans.join(toks, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.expr(plen.format(k="smin - 1")) + (F.col("smin") - 1)
+            )
+            .cast("bigint")
+            .alias("span_start"),
+            (F.expr(plen.format(k="emax")) + (F.col("emax") - 1))
+            .cast("bigint")
+            .alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start"))
+            .cast("bigint")
+            .alias("bytes_removed"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+@register(
+    "text_dedup_removal_plan",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS} AS t FROM documents
+    ), chunks AS (
+        SELECT doc_id,
+               (s - 1) // {_CHUNK_W} AS chunk_idx,
+               s,
+               LEAST(s + {_CHUNK_W - 1}, len(t)) AS e,
+               {hash64_sql(f"array_to_string(t[s:s + {_CHUNK_W - 1}], ' ')")} AS h
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t), 1), {_CHUNK_W})) AS s
+            FROM toks
+        )
+    ), removed AS (
+        SELECT doc_id, chunk_idx, s, e
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY h ORDER BY doc_id, s) AS rn
+            FROM chunks
+        ) WHERE rn > 1
+    ), spans AS (
+        SELECT doc_id, MIN(s) AS smin, MAX(e) AS emax
+        FROM (
+            SELECT *, chunk_idx - ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY chunk_idx) AS grp
+            FROM removed
+        )
+        GROUP BY doc_id, grp
+    )
+    SELECT sp.doc_id,
+           CAST(COALESCE(list_sum(list_transform(tk.t[1:sp.smin - 1],
+                    x -> length(x))), 0) + (sp.smin - 1) AS BIGINT)
+               AS span_start,
+           CAST(COALESCE(list_sum(list_transform(tk.t[1:sp.emax],
+                    x -> length(x))), 0) + (sp.emax - 1) AS BIGINT)
+               AS span_end,
+           CAST((COALESCE(list_sum(list_transform(tk.t[1:sp.emax],
+                    x -> length(x))), 0) + (sp.emax - 1))
+                - (COALESCE(list_sum(list_transform(tk.t[1:sp.smin - 1],
+                    x -> length(x))), 0) + (sp.smin - 1)) AS BIGINT)
+               AS bytes_removed
+    FROM spans sp JOIN toks tk USING (doc_id)
+    ORDER BY sp.doc_id, span_start
+    """,
+    doc="Substring-dedup BYTE-RANGE REMOVAL PLAN — the artifact a "
+    "training pipeline actually consumes (Lee et al. 2022, "
+    "'Deduplicating Training Data Makes Language Models Better': "
+    "remove every duplicated span, keep one occurrence). "
+    f"text_chunk_dedup_ratio reports the ratio; this emits the plan: "
+    f"non-overlapping {_CHUNK_W}-token chunks are hashed corpus-wide, "
+    "every occurrence EXCEPT the global first (ordered doc_id, then "
+    "offset — deterministic survivor) is marked for removal, adjacent "
+    "removed chunks merge into maximal spans via gaps-and-islands "
+    "(chunk_idx minus rank), and each span is emitted as exact byte "
+    "offsets (doc_id, span_start, span_end, bytes_removed) computed "
+    "from token prefix lengths — exact because the corpus invariant "
+    "text == single-space-joined tokens holds (ASCII, bytes == "
+    "chars). Scale shape: only (hash, doc_id, offset) shuffles for "
+    "the first-occurrence window (chunk text dies map-side), islands "
+    "shuffle per doc, and the prefix-length folds run once per SPAN, "
+    "not per chunk. Invariants (spans non-overlapping, within doc "
+    "bounds, merging verified on a handcrafted corpus) are pinned in "
+    "tests/test_new_ops_invariants.py.",
+    tags=("text", "dedup", "D1", "A10", "curation"),
+    bench=True,
+)
+def text_dedup_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _removal_plan_frame(load_table(spark, sf_dir, "documents"))

@@ -339,3 +339,54 @@ def test_hilbert_index_is_a_true_hilbert_curve(spark):
     for d in range(256 * 256 - 1):
         (x1, y1), (x2, y2) = pos[d], pos[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1  # always grid-adjacent
+
+
+def test_removal_plan_spans_valid(spark):
+    """Byte-range removal plan: spans non-overlapping per doc, strictly
+    inside doc bounds, bytes_removed consistent — for the real corpus."""
+    import duckdb
+
+    rows = _rows(spark, "text_dedup_removal_plan")
+    assert rows, "fixture corpus must contain duplicated chunks"
+    lens = dict(
+        duckdb.sql(
+            f"SELECT doc_id, length(text) FROM "
+            f"'{SF_ORACLE}/documents.parquet'"
+        ).fetchall()
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, spans in by_doc.items():
+        spans.sort(key=lambda r: r["span_start"])
+        prev_end = -1
+        for s in spans:
+            assert 0 <= s["span_start"] < s["span_end"] <= lens[doc_id]
+            assert s["bytes_removed"] == s["span_end"] - s["span_start"]
+            # non-overlapping AND non-adjacent (adjacent chunks merge)
+            assert s["span_start"] > prev_end
+            prev_end = s["span_end"]
+
+
+def test_removal_plan_merges_adjacent_chunks(spark):
+    """Handcrafted corpus: doc 2 repeats doc 1's 20 tokens verbatim, so
+    BOTH of doc 2's chunks are duplicates of doc 1's (the global first
+    occurrences) and must merge into ONE span covering all of doc 2;
+    doc 1 keeps everything. The span's byte arithmetic is checked
+    against the plain-Python ground truth."""
+    from flu_data_pipeline_spark.plans.text_queries import (
+        _removal_plan_frame,
+    )
+
+    t1 = " ".join(f"w{i:02d}" for i in range(20))  # 2 full chunks
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t1), (3, "unique tokens only here")],
+        "doc_id long, text string",
+    )
+    got = _removal_plan_frame(docs).collect()
+    assert len(got) == 1
+    (span,) = got
+    assert span["doc_id"] == 2
+    assert span["span_start"] == 0
+    assert span["span_end"] == len(t1)
+    assert span["bytes_removed"] == len(t1)

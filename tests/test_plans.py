@@ -357,3 +357,25 @@ def test_aqe_skew_join_assertion_has_teeth(spark):
     finally:
         spark.conf.set(key, prev)
     REGISTRY["aqe_skew_join_split"].builder(spark, SF_ORACLE)
+
+
+def test_ivf_layout_pruning_assertion_has_teeth(spark):
+    """_assert_partition_pruned must RAISE on a flat (unpartitioned)
+    scan with the same logical filter — it checks the LAYOUT, not the
+    filter — and the registered query must build cleanly on the real
+    partitioned layout."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flu_data_pipeline_spark.plans import REGISTRY
+    from flu_data_pipeline_spark.plans.similarity_queries import (
+        _assert_partition_pruned,
+    )
+    from .conftest import SF_ORACLE
+
+    flat = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").filter(
+        F.col("vec_id").isin([1, 2])
+    )
+    with pytest.raises(AssertionError, match="partition pruning"):
+        _assert_partition_pruned(flat)
+    REGISTRY["ivf_layout_pruning_gain"].builder(spark, SF_ORACLE)

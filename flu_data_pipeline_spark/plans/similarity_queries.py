@@ -3169,3 +3169,137 @@ def ivf_layout_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "neighbor_id")
     )
+
+
+#: "New arrivals" slice for index-maintenance queries: a deterministic
+#: ~1/7 of the corpus plays the incoming batch (static modular rule so
+#: the oracle replays it as a WHERE clause).
+_INGEST_MOD = 7
+_INGEST_REM = 3
+
+#: Retrain trigger: flag when a list's share of post-ingest rows
+#: exceeds this multiple of the uniform share (1/k) — the drift signal
+#: a production vector store watches between re-trainings.
+_IMBALANCE_FACTOR = 2.0
+
+
+@register(
+    "ivf_index_ingest_maintenance",
+    oracle=kmeans_oracle_sql(
+        "embeddings", "embedding", "vec_id", k=_KMEANS_K, iters=_KMEANS_ITERS + 1
+    )
+    + f""",
+    split AS (
+        SELECT a.cluster AS list_id,
+               CAST(SUM(CASE WHEN a.id % {_INGEST_MOD} <> {_INGEST_REM}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS base_n,
+               CAST(SUM(CASE WHEN a.id % {_INGEST_MOD} = {_INGEST_REM}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS new_n
+        FROM asg{_KMEANS_ITERS + 1} a
+        GROUP BY a.cluster
+    ),
+    tot AS (
+        SELECT CAST(SUM(base_n + new_n) AS BIGINT) AS rows_after,
+               CAST(COUNT(*) AS BIGINT) AS n_lists
+        FROM split
+    )
+    SELECT s.list_id, s.base_n, s.new_n,
+           CAST(s.base_n + s.new_n AS BIGINT) AS after_n,
+           ROUND(CAST(s.new_n AS DOUBLE) / GREATEST(s.base_n, 1), 6)
+               AS growth_ratio,
+           ROUND(CAST(s.base_n + s.new_n AS DOUBLE) * t.n_lists
+                 / t.rows_after, 6) AS load_vs_uniform,
+           CAST(CASE WHEN CAST(s.base_n + s.new_n AS DOUBLE) * t.n_lists
+                          / t.rows_after > {_IMBALANCE_FACTOR}
+                     THEN 1 ELSE 0 END AS INT) AS retrain_flag
+    FROM split s CROSS JOIN tot t
+    ORDER BY s.list_id
+    """,
+    doc="IVF index MAINTENANCE under incremental ingest: a "
+    f"deterministic ~1/{_INGEST_MOD} of the corpus plays the incoming "
+    "batch; new vectors are assigned to the FROZEN trained quantizer "
+    "(the centroids persisted next to ivf_layout_pruning_gain's "
+    "materialized index — no retraining on the ingest path, exactly "
+    "how a production vector store absorbs a crawl refresh), and the "
+    "query emits the per-list health report the retraining decision "
+    "reads: base/new/after counts, growth ratio, load vs uniform "
+    f"share, and a retrain flag at {_IMBALANCE_FACTOR}x imbalance. "
+    "Scale shape: the batch assignment is a broadcast of k centroid "
+    "rows + per-row argmin (map-only), the report is one k-row "
+    "aggregate; nothing rescans the base index but its partition "
+    "STATISTICS (list_id counts on the partition column). Companion "
+    "to dedup_incremental_ingest (the dedup side of the same "
+    "crawl-refresh story). The oracle replays training + assignment "
+    "+ split arithmetic in unrolled SQL.",
+    tags=("similarity", "ivf", "layout", "incremental", "scale-proof"),
+)
+def ivf_index_ingest_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.operators.clustering import sqdist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fact_path, cents_path = _ivf_layout_path(spark, sf_dir)
+    cdf = spark.read.parquet(cents_path)
+    is_new = (F.col("vec_id") % _INGEST_MOD) == _INGEST_REM
+    # base counts come from the INDEX's partition column (the layout is
+    # the source of truth for what is already serving)
+    base = (
+        spark.read.parquet(fact_path)
+        .filter(~is_new)
+        .groupBy(F.col("list_id").alias("cluster"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("base_n"))
+    )
+    # the batch is assigned under the frozen quantizer: broadcast the
+    # k-row centroid table, per-row argmin via min(struct(dist, cluster))
+    batch = (
+        emb.filter(is_new)
+        .join(F.broadcast(cdf))
+        .select(
+            "vec_id",
+            "cluster",
+            sqdist(F.col("embedding"), F.col("c")).alias("dist"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cluster")).alias("b"))
+        .select(F.col("b.cluster").alias("cluster"))
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_n"))
+    )
+    split = (
+        base.join(batch, "cluster", "full")
+        .select(
+            F.col("cluster").alias("list_id"),
+            F.coalesce("base_n", F.lit(0)).cast("bigint").alias("base_n"),
+            F.coalesce("new_n", F.lit(0)).cast("bigint").alias("new_n"),
+        )
+    )
+    tot = split.agg(
+        F.sum(F.col("base_n") + F.col("new_n"))
+        .cast("bigint")
+        .alias("rows_after"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+    )
+    load = (
+        (F.col("base_n") + F.col("new_n")).cast("double")
+        * F.col("n_lists")
+        / F.col("rows_after")
+    )
+    return (
+        split.crossJoin(F.broadcast(tot))
+        .select(
+            "list_id",
+            "base_n",
+            "new_n",
+            (F.col("base_n") + F.col("new_n")).cast("bigint").alias("after_n"),
+            F.round(
+                F.col("new_n").cast("double")
+                / F.greatest(F.col("base_n"), F.lit(1)),
+                6,
+            ).alias("growth_ratio"),
+            F.round(load, 6).alias("load_vs_uniform"),
+            F.when(load > _IMBALANCE_FACTOR, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("retrain_flag"),
+        )
+        .orderBy("list_id")
+    )

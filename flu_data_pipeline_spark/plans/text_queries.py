@@ -2754,3 +2754,107 @@ def _removal_plan_frame(docs: DataFrame) -> DataFrame:
 )
 def text_dedup_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _removal_plan_frame(load_table(spark, sf_dir, "documents"))
+
+
+#: Hashed feature space for the linear quality classifier (fasttext's
+#: trick: features are hash buckets, no vocabulary table ships with the
+#: model). Power of two so the modulo is cheap everywhere.
+_CLF_DIM = 4096
+
+#: Deterministic stand-in weights: w(b) = ((portable_hash('w' || b) mod
+#: 2001) - 1000) / 1000 ∈ [-1, 1]. A real model would broadcast its
+#: trained weight table; the INFERENCE plan — hashed features, weight
+#: lookup, per-doc dot product, logistic link — is identical, and the
+#: deterministic formula keeps the oracle exact with no artifact file.
+_CLF_BIAS = -0.05
+
+
+@register(
+    "text_hashed_linear_classifier",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_TOKENS} AS t FROM documents
+    ), feats AS (
+        SELECT doc_id, lang,
+               {hash64_sql("t[s] || ' ' || t[s + 1]")} % {_CLF_DIM} AS b
+        FROM (SELECT doc_id, lang, t,
+                     unnest(generate_series(1, len(t) - 1, 1)) AS s
+              FROM toks WHERE len(t) >= 2)
+    ), fx AS (
+        SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS x
+        FROM feats GROUP BY doc_id, lang, b
+    ), scored AS (
+        SELECT doc_id, lang,
+               SUM(x * ({hash64_sql("'w' || CAST(b AS VARCHAR)")} % 2001
+                        - 1000)) / 1000.0 AS z
+        FROM fx GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang,
+           ROUND(z, 6) AS logit,
+           ROUND(1.0 / (1.0 + exp(-(z / 100.0 + {_CLF_BIAS}))), 6)
+               AS p_keep,
+           CAST(CASE WHEN 1.0 / (1.0 + exp(-(z / 100.0 + {_CLF_BIAS})))
+                          >= 0.5
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM scored
+    ORDER BY doc_id
+    """,
+    doc="Linear quality-classifier INFERENCE over hashed bigram "
+    "features — the fasttext/CCNet quality-filter shape as a pure "
+    "Spark plan: bigrams hash into a fixed "
+    f"{_CLF_DIM}-bucket feature space (no vocabulary table — the "
+    "fasttext hashing trick), per-doc bucket counts form the sparse "
+    "feature vector, the weight LOOKUP is a deterministic function of "
+    "the bucket id (a trained model would broadcast its weight table; "
+    "the inference plan is identical), and the per-doc dot product + "
+    "logistic link yield p(keep) and the binary gate. Scale shape: "
+    "one explode + one (doc, bucket) pre-aggregation (bounds any hot "
+    "bucket's contribution to one row per doc) + one per-doc sum — "
+    "all codegen'd hash aggregates, zero UDFs, zero Python. The "
+    "logit accumulates in INTEGER micro-units (bigint count x integer "
+    "weight, one /1000 division at the end — the DSIR trick), so the "
+    "sum is exact and sum-order-free across engines; the logistic "
+    "uses libm exp on a magnitude-bounded argument (z/100), matched "
+    "at 6dp like the repo's other exp/ln sites.",
+    tags=("text", "curation", "classifier", "U2", "A10"),
+    bench=True,
+)
+def text_hashed_linear_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", tokenize(F.col("text")).alias("t"))
+    feats = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "s -> concat(t[s - 1], ' ', t[s]))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "lang", (hash64(F.col("bg")) % _CLF_DIM).alias("b"))
+    )
+    fx = feats.groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    # integer micro-units: the weighted sum stays bigint (exact,
+    # sum-order-free across engines); ONE division converts to float
+    wk = (
+        hash64(F.concat(F.lit("w"), F.col("b").cast("string"))) % 2001
+        - 1000
+    )
+    scored = fx.groupBy("doc_id", "lang").agg(
+        (F.sum(F.col("x") * wk) / 1000.0).alias("z")
+    )
+    p = 1.0 / (1.0 + F.exp(-(F.col("z") / 100.0 + F.lit(_CLF_BIAS))))
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.round("z", 6).alias("logit"),
+        F.round(p, 6).alias("p_keep"),
+        F.when(p >= 0.5, 1).otherwise(0).cast("int").alias("keep"),
+    ).orderBy("doc_id")

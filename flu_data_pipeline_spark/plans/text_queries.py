@@ -1856,57 +1856,11 @@ def _bpe_step_sql(prev: str, t: int) -> str:
     )"""
 
 
-@register(
-    "text_bpe_train_merges",
-    oracle=(
-        f"""
-    WITH words AS (
-        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
-        FROM (
-            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
-                   AS word
-            FROM documents
-        ) GROUP BY word
-    ),
-    v0 AS MATERIALIZED (
-        SELECT word, cnt,
-               array_to_string(regexp_extract_all(word, '.'), ' ') AS seq
-        FROM words
-    ),
-    """
-        + ",\n    ".join(
-            _bpe_step_sql(f"v{t - 1}", t) for t in range(1, BPE_MERGES + 1)
-        )
-        + f"""
-    SELECT * FROM (
-        {" UNION ALL ".join(
-            f"SELECT {t} AS merge_rank, x AS sym_x, y AS sym_y, "
-            f"c AS pair_count, x || y AS new_sym FROM b{t}"
-            for t in range(1, BPE_MERGES + 1)
-        )}
-    ) ORDER BY merge_rank
-    """
-    ),
-    doc=f"BPE tokenizer TRAINING, first {BPE_MERGES} merges: start from "
-    "character-level symbol sequences over the frequency-weighted word "
-    "vocabulary, repeatedly pick the most frequent adjacent symbol "
-    "pair (ties pinned lexicographically) and merge every occurrence "
-    "— the algorithm behind GPT/Llama tokenizers, run as pure "
-    "DataFrame ops. Merging uses a literal left-to-right replace with "
-    "double-space padding so simultaneous occurrences never share a "
-    "delimiter — bit-identical semantics in both engines, no regex, "
-    "no UDF. Scale shape: the corpus is scanned ONCE into the "
-    "(word, count) vocabulary; every merge iteration runs on that "
-    "vocabulary-bounded frame (pair counts via map-side-combined "
-    "aggregation, 1-row argmax broadcast back), checkpointed per "
-    "round to keep lineage flat — corpus size only affects the first "
-    "aggregation, exactly like production BPE trainers that work "
-    "from word-frequency tables.",
-    tags=("text", "bpe", "curation", "A6"),
-    bench=True,
-)
-def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def _bpe_train(docs: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
+    """Run the BPE_MERGES-round greedy BPE trainer; returns the final
+    (word, cnt, seq) vocabulary frame and the per-round 1-row argmax
+    frames. Shared by text_bpe_train_merges (emits the merge table) and
+    text_bpe_encode_compression (applies the trained vocabulary)."""
     words = (
         docs.select(
             F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
@@ -1974,6 +1928,60 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    return vocab, merges
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=(
+        f"""
+    WITH words AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS word
+            FROM documents
+        ) GROUP BY word
+    ),
+    v0 AS MATERIALIZED (
+        SELECT word, cnt,
+               array_to_string(regexp_extract_all(word, '.'), ' ') AS seq
+        FROM words
+    ),
+    """
+        + ",\n    ".join(
+            _bpe_step_sql(f"v{t - 1}", t) for t in range(1, BPE_MERGES + 1)
+        )
+        + f"""
+    SELECT * FROM (
+        {" UNION ALL ".join(
+            f"SELECT {t} AS merge_rank, x AS sym_x, y AS sym_y, "
+            f"c AS pair_count, x || y AS new_sym FROM b{t}"
+            for t in range(1, BPE_MERGES + 1)
+        )}
+    ) ORDER BY merge_rank
+    """
+    ),
+    doc=f"BPE tokenizer TRAINING, first {BPE_MERGES} merges: start from "
+    "character-level symbol sequences over the frequency-weighted word "
+    "vocabulary, repeatedly pick the most frequent adjacent symbol "
+    "pair (ties pinned lexicographically) and merge every occurrence "
+    "— the algorithm behind GPT/Llama tokenizers, run as pure "
+    "DataFrame ops. Merging uses a literal left-to-right replace with "
+    "double-space padding so simultaneous occurrences never share a "
+    "delimiter — bit-identical semantics in both engines, no regex, "
+    "no UDF. Scale shape: the corpus is scanned ONCE into the "
+    "(word, count) vocabulary; every merge iteration runs on that "
+    "vocabulary-bounded frame (pair counts via map-side-combined "
+    "aggregation, 1-row argmax broadcast back), checkpointed per "
+    "round to keep lineage flat — corpus size only affects the first "
+    "aggregation, exactly like production BPE trainers that work "
+    "from word-frequency tables.",
+    tags=("text", "bpe", "curation", "A6"),
+    bench=True,
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, merges = _bpe_train(load_table(spark, sf_dir, "documents"))
     out = merges[0]
     for m in merges[1:]:
         out = out.union(m)
@@ -2858,3 +2866,95 @@ def text_hashed_linear_classifier(
         F.round(p, 6).alias("p_keep"),
         F.when(p >= 0.5, 1).otherwise(0).cast("int").alias("keep"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_bpe_encode_compression",
+    oracle=(
+        f"""
+    WITH words AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS word
+            FROM documents
+        ) GROUP BY word
+    ),
+    v0 AS MATERIALIZED (
+        SELECT word, cnt,
+               array_to_string(regexp_extract_all(word, '.'), ' ') AS seq
+        FROM words
+    ),
+    """
+        + ",\n    ".join(
+            _bpe_step_sql(f"v{t - 1}", t) for t in range(1, BPE_MERGES + 1)
+        )
+        + f""",
+    docw AS (
+        SELECT source, n_chars,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS word
+        FROM documents
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(regexp_split_to_array(v.seq, ' '))) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(SUM(len(replace(d.word, ' ', ''))) AS BIGINT) AS n_chars,
+           ROUND(CAST(SUM(len(regexp_split_to_array(v.seq, ' ')))
+                      AS DOUBLE) / COUNT(*), 6) AS bpe_per_word,
+           ROUND(CAST(SUM(len(d.word)) AS DOUBLE)
+                 / SUM(len(regexp_split_to_array(v.seq, ' '))), 6)
+               AS chars_per_bpe_token
+    FROM docw d JOIN v{BPE_MERGES} v USING (word)
+    GROUP BY d.source
+    ORDER BY d.source
+    """
+    ),
+    doc=f"BPE tokenizer ENCODE + compression audit — the other half of "
+    "text_bpe_train_merges (train -> encode -> budget, the full "
+    "tokenizer lifecycle): every corpus word is encoded under the "
+    f"{BPE_MERGES}-merge trained vocabulary by a BROADCAST join "
+    "against the (word -> symbol sequence) table — exactly how "
+    "production encoders apply a merge table to a word-frequency "
+    "corpus without re-running merges per document — and the query "
+    "reports per-source token budgets: words, BPE tokens, chars, "
+    "BPE-per-word fertility and chars-per-BPE-token compression. "
+    "Scale shape: one corpus scan to explode words, one broadcast "
+    "join against the vocabulary-bounded trained table, one "
+    "per-source aggregate; training cost is vocabulary-bounded "
+    "(shared _bpe_train helper). All counts exact integers; the two "
+    "ratios are single divisions rounded at 6dp.",
+    tags=("text", "bpe", "curation", "A10"),
+)
+def text_bpe_encode_compression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab, _ = _bpe_train(docs)
+    enc = vocab.select(
+        "word", F.size(F.split("seq", " ")).alias("n_syms")
+    )
+    docw = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "word"
+        ),
+    )
+    return (
+        docw.join(F.broadcast(enc), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            F.round(
+                F.sum("n_syms").cast("double") / F.count(F.lit(1)), 6
+            ).alias("bpe_per_word"),
+            F.round(
+                F.sum(F.length("word")).cast("double") / F.sum("n_syms"),
+                6,
+            ).alias("chars_per_bpe_token"),
+        )
+        .orderBy("source")
+    )

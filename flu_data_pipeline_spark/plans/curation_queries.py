@@ -1758,3 +1758,161 @@ def corpus_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+#: Padding-waste audit geometry: training sequence length and the
+#: length-sorted batch size. L is fixture-sized (docs run ~30-100
+#: tokens); the arithmetic is length-scale-free.
+_PAD_L = 64
+_PAD_B = 8
+
+
+@register(
+    "corpus_padding_waste_audit",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id, i AS chunk_idx,
+               CASE WHEN i < CAST(CEIL(t * 1.0 / {_PAD_L}) AS BIGINT)
+                    THEN {_PAD_L}
+                    ELSE t - (CAST(CEIL(t * 1.0 / {_PAD_L}) AS BIGINT) - 1)
+                         * {_PAD_L}
+               END AS len
+        FROM (
+            SELECT doc_id, t,
+                   unnest(range(1, CAST(CEIL(t * 1.0 / {_PAD_L}) AS BIGINT)
+                                   + 1)) AS i
+            FROM toks WHERE t > 0
+        )
+    ), ranked AS (
+        SELECT len,
+               (ROW_NUMBER() OVER (ORDER BY len DESC, doc_id, chunk_idx)
+                - 1) // {_PAD_B} AS batch
+        FROM chunks
+    ), batches AS (
+        SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_in_batch,
+               CAST(MAX(len) AS BIGINT) AS wmax,
+               CAST(SUM(len) AS BIGINT) AS used
+        FROM ranked GROUP BY batch
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(len) AS BIGINT) AS tokens
+        FROM chunks
+    ), strat AS (
+        SELECT 'concat_pack' AS strategy,
+               CAST(CEIL(tokens * 1.0 / {_PAD_L}) AS BIGINT) AS n_seqs,
+               CAST(CEIL(tokens * 1.0 / {_PAD_L}) AS BIGINT) * {_PAD_L}
+                   AS slots,
+               tokens
+        FROM stats
+        UNION ALL
+        SELECT 'pad_each_chunk', n_chunks, n_chunks * {_PAD_L}, tokens
+        FROM stats
+        UNION ALL
+        SELECT 'sorted_batch',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(n_in_batch * wmax) AS BIGINT),
+               CAST(SUM(used) AS BIGINT)
+        FROM batches
+    )
+    SELECT strategy, n_seqs, CAST(slots AS BIGINT) AS slots, tokens,
+           CAST(slots - tokens AS BIGINT) AS padding_waste,
+           ROUND(100.0 * (slots - tokens) / slots, 6) AS waste_pct
+    FROM strat
+    ORDER BY strategy
+    """,
+    doc="Padding-waste audit across the three standard batching "
+    f"strategies for {_PAD_L}-token training sequences — the "
+    "arithmetic that justifies a packing pipeline before anyone "
+    "builds it: (1) pad_each_chunk — every doc chunk padded to L "
+    "(the naive collator); (2) sorted_batch — chunks globally "
+    f"length-sorted and batched {_PAD_B} at a time, each batch padded "
+    "to its own max (the dynamic-padding collator; the global sort "
+    "rank runs on operators/ranking.global_rank — range shuffle + "
+    "broadcast per-partition offsets, NO single-partition window); "
+    "(3) concat_pack — documents concatenated and chunked "
+    "boundary-free (corpus_concat_chunk_packing's strategy, the "
+    "information-theoretic floor). Emits sequences, slots, real "
+    "tokens, waste, and waste share per strategy — exact integer "
+    "arithmetic end to end, one corpus scan.",
+    tags=("curation", "packing", "layout", "A10", "scale-proof"),
+)
+def corpus_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.operators.ranking import global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t"),
+    ).filter(F.col("t") > 0)
+    nch = F.ceil(F.col("t") / F.lit(_PAD_L)).cast("bigint")
+    chunks = toks.select(
+        "doc_id",
+        nch.alias("k"),
+        F.explode(F.sequence(F.lit(1).cast("bigint"), nch)).alias(
+            "chunk_idx"
+        ),
+        "t",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.when(F.col("chunk_idx") < F.col("k"), F.lit(_PAD_L))
+        .otherwise(F.col("t") - (F.col("k") - 1) * _PAD_L)
+        .cast("bigint")
+        .alias("len"),
+    )
+    ranked = global_rank(
+        chunks,
+        [F.desc("len"), F.asc("doc_id"), F.asc("chunk_idx")],
+        out_col="r",
+    ).select("len", F.expr(f"(r - 1) div {_PAD_B}").alias("batch"))
+    batches = ranked.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in_batch"),
+        F.max("len").cast("bigint").alias("wmax"),
+        F.sum("len").cast("bigint").alias("used"),
+    )
+    stats = chunks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("len").cast("bigint").alias("tokens"),
+    )
+    pack_seqs = F.ceil(F.col("tokens") / F.lit(_PAD_L)).cast("bigint")
+    s_pack = stats.select(
+        F.lit("concat_pack").alias("strategy"),
+        pack_seqs.alias("n_seqs"),
+        (pack_seqs * _PAD_L).cast("bigint").alias("slots"),
+        "tokens",
+    )
+    s_naive = stats.select(
+        F.lit("pad_each_chunk").alias("strategy"),
+        F.col("n_chunks").alias("n_seqs"),
+        (F.col("n_chunks") * _PAD_L).cast("bigint").alias("slots"),
+        "tokens",
+    )
+    s_sorted = batches.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+        F.sum(F.col("n_in_batch") * F.col("wmax"))
+        .cast("bigint")
+        .alias("slots"),
+        F.sum("used").cast("bigint").alias("tokens"),
+    ).select(F.lit("sorted_batch").alias("strategy"), "n_seqs", "slots", "tokens")
+    return (
+        s_pack.unionByName(s_naive)
+        .unionByName(s_sorted)
+        .select(
+            "strategy",
+            "n_seqs",
+            "slots",
+            "tokens",
+            (F.col("slots") - F.col("tokens"))
+            .cast("bigint")
+            .alias("padding_waste"),
+            F.round(
+                100.0 * (F.col("slots") - F.col("tokens")) / F.col("slots"),
+                6,
+            ).alias("waste_pct"),
+        )
+        .orderBy("strategy")
+    )

@@ -379,3 +379,44 @@ def test_ivf_layout_pruning_assertion_has_teeth(spark):
     with pytest.raises(AssertionError, match="partition pruning"):
         _assert_partition_pruned(flat)
     REGISTRY["ivf_layout_pruning_gain"].builder(spark, SF_ORACLE)
+
+
+def test_twolevel_assign_plan_shape(spark):
+    """The two-level fit is invisible to plan_lint (its registered
+    query reads from localCheckpoint scans), so pin the assignment's
+    plan shape here: the ONLY broadcast-nested-loop joins are against
+    the O(sqrt(k)) coarse table (vectors x coarse, fine x coarse), and
+    the fine-centroid candidate join is an EQUI join on the cell id —
+    the no-N*k-stage property the whole design exists for."""
+    from pyspark.sql import functions as F
+
+    from flu_data_pipeline_spark.operators.clustering import (
+        fine_seeds,
+        twolevel_assign,
+        twolevel_params,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0, 0.0]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    fine = fine_seeds(df, "embedding", "vec_id", 10)
+    k_c, sc = twolevel_params(fine.count())
+    coarse = fine.filter((F.col("fcl") % sc) == 0).select(
+        F.expr(f"fcl div {sc}").alias("ccl"), "c"
+    )
+    asg = twolevel_assign(df, "embedding", "vec_id", fine, coarse, 2)
+    plan = asg._jdf.queryExecution().executedPlan().toString()
+    # every nested-loop join broadcasts a coarse-derived side (vectors x
+    # coarse, fine x coarse — the fcell subtree prints twice because the
+    # test frame is unched): bounded by 3, never one per fine centroid
+    assert plan.count("BroadcastNestedLoopJoin") <= 3
+    # the fine candidates arrive via an equi join (hash or sort-merge),
+    # never a nested loop against the k-proportional fine frame
+    assert (
+        "BroadcastHashJoin [ccl" in plan
+        or "SortMergeJoin [ccl" in plan
+        or "ShuffledHashJoin [ccl" in plan
+    )
+    # and the result is still a total assignment
+    assert asg.count() == 200

@@ -3303,3 +3303,100 @@ def ivf_index_ingest_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("list_id")
     )
+
+
+@register(
+    "rag_retrieval_hydrated",
+    oracle=kmeans_oracle_sql(
+        "embeddings", "embedding", "vec_id", k=_KMEANS_K, iters=_KMEANS_ITERS + 1
+    )
+    + _IVF_KMEANS_SEARCH_SQL.replace("e.vec_id < 105", "e.vec_id < 102")
+    + """
+    SELECT ap.query_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY ap.query_id
+               ORDER BY ap.cos_raw DESC, ap.neighbor_id) AS INT) AS rank,
+           ap.neighbor_id AS doc_id,
+           d.source, d.lang,
+           CAST(d.n_chars AS BIGINT) AS n_chars,
+           ROUND(ap.cos_raw, 6) AS cos_sim
+    FROM approx ap JOIN documents d ON d.doc_id = ap.neighbor_id
+    ORDER BY ap.query_id, rank
+    """,
+    doc="End-to-end RAG retrieval: the full serving path a retrieval "
+    "API runs per request, composed from this round's pieces — "
+    "2 query vectors probe their 2 nearest IVF lists READING THE "
+    "MATERIALIZED list-partitioned index (ivf_layout_pruning_gain's "
+    "layout + persisted quantizer; the scan prunes to the probed "
+    "directories), exact cosine rerank to top-3 inside the probed "
+    "lists, then HYDRATION: the ranked neighbor ids broadcast-join "
+    "the documents table for the payload the caller actually wants "
+    "(source, lang, length) — at 100 TB the hydration join touches "
+    "O(queries x k) rows on the build side, never the corpus. Ranked "
+    "output with deterministic (cos DESC, id) tie-break. The oracle "
+    "replays training, quantization, probe, rerank, and hydration in "
+    "unrolled SQL.",
+    tags=("similarity", "ivf", "layout", "serving"),
+    bench=True,
+)
+def rag_retrieval_hydrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.operators.clustering import sqdist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    fact_path, cents_path = _ivf_layout_path(spark, sf_dir)
+    fact = spark.read.parquet(fact_path)
+    cdf = spark.read.parquet(cents_path)
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.asc("cdist"), F.asc("cluster")
+    )
+    probes = (
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 102))
+        .join(F.broadcast(cdf))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            "cluster",
+            sqdist(F.col("embedding"), F.col("c")).alias("cdist"),
+        )
+        .withColumn("prn", F.row_number().over(wprobe))
+        .filter(F.col("prn") <= 2)
+        .select("query_id", "q_emb", F.col("cluster").alias("probe_list"))
+    )
+    probe_ids = sorted(
+        {r["probe_list"] for r in probes.select("probe_list").collect()}
+    )
+    pruned = fact.filter(F.col("list_id").isin(probe_ids))
+    wtop = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    approx = (
+        pruned.join(
+            F.broadcast(probes),
+            (F.col("list_id") == F.col("probe_list"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_raw"),
+        )
+        .withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= 3)
+    )
+    return (
+        docs.join(
+            F.broadcast(approx),
+            docs.doc_id == approx.neighbor_id,
+        )
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            "source",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.round("cos_raw", 6).alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -3400,3 +3400,167 @@ def rag_retrieval_hydrated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization: the memory-4x embedding layout
+# ---------------------------------------------------------------------------
+
+# DuckDB: per-dim SQ8 encode/reconstruct given bounds arrays lo/hi.
+# floor(x + 0.5) quantization — unambiguous on both engines (round()
+# half-rule differs across engines in principle; floor does not).
+_SQ8_RECON_SQL = (
+    "list_transform(range(1, 64 + 1), i -> {lo}[i] + "
+    "CAST(FLOOR(CASE WHEN {hi}[i] = {lo}[i] THEN 0.0 ELSE "
+    "255.0 * (CAST({v}[i] AS DOUBLE) - {lo}[i]) / ({hi}[i] - {lo}[i]) "
+    "END + 0.5) AS BIGINT) * "
+    "(CASE WHEN {hi}[i] = {lo}[i] THEN 0.0 "
+    "ELSE ({hi}[i] - {lo}[i]) / 255.0 END))"
+)
+
+
+@register(
+    "ann_sq8_asymmetric",
+    oracle=f"""
+    WITH dimstats AS (
+        SELECT t.i,
+               MIN(CAST(embedding[t.i] AS DOUBLE)) AS mn,
+               MAX(CAST(embedding[t.i] AS DOUBLE)) AS mx
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(range(1, 64 + 1)) AS i) t
+        GROUP BY t.i
+    ),
+    bounds AS (
+        SELECT list(mn ORDER BY i) AS lo, list(mx ORDER BY i) AS hi
+        FROM dimstats
+    ),
+    recon AS (
+        SELECT e.vec_id,
+               {_SQ8_RECON_SQL.format(v='e.embedding', lo='b.lo', hi='b.hi')}
+                   AS r
+        FROM embeddings e CROSS JOIN bounds b
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id >= 100 AND vec_id < 102
+    ),
+    approx AS (
+        SELECT q.query_id, r.vec_id AS neighbor_id,
+               {_cos_sql('q.q_emb', 'r.r')} AS cos_raw
+        FROM q JOIN recon r ON r.vec_id <> q.query_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.query_id
+            ORDER BY {_cos_sql('q.q_emb', 'r.r')} DESC, r.vec_id) <= 3
+    ),
+    brute AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.query_id
+            ORDER BY {_cos_sql('q.q_emb', 'c.embedding')} DESC, c.vec_id
+        ) <= 3
+    )
+    SELECT a.query_id, a.neighbor_id,
+           ROUND(a.cos_raw, 6) AS cos_sim_sq8,
+           CAST(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END
+                AS INT) AS in_exact_top3
+    FROM approx a
+    LEFT JOIN brute b ON b.query_id = a.query_id
+                     AND b.neighbor_id = a.neighbor_id
+    ORDER BY a.query_id, a.neighbor_id
+    """,
+    doc="SQ8 scalar quantization with ASYMMETRIC search — the memory-4x "
+    "embedding layout (FAISS SQ8 / int8 vector stores): per-dimension "
+    "min/max bounds train in ONE aggregate (a 2x64-double broadcast — "
+    "the whole 'model'), every vector quantizes to 8-bit codes via "
+    "floor(255*(x-lo)/(hi-lo) + 0.5) (floor, not round — round's "
+    "half-rule is engine-dependent, floor is not; constant dims guard "
+    "to code 0), and queries compare FLOAT query vectors against "
+    "RECONSTRUCTED candidates (asymmetric distance, the trick that "
+    "keeps recall while candidates stay 4x smaller at rest and on the "
+    "wire). Output: top-3 per query by reconstructed cosine with a "
+    "per-neighbor flag marking membership in the exact float top-3 — "
+    "the recall evidence, hash-compared on both engines. Companion to "
+    "ann_pq_adc (product quantization) on the scalar side; at 100 TB "
+    "the codes column is the thing you actually scan, floats stay "
+    "cold.",
+    tags=("similarity", "quantization", "layout"),
+)
+def ann_sq8_asymmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bounds = emb.agg(
+        *[
+            F.min(F.col("embedding")[i].cast("double")).alias(f"lo{i}")
+            for i in range(64)
+        ],
+        *[
+            F.max(F.col("embedding")[i].cast("double")).alias(f"hi{i}")
+            for i in range(64)
+        ],
+    ).select(
+        F.array(*[F.col(f"lo{i}") for i in range(64)]).alias("lo"),
+        F.array(*[F.col(f"hi{i}") for i in range(64)]).alias("hi"),
+    )
+    # Spark arrays are 0-based under [] — sequence(0, 63) everywhere
+    recon_expr = F.expr(
+        "transform(sequence(0, 63), i -> lo[i] + "
+        "CAST(FLOOR(CASE WHEN hi[i] = lo[i] THEN 0.0D ELSE "
+        "255.0D * (CAST(embedding[i] AS DOUBLE) - lo[i]) "
+        "/ (hi[i] - lo[i]) END + 0.5D) AS BIGINT) * "
+        "(CASE WHEN hi[i] = lo[i] THEN 0.0D "
+        "ELSE (hi[i] - lo[i]) / 255.0D END))"
+    )
+    recon = emb.join(F.broadcast(bounds)).select(
+        "vec_id", recon_expr.alias("r")
+    )
+    q = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 102)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    wtop = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    approx = (
+        F.broadcast(q)
+        .join(recon, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("r")).alias("cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim_sq8"))
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    brute = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", F.col("neighbor_id").alias("b_nid"))
+    )
+    return (
+        approx.join(
+            brute,
+            (approx.query_id == brute.query_id)
+            & (approx.neighbor_id == brute.b_nid),
+            "left",
+        )
+        .select(
+            approx.query_id,
+            "neighbor_id",
+            "cos_sim_sq8",
+            F.when(F.col("b_nid").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("in_exact_top3"),
+        )
+        .orderBy("query_id", "neighbor_id")
+    )

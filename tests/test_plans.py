@@ -420,3 +420,30 @@ def test_twolevel_assign_plan_shape(spark):
     )
     # and the result is still a total assignment
     assert asg.count() == 200
+
+
+def test_ivf_layout_fingerprint_invalidation(spark):
+    """The materialized IVF index must rebuild when its source
+    fingerprint no longer matches (regenerated testdata must never be
+    served a stale index), and must NOT rebuild when it matches."""
+    import os
+
+    from flu_data_pipeline_spark.plans.similarity_queries import (
+        _ivf_layout_path,
+    )
+    from .conftest import SF_SMOKE
+
+    fact_path, _ = _ivf_layout_path(spark, SF_SMOKE)
+    success = os.path.join(fact_path, "_SUCCESS")
+    marker = os.path.join(fact_path, "_SRC_FINGERPRINT")
+    mtime1 = os.stat(success).st_mtime_ns
+    # fresh fingerprint → no rebuild
+    _ivf_layout_path(spark, SF_SMOKE)
+    assert os.stat(success).st_mtime_ns == mtime1
+    # corrupt the fingerprint → rebuild
+    with open(marker, "w") as fh:
+        fh.write("stale")
+    _ivf_layout_path(spark, SF_SMOKE)
+    assert os.stat(success).st_mtime_ns > mtime1
+    with open(marker) as fh:
+        assert fh.read() != "stale"

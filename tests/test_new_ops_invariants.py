@@ -390,3 +390,31 @@ def test_removal_plan_merges_adjacent_chunks(spark):
     assert span["span_start"] == 0
     assert span["span_end"] == len(t1)
     assert span["bytes_removed"] == len(t1)
+
+
+def test_sq8_reconstruction_error_bounded(spark):
+    """SQ8's defining property: per-dimension reconstruction error is
+    at most half a quantization step, (hi-lo)/255/2 — checked directly
+    against the raw embeddings at the smoke scale."""
+    import duckdb
+
+    from flu_data_pipeline_spark.catalog import load_table
+    from .conftest import SF_SMOKE
+
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    dims = len(next(iter(emb.values())))
+    lo = [min(v[i] for v in emb.values()) for i in range(dims)]
+    hi = [max(v[i] for v in emb.values()) for i in range(dims)]
+    import math
+
+    for v in list(emb.values())[:50]:
+        for i in range(dims):
+            if hi[i] == lo[i]:
+                continue
+            step = (hi[i] - lo[i]) / 255.0
+            code = math.floor(255.0 * (v[i] - lo[i]) / (hi[i] - lo[i]) + 0.5)
+            recon = lo[i] + code * step
+            assert abs(recon - v[i]) <= step / 2 + 1e-9

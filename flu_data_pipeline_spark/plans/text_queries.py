@@ -2958,3 +2958,110 @@ def text_bpe_encode_compression(
         )
         .orderBy("source")
     )
+
+
+#: Hashed-projection embedder geometry: bigrams hash into _CLF_DIM
+#: buckets (shared with the classifier), projected to _EMB_DIM output
+#: dimensions by a deterministic integer weight matrix.
+_EMB_DIM = 16
+
+
+@register(
+    "text_hashed_embedding_projection",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS} AS t FROM documents
+    ), fx AS (
+        SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS x
+        FROM (
+            SELECT doc_id,
+                   {hash64_sql("t[s] || ' ' || t[s + 1]")} % {_CLF_DIM} AS b
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, len(t) - 1, 1)) AS s
+                  FROM toks WHERE len(t) >= 2)
+        ) GROUP BY doc_id, b
+    ), weights AS (
+        SELECT g.b, g.j,
+               {hash64_sql("'p' || CAST(g.b AS VARCHAR) || ':' || CAST(g.j AS VARCHAR)")}
+                   % 2001 - 1000 AS w
+        FROM (
+            SELECT bb.b, jj.j
+            FROM (SELECT unnest(range(0, {_CLF_DIM})) AS b) bb
+            CROSS JOIN (SELECT unnest(range(0, {_EMB_DIM})) AS j) jj
+        ) g
+    )
+    SELECT f.doc_id, w.j AS dim,
+           CAST(SUM(f.x * w.w) AS BIGINT) / 1000.0 AS val
+    FROM fx f JOIN weights w ON w.b = f.b
+    GROUP BY f.doc_id, w.j
+    ORDER BY f.doc_id, dim
+    """,
+    doc="Text -> embedding GENERATION — the missing link between the "
+    "text corpus and the vector pipeline (everything downstream — "
+    "ANN, SemDeDup, IVF layouts — consumed pre-computed vectors "
+    "until now): feature-hashed bigrams (the classifier's "
+    f"{_CLF_DIM}-bucket space) projected to {_EMB_DIM} output "
+    "dimensions through a DETERMINISTIC integer weight matrix "
+    "(hash-derived — the random-projection/hashing-trick embedder; a "
+    "learned projection would broadcast its weight table through the "
+    "identical plan). The weight matrix is materialized ONCE as a "
+    f"{_CLF_DIM}x{_EMB_DIM}-row frame and broadcast onto the sparse "
+    "per-doc features; accumulation is bigint x integer weight — "
+    "exact and sum-order-free across engines — with one /1000 "
+    "division at the end. Long-form output (doc_id, dim, val) keeps "
+    "the hash compare unambiguous. Scale shape: one corpus scan, one "
+    "(doc, bucket) pre-aggregation, one broadcast join fan-out of "
+    f"{_EMB_DIM}x, one (doc, dim) sum — all codegen'd hash "
+    "aggregates, zero UDFs.",
+    tags=("text", "similarity", "curation", "A10"),
+    bench=True,
+)
+def text_hashed_embedding_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    fx = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "s -> concat(t[s - 1], ' ', t[s]))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", (hash64(F.col("bg")) % _CLF_DIM).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    grid = (
+        spark.range(0, _CLF_DIM)
+        .select(F.col("id").alias("b"))
+        .crossJoin(
+            spark.range(0, _EMB_DIM).select(F.col("id").alias("j"))
+        )
+    )
+    weights = grid.select(
+        "b",
+        "j",
+        (
+            hash64(
+                F.concat(
+                    F.lit("p"),
+                    F.col("b").cast("string"),
+                    F.lit(":"),
+                    F.col("j").cast("string"),
+                )
+            )
+            % 2001
+            - 1000
+        ).alias("w"),
+    )
+    return (
+        fx.join(F.broadcast(weights), "b")
+        .groupBy("doc_id", F.col("j").alias("dim"))
+        .agg((F.sum(F.col("x") * F.col("w")) / 1000.0).alias("val"))
+        .orderBy("doc_id", "dim")
+    )

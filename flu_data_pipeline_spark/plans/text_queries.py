@@ -2966,6 +2966,56 @@ def text_bpe_encode_compression(
 _EMB_DIM = 16
 
 
+def _hashed_embedding_longform(
+    spark: SparkSession, docs: DataFrame
+) -> DataFrame:
+    """(doc_id, dim, val): the hashed-projection embedder, long form —
+    shared by text_hashed_embedding_projection (emits it) and
+    text_e2e_semantic_neighbors (searches over it)."""
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    fx = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "s -> concat(t[s - 1], ' ', t[s]))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", (hash64(F.col("bg")) % _CLF_DIM).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    grid = (
+        spark.range(0, _CLF_DIM)
+        .select(F.col("id").alias("b"))
+        .crossJoin(
+            spark.range(0, _EMB_DIM).select(F.col("id").alias("j"))
+        )
+    )
+    weights = grid.select(
+        "b",
+        "j",
+        (
+            hash64(
+                F.concat(
+                    F.lit("p"),
+                    F.col("b").cast("string"),
+                    F.lit(":"),
+                    F.col("j").cast("string"),
+                )
+            )
+            % 2001
+            - 1000
+        ).alias("w"),
+    )
+    return fx.join(F.broadcast(weights), "b").groupBy(
+        "doc_id", F.col("j").alias("dim")
+    ).agg((F.sum(F.col("x") * F.col("w")) / 1000.0).alias("val"))
+
+
 @register(
     "text_hashed_embedding_projection",
     oracle=f"""
@@ -3020,48 +3070,138 @@ def text_hashed_embedding_projection(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
-    fx = (
-        toks.filter(F.size("t") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(t) - 1), "
-                    "s -> concat(t[s - 1], ' ', t[s]))"
-                )
-            ).alias("bg"),
-        )
-        .select("doc_id", (hash64(F.col("bg")) % _CLF_DIM).alias("b"))
-        .groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    return _hashed_embedding_longform(spark, docs).orderBy(
+        "doc_id", "dim"
     )
-    grid = (
-        spark.range(0, _CLF_DIM)
-        .select(F.col("id").alias("b"))
-        .crossJoin(
-            spark.range(0, _EMB_DIM).select(F.col("id").alias("j"))
+
+
+# reusable embedder CTE chain for composed oracles: fx/weights/emb_lf
+_EMB_LF_SQL = f"""
+    toks AS (
+        SELECT doc_id, {_TOKENS} AS t FROM documents
+    ), fx AS (
+        SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS x
+        FROM (
+            SELECT doc_id,
+                   {hash64_sql("t[s] || ' ' || t[s + 1]")} % {_CLF_DIM} AS b
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, len(t) - 1, 1)) AS s
+                  FROM toks WHERE len(t) >= 2)
+        ) GROUP BY doc_id, b
+    ), weights AS (
+        SELECT g.b, g.j,
+               {hash64_sql("'p' || CAST(g.b AS VARCHAR) || ':' || CAST(g.j AS VARCHAR)")}
+                   % 2001 - 1000 AS w
+        FROM (
+            SELECT bb.b, jj.j
+            FROM (SELECT unnest(range(0, {_CLF_DIM})) AS b) bb
+            CROSS JOIN (SELECT unnest(range(0, {_EMB_DIM})) AS j) jj
+        ) g
+    ), emb_lf AS (
+        SELECT f.doc_id, w.j AS dim,
+               CAST(SUM(f.x * w.w) AS BIGINT) / 1000.0 AS val
+        FROM fx f JOIN weights w ON w.b = f.b
+        GROUP BY f.doc_id, w.j
+    ), dvec AS (
+        SELECT doc_id, list(val ORDER BY dim) AS v
+        FROM emb_lf GROUP BY doc_id
+    )"""
+
+_DVEC_COS = (
+    "(list_reduce(list_transform(range(1, {d} + 1), "
+    "i -> {a}[i] * {b}[i]), (x, y) -> x + y) / ("
+    "sqrt(list_reduce(list_transform({a}, u -> u * u), (x, y) -> x + y)) * "
+    "sqrt(list_reduce(list_transform({b}, u -> u * u), (x, y) -> x + y))))"
+)
+
+
+@register(
+    "text_e2e_semantic_neighbors",
+    oracle=f"""
+    WITH {_EMB_LF_SQL},
+    q AS (
+        SELECT doc_id AS query_doc, v AS qv FROM dvec
+        WHERE doc_id IN (10, 11)
+    ),
+    nz AS (
+        SELECT doc_id, v FROM dvec
+        WHERE list_reduce(list_transform(v, u -> u * u),
+                          (x, y) -> x + y) > 0
+    )
+    SELECT q.query_doc, n.doc_id AS neighbor_doc,
+           ROUND({_DVEC_COS.format(d=_EMB_DIM, a='q.qv', b='n.v')}, 6)
+               AS cos_sim,
+           d.lang, d.source
+    FROM q JOIN nz n ON n.doc_id <> q.query_doc
+    JOIN documents d ON d.doc_id = n.doc_id
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.query_doc
+        ORDER BY {_DVEC_COS.format(d=_EMB_DIM, a='q.qv', b='n.v')} DESC,
+                 n.doc_id) <= 3
+    ORDER BY q.query_doc, neighbor_doc
+    """,
+    doc="Raw text -> semantic neighbors, END TO END in one plan: "
+    "documents are embedded by the hashed-projection embedder "
+    "(shared _hashed_embedding_longform — exact integer "
+    "accumulation), vectors rebuilt from long form "
+    "(collect_list(struct(dim, val)) sorted — deterministic since "
+    "dims are unique), zero-norm docs excluded on both engines, and "
+    "2 query documents retrieve their top-3 cosine neighbors with "
+    "lang/source hydration — the composition a user runs when NO "
+    "pre-computed embedding table exists (compare "
+    "rag_retrieval_hydrated, which serves from the materialized IVF "
+    "layout). Broadcast of the 2-row query side; candidates scanned "
+    "once; (cos DESC, id) tie-break. The oracle replays embedding, "
+    "vector assembly, the zero-norm guard, search, and hydration.",
+    tags=("text", "similarity", "serving", "curation"),
+)
+def text_e2e_semantic_neighbors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flu_data_pipeline_spark.plans.similarity_queries import cosine, norm
+
+    docs = load_table(spark, sf_dir, "documents")
+    dvec = (
+        _hashed_embedding_longform(spark, docs)
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                lambda s: s["val"],
+            ).alias("v")
         )
     )
-    weights = grid.select(
-        "b",
-        "j",
-        (
-            hash64(
-                F.concat(
-                    F.lit("p"),
-                    F.col("b").cast("string"),
-                    F.lit(":"),
-                    F.col("j").cast("string"),
-                )
-            )
-            % 2001
-            - 1000
-        ).alias("w"),
+    q = dvec.filter(F.col("doc_id").isin([10, 11])).select(
+        F.col("doc_id").alias("query_doc"), F.col("v").alias("qv")
+    )
+    nz = dvec.filter(norm(F.col("v")) > 0).select(
+        F.col("doc_id").alias("neighbor_doc"), F.col("v").alias("nv")
+    )
+    wtop = Window.partitionBy("query_doc").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_doc")
     )
     return (
-        fx.join(F.broadcast(weights), "b")
-        .groupBy("doc_id", F.col("j").alias("dim"))
-        .agg((F.sum(F.col("x") * F.col("w")) / 1000.0).alias("val"))
-        .orderBy("doc_id", "dim")
+        F.broadcast(q)
+        .join(nz, F.col("neighbor_doc") != F.col("query_doc"))
+        .select(
+            "query_doc",
+            "neighbor_doc",
+            cosine(F.col("qv"), F.col("nv")).alias("cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 3)
+        .join(
+            docs.select(
+                F.col("doc_id").alias("neighbor_doc"), "lang", "source"
+            ),
+            "neighbor_doc",
+        )
+        .select(
+            "query_doc",
+            "neighbor_doc",
+            F.round("cos_raw", 6).alias("cos_sim"),
+            "lang",
+            "source",
+        )
+        .orderBy("query_doc", "neighbor_doc")
     )

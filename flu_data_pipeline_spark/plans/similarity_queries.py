@@ -3564,3 +3564,79 @@ def ann_sq8_asymmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "neighbor_id")
     )
+
+
+@register(
+    "contamination_semantic_check",
+    oracle=f"""
+    WITH val AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    train AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0
+    ),
+    best AS (
+        SELECT v.vec_id AS val_id, t.vec_id AS nearest_train_id,
+               {_cos_sql('v.embedding', 't.embedding')} AS cos_raw
+        FROM val v JOIN train t ON TRUE
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY v.vec_id
+            ORDER BY {_cos_sql('v.embedding', 't.embedding')} DESC,
+                     t.vec_id) = 1
+    )
+    SELECT val_id, nearest_train_id,
+           ROUND(cos_raw, 6) AS max_train_cos,
+           CAST(CASE WHEN cos_raw >= {_SEMDEDUP_TAU} THEN 1 ELSE 0 END
+                AS INT) AS leaked
+    FROM best
+    ORDER BY val_id
+    """,
+    doc="SEMANTIC train/val contamination check — the embedding-space "
+    "sibling of curation_contamination_check's n-gram overlap: for "
+    "every held-out example (deterministic 1-in-10 split by id), find "
+    "its nearest TRAINING example by cosine and flag leakage above "
+    f"the {_SEMDEDUP_TAU} threshold (paraphrases and near-duplicates "
+    "that survive exact/n-gram dedup still leak evaluation signal — "
+    "the failure mode SemDeDup-style dedup exists to catch, applied "
+    "to the eval-integrity question). This registration is the exact "
+    "brute-force form (val x train argmax, broadcast of the 10% val "
+    "side, one training-side scan); the production path at 100 TB "
+    "swaps the argmax for the IVF probe (ivf_layout_pruning_gain's "
+    "layout) with identical output columns. Deterministic "
+    "(cos DESC, id) tie-break; per-val output with the nearest "
+    "training id, the max cosine, and the leak flag.",
+    tags=("similarity", "curation", "dq", "contamination"),
+)
+def contamination_semantic_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    val = emb.filter((F.col("vec_id") % 10) == 0).select(
+        F.col("vec_id").alias("val_id"), F.col("embedding").alias("v_emb")
+    )
+    train = emb.filter((F.col("vec_id") % 10) != 0).select(
+        F.col("vec_id").alias("nearest_train_id"),
+        F.col("embedding").alias("t_emb"),
+    )
+    best = F.max(
+        F.struct(
+            cosine(F.col("v_emb"), F.col("t_emb")).alias("cos_raw"),
+            (-F.col("nearest_train_id")).alias("neg_tid"),
+        )
+    ).alias("b")
+    return (
+        F.broadcast(val)
+        .join(train)
+        .groupBy("val_id")
+        .agg(best)
+        .select(
+            "val_id",
+            (-F.col("b.neg_tid")).cast("bigint").alias("nearest_train_id"),
+            F.round("b.cos_raw", 6).alias("max_train_cos"),
+            F.when(F.col("b.cos_raw") >= _SEMDEDUP_TAU, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("leaked"),
+        )
+        .orderBy("val_id")
+    )

@@ -348,3 +348,89 @@ def aqe_skew_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+def _assert_aqe_coalesce(spark: SparkSession) -> None:
+    """Executed-probe canary for AQE partition coalescing: a grouped
+    aggregate whose map outputs are bytes-tiny must come back with its
+    shuffle read COALESCED below the static partition count — the
+    optimization that keeps a 1000-executor cluster from scheduling
+    thousands of near-empty reducers on small intermediate results.
+    (Its failure mode is the inverse lesson: pair joins tiny in bytes
+    but quadratic in pairs must PIN their parallelism — see the
+    dedup_semdedup repartition fix in SCALING.md's Catches.) The
+    master switch is deliberately NOT set, so a disabled/regressed
+    rule raises; negative-tested in tests/test_plans.py."""
+    j = (
+        spark.range(0, 100_000, 1, 16)
+        .select((F.col("id") % 1000).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy()
+        .agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("groups"))
+    )
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    if "AQEShuffleRead coalesced" not in plan:
+        raise AssertionError(
+            "AQE did not coalesce the bytes-tiny shuffle read of the "
+            "grouped aggregate; plan:\n" + plan[:2000]
+        )
+
+
+@register(
+    "aqe_coalesce_shuffle_read",
+    oracle=f"""
+    WITH fact AS (
+        SELECT i % 1000 AS k,
+               {_H.format(e='i')} % 1000 AS p
+        FROM (SELECT unnest(range(0, 100000)) AS i)
+    )
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(p) AS BIGINT) AS checksum
+    FROM fact
+    GROUP BY k
+    ORDER BY k
+    """,
+    doc="AQE partition coalescing, REGISTERED AND SELF-PROVING — the "
+    "third leg of the adaptive-execution trio (skew split: "
+    "aqe_skew_join_split; runtime filter: runtime_bloom_filter_join): "
+    "per-key counts and a portable-hash checksum over a 1000-key "
+    "aggregate whose map outputs are bytes-tiny, the shape where "
+    "static shuffle.partitions would schedule near-empty reducers at "
+    "cluster scale and AQE folds them into advisory-sized reads. The "
+    "builder proves it on an executed probe of the identical shape "
+    "(_assert_aqe_coalesce, memoized per session/conf-state) and "
+    "raises if the final adaptive plan lacks the coalesced "
+    "AQEShuffleRead; negative-tested with "
+    "spark.sql.adaptive.coalescePartitions.enabled=false. The "
+    "Catches section of SCALING.md records the inverse lesson this "
+    "round taught — when NOT to let coalescing win (bytes-tiny but "
+    "pair-quadratic joins pin their parallelism instead).",
+    tags=("skew", "layout", "A10", "scale-proof"),
+)
+def aqe_coalesce_shuffle_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.plans.layout_queries import _probe_once
+
+    _probe_once(
+        spark,
+        "aqeCoalesceShuffleRead",
+        (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        ),
+        lambda: _assert_aqe_coalesce(spark),
+    )
+    fact = spark.range(0, 100_000, 1, 16).select(
+        (F.col("id") % 1000).alias("k"),
+        (hash64(F.col("id").cast("string")) % 1000).alias("p"),
+    )
+    return (
+        fact.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("p").cast("bigint").alias("checksum"),
+        )
+        .orderBy("k")
+    )

@@ -447,3 +447,22 @@ def test_ivf_layout_fingerprint_invalidation(spark):
     assert os.stat(success).st_mtime_ns > mtime1
     with open(marker) as fh:
         assert fh.read() != "stale"
+
+
+def test_aqe_coalesce_assertion_has_teeth(spark):
+    """aqe_coalesce_shuffle_read must RAISE when AQE partition
+    coalescing is disabled, and build cleanly once it is back on."""
+    import pytest
+
+    from flu_data_pipeline_spark.plans import REGISTRY
+    from .conftest import SF_ORACLE
+
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        with pytest.raises(AssertionError, match="coalesce"):
+            REGISTRY["aqe_coalesce_shuffle_read"].builder(spark, SF_ORACLE)
+    finally:
+        spark.conf.set(key, prev)
+    REGISTRY["aqe_coalesce_shuffle_read"].builder(spark, SF_ORACLE)

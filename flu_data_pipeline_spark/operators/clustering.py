@@ -439,6 +439,7 @@ def twolevel_kmeans_oracle_sql(
     dim: int = 64,
     nprobe: int = 2,
     round_dp: int = 6,
+    prefix: str = "",
 ) -> str:
     """DuckDB CTE chain replaying :func:`twolevel_kmeans_assigned`
     exactly — same seeds, same data-derived coarse stride (integer
@@ -448,66 +449,66 @@ def twolevel_kmeans_oracle_sql(
     with columns (id, cluster, dist)."""
     sq = _SQDIST_SQL
     parts = [
-        f"""fine0 AS (
+        f"""{prefix}fine0 AS (
         SELECT {id_col} // {stride} AS fcl,
                list_transform({vec_col},
                               x -> round(CAST(x AS DOUBLE), {round_dp})) AS c
         FROM {table} WHERE {id_col} % {stride} = 0
     )""",
-        """params AS (
+        f"""{prefix}params AS (
         SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS kc,
                (COUNT(*) + GREATEST(1, CAST(FLOOR(SQRT(COUNT(*)))
                     AS BIGINT)) - 1)
                    // GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))
                    AS sc
-        FROM fine0
+        FROM {prefix}fine0
     )""",
-        """coarse AS (
+        f"""{prefix}coarse AS (
         SELECT f.fcl // p.sc AS ccl, f.c
-        FROM fine0 f CROSS JOIN params p
+        FROM {prefix}fine0 f CROSS JOIN {prefix}params p
         WHERE f.fcl % p.sc = 0
     )""",
     ]
     for it in range(iters + 1):
-        fine = f"fine{it}"
+        fine = f"{prefix}fine{it}"
         fdist = sq.format(dim=dim, v="f.c", c="co.c")
-        parts.append(f"""fcell{it} AS (
+        parts.append(f"""{prefix}fcell{it} AS (
         SELECT f.fcl, co.ccl, f.c
-        FROM {fine} f CROSS JOIN coarse co
+        FROM {fine} f CROSS JOIN {prefix}coarse co
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY f.fcl ORDER BY {fdist}, co.ccl) = 1
     )""")
         pdist = sq.format(dim=dim, v=f"e.{vec_col}", c="co.c")
-        parts.append(f"""probe{it} AS (
+        parts.append(f"""{prefix}probe{it} AS (
         SELECT e.{id_col} AS id, co.ccl
-        FROM {table} e CROSS JOIN coarse co
-        WHERE co.ccl IN (SELECT DISTINCT ccl FROM fcell{it})
+        FROM {table} e CROSS JOIN {prefix}coarse co
+        WHERE co.ccl IN (SELECT DISTINCT ccl FROM {prefix}fcell{it})
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY e.{id_col} ORDER BY {pdist}, co.ccl) <= {nprobe}
     )""")
         adist = sq.format(dim=dim, v=f"e.{vec_col}", c="fc.c")
-        parts.append(f"""asg{it + 1} AS (
+        parts.append(f"""{prefix}asg{it + 1} AS (
         SELECT e.{id_col} AS id, fc.fcl AS cluster, {adist} AS dist
         FROM {table} e
-        JOIN probe{it} p ON p.id = e.{id_col}
-        JOIN fcell{it} fc ON fc.ccl = p.ccl
+        JOIN {prefix}probe{it} p ON p.id = e.{id_col}
+        JOIN {prefix}fcell{it} fc ON fc.ccl = p.ccl
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY e.{id_col} ORDER BY {adist}, fc.fcl) = 1
     )""")
         if it < iters:
-            parts.append(f"""avg{it + 1} AS (
+            parts.append(f"""{prefix}avg{it + 1} AS (
         SELECT a.cluster, t.i,
                round(AVG(CAST(e.{vec_col}[t.i] AS DOUBLE)), {round_dp}) AS av
-        FROM asg{it + 1} a
+        FROM {prefix}asg{it + 1} a
         JOIN {table} e ON e.{id_col} = a.id
         CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS i) t
         GROUP BY a.cluster, t.i
     )""")
-            parts.append(f"""fine{it + 1} AS (
+            parts.append(f"""{prefix}fine{it + 1} AS (
         SELECT p.fcl, COALESCE(n.c, p.c) AS c
-        FROM fine{it} p LEFT JOIN (
+        FROM {prefix}fine{it} p LEFT JOIN (
             SELECT cluster AS fcl, list(av ORDER BY i) AS c
-            FROM avg{it + 1} GROUP BY cluster
+            FROM {prefix}avg{it + 1} GROUP BY cluster
         ) n ON n.fcl = p.fcl
     )""")
     return "WITH " + ",\n    ".join(parts)

@@ -3640,3 +3640,133 @@ def contamination_semantic_check(
         )
         .orderBy("val_id")
     )
+
+
+@register(
+    "semdedup_scale_fidelity",
+    oracle=kmeans_oracle_sql(
+        "embeddings", "embedding", "vec_id",
+        iters=_KMEANS_ITERS + 1, init_every=_SEMDEDUP_INIT_EVERY,
+    )
+    + ", "
+    + twolevel_kmeans_oracle_sql(
+        "embeddings", "embedding", "vec_id",
+        stride=_SEMDEDUP_INIT_EVERY, iters=_KMEANS_ITERS, nprobe=2,
+        prefix="tl_",
+    ).removeprefix("WITH ")
+    + f""",
+    normed AS (
+        SELECT vec_id, embedding, {_NORM_SQL.format(v='embedding')} AS nrm
+        FROM embeddings
+    ),
+    ed AS (
+        SELECT a.id AS vec_id, a.cluster, a.dist, n.embedding, n.nrm
+        FROM asg{_KMEANS_ITERS + 1} a JOIN normed n ON n.vec_id = a.id
+    ),
+    edrops AS (
+        SELECT DISTINCT x.vec_id
+        FROM ed x JOIN ed y
+          ON x.cluster = y.cluster
+         AND (y.dist > x.dist
+              OR (y.dist = x.dist AND y.vec_id < x.vec_id))
+         AND {_DOT_SQL.format(a='x.embedding', b='y.embedding')}
+             / (x.nrm * y.nrm) >= {_SEMDEDUP_TAU}
+    ),
+    ekeep AS (
+        SELECT ed.vec_id,
+               CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+        FROM ed LEFT JOIN edrops dr ON dr.vec_id = ed.vec_id
+    ),
+    td AS (
+        SELECT a.id AS vec_id, a.cluster, a.dist, n.embedding, n.nrm,
+               (ROW_NUMBER() OVER (
+                    PARTITION BY a.cluster ORDER BY a.dist, a.id) - 1)
+                   // {_SEMDEDUP_INIT_EVERY} AS chunk
+        FROM tl_asg{_KMEANS_ITERS + 1} a JOIN normed n ON n.vec_id = a.id
+    ),
+    tdrops AS (
+        SELECT DISTINCT x.vec_id
+        FROM td x JOIN td y
+          ON x.cluster = y.cluster
+         AND x.chunk = y.chunk
+         AND (y.dist > x.dist
+              OR (y.dist = x.dist AND y.vec_id < x.vec_id))
+         AND {_DOT_SQL.format(a='x.embedding', b='y.embedding')}
+             / (x.nrm * y.nrm) >= {_SEMDEDUP_TAU}
+    ),
+    tkeep AS (
+        SELECT td.vec_id,
+               CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+        FROM td LEFT JOIN tdrops dr ON dr.vec_id = td.vec_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(e.keep) AS BIGINT) AS keep_exact,
+           CAST(SUM(t.keep) AS BIGINT) AS keep_scale,
+           CAST(SUM(CASE WHEN e.keep = t.keep THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           CAST(SUM(CASE WHEN e.keep = 1 AND t.keep = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS scale_extra_drops,
+           CAST(SUM(CASE WHEN e.keep = 0 AND t.keep = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS scale_extra_keeps,
+           ROUND(SUM(CASE WHEN e.keep = t.keep THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS agreement_rate
+    FROM ekeep e JOIN tkeep t ON t.vec_id = e.vec_id
+    """,
+    doc="Fidelity audit of the approximation: runs BOTH SemDeDup "
+    "registrations — dedup_semdedup (exact brute-force assignment) "
+    "and dedup_semdedup_scale (two-level IVF assignment + chunk-"
+    "capped pair pass) — and reports how much the keep/drop verdicts "
+    "actually differ: keep counts per variant, agreement rate, and "
+    "the two disagreement directions (extra drops vs extra keeps "
+    "under the scale path). This is the number a reviewer of any "
+    "approximate-dedup rollout asks for before swapping the exact "
+    "plan out, computed inside the engine rather than eyeballed. The "
+    "oracle embeds BOTH unrolled training chains (the two-level chain "
+    "CTE-prefixed tl_ to compose into one statement) and both pair "
+    "passes, so the comparison itself is hash-checked cross-engine. "
+    "Deliberately NOT benched: it runs two full fits by design.",
+    tags=("similarity", "dedup", "clustering", "quality"),
+)
+def semdedup_scale_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = dedup_semdedup(spark, sf_dir).select(
+        "vec_id", F.col("keep").alias("keep_exact")
+    )
+    scale = dedup_semdedup_scale(spark, sf_dir).select(
+        "vec_id", F.col("keep").alias("keep_scale")
+    )
+    return (
+        exact.join(scale, "vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("keep_exact").cast("bigint").alias("keep_exact"),
+            F.sum("keep_scale").cast("bigint").alias("keep_scale"),
+            F.sum(
+                (F.col("keep_exact") == F.col("keep_scale")).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_agree"),
+            F.sum(
+                (
+                    (F.col("keep_exact") == 1) & (F.col("keep_scale") == 0)
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("scale_extra_drops"),
+            F.sum(
+                (
+                    (F.col("keep_exact") == 0) & (F.col("keep_scale") == 1)
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("scale_extra_keeps"),
+            F.round(
+                F.sum(
+                    (F.col("keep_exact") == F.col("keep_scale")).cast(
+                        "double"
+                    )
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("agreement_rate"),
+        )
+    )

@@ -3770,3 +3770,127 @@ def semdedup_scale_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("agreement_rate"),
         )
     )
+
+
+@register(
+    "semdedup_drop_witnesses",
+    oracle=twolevel_kmeans_oracle_sql(
+        "embeddings", "embedding", "vec_id",
+        stride=_SEMDEDUP_INIT_EVERY, iters=_KMEANS_ITERS, nprobe=2,
+    )
+    + f""",
+    normed AS (
+        SELECT vec_id, embedding, {_NORM_SQL.format(v='embedding')} AS nrm
+        FROM embeddings
+    ),
+    d AS (
+        SELECT a.id AS vec_id, a.cluster, a.dist, n.embedding, n.nrm,
+               (ROW_NUMBER() OVER (
+                    PARTITION BY a.cluster ORDER BY a.dist, a.id) - 1)
+                   // {_SEMDEDUP_INIT_EVERY} AS chunk
+        FROM asg{_KMEANS_ITERS + 1} a JOIN normed n ON n.vec_id = a.id
+    )
+    SELECT x.vec_id, x.cluster,
+           y.vec_id AS witness_id,
+           ROUND({_DOT_SQL.format(a='x.embedding', b='y.embedding')}
+                 / (x.nrm * y.nrm), 6) AS witness_cos
+    FROM d x JOIN d y
+      ON x.cluster = y.cluster
+     AND x.chunk = y.chunk
+     AND (y.dist > x.dist
+          OR (y.dist = x.dist AND y.vec_id < x.vec_id))
+     AND {_DOT_SQL.format(a='x.embedding', b='y.embedding')}
+         / (x.nrm * y.nrm) >= {_SEMDEDUP_TAU}
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY x.vec_id
+        ORDER BY {_DOT_SQL.format(a='x.embedding', b='y.embedding')}
+                 / (x.nrm * y.nrm) DESC, y.vec_id) = 1
+    ORDER BY x.vec_id
+    """,
+    doc="Drop PROVENANCE for the scale SemDeDup: for every example "
+    "dedup_semdedup_scale would drop, emit its strongest WITNESS — "
+    "the highest-cosine dominating cluster-chunk-mate (ties to the "
+    "lower id) that justified the removal. This is the audit artifact "
+    "a data-governance review asks for ('show me WHY each document "
+    "was removed'), and the row count must equal the scale variant's "
+    "drop count by construction (same clustering, same chunk cap, "
+    "same dominance predicate — only the aggregation differs: argmax "
+    "witness instead of existence). Same bounded pair space as the "
+    "scale variant (sum(chunk_size^2) <= N*chunk); the witness argmax "
+    "is a partial-aggregating max(struct(cos, -id)). The oracle "
+    "replays the two-level fit and the witness selection exactly.",
+    tags=("similarity", "dedup", "clustering", "dq"),
+)
+def semdedup_drop_witnesses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = twolevel_kmeans_assigned(
+        emb, "embedding", "vec_id",
+        stride=_SEMDEDUP_INIT_EVERY, iters=_KMEANS_ITERS, nprobe=2,
+        keep_vec=True,
+    )
+    d = (
+        asg.withColumn("nrm", norm(F.col("embedding")))
+        .withColumn(
+            "chunk",
+            F.expr(
+                f"(row_number() over (partition by cluster "
+                f"order by dist, vec_id) - 1) "
+                f"div {_SEMDEDUP_INIT_EVERY}"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    npart = spark.sparkContext.defaultParallelism
+    x = d.select(
+        F.col("vec_id").alias("vid_x"),
+        F.col("cluster").alias("cl_x"),
+        F.col("chunk").alias("ch_x"),
+        F.col("dist").alias("dist_x"),
+        F.col("embedding").alias("emb_x"),
+        F.col("nrm").alias("nrm_x"),
+    ).repartition(npart, F.col("cl_x"), F.col("ch_x"))
+    y = d.select(
+        F.col("vec_id").alias("vid_y"),
+        F.col("cluster").alias("cl_y"),
+        F.col("chunk").alias("ch_y"),
+        F.col("dist").alias("dist_y"),
+        F.col("embedding").alias("emb_y"),
+        F.col("nrm").alias("nrm_y"),
+    ).repartition(npart, F.col("cl_y"), F.col("ch_y"))
+    cos = dot(F.col("emb_x"), F.col("emb_y")) / (
+        F.col("nrm_x") * F.col("nrm_y")
+    )
+    better = (F.col("dist_y") > F.col("dist_x")) | (
+        (F.col("dist_y") == F.col("dist_x"))
+        & (F.col("vid_y") < F.col("vid_x"))
+    )
+    best = F.max(
+        F.struct(
+            F.col("cos_raw"),
+            (-F.col("vid_y")).alias("neg_wid"),
+        )
+    ).alias("b")
+    return (
+        x.join(
+            y,
+            (F.col("cl_x") == F.col("cl_y"))
+            & (F.col("ch_x") == F.col("ch_y"))
+            & better,
+        )
+        .filter(cos >= _SEMDEDUP_TAU)
+        .select(
+            F.col("vid_x").alias("vec_id"),
+            F.col("cl_x").alias("cluster"),
+            F.col("vid_y").alias("vid_y"),
+            cos.alias("cos_raw"),
+        )
+        .groupBy("vec_id", "cluster")
+        .agg(best)
+        .select(
+            "vec_id",
+            "cluster",
+            (-F.col("b.neg_wid")).cast("bigint").alias("witness_id"),
+            F.round("b.cos_raw", 6).alias("witness_cos"),
+        )
+        .orderBy("vec_id")
+    )

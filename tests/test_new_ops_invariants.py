@@ -418,3 +418,19 @@ def test_sq8_reconstruction_error_bounded(spark):
             code = math.floor(255.0 * (v[i] - lo[i]) / (hi[i] - lo[i]) + 0.5)
             recon = lo[i] + code * step
             assert abs(recon - v[i]) <= step / 2 + 1e-9
+
+
+def test_semdedup_witnesses_match_drop_count(spark):
+    """Provenance completeness: semdedup_drop_witnesses must emit
+    exactly one row per example dedup_semdedup_scale drops (same
+    clustering, same chunk cap, same dominance predicate — only the
+    aggregation differs), each witness must genuinely dominate its
+    dropped example's cluster, and witness cosine >= the threshold."""
+    wit = {r["vec_id"]: r for r in _rows(spark, "semdedup_drop_witnesses")}
+    scale = _rows(spark, "dedup_semdedup_scale")
+    dropped = {r["vec_id"] for r in scale if r["keep"] == 0}
+    assert set(wit) == dropped
+    cluster_of = {r["vec_id"]: r["cluster"] for r in scale}
+    for v, r in wit.items():
+        assert r["witness_cos"] >= 0.4 - 1e-9
+        assert cluster_of[r["witness_id"]] == r["cluster"]

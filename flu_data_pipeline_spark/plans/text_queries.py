@@ -3205,3 +3205,164 @@ def text_e2e_semantic_neighbors(
         )
         .orderBy("query_doc", "neighbor_doc")
     )
+
+
+@register(
+    "text_dedup_removal_apply",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS} AS t FROM documents
+    ), chunks AS (
+        SELECT doc_id,
+               (s - 1) // {_CHUNK_W} AS chunk_idx,
+               s,
+               LEAST(s + {_CHUNK_W - 1}, len(t)) AS e,
+               {hash64_sql(f"array_to_string(t[s:s + {_CHUNK_W - 1}], ' ')")} AS h
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t), 1), {_CHUNK_W})) AS s
+            FROM toks
+        )
+    ), removed AS (
+        SELECT doc_id, chunk_idx, s, e
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY h ORDER BY doc_id, s) AS rn
+            FROM chunks
+        ) WHERE rn > 1
+    ), spans AS (
+        SELECT sp.doc_id,
+               COALESCE(list_sum(list_transform(tk.t[1:sp.smin - 1],
+                    x -> length(x))), 0) + (sp.smin - 1) AS span_start,
+               COALESCE(list_sum(list_transform(tk.t[1:sp.emax],
+                    x -> length(x))), 0) + (sp.emax - 1) AS span_end
+        FROM (
+            SELECT doc_id, MIN(s) AS smin, MAX(e) AS emax
+            FROM (
+                SELECT *, chunk_idx - ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY chunk_idx) AS grp
+                FROM removed
+            )
+            GROUP BY doc_id, grp
+        ) sp JOIN toks tk USING (doc_id)
+    ), gaps AS (
+        SELECT doc_id,
+               COALESCE(LAG(span_end) OVER (
+                   PARTITION BY doc_id ORDER BY span_start), 0)
+                   AS seg_start,
+               span_start AS seg_end
+        FROM spans
+        UNION ALL
+        SELECT s.doc_id, MAX(s.span_end), length(d.text)
+        FROM spans s JOIN documents d USING (doc_id)
+        GROUP BY s.doc_id, length(d.text)
+        UNION ALL
+        SELECT d.doc_id, 0, length(d.text)
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT DISTINCT doc_id FROM spans)
+    ), cleaned AS (
+        SELECT g.doc_id,
+               COALESCE(string_agg(
+                   substring(d.text, CAST(g.seg_start AS BIGINT) + 1,
+                             CAST(g.seg_end - g.seg_start AS BIGINT))
+                   ORDER BY g.seg_start), '') AS ctext
+        FROM documents d JOIN gaps g USING (doc_id)
+        WHERE g.seg_end > g.seg_start
+        GROUP BY g.doc_id
+    ), stats AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(span_end - span_start) AS BIGINT) AS bytes_removed
+        FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(length(d.text) AS BIGINT) AS orig_chars,
+           CAST(length(COALESCE(c.ctext, '')) AS BIGINT) AS cleaned_chars,
+           {hash64_sql("COALESCE(c.ctext, '')")} AS cleaned_hash
+    FROM documents d
+    LEFT JOIN cleaned c USING (doc_id)
+    LEFT JOIN stats st USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="APPLY the byte-range removal plan — the final consumable "
+    "artifact of substring dedup: per document, the kept segments "
+    "(the gaps between merged removal spans, plus head and tail) are "
+    "stitched back in order and the CLEANED text is emitted as a "
+    "portable 56-bit hash plus exact char counts, so the surgery "
+    "itself — not just the span arithmetic — is verified "
+    "cross-engine without shipping full strings through the compare. "
+    "Invariant pinned in tests: cleaned_chars == orig_chars - "
+    "sum(bytes_removed) for every doc (spans are exact byte ranges). "
+    "Segment assembly is window lag + ordered concat "
+    "(array_sort(collect_list(struct)) on Spark, string_agg ORDER BY "
+    "on DuckDB) — no per-char folds, no UDFs; docs with no removals "
+    "pass through whole (hash of the original text).",
+    tags=("text", "dedup", "curation", "D1"),
+)
+def text_dedup_removal_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    spans = _removal_plan_frame(docs).select(
+        "doc_id", "span_start", "span_end"
+    )
+    w = Window.partitionBy("doc_id").orderBy("span_start")
+    gaps_mid = spans.select(
+        "doc_id",
+        F.coalesce(F.lag("span_end").over(w), F.lit(0)).alias("seg_start"),
+        F.col("span_start").alias("seg_end"),
+    )
+    dlen = docs.select("doc_id", F.length("text").alias("n"))
+    gaps_tail = (
+        spans.groupBy("doc_id")
+        .agg(F.max("span_end").alias("seg_start"))
+        .join(dlen, "doc_id")
+        .select("doc_id", "seg_start", F.col("n").alias("seg_end"))
+    )
+    gaps_nospan = dlen.join(
+        spans.select("doc_id").distinct(), "doc_id", "left_anti"
+    ).select("doc_id", F.lit(0).alias("seg_start"), F.col("n").alias("seg_end"))
+    gaps = (
+        gaps_mid.unionByName(gaps_tail)
+        .unionByName(gaps_nospan)
+        .filter(F.col("seg_end") > F.col("seg_start"))
+    )
+    cleaned = (
+        gaps.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.struct(
+                "seg_start",
+                F.expr(
+                    "substring(text, cast(seg_start as int) + 1, "
+                    "cast(seg_end - seg_start as int))"
+                ).alias("seg"),
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["seg"]
+                ),
+            ).alias("ctext")
+        )
+    )
+    stats = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans")
+    )
+    return (
+        docs.select("doc_id", F.length("text").alias("orig_chars"))
+        .join(cleaned, "doc_id", "left")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.col("orig_chars").cast("bigint").alias("orig_chars"),
+            F.length(F.coalesce("ctext", F.lit("")))
+            .cast("bigint")
+            .alias("cleaned_chars"),
+            hash64(F.coalesce("ctext", F.lit(""))).alias("cleaned_hash"),
+        )
+        .orderBy("doc_id")
+    )

@@ -434,3 +434,22 @@ def test_semdedup_witnesses_match_drop_count(spark):
     for v, r in wit.items():
         assert r["witness_cos"] >= 0.4 - 1e-9
         assert cluster_of[r["witness_id"]] == r["cluster"]
+
+
+def test_removal_apply_conserves_bytes(spark):
+    """Applying the removal plan must remove EXACTLY the planned bytes:
+    cleaned_chars == orig_chars - sum(bytes_removed) per doc, and docs
+    without spans pass through with identical length."""
+    plan = _rows(spark, "text_dedup_removal_plan")
+    removed = {}
+    for r in plan:
+        removed[r["doc_id"]] = removed.get(r["doc_id"], 0) + r["bytes_removed"]
+    out = _rows(spark, "text_dedup_removal_apply")
+    assert out
+    for r in out:
+        assert (
+            r["cleaned_chars"]
+            == r["orig_chars"] - removed.get(r["doc_id"], 0)
+        )
+        if r["n_spans"] == 0:
+            assert r["cleaned_chars"] == r["orig_chars"]

@@ -382,10 +382,24 @@ def twolevel_kmeans_assigned(
     fine = fine_seeds(df, vec_col, id_col, stride, round_dp).localCheckpoint(
         eager=False
     )
-    k_f = fine.count()  # the ONE driver-side scalar
+    # The ONE driver-side collect: seed count folded together with a
+    # dim check (min/max seed-vector length) so a mismatched `dim`
+    # fails loudly instead of averaging out-of-range indexes to NULL
+    # and emitting null-padded centroids.
+    stats = fine.agg(
+        F.count("*").alias("k_f"),
+        F.min(F.size("c")).alias("mn"),
+        F.max(F.size("c")).alias("mx"),
+    ).first()
+    k_f = stats["k_f"]
     if k_f == 0:
         raise ValueError(
             f"no fine seeds: no row has {id_col} % {stride} == 0"
+        )
+    if stats["mn"] != dim or stats["mx"] != dim:
+        raise ValueError(
+            f"vector length mismatch: dim={dim} but seed vectors span "
+            f"[{stats['mn']}, {stats['mx']}]"
         )
     k_c, sc = twolevel_params(k_f)
     coarse = fine.filter((F.col("fcl") % sc) == 0).select(

@@ -2963,7 +2963,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Materialized IVF index as a TABLE LAYOUT, self-proven partition pruning
 # ---------------------------------------------------------------------------
 
-def _ivf_layout_path(spark: SparkSession, sf_dir: str) -> str:
+def _ivf_layout_path(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Materialize (once per source fingerprint) the embedding table
     PARTITIONED BY its trained IVF coarse list id — the serving layout
     of a production vector store: each inverted list is a partition
@@ -3226,8 +3226,10 @@ _IMBALANCE_FACTOR = 2.0
     f"share, and a retrain flag at {_IMBALANCE_FACTOR}x imbalance. "
     "Scale shape: the batch assignment is a broadcast of k centroid "
     "rows + per-row argmin (map-only), the report is one k-row "
-    "aggregate; nothing rescans the base index but its partition "
-    "STATISTICS (list_id counts on the partition column). Companion "
+    "aggregate; the base-count pass never touches the embedding "
+    "payload — its scan reads only vec_id (to exclude the replayed "
+    "batch) plus the directory-derived list_id partition column, a "
+    "two-narrow-column count, not an index rescan. Companion "
     "to dedup_incremental_ingest (the dedup side of the same "
     "crawl-refresh story). The oracle replays training + assignment "
     "+ split arithmetic in unrolled SQL.",
@@ -3544,17 +3546,23 @@ def ann_sq8_asymmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rn", F.row_number().over(wtop))
         .filter(F.col("rn") <= 3)
-        .select("query_id", F.col("neighbor_id").alias("b_nid"))
+        .select(
+            F.col("query_id").alias("b_qid"),
+            F.col("neighbor_id").alias("b_nid"),
+        )
     )
+    # brute's columns are fully renamed (b_qid/b_nid) so the join
+    # condition carries no same-lineage attribute pair — no reliance
+    # on Spark's self-join auto-disambiguation.
     return (
         approx.join(
             brute,
-            (approx.query_id == brute.query_id)
-            & (approx.neighbor_id == brute.b_nid),
+            (F.col("query_id") == F.col("b_qid"))
+            & (F.col("neighbor_id") == F.col("b_nid")),
             "left",
         )
         .select(
-            approx.query_id,
+            "query_id",
             "neighbor_id",
             "cos_sim_sq8",
             F.when(F.col("b_nid").isNotNull(), 1)

@@ -24,11 +24,21 @@ Output: .testdata/sf1/*.parquet under the repo root (gitignored —
 ~170 MB of derived data). Timing-only: the DuckDB oracle gate runs at
 sf0.01; nothing here feeds correctness checks.
 
-Usage: python scripts/gen_sf1.py [out_dir] [src_sf_dir]
+Usage: python scripts/gen_sf1.py [out_dir] [src_sf_dir] [replicas]
 
 ``src_sf_dir`` defaults to $SPARK_GRAFT_SF_DIR (the same env var
 bench.py reads) falling back to /root/testdata/sf0.1, so the generator
-works on any machine whose testdata lives elsewhere.
+works on any machine whose testdata lives elsewhere. ``replicas``
+(default 10) sets the upscale factor: 10 -> sf1, 100 -> sf10 (a FIFTH
+decade, ~60M lineitem rows / 200k embeddings). Above 26 replicas the
+per-replica document transform switches from pure alphabet rotation to
+the general AFFINE character permutation i -> (a*i + b) mod 26 with a
+coprime to 26 — 312 distinct permutations, each a bijection on [a-z],
+so replicas stay textually unrelated (pairwise-distinct permutations)
+while word/char statistics keep their shape. For r < 26 the affine
+pair is (1, r), which IS the historical rotation — sf1 output is
+byte-identical to what this script produced before the parameter
+existed.
 """
 
 from __future__ import annotations

@@ -149,6 +149,36 @@ BNLJ_AUDITED: dict[str, str] = {
     "curation_ccnet_ppl_buckets": "ac",  # (a) 1-row total + |V| scalar
                                  #     broadcasts; (c) triangular
                                  #     pid-offset join (global_ntile)
+    # round-6 post-close additions (audited round 7 — each site read):
+    "ann_sq8_asymmetric": "ab",  # (a) 1-row per-dim min/max bounds agg
+                                 #     broadcast onto the codes scan;
+                                 #     (b) 2 query vectors, id<>id
+    "contamination_semantic_check": "b",  # (b) the VALIDATION slice is
+                                 #     the broadcast side — benchmark
+                                 #     sets are bounded constants in
+                                 #     production; argmin is a partial
+                                 #     agg, never a materialized cross
+    "corpus_padding_waste_audit": "ac",  # (a) 1-row chunk totals;
+                                 #     (c) triangular pid-offset join
+                                 #     over per-partition counts
+                                 #     (global_rank)
+    "ivf_index_ingest_maintenance": "ab",  # (b) k-row frozen-quantizer
+                                 #     centroid broadcast; (a) 1-row
+                                 #     rows_after/n_lists agg crossed
+    "ivf_layout_pruning_gain": "ab",  # (b) k centroids + probe-id
+                                 #     broadcasts; (a) 1-row total &
+                                 #     scanned count aggs crossed in
+    "rag_retrieval_hydrated": "b",  # (b) k centroids, probe ids, and
+                                 #     the O(queries*k) rerank frame
+                                 #     broadcast for hydration
+    "semdedup_scale_fidelity": "b",  # (b) inherits the brute twin's
+                                 #     k-centroid broadcast (see
+                                 #     dedup_semdedup above)
+    "text_e2e_semantic_neighbors": "b",  # (b) 2048x64 literal
+                                 #     projection grid + 1 query doc,
+                                 #     doc<>doc
+    "text_hashed_embedding_projection": "b",  # (b) 2048x64 literal
+                                 #     projection grid (range x range)
 }
 
 

@@ -36,9 +36,8 @@ the general AFFINE character permutation i -> (a*i + b) mod 26 with a
 coprime to 26 — 312 distinct permutations, each a bijection on [a-z],
 so replicas stay textually unrelated (pairwise-distinct permutations)
 while word/char statistics keep their shape. For r < 26 the affine
-pair is (1, r), which IS the historical rotation — sf1 output is
-byte-identical to what this script produced before the parameter
-existed.
+pair is (1, r), which IS the historical rotation — a regenerated sf1
+carries exactly the same rows as before the parameter existed.
 """
 
 from __future__ import annotations
@@ -53,6 +52,23 @@ from pyspark.sql import functions as F
 from flu_data_pipeline_spark.session import get_spark
 
 REPLICAS = 10
+
+#: multipliers coprime to 26 — with shifts 0..25 they enumerate 312
+#: pairwise-distinct affine permutations i -> (a*i + b) mod 26 of the
+#: lowercase alphabet. Ordered so pair r < 26 is (1, r): the pure
+#: rotation the script always used, keeping sf1 output byte-identical.
+_COPRIME_26 = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+
+
+def _affine_perm(r: int) -> str:
+    """The r-th affine permutation of a-z as a 26-char translate target."""
+    if r >= len(_COPRIME_26) * 26:
+        raise ValueError(f"replica {r} exceeds the 312 affine permutations")
+    a = _COPRIME_26[r // 26]
+    b = r % 26
+    return "".join(
+        chr(ord("a") + (a * i + b) % 26) for i in range(26)
+    )
 
 #: key columns remapped per table: (primary/foreign key -> base table
 #: whose max defines the offset stride)
@@ -94,6 +110,7 @@ def main() -> None:
         if len(sys.argv) > 2
         else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
+    replicas = int(sys.argv[3]) if len(sys.argv) > 3 else REPLICAS
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="gen-sf1")
 
@@ -102,7 +119,12 @@ def main() -> None:
         df = spark.read.parquet(f"{src}/{table}.parquet")
         strides[col] = int(df.agg(F.max(col)).first()[0]) + 1
 
-    reps = spark.range(REPLICAS).select(F.col("id").alias("__rep"))
+    reps = F.broadcast(
+        spark.createDataFrame(
+            [(r, _affine_perm(r)) for r in range(replicas)],
+            "__rep bigint, __perm string",
+        )
+    )
 
     for table in ["region", "nation"]:
         spark.read.parquet(f"{src}/{table}.parquet").write.mode(
@@ -112,7 +134,7 @@ def main() -> None:
 
     for table, keymap in KEYED.items():
         df = spark.read.parquet(f"{src}/{table}.parquet")
-        up = df.crossJoin(F.broadcast(reps))
+        up = df.crossJoin(reps)
         for col, stride_col in keymap.items():
             up = up.withColumn(
                 col,
@@ -120,31 +142,29 @@ def main() -> None:
                 .cast("bigint"),
             )
         if table == "documents":
-            # Replica r > 0 gets a per-replica character rotation:
+            # Replica r > 0 gets a per-replica character permutation:
             # a suffix alone would leave every replica a NEAR-dup of
             # its original (shingle sets ~identical), so near-dup
-            # queries would see 10-copy families — ~45 candidate pairs
-            # each, a quadratic artifact of the generator, not of a
-            # real 10x corpus. Rotating the token alphabet makes
-            # replicas textually unrelated (n-gram Jaccard ~ 0 across
-            # replicas) while preserving word/char statistics shape.
-            # The FULL a-z range must rotate: an a-t-only rotation left
-            # u/v/w/y runs (present in the corpus) identical across
-            # replicas, and CHARACTER-level operators (winnowing
-            # 8-gram fingerprints) then saw hot cross-replica
-            # fingerprints with df^2 cost — measured as a fake 12x
-            # super-linearity before this fix.
-            alpha = "abcdefghijklmnopqrstuvwxyz"
-            text_col = F.col("text")
-            for r in range(1, REPLICAS):
-                rot = alpha[r:] + alpha[:r]
-                text_col = F.when(
-                    F.col("__rep") == r,
-                    F.translate("text", alpha, rot),
-                ).otherwise(text_col)
-            up = up.withColumn("text", text_col).withColumn(
-                "n_chars", F.length("text").cast("bigint")
-            )
+            # queries would see replica-count-copy families — a
+            # quadratic candidate-pair artifact of the generator, not
+            # of a real bigger corpus. Permuting the token alphabet
+            # makes replicas textually unrelated (n-gram Jaccard ~ 0
+            # across replicas) while preserving word/char statistics
+            # shape. The FULL a-z range must permute: an a-t-only
+            # rotation left u/v/w/y runs identical across replicas,
+            # and CHARACTER-level operators (winnowing 8-gram
+            # fingerprints) then saw hot cross-replica fingerprints
+            # with df^2 cost — measured as a fake 12x super-linearity
+            # before this fix. Pairwise-distinct AFFINE permutations
+            # (see _affine_perm) extend the scheme past 26 replicas;
+            # r < 26 is the historical pure rotation.
+            up = up.withColumn(
+                "text",
+                F.expr(
+                    "translate(text, 'abcdefghijklmnopqrstuvwxyz', "
+                    "__perm)"
+                ),
+            ).withColumn("n_chars", F.length("text").cast("bigint"))
         if table == "embeddings":
             # deterministic per-replica nudge on the first component:
             # vectors stay near their family (ANN recall shape holds)
@@ -162,13 +182,13 @@ def main() -> None:
                 ),
             )
         n = up.count()
-        up.drop("__rep").repartition(32).write.mode("overwrite").parquet(
-            f"{out_dir}/{table}.parquet"
-        )
+        up.drop("__rep", "__perm").repartition(32).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{table}.parquet")
         print(f"{table}: {n} rows")
 
     spark.stop()
-    print(f"sf1 written to {out_dir}")
+    print(f"{replicas}x upscale written to {out_dir}")
 
 
 if __name__ == "__main__":

@@ -12,6 +12,16 @@ collect, exploding skew) and would NOT survive the next 100x.
 Usage: python scripts/scaling_check.py [--md] [--only name1,name2]
 (--md emits SCALING.md; --only restricts to the given registry names,
 for re-measuring individual rows without the full ~25-min sweep)
+
+``--sf10-twins`` instead measures the SCALE-TWIN subset at sf1 AND
+sf10 (.testdata/sf10 — scripts/gen_sf1.py with 100 replicas) and
+emits the fifth-decade markdown section: best-of-2 at sf1, single
+run at sf10 (cells are minutes-long there; JIT/fixed overheads are
+<5% of the cell, unlike the sub-second cells where best-of-3
+matters). The brute ``dedup_semdedup`` twin is INCLUDED even though
+its N*k term is expected to go super-linear — the point of the pair
+is measuring the separation between it and the two-level scale path
+at the decade where the asymptote dominates.
 """
 
 from __future__ import annotations
@@ -68,6 +78,30 @@ _SF1_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".testdata", "sf1",
 )
+_SF10_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".testdata", "sf10",
+)
+
+#: the scale-headline subset measured at the fifth decade (sf10,
+#: 60M lineitem rows / 500k documents / 200k embeddings): the
+#: queries whose 100 TB story rests on a named structural claim
+#: (two-level fit, distributed rank, banded candidates, partition
+#: pruning) paired where possible with the twin whose asymptote is
+#: known-worse, so the decade MEASURES the separation instead of
+#: extrapolating it.
+TWIN_QUERIES = [
+    "dedup_semdedup_scale",       # two-level IVF fit + chunk-capped pairs
+    "dedup_semdedup",             # brute N*k twin (expected super-linear)
+    "dedup_components_scale",     # large/small-star connected components
+    "customer_rfm_segments_scale",  # distributed exact NTILE
+    "ntile_equidepth_scale",
+    "skyline_price_size_scale",   # triangular carry-in partition sweep
+    "dedup_ngram_jaccard",        # banded shingle candidates
+    "dedup_ngram_jaccard_capped",  # + adaptive hot-shingle df cap
+    "ivf_layout_pruning_gain",    # partition-pruned IVF serving layout
+    "rag_retrieval_hydrated",     # probe -> prune -> rerank -> hydrate
+]
 
 
 def main() -> None:
@@ -85,6 +119,23 @@ def main() -> None:
         df = REGISTRY[name].builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
+
+    if "--sf10-twins" in sys.argv:
+        if not os.path.isdir(_SF10_DIR):
+            raise SystemExit(
+                "no .testdata/sf10 — run: python scripts/gen_sf1.py "
+                f"{_SF10_DIR} /root/testdata/sf0.1 100"
+            )
+        print("| query | sf1 s | sf10 s | r10000_1000 |")
+        print("|---|---|---|---|")
+        for name in TWIN_QUERIES:
+            t1 = min(run_once(name, _SF1_DIR) for _ in range(2))
+            t10 = run_once(name, _SF10_DIR)
+            print(
+                f"| {name} | {t1:.3f} | {t10:.3f} | {t10 / t1:.2f} |",
+                flush=True,
+            )
+        return
 
     queries = _query_list()
     if "--only" in sys.argv:

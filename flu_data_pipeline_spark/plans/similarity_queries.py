@@ -3828,6 +3828,7 @@ def semdedup_scale_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is a partial-aggregating max(struct(cos, -id)). The oracle "
     "replays the two-level fit and the witness selection exactly.",
     tags=("similarity", "dedup", "clustering", "dq"),
+    bench=True,
 )
 def semdedup_drop_witnesses(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3901,4 +3902,253 @@ def semdedup_drop_witnesses(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("b.cos_raw", 6).alias("witness_cos"),
         )
         .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Self-proving v2: EXECUTED-METRIC bounds (plan shape says what Catalyst
+# planned; these queries pin what the plan DID — SQLMetric values read
+# off the final adaptive executed plan and emitted AS RESULT COLUMNS,
+# so the DuckDB oracle's arithmetic replay hash-checks the runtime)
+# ---------------------------------------------------------------------------
+
+@register(
+    "semdedup_pair_cap_metric",
+    oracle=twolevel_kmeans_oracle_sql(
+        "embeddings", "embedding", "vec_id",
+        stride=_SEMDEDUP_INIT_EVERY, iters=_KMEANS_ITERS, nprobe=2,
+    )
+    + f""",
+    d AS (
+        SELECT a.id AS vec_id, a.cluster,
+               (ROW_NUMBER() OVER (
+                    PARTITION BY a.cluster ORDER BY a.dist, a.id) - 1)
+                   // {_SEMDEDUP_INIT_EVERY} AS chunk
+        FROM asg{_KMEANS_ITERS + 1} a
+    ),
+    grp AS (
+        SELECT cluster, chunk, COUNT(*) AS c FROM d GROUP BY cluster, chunk
+    )
+    SELECT CAST(SUM(c) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS pair_candidates,
+           CAST(SUM(c) * {_SEMDEDUP_INIT_EVERY - 1} // 2 AS BIGINT)
+               AS cap_bound,
+           CAST(CASE WHEN SUM(c * (c - 1) // 2)
+                          <= SUM(c) * {_SEMDEDUP_INIT_EVERY - 1} // 2
+                     THEN 1 ELSE 0 END AS INT) AS within_bound
+    FROM grp
+    """,
+    doc="The dedup_semdedup_scale pair-cap claim, proven from EXECUTION "
+    "METRICS instead of construction: the builder executes the scale "
+    "path's dominance pair join (same two-level assignment, same "
+    "distance-rank chunks, same `better` half-ordering — each "
+    "unordered same-chunk pair satisfies it in exactly one "
+    "direction), then reads the join node's `numOutputRows` SQLMetric "
+    "off the FINAL adaptive executed plan and emits THAT value as "
+    "`pair_candidates`. The oracle replays the two-level fit and "
+    "computes sum over (cluster, chunk) groups of c*(c-1)/2 — pure "
+    "arithmetic, no join — so a hash match means the executed plan "
+    "moved exactly the number of pairs the chunk-cap arithmetic "
+    "allows: `pair work <= N*(chunk-1)/2` stops being a docstring "
+    "claim and becomes a gated runtime measurement. The builder also "
+    "HARD-asserts metric <= bound and metric == the collected count "
+    "(one execution, collect_with_metrics), so a silently widened "
+    "join condition or a dropped chunk key turns the correctness row "
+    "red two ways. Negative-tested in tests/test_plans.py: the "
+    "UNCHUNKED pair join on a skewed frame exceeds the bound the "
+    "chunked join satisfies.",
+    tags=("similarity", "dedup", "scale-proof", "metrics"),
+    bench=True,
+)
+def semdedup_pair_cap_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.operators.clustering import (
+        twolevel_kmeans_assigned,
+    )
+    from flu_data_pipeline_spark.operators.plan_metrics import (
+        collect_with_metrics,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = twolevel_kmeans_assigned(
+        emb, "embedding", "vec_id",
+        stride=_SEMDEDUP_INIT_EVERY, iters=_KMEANS_ITERS, nprobe=2,
+    )
+    d = asg.withColumn(
+        "chunk",
+        F.expr(
+            f"(row_number() over (partition by cluster "
+            f"order by dist, vec_id) - 1) div {_SEMDEDUP_INIT_EVERY}"
+        ),
+    ).localCheckpoint(eager=False)
+    npart = spark.sparkContext.defaultParallelism
+    x = d.select(
+        F.col("vec_id").alias("vid_x"),
+        F.col("cluster").alias("cl_x"),
+        F.col("chunk").alias("ch_x"),
+        F.col("dist").alias("dist_x"),
+    ).repartition(npart, F.col("cl_x"), F.col("ch_x"))
+    y = d.select(
+        F.col("vec_id").alias("vid_y"),
+        F.col("cluster").alias("cl_y"),
+        F.col("chunk").alias("ch_y"),
+        F.col("dist").alias("dist_y"),
+    ).repartition(npart, F.col("cl_y"), F.col("ch_y"))
+    better = (F.col("dist_y") > F.col("dist_x")) | (
+        (F.col("dist_y") == F.col("dist_x"))
+        & (F.col("vid_y") < F.col("vid_x"))
+    )
+    pairs = x.join(
+        y,
+        (F.col("cl_x") == F.col("cl_y"))
+        & (F.col("ch_x") == F.col("ch_y"))
+        & better,
+    )
+    probe = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    rows, mets = collect_with_metrics(probe, "Join")
+    if len(mets) != 1:
+        raise AssertionError(
+            f"expected exactly 1 join node in the pair probe, "
+            f"found {len(mets)}"
+        )
+    pair_metric = int(mets[0]["numOutputRows"])
+    if pair_metric != int(rows[0]["cnt"]):
+        raise AssertionError(
+            f"join metric {pair_metric} != collected pair count "
+            f"{rows[0]['cnt']} — wrong node read"
+        )
+    stats = (
+        d.groupBy("cluster", "chunk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum("c").cast("bigint").alias("n_vectors"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        )
+        .first()
+    )
+    n_vectors, n_chunks = int(stats["n_vectors"]), int(stats["n_chunks"])
+    cap = n_vectors * (_SEMDEDUP_INIT_EVERY - 1) // 2
+    if pair_metric > cap:
+        raise AssertionError(
+            f"pair-cap VIOLATED at runtime: join moved {pair_metric} "
+            f"pairs > bound {cap} (N={n_vectors})"
+        )
+    return spark.createDataFrame(
+        [(n_vectors, n_chunks, pair_metric, cap, 1)],
+        "n_vectors bigint, n_chunks bigint, pair_candidates bigint, "
+        "cap_bound bigint, within_bound int",
+    )
+
+
+@register(
+    "ivf_pruning_files_metric",
+    oracle=kmeans_oracle_sql(
+        "embeddings", "embedding", "vec_id",
+        k=_KMEANS_K, iters=_KMEANS_ITERS + 1,
+    )
+    + _IVF_KMEANS_SEARCH_SQL.replace("e.vec_id < 105", "e.vec_id < 102")
+    + f""",
+    plists AS (SELECT DISTINCT probe_cluster AS list_id FROM probes),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS rows_total,
+               CAST(COUNT(DISTINCT cluster) AS BIGINT) AS lists_total
+        FROM asg{_KMEANS_ITERS + 1}
+    ),
+    scanned AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS rows_scanned,
+               CAST(COUNT(DISTINCT a.cluster) AS BIGINT) AS files_read
+        FROM asg{_KMEANS_ITERS + 1} a
+        JOIN plists l ON a.cluster = l.list_id
+    )
+    SELECT scanned.files_read, tot.lists_total,
+           CAST(tot.lists_total - scanned.files_read AS BIGINT)
+               AS files_skipped,
+           scanned.rows_scanned, tot.rows_total
+    FROM scanned CROSS JOIN tot
+    """,
+    doc="ivf_layout_pruning_gain's files-skipped arithmetic, proven "
+    "from EXECUTION METRICS: the builder runs the nprobe=2 probe "
+    "against the materialized list_id-partitioned IVF layout (one "
+    "parquet file per inverted list by construction), collects the "
+    "pruned-scan row count, then reads `numFiles` and `numOutputRows` "
+    "off the scan node of the FINAL executed plan and emits the "
+    "METRIC values as `files_read` / `rows_scanned`. The oracle "
+    "replays quantizer training + probe selection in pure SQL and "
+    "derives the same numbers arithmetically (files_read = distinct "
+    "non-empty probed lists, because the layout writes exactly one "
+    "file per list) — a hash match certifies the scan OPENED exactly "
+    "the probed partitions' files and emitted exactly the probed "
+    "lists' rows. Catches what a plan-shape assertion cannot: "
+    "PartitionFilters can be present while the pruned file set is "
+    "silently wrong (stale layout, fingerprint drift, partition-value "
+    "coercion). Negative-tested: the same logical filter over a FLAT "
+    "copy of the embeddings reads every file.",
+    tags=("similarity", "ivf", "layout", "scale-proof", "metrics"),
+    bench=True,
+)
+def ivf_pruning_files_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.operators.clustering import sqdist
+    from flu_data_pipeline_spark.operators.plan_metrics import (
+        collect_with_metrics,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fact_path, cents_path = _ivf_layout_path(spark, sf_dir)
+    fact = spark.read.parquet(fact_path)
+    cdf = spark.read.parquet(cents_path)
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.asc("cdist"), F.asc("cluster")
+    )
+    probes = (
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 102))
+        .join(F.broadcast(cdf))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cluster",
+            sqdist(F.col("embedding"), F.col("c")).alias("cdist"),
+        )
+        .withColumn("prn", F.row_number().over(wprobe))
+        .filter(F.col("prn") <= 2)
+        .select("query_id", F.col("cluster").alias("probe_list"))
+    )
+    probe_ids = sorted(
+        {r["probe_list"] for r in probes.collect()}
+    )
+    pruned = fact.filter(F.col("list_id").isin(probe_ids))
+    _assert_partition_pruned(pruned)
+    probe = pruned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_scanned")
+    )
+    rows, mets = collect_with_metrics(probe, "Scan parquet")
+    if len(mets) != 1:
+        raise AssertionError(
+            f"expected exactly 1 parquet scan in the pruned probe, "
+            f"found {len(mets)}"
+        )
+    files_read = int(mets[0]["numFiles"])
+    rows_scanned = int(mets[0]["numOutputRows"])
+    if rows_scanned != int(rows[0]["rows_scanned"]):
+        raise AssertionError(
+            f"scan metric {rows_scanned} != collected count "
+            f"{rows[0]['rows_scanned']} — wrong node read"
+        )
+    if files_read > len(probe_ids):
+        raise AssertionError(
+            f"pruning VIOLATED at runtime: scan opened {files_read} "
+            f"files for {len(probe_ids)} probed lists"
+        )
+    tot = fact.agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_total"),
+        F.countDistinct("list_id").cast("bigint").alias("lists_total"),
+    ).first()
+    return spark.createDataFrame(
+        [(
+            files_read,
+            int(tot["lists_total"]),
+            int(tot["lists_total"]) - files_read,
+            rows_scanned,
+            int(tot["rows_total"]),
+        )],
+        "files_read bigint, lists_total bigint, files_skipped bigint, "
+        "rows_scanned bigint, rows_total bigint",
     )

@@ -3207,9 +3207,62 @@ def text_e2e_semantic_neighbors(
     )
 
 
-@register(
-    "text_dedup_removal_apply",
-    oracle=f"""
+def _cleaned_text_frame(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """Stitch each document's KEPT segments (the gaps between merged
+    removal spans, plus head and tail; whole text when span-free) back
+    in order: (doc_id, ctext). Factored from text_dedup_removal_apply
+    so the cleaned-corpus WRITE pipeline emits the identical surgery
+    it verifies."""
+    w = Window.partitionBy("doc_id").orderBy("span_start")
+    gaps_mid = spans.select(
+        "doc_id",
+        F.coalesce(F.lag("span_end").over(w), F.lit(0)).alias("seg_start"),
+        F.col("span_start").alias("seg_end"),
+    )
+    dlen = docs.select("doc_id", F.length("text").alias("n"))
+    gaps_tail = (
+        spans.groupBy("doc_id")
+        .agg(F.max("span_end").alias("seg_start"))
+        .join(dlen, "doc_id")
+        .select("doc_id", "seg_start", F.col("n").alias("seg_end"))
+    )
+    gaps_nospan = dlen.join(
+        spans.select("doc_id").distinct(), "doc_id", "left_anti"
+    ).select("doc_id", F.lit(0).alias("seg_start"), F.col("n").alias("seg_end"))
+    gaps = (
+        gaps_mid.unionByName(gaps_tail)
+        .unionByName(gaps_nospan)
+        .filter(F.col("seg_end") > F.col("seg_start"))
+    )
+    return (
+        gaps.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.struct(
+                "seg_start",
+                F.expr(
+                    "substring(text, cast(seg_start as int) + 1, "
+                    "cast(seg_end - seg_start as int))"
+                ).alias("seg"),
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["seg"]
+                ),
+            ).alias("ctext")
+        )
+    )
+
+
+#: Shared DuckDB CTE chain of the removal-plan APPLY surgery
+#: (toks -> chunks -> removed -> spans -> gaps -> cleaned), reused by
+#: text_dedup_removal_apply and the cleaned-corpus WRITE pipeline so the
+#: two oracles can never drift apart.
+_REMOVAL_APPLY_CTES = f"""
     WITH toks AS (
         SELECT doc_id, {_TOKENS} AS t FROM documents
     ), chunks AS (
@@ -3269,7 +3322,14 @@ def text_e2e_semantic_neighbors(
         FROM documents d JOIN gaps g USING (doc_id)
         WHERE g.seg_end > g.seg_start
         GROUP BY g.doc_id
-    ), stats AS (
+    )"""
+
+
+@register(
+    "text_dedup_removal_apply",
+    oracle=_REMOVAL_APPLY_CTES
+    + f"""
+    , stats AS (
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_spans,
                CAST(SUM(span_end - span_start) AS BIGINT) AS bytes_removed
@@ -3299,55 +3359,14 @@ def text_e2e_semantic_neighbors(
     "on DuckDB) — no per-char folds, no UDFs; docs with no removals "
     "pass through whole (hash of the original text).",
     tags=("text", "dedup", "curation", "D1"),
+    bench=True,
 )
 def text_dedup_removal_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     spans = _removal_plan_frame(docs).select(
         "doc_id", "span_start", "span_end"
     )
-    w = Window.partitionBy("doc_id").orderBy("span_start")
-    gaps_mid = spans.select(
-        "doc_id",
-        F.coalesce(F.lag("span_end").over(w), F.lit(0)).alias("seg_start"),
-        F.col("span_start").alias("seg_end"),
-    )
-    dlen = docs.select("doc_id", F.length("text").alias("n"))
-    gaps_tail = (
-        spans.groupBy("doc_id")
-        .agg(F.max("span_end").alias("seg_start"))
-        .join(dlen, "doc_id")
-        .select("doc_id", "seg_start", F.col("n").alias("seg_end"))
-    )
-    gaps_nospan = dlen.join(
-        spans.select("doc_id").distinct(), "doc_id", "left_anti"
-    ).select("doc_id", F.lit(0).alias("seg_start"), F.col("n").alias("seg_end"))
-    gaps = (
-        gaps_mid.unionByName(gaps_tail)
-        .unionByName(gaps_nospan)
-        .filter(F.col("seg_end") > F.col("seg_start"))
-    )
-    cleaned = (
-        gaps.join(docs.select("doc_id", "text"), "doc_id")
-        .select(
-            "doc_id",
-            F.struct(
-                "seg_start",
-                F.expr(
-                    "substring(text, cast(seg_start as int) + 1, "
-                    "cast(seg_end - seg_start as int))"
-                ).alias("seg"),
-            ).alias("s"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(F.collect_list("s")), lambda s: s["seg"]
-                ),
-            ).alias("ctext")
-        )
-    )
+    cleaned = _cleaned_text_frame(docs, spans)
     stats = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_spans")
     )
@@ -3365,4 +3384,242 @@ def text_dedup_removal_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             hash64(F.coalesce("ctext", F.lit(""))).alias("cleaned_hash"),
         )
         .orderBy("doc_id")
+    )
+
+
+#: Shard byte budget for the cleaned-corpus export plan (chars == bytes
+#: on the ASCII corpus): small enough that the fixture yields several
+#: shards per source, the same largest-remainder-free contiguous
+#: packing rule at any scale.
+_SHARD_CHARS = 16_384
+
+
+def _cleaned_corpus_paths(
+    spark: SparkSession, sf_dir: str, base_dir: str | None = None
+) -> tuple[str, str, int]:
+    """Materialize the CLEANED corpus (removal-plan surgery applied) as
+    a source-partitioned parquet table plus its shard-plan manifest,
+    once per source fingerprint; EVERY call finishes with an idempotent
+    re-append whose row delta is returned (0 == the write path is
+    replay-safe, the pipeline's standing proof). Layout:
+
+    - ``corpus``: (doc_id, lang, cleaned_chars, ctext) PARTITIONED BY
+      source — the table a training run reads;
+    - ``manifest``: (doc_id, source, cleaned_chars, shard_id) — contig
+      char-budget packing per source (global_cumsum minus the source's
+      start offset, never a single-partition window), the export plan
+      a shard-writer executes.
+    """
+    import os
+    import shutil
+
+    from flu_data_pipeline_spark.operators.ranking import global_cumsum
+    from flu_data_pipeline_spark.plans.layout_queries import (
+        _mark_materialized,
+        _materialized_fresh,
+        _src_fingerprint,
+    )
+    from flu_data_pipeline_spark.sources.writers import idempotent_append
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = base_dir or os.path.join(repo, ".testdata", "cleaned", tag)
+    corpus = os.path.join(base, "corpus")
+    manifest = os.path.join(base, "manifest")
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = _removal_plan_frame(docs).select(
+        "doc_id", "span_start", "span_end"
+    )
+    cleaned = (
+        _cleaned_text_frame(docs, spans)
+        .join(docs.select("doc_id", "source", "lang"), "doc_id", "right")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.coalesce("ctext", F.lit("")).alias("ctext"),
+        )
+        .withColumn(
+            "cleaned_chars", F.length("ctext").cast("bigint")
+        )
+    )
+
+    fp = _src_fingerprint(sf_dir, "documents")
+    if not _materialized_fresh(corpus, fp):
+        shutil.rmtree(base, ignore_errors=True)
+        idempotent_append(
+            spark, cleaned, corpus, ("doc_id",), partition_cols=("source",)
+        )
+        # shard plan: contiguous per-source char-budget packing over the
+        # (source, doc_id) total order; the per-source start offset is a
+        # tiny triangular fold over one row per source
+        cum = global_cumsum(
+            cleaned.select("doc_id", "source", "cleaned_chars"),
+            [F.asc("source"), F.asc("doc_id")],
+            "cleaned_chars",
+            out_col="gcum",
+        )
+        totals = cleaned.groupBy("source").agg(
+            F.sum("cleaned_chars").cast("bigint").alias("stot")
+        )
+        a, b = totals.alias("a"), totals.alias("b")
+        offs = (
+            a.join(
+                F.broadcast(b),
+                F.col("b.source") < F.col("a.source"),
+                "left",
+            )
+            .groupBy(F.col("a.source").alias("source"))
+            .agg(
+                F.coalesce(F.sum("b.stot"), F.lit(0))
+                .cast("bigint")
+                .alias("soff")
+            )
+        )
+        (
+            cum.join(F.broadcast(offs), "source")
+            .select(
+                "doc_id",
+                "source",
+                "cleaned_chars",
+                F.expr(
+                    f"(greatest(gcum - soff, 1L) - 1L) "
+                    f"div {_SHARD_CHARS}"
+                )
+                .cast("bigint")
+                .alias("shard_id"),
+            )
+            .write.mode("overwrite")
+            .parquet(manifest)
+        )
+        _mark_materialized(corpus, fp)
+    # The standing idempotence proof: replaying the full batch against
+    # the existing table must append NOTHING (null-safe PK anti-join,
+    # the reference's ON CONFLICT DO NOTHING at corpus scale).
+    rerun_appended = idempotent_append(
+        spark, cleaned, corpus, ("doc_id",), partition_cols=("source",)
+    )
+    return corpus, manifest, rerun_appended
+
+
+@register(
+    "corpus_cleaned_write_pipeline",
+    oracle=_REMOVAL_APPLY_CTES
+    + f"""
+    , per AS (
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(length(d.text)) AS BIGINT) AS orig_chars_total,
+               CAST(SUM(length(COALESCE(c.ctext, ''))) AS BIGINT)
+                   AS cleaned_chars_total
+        FROM documents d LEFT JOIN cleaned c USING (doc_id)
+        GROUP BY d.source
+    ), rem AS (
+        SELECT d.source,
+               CAST(SUM(s.span_end - s.span_start) AS BIGINT) AS removed
+        FROM spans s JOIN documents d USING (doc_id)
+        GROUP BY d.source
+    )
+    SELECT p.source,
+           p.n_docs,
+           p.n_docs AS docs_expected,
+           p.cleaned_chars_total,
+           p.orig_chars_total,
+           CAST(COALESCE(r.removed, 0) AS BIGINT) AS removed_chars_total,
+           CAST((GREATEST(p.cleaned_chars_total, 1) - 1)
+                // {_SHARD_CHARS} + 1 AS BIGINT) AS n_shards,
+           CAST(CASE WHEN p.cleaned_chars_total
+                          = p.orig_chars_total - COALESCE(r.removed, 0)
+                     THEN 1 ELSE 0 END AS INT) AS reconciled,
+           CAST(0 AS BIGINT) AS rerun_appended
+    FROM per p LEFT JOIN rem r USING (source)
+    ORDER BY p.source
+    """,
+    doc="The cleaned-corpus WRITE pipeline end to end — the artifact a "
+    "training run actually consumes, composed from the round-6 "
+    "pieces: the byte-range removal plan is APPLIED "
+    "(_cleaned_text_frame, the same surgery text_dedup_removal_apply "
+    "verifies), the cleaned text is WRITTEN as a source-partitioned "
+    "parquet table through the S6 idempotent-append writer (null-safe "
+    "PK anti-join), a contiguous char-budget shard-plan MANIFEST is "
+    "written beside it (global_cumsum minus per-source offsets — no "
+    "single-partition window), and every invocation closes with a "
+    "full-batch REPLAY whose appended-row count is emitted as "
+    "`rerun_appended` — the oracle pins it to 0, so a broken "
+    "idempotence contract (rows duplicated on re-run) turns this row "
+    "red, exactly the reference's ON CONFLICT DO NOTHING guarantee "
+    "(S6) promoted to corpus scale. All other columns are READ BACK "
+    "from the materialized table and manifest, never from the "
+    "in-flight frames: n_docs/cleaned_chars_total aggregate the "
+    "stored table (write-path proof), n_shards is max(shard_id)+1 "
+    "from the stored manifest (equals the oracle's closed form "
+    "because the packing is contiguous), and `reconciled` re-derives "
+    "cleaned == orig - removed per source from independent scans. "
+    "Fingerprint-invalidated like the IVF serving layout; runtime "
+    "second-run zero-delta and partition-directory layout are "
+    "additionally pinned in tests/test_sources.py.",
+    tags=("text", "dedup", "curation", "S6", "layout"),
+    bench=True,
+)
+def corpus_cleaned_write_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus, manifest, rerun = _cleaned_corpus_paths(spark, sf_dir)
+    if rerun != 0:
+        raise AssertionError(
+            f"idempotent replay appended {rerun} rows — the cleaned-"
+            f"corpus write path is not replay-safe"
+        )
+    back = spark.read.parquet(corpus)
+    man = spark.read.parquet(manifest)
+    per = back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("cleaned_chars").cast("bigint").alias("cleaned_chars_total"),
+    )
+    expected = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_expected"),
+        F.sum(F.length("text")).cast("bigint").alias("orig_chars_total"),
+    )
+    removed = (
+        _removal_plan_frame(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.sum("bytes_removed").cast("bigint").alias("removed"))
+    )
+    shards = man.groupBy("source").agg(
+        (F.max("shard_id") + 1).cast("bigint").alias("n_shards")
+    )
+    return (
+        per.join(expected, "source")
+        .join(removed, "source", "left")
+        .join(shards, "source")
+        .select(
+            "source",
+            "n_docs",
+            "docs_expected",
+            "cleaned_chars_total",
+            "orig_chars_total",
+            F.coalesce("removed", F.lit(0))
+            .cast("bigint")
+            .alias("removed_chars_total"),
+            "n_shards",
+            F.when(
+                (F.col("n_docs") == F.col("docs_expected"))
+                & (
+                    F.col("cleaned_chars_total")
+                    == F.col("orig_chars_total")
+                    - F.coalesce("removed", F.lit(0))
+                ),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("reconciled"),
+            F.lit(rerun).cast("bigint").alias("rerun_appended"),
+        )
+        .orderBy("source")
     )

@@ -117,6 +117,7 @@ def idempotent_append(
     df: DataFrame,
     path: str,
     pk_cols: tuple[str, ...],
+    partition_cols: tuple[str, ...] = (),
 ) -> int:
     """``ON CONFLICT DO NOTHING`` semantics (S6): append rows whose PK is
     absent from the existing table; re-running with the same input is a
@@ -124,6 +125,10 @@ def idempotent_append(
 
     Within-batch duplicates are also collapsed to one row per PK (the
     staging COPY + PK constraint did the same in the reference).
+    ``partition_cols`` makes the target a hive-partitioned table (new
+    rows land in their partition directories; the existence anti-join
+    reads only the PK columns, so the partitioned layout costs the
+    idempotence check nothing extra).
     """
     deduped = df.dropDuplicates(list(pk_cols))
     if os.path.exists(path):
@@ -147,7 +152,10 @@ def idempotent_append(
     try:
         n = new_rows.count()
         if n > 0:
-            new_rows.write.mode("append").parquet(path)
+            w = new_rows.write.mode("append")
+            if partition_cols:
+                w = w.partitionBy(*partition_cols)
+            w.parquet(path)
     finally:
         new_rows.unpersist()
     return n

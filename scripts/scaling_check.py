@@ -126,11 +126,29 @@ def main() -> None:
                 "no .testdata/sf10 — run: python scripts/gen_sf1.py "
                 f"{_SF10_DIR} /root/testdata/sf0.1 100"
             )
+        # Pre-materialize the IVF serving layout for both scales OUTSIDE
+        # the timed cells: index build (quantizer fit + partitioned
+        # write) is a one-time cost a vector store amortizes across its
+        # serving lifetime — timing it inside a single query's cell
+        # reported a fake 28x decade for ivf_layout_pruning_gain while
+        # rag_retrieval_hydrated (same layout, already cached by the
+        # preceding cell) read 1.8x.
+        from flu_data_pipeline_spark.plans.similarity_queries import (
+            _ivf_layout_path,
+        )
+
+        for d in (_SF1_DIR, _SF10_DIR):
+            _ivf_layout_path(spark, d)
+        # Best-of-2 everywhere except the brute semdedup twin at sf10:
+        # its single run is ~11 min of pure N*k join (noise <<1%), and
+        # the row exists to MEASURE that asymptote, not to tune it.
+        single_sf10 = {"dedup_semdedup"}
         print("| query | sf1 s | sf10 s | r10000_1000 |")
         print("|---|---|---|---|")
         for name in TWIN_QUERIES:
             t1 = min(run_once(name, _SF1_DIR) for _ in range(2))
-            t10 = run_once(name, _SF10_DIR)
+            n10 = 1 if name in single_sf10 else 2
+            t10 = min(run_once(name, _SF10_DIR) for _ in range(n10))
             print(
                 f"| {name} | {t1:.3f} | {t10:.3f} | {t10 / t1:.2f} |",
                 flush=True,

@@ -466,3 +466,96 @@ def test_aqe_coalesce_assertion_has_teeth(spark):
     finally:
         spark.conf.set(key, prev)
     REGISTRY["aqe_coalesce_shuffle_read"].builder(spark, SF_ORACLE)
+
+
+def test_pair_cap_metric_negative(spark):
+    """Self-proving v2 teeth: the executed-metric pair bound must
+    DISCRIMINATE — on a skewed frame (one hot cluster of 600 rows) the
+    UNCHUNKED dominance join moves more pairs than the chunk cap
+    allows, while the chunked join on the same frame stays within it.
+    Both counts read from the join node's numOutputRows SQLMetric via
+    the same reader the registered query uses."""
+    from pyspark.sql import functions as F
+
+    from flu_data_pipeline_spark.operators.plan_metrics import (
+        collect_with_metrics,
+    )
+
+    chunk = 250
+    df = spark.createDataFrame(
+        [(i, 0, float(i)) for i in range(600)],
+        "vid long, cl long, dist double",
+    )
+    d = df.withColumn(
+        "chunk",
+        F.expr(
+            f"(row_number() over (partition by cl "
+            f"order by dist, vid) - 1) div {chunk}"
+        ),
+    ).localCheckpoint(eager=True)
+    better = (F.col("dist_y") > F.col("dist_x")) | (
+        (F.col("dist_y") == F.col("dist_x"))
+        & (F.col("vid_y") < F.col("vid_x"))
+    )
+
+    def pair_metric(with_chunk: bool) -> int:
+        x = d.select(
+            F.col("vid").alias("vid_x"),
+            F.col("cl").alias("cl_x"),
+            F.col("chunk").alias("ch_x"),
+            F.col("dist").alias("dist_x"),
+        )
+        y = d.select(
+            F.col("vid").alias("vid_y"),
+            F.col("cl").alias("cl_y"),
+            F.col("chunk").alias("ch_y"),
+            F.col("dist").alias("dist_y"),
+        )
+        cond = (F.col("cl_x") == F.col("cl_y")) & better
+        if with_chunk:
+            cond = cond & (F.col("ch_x") == F.col("ch_y"))
+        probe = x.join(y, cond).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        rows, mets = collect_with_metrics(probe, "Join")
+        assert len(mets) == 1
+        assert int(mets[0]["numOutputRows"]) == int(rows[0]["cnt"])
+        return int(mets[0]["numOutputRows"])
+
+    bound = 600 * (chunk - 1) // 2  # 74_700
+    capped = pair_metric(with_chunk=True)
+    uncapped = pair_metric(with_chunk=False)
+    # chunks of 250/250/100 -> 31125 + 31125 + 4950
+    assert capped == 67_200 and capped <= bound
+    # the skewed cluster's full dominance join: 600*599/2
+    assert uncapped == 179_700 and uncapped > bound
+
+
+def test_files_metric_flat_layout_negative(spark, tmp_path):
+    """ivf_pruning_files_metric's files_read claim rests on the
+    partitioned LAYOUT: the same logical filter over a FLAT copy opens
+    every file (numFiles == all files written), which the registered
+    query's bound (files_read <= probed lists) would reject."""
+    from pyspark.sql import functions as F
+
+    from flu_data_pipeline_spark.operators.plan_metrics import (
+        collect_with_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 8) for i in range(4000)], "vec_id long, list_id int"
+    )
+    flat = str(tmp_path / "flat")
+    df.repartition(6).write.parquet(flat)
+    probe = (
+        spark.read.parquet(flat)
+        .filter(F.col("list_id").isin([1, 3]))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    rows, mets = collect_with_metrics(probe, "Scan parquet")
+    assert len(mets) == 1
+    # every row of every file carries every list_id value, so the
+    # row-group/data filter prunes nothing: the flat layout reads all
+    # 6 files to answer a 2-list probe
+    assert int(mets[0]["numFiles"]) == 6
+    assert int(rows[0]["n"]) == 1000

@@ -687,3 +687,41 @@ def test_pysource_contradictory_equalities_yield_empty_scan():
         [EqualTo(("event_type",), "view"), EqualTo(("event_type",), "view")]
     ))
     assert r2.id_hi > r2.id_lo and r2.etype == "view"
+
+
+def test_cleaned_corpus_pipeline_runtime(spark, tmp_path):
+    """Cleaned-corpus write path, runtime contract: partitioned layout
+    on disk, second-run ZERO delta (full-batch replay appends nothing),
+    and fingerprint invalidation rebuilds from scratch."""
+    from flu_data_pipeline_spark.plans.text_queries import (
+        _cleaned_corpus_paths,
+    )
+
+    base = str(tmp_path / "cleaned")
+    corpus, manifest, rerun = _cleaned_corpus_paths(
+        spark, SF_SMOKE, base_dir=base
+    )
+    # first invocation: built + replayed; replay must append nothing
+    assert rerun == 0
+    # hive layout: one directory per source partition
+    parts = [d for d in os.listdir(corpus) if d.startswith("source=")]
+    assert len(parts) > 1
+    back = spark.read.parquet(corpus)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    assert back.count() == docs.count()
+    # every doc exactly once (PK holds through append + replay)
+    assert back.select("doc_id").distinct().count() == docs.count()
+    # manifest covers the corpus, shards contiguous from 0 per source
+    man = spark.read.parquet(manifest)
+    assert man.count() == docs.count()
+    assert man.agg(F.min("shard_id")).first()[0] == 0
+    # second invocation on the SAME fingerprint: no rebuild, still 0
+    _, _, rerun2 = _cleaned_corpus_paths(spark, SF_SMOKE, base_dir=base)
+    assert rerun2 == 0
+    assert back.count() == docs.count()
+    # stale fingerprint forces a rebuild (never serve a stale corpus)
+    with open(os.path.join(corpus, "_SRC_FINGERPRINT"), "w") as fh:
+        fh.write("stale")
+    _, _, rerun3 = _cleaned_corpus_paths(spark, SF_SMOKE, base_dir=base)
+    assert rerun3 == 0
+    assert spark.read.parquet(corpus).count() == docs.count()

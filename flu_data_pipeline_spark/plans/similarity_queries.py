@@ -3957,9 +3957,11 @@ def semdedup_drop_witnesses(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join condition or a dropped chunk key turns the correctness row "
     "red two ways. Negative-tested in tests/test_plans.py: the "
     "UNCHUNKED pair join on a skewed frame exceeds the bound the "
-    "chunked join satisfies.",
+    "chunked join satisfies. Deliberately unbenched (the "
+    "semdedup_scale_fidelity precedent): it re-executes the same "
+    "two-level fit dedup_semdedup_scale already times — benching it "
+    "would double-count that cost without adding signal.",
     tags=("similarity", "dedup", "scale-proof", "metrics"),
-    bench=True,
 )
 def semdedup_pair_cap_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flu_data_pipeline_spark.operators.clustering import (
@@ -4152,3 +4154,275 @@ def ivf_pruning_files_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         "files_read bigint, lists_total bigint, files_skipped bigint, "
         "rows_scanned bigint, rows_total bigint",
     )
+
+
+#: nprobe levels of the serving frontier (k = _KMEANS_K lists, so the
+#: top level probes every list: flat recall == 1 there by construction
+#: and the sq8 row isolates pure quantization loss)
+_FRONTIER_NPROBES = (1, 2, 4, 8)
+
+#: Spark-side SQ8 reconstruction (identical arithmetic to
+#: ann_sq8_asymmetric's inline form; expects lo/hi bounds columns in
+#: scope next to `embedding`)
+_SQ8_RECON_EXPR = (
+    "transform(sequence(0, 63), i -> lo[i] + "
+    "CAST(FLOOR(CASE WHEN hi[i] = lo[i] THEN 0.0D ELSE "
+    "255.0D * (CAST(embedding[i] AS DOUBLE) - lo[i]) "
+    "/ (hi[i] - lo[i]) END + 0.5D) AS BIGINT) * "
+    "(CASE WHEN hi[i] = lo[i] THEN 0.0D "
+    "ELSE (hi[i] - lo[i]) / 255.0D END))"
+)
+
+
+@register(
+    "ann_serving_frontier",
+    oracle=kmeans_oracle_sql(
+        "embeddings", "embedding", "vec_id",
+        k=_KMEANS_K, iters=_KMEANS_ITERS + 1,
+    )
+    + f""",
+    emb AS (
+        SELECT e.vec_id, e.embedding, a.cluster AS cluster_id
+        FROM embeddings e JOIN asg{_KMEANS_ITERS + 1} a ON a.id = e.vec_id
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id >= 100 AND vec_id < 105
+    ),
+    pr AS (
+        SELECT q.query_id, c.cluster AS probe_cluster,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_SQDIST_IVF_SQL.format(v='q.q_emb', c='c.c')},
+                            c.cluster
+               ) AS prn
+        FROM q CROSS JOIN c{_KMEANS_ITERS} c
+    ),
+    np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+    dimstats AS (
+        SELECT t.i,
+               MIN(CAST(embedding[t.i] AS DOUBLE)) AS mn,
+               MAX(CAST(embedding[t.i] AS DOUBLE)) AS mx
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(range(1, 64 + 1)) AS i) t
+        GROUP BY t.i
+    ),
+    bounds AS (
+        SELECT list(mn ORDER BY i) AS lo, list(mx ORDER BY i) AS hi
+        FROM dimstats
+    ),
+    cand AS (
+        SELECT n.nprobe, p.query_id, m.vec_id AS neighbor_id,
+               {_cos_sql('q.q_emb', 'm.embedding')} AS cos_flat,
+               {_cos_sql(
+                   'q.q_emb',
+                   _SQ8_RECON_SQL.format(
+                       v='m.embedding', lo='b.lo', hi='b.hi'),
+               )} AS cos_sq8
+        FROM np n
+        JOIN pr p ON p.prn <= n.nprobe
+        JOIN q ON q.query_id = p.query_id
+        JOIN emb m ON m.cluster_id = p.probe_cluster
+                  AND m.vec_id <> p.query_id
+        CROSS JOIN bounds b
+    ),
+    brute AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.query_id
+            ORDER BY {_cos_sql('q.q_emb', 'c.embedding')} DESC, c.vec_id
+        ) <= 3
+    ),
+    per AS (
+        SELECT nprobe, 'flat' AS code, query_id, neighbor_id FROM (
+            SELECT nprobe, query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY nprobe, query_id
+                       ORDER BY cos_flat DESC, neighbor_id) AS rn
+            FROM cand
+        ) WHERE rn <= 3
+        UNION ALL
+        SELECT nprobe, 'sq8' AS code, query_id, neighbor_id FROM (
+            SELECT nprobe, query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY nprobe, query_id
+                       ORDER BY cos_sq8 DESC, neighbor_id) AS rn
+            FROM cand
+        ) WHERE rn <= 3
+    ),
+    grid AS (
+        SELECT n.nprobe, x.code
+        FROM np n CROSS JOIN (SELECT unnest(['flat', 'sq8']) AS code) x
+    ),
+    joined AS (
+        SELECT g.code, g.nprobe,
+               CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM grid g
+        CROSS JOIN brute b
+        LEFT JOIN per p ON p.code = g.code AND p.nprobe = g.nprobe
+                       AND p.query_id = b.query_id
+                       AND p.neighbor_id = b.neighbor_id
+    ),
+    ncand AS (
+        SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        FROM cand GROUP BY nprobe
+    )
+    SELECT j.code, CAST(j.nprobe AS INT) AS nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_truth_slots,
+           CAST(SUM(j.hit) AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(j.hit) AS DOUBLE) / COUNT(*), 6) AS recall_at_3,
+           nc.n_candidates
+    FROM joined j JOIN ncand nc ON nc.nprobe = j.nprobe
+    GROUP BY j.code, j.nprobe, nc.n_candidates
+    ORDER BY j.code, j.nprobe
+    """,
+    doc="The vector-serving TUNING TABLE the ANN rollout review asks "
+    "for: recall@3 against exact brute-force truth AND candidate "
+    f"volume (the cost axis) at nprobe = {_FRONTIER_NPROBES} x code "
+    "type (flat float vs SQ8 int8 asymmetric), all served from the "
+    "MATERIALIZED list_id-partitioned IVF layout — each probe level "
+    "collects its list ids at the serving edge (O(queries x nprobe) "
+    "ints) and scans a directory-pruned slice (PartitionFilters "
+    "asserted per level, the self-proving layout discipline), so the "
+    "measured n_candidates is literally the rows each configuration "
+    "reads. nprobe=8 probes every list: the flat row pins recall 1.0 "
+    "by construction and the sq8 row isolates pure quantization loss; "
+    "lower levels price recall against bytes scanned — the "
+    "recall/cost frontier that picks (nprobe, code) before a "
+    "deployment, generalizing ann_nprobe_sweep (operator-level, flat "
+    "only) to the serving stack. Training, probes, SQ8 "
+    "reconstruction, search, and truth replay exactly in unrolled SQL "
+    "(SemDeDup-fidelity-audit precedent: measured quality numbers are "
+    "oracle-checked, not asserted). PQ codes keep their own audited "
+    "path (ann_pq_adc / ann_ivf_pq).",
+    tags=("similarity", "ivf", "layout", "quality", "eval", "scale-proof"),
+    bench=True,
+)
+def ann_serving_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.operators.clustering import sqdist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fact_path, cents_path = _ivf_layout_path(spark, sf_dir)
+    fact = spark.read.parquet(fact_path)
+    cdf = spark.read.parquet(cents_path)
+    queries = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    brute = (
+        F.broadcast(queries)
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_emb"),
+            ),
+            F.col("query_id") != F.col("neighbor_id"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    bounds = emb.agg(
+        *[
+            F.min(F.col("embedding")[i].cast("double")).alias(f"lo{i}")
+            for i in range(64)
+        ],
+        *[
+            F.max(F.col("embedding")[i].cast("double")).alias(f"hi{i}")
+            for i in range(64)
+        ],
+    ).select(
+        F.array(*[F.col(f"lo{i}") for i in range(64)]).alias("lo"),
+        F.array(*[F.col(f"hi{i}") for i in range(64)]).alias("hi"),
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.asc("cdist"), F.asc("cluster")
+    )
+    ranked = (
+        queries.join(F.broadcast(cdf))
+        .select(
+            "query_id",
+            "q_emb",
+            "cluster",
+            sqdist(F.col("q_emb"), F.col("c")).alias("cdist"),
+        )
+        .withColumn("prn", F.row_number().over(wprobe))
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for p in _FRONTIER_NPROBES:
+        probes = ranked.filter(F.col("prn") <= p).select(
+            "query_id", "q_emb", F.col("cluster").alias("probe_cluster")
+        )
+        # serving edge: this level's probed list ids (tiny int set)
+        ids = sorted(
+            {r["probe_cluster"] for r in probes.select("probe_cluster").collect()}
+        )
+        pruned = fact.filter(F.col("list_id").isin(ids))
+        _assert_partition_pruned(pruned)
+        scored = (
+            pruned.join(
+                F.broadcast(probes),
+                (F.col("list_id") == F.col("probe_cluster"))
+                & (F.col("vec_id") != F.col("query_id")),
+            )
+            .crossJoin(F.broadcast(bounds))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cosine(F.col("q_emb"), F.col("embedding")).alias("cos_flat"),
+                cosine(F.col("q_emb"), F.expr(_SQ8_RECON_EXPR)).alias(
+                    "cos_sq8"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        ncand = scored.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+        )
+        for code, col in (("flat", "cos_flat"), ("sq8", "cos_sq8")):
+            wtop = Window.partitionBy("query_id").orderBy(
+                F.desc(col), F.asc("neighbor_id")
+            )
+            approx = (
+                scored.withColumn("rn", F.row_number().over(wtop))
+                .filter(F.col("rn") <= 3)
+                .select(
+                    F.col("query_id").alias("a_qid"),
+                    F.col("neighbor_id").alias("a_nid"),
+                )
+            )
+            hit = F.col("a_nid").isNotNull()
+            row = (
+                brute.join(
+                    approx,
+                    (F.col("query_id") == F.col("a_qid"))
+                    & (F.col("neighbor_id") == F.col("a_nid")),
+                    "left",
+                )
+                .agg(
+                    F.lit(code).alias("code"),
+                    F.lit(p).cast("int").alias("nprobe"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_truth_slots"),
+                    F.sum(hit.cast("int")).cast("long").alias("n_hit"),
+                    F.round(
+                        F.sum(hit.cast("int")).cast("double")
+                        / F.count(F.lit(1)),
+                        6,
+                    ).alias("recall_at_3"),
+                )
+                .crossJoin(F.broadcast(ncand))
+            )
+            out = row if out is None else out.unionAll(row)
+    return out.orderBy("code", "nprobe")

@@ -143,6 +143,20 @@ def main() -> None:
         # its single run is ~11 min of pure N*k join (noise <<1%), and
         # the row exists to MEASURE that asymptote, not to tune it.
         single_sf10 = {"dedup_semdedup"}
+        print("## sf10 — fifth decade (scale twins)\n")
+        print(
+            "Generated by `scripts/scaling_check.py --sf10-twins` "
+            "(.testdata/sf10 = 100x sf0.1 via scripts/gen_sf1.py, 60M "
+            "lineitem / 500k documents / 200k embeddings). Best-of-2 "
+            "per cell except the brute `dedup_semdedup` twin's sf10 "
+            "cell (single ~10-min run; the row exists to MEASURE the "
+            "N*k asymptote, and at that duration fixed overheads are "
+            "noise). The IVF serving layout is pre-materialized for "
+            "both scales before timing — index build is a one-time "
+            "cost a vector store amortizes, and timing it inside one "
+            "query's cell misread as a fake 28x decade while the next "
+            "query (same layout, now cached) read 1.8x.\n"
+        )
         print("| query | sf1 s | sf10 s | r10000_1000 |")
         print("|---|---|---|---|")
         for name in TWIN_QUERIES:

@@ -1662,3 +1662,96 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@register(
+    "lsh_band_pair_metric",
+    oracle=f"""
+    WITH {_SHINGLED_DISTINCT_SQL}, {_SIG_SQL},
+    bands AS (
+{_BANDS_SQL}
+    ),
+    grp AS (
+        SELECT band_idx, band_key, COUNT(*) AS c
+        FROM bands GROUP BY band_idx, band_key
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sig) AS n_docs,
+           CAST(SUM(c) AS BIGINT) AS n_band_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(c) AS BIGINT) AS max_bucket,
+           CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS pair_candidates
+    FROM grp
+    """,
+    doc="Banded-LSH candidate VOLUME proven from execution metrics — "
+    "the third self-proving-v2 gate (with semdedup_pair_cap_metric "
+    "and ivf_pruning_files_metric): the builder executes the band-"
+    "bucket self-join dedup_minhash_lsh_pairs runs (pre-distinct) and "
+    "emits the join node's numOutputRows SQLMetric as "
+    "pair_candidates; the oracle replays signatures + banding and "
+    "computes sum over (band_idx, band_key) buckets of c*(c-1)/2 with "
+    "no join at all. Candidate volume is THE scaling number for "
+    "MinHash dedup (bucket sizes, not n^2, bound the shuffle — the "
+    "claim every banded-LSH docstring makes); a hash match means the "
+    "executed join moved exactly the pairs the bucket arithmetic "
+    "admits, and max_bucket is the skew indicator an operator watches "
+    "before raising the band count. The builder cross-checks metric "
+    "== collected count (one execution) so a wrong-node read cannot "
+    "pass silently.",
+    tags=("dedup", "minhash", "scale-proof", "metrics"),
+)
+def lsh_band_pair_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.operators.dedup import (
+        lsh_bands,
+        minhash_signatures,
+    )
+    from flu_data_pipeline_spark.operators.plan_metrics import (
+        collect_with_metrics,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", NUM_HASHES)
+    banded = lsh_bands(sig, "doc_id", NUM_HASHES, BAND_SIZE).localCheckpoint(
+        eager=False
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    probe = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    rows, mets = collect_with_metrics(probe, "Join")
+    if len(mets) != 1:
+        raise AssertionError(
+            f"expected exactly 1 join node in the band probe, "
+            f"found {len(mets)}"
+        )
+    pair_metric = int(mets[0]["numOutputRows"])
+    if pair_metric != int(rows[0]["cnt"]):
+        raise AssertionError(
+            f"join metric {pair_metric} != collected pair count "
+            f"{rows[0]['cnt']} — wrong node read"
+        )
+    stats = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum("c").cast("bigint").alias("n_band_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("c").cast("bigint").alias("max_bucket"),
+        )
+        .first()
+    )
+    n_docs = sig.count()
+    return spark.createDataFrame(
+        [(
+            n_docs,
+            int(stats["n_band_rows"]),
+            int(stats["n_buckets"]),
+            int(stats["max_bucket"]),
+            pair_metric,
+        )],
+        "n_docs bigint, n_band_rows bigint, n_buckets bigint, "
+        "max_bucket bigint, pair_candidates bigint",
+    )

@@ -179,6 +179,11 @@ BNLJ_AUDITED: dict[str, str] = {
                                  #     doc<>doc
     "text_hashed_embedding_projection": "b",  # (b) 2048x64 literal
                                  #     projection grid (range x range)
+    # round-7 additions:
+    "ann_serving_frontier": "ab",  # (a) 1-row SQ8 min/max bounds agg;
+                                 #     (b) 5 query vectors + k-row
+                                 #     centroid/probe broadcasts,
+                                 #     id<>id brute truth
 }
 
 

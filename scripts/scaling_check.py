@@ -101,6 +101,11 @@ TWIN_QUERIES = [
     "dedup_ngram_jaccard_capped",  # + adaptive hot-shingle df cap
     "ivf_layout_pruning_gain",    # partition-pruned IVF serving layout
     "rag_retrieval_hydrated",     # probe -> prune -> rerank -> hydrate
+    # round-7 additions:
+    "ann_serving_frontier",       # recall/cost table off the layout
+    "corpus_cleaned_write_pipeline",  # surgery -> partitioned write ->
+                                  # shard manifest -> zero-delta replay
+    "semdedup_pair_cap_metric",   # executed-metric pair bound at scale
 ]
 
 
@@ -136,9 +141,16 @@ def main() -> None:
         from flu_data_pipeline_spark.plans.similarity_queries import (
             _ivf_layout_path,
         )
+        from flu_data_pipeline_spark.plans.text_queries import (
+            _cleaned_corpus_paths,
+        )
 
         for d in (_SF1_DIR, _SF10_DIR):
             _ivf_layout_path(spark, d)
+            # same one-time-artifact rule for the cleaned corpus: the
+            # timed cell measures readback + zero-delta replay (the
+            # steady state), not the initial build
+            _cleaned_corpus_paths(spark, d)
         # Best-of-2 everywhere except the brute semdedup twin at sf10:
         # its single run is ~11 min of pure N*k join (noise <<1%), and
         # the row exists to MEASURE that asymptote, not to tune it.

@@ -84,20 +84,30 @@ def decode_stub(
                     "media decode requires codec libraries not present in "
                     "this environment; plug a real decoder in here"
                 )
-            feats = []
-            for _, row in pdf.iterrows():
-                checksum = row["meta"]["checksum_md5"]
-                n = int(row["meta"]["n_bytes"])
-                feats.append(
-                    [float((int(checksum[i * 2 : i * 2 + 2], 16) + n) % 251)
-                     for i in range(feature_dim)]
-                )
+            # Vectorized fake-feature derivation: a real decoder would
+            # also operate on whole Arrow columns per batch (e.g. a
+            # batched model forward), never per-row Python — keep the
+            # exemplar shaped the way a copier should copy it.
+            meta = pd.DataFrame(list(pdf["meta"]))
+            n = meta["n_bytes"].astype("int64")
+            feats = pd.DataFrame(
+                {
+                    i: (
+                        meta["checksum_md5"]
+                        .str.slice(i * 2, i * 2 + 2)
+                        .apply(int, base=16)
+                        + n
+                    )
+                    % 251
+                    for i in range(feature_dim)
+                }
+            ).astype("float64")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "modality": [m["modality"] for m in pdf["meta"]],
-                    "n_bytes": [int(m["n_bytes"]) for m in pdf["meta"]],
-                    "feature": feats,
+                    "modality": meta["modality"],
+                    "n_bytes": n,
+                    "feature": feats.values.tolist(),
                 }
             )
 

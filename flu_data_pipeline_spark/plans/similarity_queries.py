@@ -4447,3 +4447,303 @@ def ann_serving_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             out = row if out is None else out.unionAll(row)
     return out.orderBy("code", "nprobe")
+
+
+@register(
+    "ann_serving_frontier_pq",
+    oracle=kmeans_oracle_sql(
+        "embeddings", "embedding", "vec_id",
+        k=_KMEANS_K, iters=_KMEANS_ITERS + 1,
+    )
+    + f""",
+    emb AS (
+        SELECT e.vec_id, e.embedding, a.cluster AS cluster_id
+        FROM embeddings e JOIN asg{_KMEANS_ITERS + 1} a ON a.id = e.vec_id
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id >= 100 AND vec_id < 105
+    ),
+    pr AS (
+        SELECT q.query_id, c.cluster AS probe_cluster,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_SQDIST_IVF_SQL.format(v='q.q_emb', c='c.c')},
+                            c.cluster
+               ) AS prn
+        FROM q CROSS JOIN c{_KMEANS_ITERS} c
+    ),
+    np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+    js AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+    vecsub AS (
+        SELECT vec_id, j,
+               list_transform(range(1, {_PQ_D} + 1),
+                              i -> embedding[j * {_PQ_D} + i]) AS sub
+        FROM embeddings CROSS JOIN js
+    ),
+    centsub AS (
+        SELECT vec_id AS cent_id, j,
+               list_transform(range(1, {_PQ_D} + 1),
+                              i -> embedding[j * {_PQ_D} + i]) AS csub
+        FROM embeddings CROSS JOIN js
+        WHERE vec_id < {_PQ_K}
+    ),
+    codes AS (
+        SELECT vec_id, j, cent_id AS code
+        FROM (
+            SELECT v.vec_id, v.j, c.cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id, v.j
+                       ORDER BY {_PQ_L2_SQL.format(d=_PQ_D, a='v.sub', b='c.csub')},
+                                c.cent_id) AS rn
+            FROM vecsub v JOIN centsub c ON c.j = v.j)
+        WHERE rn = 1
+    ),
+    adc AS (
+        SELECT vs.vec_id AS query_id, c.j, c.cent_id,
+               CAST(FLOOR({_PQ_L2_SQL.format(d=_PQ_D, a='vs.sub', b='c.csub')}
+                          * {_PQ_SCALE}) AS BIGINT) AS d9
+        FROM vecsub vs JOIN centsub c ON c.j = vs.j
+        WHERE vs.vec_id >= 100 AND vs.vec_id < 105
+    ),
+    cand AS (
+        SELECT n.nprobe, p.query_id, m.vec_id AS neighbor_id
+        FROM np n
+        JOIN pr p ON p.prn <= n.nprobe
+        JOIN emb m ON m.cluster_id = p.probe_cluster
+                  AND m.vec_id <> p.query_id
+    ),
+    scoredq AS (
+        SELECT cd.nprobe, cd.query_id, cd.neighbor_id,
+               CAST(SUM(a.d9) AS BIGINT) AS dist9
+        FROM cand cd
+        JOIN codes n ON n.vec_id = cd.neighbor_id
+        JOIN adc a ON a.query_id = cd.query_id
+                  AND a.j = n.j AND a.cent_id = n.code
+        GROUP BY cd.nprobe, cd.query_id, cd.neighbor_id
+    ),
+    per AS (
+        SELECT nprobe, query_id, neighbor_id FROM (
+            SELECT nprobe, query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY nprobe, query_id
+                       ORDER BY dist9, neighbor_id) AS rn
+            FROM scoredq
+        ) WHERE rn <= 3
+    ),
+    brutel2 AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.query_id
+            ORDER BY {_SQDIST_IVF_SQL.format(v='q.q_emb', c='c.embedding')},
+                     c.vec_id
+        ) <= 3
+    ),
+    joined AS (
+        SELECT n.nprobe,
+               CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM np n
+        CROSS JOIN brutel2 b
+        LEFT JOIN per p ON p.nprobe = n.nprobe
+                       AND p.query_id = b.query_id
+                       AND p.neighbor_id = b.neighbor_id
+    ),
+    ncand AS (
+        SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        FROM cand GROUP BY nprobe
+    )
+    SELECT 'pq' AS code, CAST(j.nprobe AS INT) AS nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_truth_slots,
+           CAST(SUM(j.hit) AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(j.hit) AS DOUBLE) / COUNT(*), 6) AS recall_at_3,
+           nc.n_candidates
+    FROM joined j JOIN ncand nc ON nc.nprobe = j.nprobe
+    GROUP BY j.nprobe, nc.n_candidates
+    ORDER BY nprobe
+    """,
+    doc="The PQ rows of the serving tuning table — completing the "
+    "(flat / SQ8 / PQ) code-type triple with ann_serving_frontier: "
+    "the same nprobe sweep off the materialized list_id-partitioned "
+    "IVF layout (per-level PartitionFilters asserted), but candidates "
+    f"are scored by PQ asymmetric distance ({_PQ_M} int64 table "
+    "lookups per neighbor, database vectors never touched after "
+    "encoding — ann_pq_adc's fixed-point ADC) and recall@3 is "
+    "measured against the EXACT L2 brute truth, not the cosine truth "
+    "the float codes use: PQ approximates its own metric, and scoring "
+    "an L2-trained code against cosine ground truth would conflate "
+    "metric mismatch with quantization loss — a serving eval measures "
+    "each index against exact search under the same metric. Output "
+    "schema matches ann_serving_frontier row-for-row (union the two "
+    "for the full table). At 100 TB the codes column is precomputed "
+    "at ingest (multimodal CAS precedent), not re-encoded per query — "
+    "here encoding rides the query so the oracle can replay it "
+    "bit-for-bit.",
+    tags=("similarity", "ivf", "pq", "layout", "quality", "eval"),
+    bench=True,
+)
+def ann_serving_frontier_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.operators.clustering import sqdist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fact_path, cents_path = _ivf_layout_path(spark, sf_dir)
+    fact = spark.read.parquet(fact_path)
+    cdf = spark.read.parquet(cents_path)
+    queries = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # exact L2 truth (PQ approximates L2 — same-metric ground truth)
+    wb = Window.partitionBy("query_id").orderBy(
+        F.asc("l2"), F.asc("neighbor_id")
+    )
+    brute = (
+        F.broadcast(queries)
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_emb"),
+            ),
+            F.col("query_id") != F.col("neighbor_id"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            sqdist(F.col("q_emb"), F.col("c_emb")).alias("l2"),
+        )
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    # PQ encode (all vectors) + per-query ADC tables
+    j_col = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("j")
+    vecsub = emb.select("vec_id", "embedding", j_col).select(
+        "vec_id",
+        "j",
+        F.expr(f"slice(embedding, j * {_PQ_D} + 1, {_PQ_D})").alias("sub"),
+    )
+    centsub = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("cent_id"), "embedding", j_col)
+        .select(
+            "cent_id",
+            "j",
+            F.expr(f"slice(embedding, j * {_PQ_D} + 1, {_PQ_D})").alias(
+                "csub"
+            ),
+        )
+    )
+    codes = (
+        vecsub.join(F.broadcast(centsub), "j")
+        .select(
+            "vec_id",
+            "j",
+            F.struct(
+                _l2sq(F.col("sub"), F.col("csub")).alias("d"),
+                F.col("cent_id").alias("c"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id", "j")
+        .agg(F.min("dc").alias("best"))
+        .select("vec_id", "j", F.col("best.c").alias("code"))
+        .localCheckpoint(eager=False)
+    )
+    adc = (
+        vecsub.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(centsub), "j")
+        .select(
+            "query_id",
+            "j",
+            "cent_id",
+            F.floor(_l2sq(F.col("sub"), F.col("csub")) * _PQ_SCALE)
+            .cast("long")
+            .alias("d9"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.asc("cdist"), F.asc("cluster")
+    )
+    ranked = (
+        queries.join(F.broadcast(cdf))
+        .select(
+            "query_id",
+            "cluster",
+            sqdist(F.col("q_emb"), F.col("c")).alias("cdist"),
+        )
+        .withColumn("prn", F.row_number().over(wprobe))
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for p in _FRONTIER_NPROBES:
+        probes = ranked.filter(F.col("prn") <= p).select(
+            "query_id", F.col("cluster").alias("probe_cluster")
+        )
+        ids = sorted(
+            {r["probe_cluster"] for r in probes.select("probe_cluster").collect()}
+        )
+        pruned = fact.select("vec_id", "list_id").filter(
+            F.col("list_id").isin(ids)
+        )
+        _assert_partition_pruned(pruned)
+        cand = pruned.join(
+            F.broadcast(probes),
+            (F.col("list_id") == F.col("probe_cluster"))
+            & (F.col("vec_id") != F.col("query_id")),
+        ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+        adc_r = (
+            adc.withColumnRenamed("query_id", "a_qid")
+            .withColumnRenamed("j", "a_j")
+        )
+        scored = (
+            cand.join(codes, F.col("neighbor_id") == F.col("vec_id"))
+            .join(
+                F.broadcast(adc_r),
+                (F.col("query_id") == F.col("a_qid"))
+                & (F.col("j") == F.col("a_j"))
+                & (F.col("code") == F.col("cent_id")),
+            )
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.sum("d9").cast("long").alias("dist9"))
+            .localCheckpoint(eager=True)
+        )
+        ncand = cand.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+        )
+        wtop = Window.partitionBy("query_id").orderBy(
+            F.asc("dist9"), F.asc("neighbor_id")
+        )
+        approx = (
+            scored.withColumn("rn", F.row_number().over(wtop))
+            .filter(F.col("rn") <= 3)
+            .select(
+                F.col("query_id").alias("p_qid"),
+                F.col("neighbor_id").alias("p_nid"),
+            )
+        )
+        hit = F.col("p_nid").isNotNull()
+        row = (
+            brute.join(
+                approx,
+                (F.col("query_id") == F.col("p_qid"))
+                & (F.col("neighbor_id") == F.col("p_nid")),
+                "left",
+            )
+            .agg(
+                F.lit("pq").alias("code"),
+                F.lit(p).cast("int").alias("nprobe"),
+                F.count(F.lit(1)).cast("bigint").alias("n_truth_slots"),
+                F.sum(hit.cast("int")).cast("long").alias("n_hit"),
+                F.round(
+                    F.sum(hit.cast("int")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("recall_at_3"),
+            )
+            .crossJoin(F.broadcast(ncand))
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("nprobe")

@@ -184,6 +184,10 @@ BNLJ_AUDITED: dict[str, str] = {
                                  #     (b) 5 query vectors + k-row
                                  #     centroid/probe broadcasts,
                                  #     id<>id brute truth
+    "ann_serving_frontier_pq": "ab",  # (a) 1-row candidate-count agg;
+                                 #     (b) 5 query vectors + 16x8
+                                 #     codebook/ADC-table broadcasts,
+                                 #     id<>id L2 brute truth
 }
 
 

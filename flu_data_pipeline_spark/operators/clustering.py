@@ -169,12 +169,15 @@ def kmeans_oracle_sql(
     dim: int = 64,
     round_dp: int = 6,
     init_every: int | None = None,
+    pre_ctes: str = "",
 ) -> str:
     """DuckDB CTE chain replaying :func:`kmeans_fit` exactly: same init
     (``init_every`` selects the modular-id adaptive-k mode), same fold
     order, same tie-break (ORDER BY dist, cluster), same 6dp centroid
     rounding, same empty-cluster carry-over. Yields the final
-    per-vector assignment as ``asg{iters}(id, cluster, dist)``."""
+    per-vector assignment as ``asg{iters}(id, cluster, dist)``.
+    ``pre_ctes`` injects caller CTEs right after WITH (e.g. a filtered
+    ``base`` view to train on), so ``table`` may name one of them."""
     sq = _SQDIST_SQL
     init_src = (
         f"(SELECT * FROM {table} WHERE {id_col} % {init_every} = 0)"
@@ -214,7 +217,8 @@ def kmeans_oracle_sql(
             FROM avg{it + 1} GROUP BY cluster
         ) n ON n.cluster = p.cluster
     )""")
-    return "WITH " + ",\n    ".join(parts)
+    head = "WITH " + (pre_ctes + ",\n    " if pre_ctes else "")
+    return head + ",\n    ".join(parts)
 
 
 # ==========================================================================

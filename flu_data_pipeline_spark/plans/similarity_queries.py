@@ -4747,3 +4747,286 @@ def ann_serving_frontier_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("nprobe")
+
+
+@register(
+    "ann_ingest_drift_recall",
+    oracle=kmeans_oracle_sql(
+        "base", "embedding", "vec_id",
+        k=_KMEANS_K, iters=_KMEANS_ITERS + 1,
+        pre_ctes=(
+            "base AS (SELECT vec_id, embedding FROM embeddings "
+            f"WHERE vec_id % {_INGEST_MOD} <> {_INGEST_REM})"
+        ),
+    )
+    + f""",
+    asgnew AS (
+        SELECT e.vec_id AS id, c{_KMEANS_ITERS}.cluster,
+               {_SQDIST_IVF_SQL.format(
+                   v='e.embedding', c=f'c{_KMEANS_ITERS}.c')} AS dist
+        FROM (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id % {_INGEST_MOD} = {_INGEST_REM}) e
+        CROSS JOIN c{_KMEANS_ITERS}
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY {_SQDIST_IVF_SQL.format(
+                v='e.embedding', c=f'c{_KMEANS_ITERS}.c')},
+                c{_KMEANS_ITERS}.cluster) = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id >= 100 AND vec_id < 107
+          AND vec_id % {_INGEST_MOD} <> {_INGEST_REM}
+    ),
+    probes AS (
+        SELECT q.query_id, c.cluster AS probe_cluster
+        FROM q CROSS JOIN c{_KMEANS_ITERS} c
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.query_id
+            ORDER BY {_SQDIST_IVF_SQL.format(v='q.q_emb', c='c.c')},
+                     c.cluster) <= 2
+    ),
+    idx_pre AS (
+        SELECT a.id AS vec_id, a.cluster, e.embedding
+        FROM asg{_KMEANS_ITERS + 1} a
+        JOIN embeddings e ON e.vec_id = a.id
+    ),
+    idx_post AS (
+        SELECT * FROM idx_pre
+        UNION ALL
+        SELECT n.id, n.cluster, e.embedding
+        FROM asgnew n JOIN embeddings e ON e.vec_id = n.id
+    ),
+    truth_pre AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id
+        FROM q JOIN base c ON c.vec_id <> q.query_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.query_id
+            ORDER BY {_cos_sql('q.q_emb', 'c.embedding')} DESC, c.vec_id
+        ) <= 3
+    ),
+    truth_post AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.query_id
+            ORDER BY {_cos_sql('q.q_emb', 'c.embedding')} DESC, c.vec_id
+        ) <= 3
+    ),
+    cand_pre AS (
+        SELECT p.query_id, m.vec_id AS neighbor_id,
+               {_cos_sql('q.q_emb', 'm.embedding')} AS cos_raw
+        FROM probes p
+        JOIN q ON q.query_id = p.query_id
+        JOIN idx_pre m ON m.cluster = p.probe_cluster
+                      AND m.vec_id <> p.query_id
+    ),
+    cand_post AS (
+        SELECT p.query_id, m.vec_id AS neighbor_id,
+               {_cos_sql('q.q_emb', 'm.embedding')} AS cos_raw
+        FROM probes p
+        JOIN q ON q.query_id = p.query_id
+        JOIN idx_post m ON m.cluster = p.probe_cluster
+                       AND m.vec_id <> p.query_id
+    ),
+    ap_pre AS (
+        SELECT query_id, neighbor_id FROM cand_pre
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+        ) <= 3
+    ),
+    ap_post AS (
+        SELECT query_id, neighbor_id FROM cand_post
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+        ) <= 3
+    )
+    SELECT 'post' AS phase,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM idx_post) AS rows_indexed,
+           CAST(COUNT(*) AS BIGINT) AS n_truth_slots,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+               AS recall_at_3,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_post)
+               AS n_candidates
+    FROM truth_post b
+    LEFT JOIN ap_post a ON a.query_id = b.query_id
+                       AND a.neighbor_id = b.neighbor_id
+    UNION ALL
+    SELECT 'pre' AS phase,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM idx_pre),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_pre)
+    FROM truth_pre b
+    LEFT JOIN ap_pre a ON a.query_id = b.query_id
+                      AND a.neighbor_id = b.neighbor_id
+    ORDER BY phase
+    """,
+    doc="RECALL UNDER INGEST DRIFT — the measurement that justifies "
+    "ivf_index_ingest_maintenance's retrain flag: the quantizer is "
+    f"trained on the BASE corpus only (vec_id % {_INGEST_MOD} <> "
+    f"{_INGEST_REM} — the production index before a crawl refresh), "
+    "then the refresh batch is absorbed under the FROZEN quantizer "
+    "and the same nprobe=2 search is evaluated twice — 'pre' against "
+    "the base index with base-corpus truth, 'post' against the grown "
+    "index with full-corpus truth (each phase's ground truth is exact "
+    "brute top-3 over exactly the corpus that phase can possibly "
+    "return). The recall delta is the number the retraining decision "
+    "trades against ivf_index_ingest_maintenance's imbalance report: "
+    "lists drift from their trained centroids as unseen data arrives, "
+    "and new vectors filed by an old quantizer can land outside the "
+    "lists their true neighbors' queries probe. Training, frozen "
+    "assignment, probes, both truths, and both searches replay "
+    "exactly in unrolled SQL (the kmeans oracle generator gained a "
+    "pre_ctes hook so training can target the filtered base view).",
+    tags=("similarity", "ivf", "incremental", "quality", "eval"),
+    bench=True,
+)
+def ann_ingest_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.operators.clustering import (
+        assign_best,
+        centroid_df,
+        sqdist,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_new = (F.col("vec_id") % _INGEST_MOD) == _INGEST_REM
+    base = emb.filter(~is_new)
+    cents = kmeans_fit(
+        base, "embedding", "vec_id", k=_KMEANS_K, iters=_KMEANS_ITERS
+    )
+    cdf = centroid_df(spark, cents)
+    idx_pre = (
+        assign_best(base, "embedding", "vec_id", cents)
+        .select("vec_id", "cluster")
+        .join(emb, "vec_id")
+        .select("vec_id", "cluster", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    idx_new = (
+        assign_best(emb.filter(is_new), "embedding", "vec_id", cents)
+        .select("vec_id", "cluster")
+        .join(emb, "vec_id")
+        .select("vec_id", "cluster", "embedding")
+    )
+    idx_post = idx_pre.unionByName(idx_new).localCheckpoint(eager=True)
+    queries = emb.filter(
+        (F.col("vec_id") >= 100)
+        & (F.col("vec_id") < 107)
+        & ((F.col("vec_id") % _INGEST_MOD) != _INGEST_REM)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.asc("cdist"), F.asc("cluster")
+    )
+    probes = (
+        queries.join(F.broadcast(cdf))
+        .select(
+            "query_id",
+            "q_emb",
+            "cluster",
+            sqdist(F.col("q_emb"), F.col("c")).alias("cdist"),
+        )
+        .withColumn("prn", F.row_number().over(wprobe))
+        .filter(F.col("prn") <= 2)
+        .select("query_id", "q_emb", F.col("cluster").alias("probe_cluster"))
+        .localCheckpoint(eager=True)
+    )
+    wtop = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+
+    def truth_over(corpus: DataFrame) -> DataFrame:
+        return (
+            F.broadcast(queries)
+            .join(
+                corpus.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("c_emb"),
+                ),
+                F.col("query_id") != F.col("neighbor_id"),
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_raw"),
+            )
+            .withColumn("rn", F.row_number().over(wtop))
+            .filter(F.col("rn") <= 3)
+            .select("query_id", "neighbor_id")
+        )
+
+    out = None
+    for phase, idx, corpus in (
+        ("post", idx_post, emb),
+        ("pre", idx_pre, base),
+    ):
+        truth = truth_over(corpus).localCheckpoint(eager=True)
+        scored = (
+            F.broadcast(probes)
+            .join(
+                idx,
+                (F.col("cluster") == F.col("probe_cluster"))
+                & (F.col("vec_id") != F.col("query_id")),
+            )
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cosine(F.col("q_emb"), F.col("embedding")).alias("cos_raw"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        stats = idx.agg(
+            F.count(F.lit(1)).cast("bigint").alias("rows_indexed")
+        ).crossJoin(
+            F.broadcast(
+                scored.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+                )
+            )
+        )
+        approx = (
+            scored.withColumn("rn", F.row_number().over(wtop))
+            .filter(F.col("rn") <= 3)
+            .select(
+                F.col("query_id").alias("a_qid"),
+                F.col("neighbor_id").alias("a_nid"),
+            )
+        )
+        hit = F.col("a_nid").isNotNull()
+        row = (
+            truth.join(
+                approx,
+                (F.col("query_id") == F.col("a_qid"))
+                & (F.col("neighbor_id") == F.col("a_nid")),
+                "left",
+            )
+            .agg(
+                F.lit(phase).alias("phase"),
+                F.count(F.lit(1)).cast("bigint").alias("n_truth_slots"),
+                F.sum(hit.cast("int")).cast("long").alias("n_hit"),
+                F.round(
+                    F.sum(hit.cast("int")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("recall_at_3"),
+            )
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "phase",
+                "rows_indexed",
+                "n_truth_slots",
+                "n_hit",
+                "recall_at_3",
+                "n_candidates",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("phase")

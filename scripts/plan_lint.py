@@ -188,6 +188,11 @@ BNLJ_AUDITED: dict[str, str] = {
                                  #     (b) 5 query vectors + 16x8
                                  #     codebook/ADC-table broadcasts,
                                  #     id<>id L2 brute truth
+    "ann_ingest_drift_recall": "ab",  # (a) 1-row rows-indexed /
+                                 #     candidate-count aggs crossed;
+                                 #     (b) 6 query vectors + k-row
+                                 #     centroid/probe broadcasts,
+                                 #     id<>id per-phase brute truth
 }
 
 

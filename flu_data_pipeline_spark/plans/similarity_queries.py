@@ -5030,3 +5030,217 @@ def ann_ingest_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("phase")
+
+
+_PCA_K = 3  # deflated components (top-3 principal directions)
+
+
+def _pca_topk_oracle_sql() -> str:
+    """Chained-CTE DuckDB twin of the deflated power iteration: the
+    PC1 chain (_pi_oracle_sql) repeated per component, with an exact
+    integer DEFLATION between components — x_{{c+1}} = x_c - v(v.x)
+    computed as xq - floor(vq*dotq/1e4 + 0.5), all int64, so both
+    engines iterate on identical numbers for every component."""
+    ctes = [
+        f"""x0 AS MATERIALIZED (
+        SELECT vec_id, r.i AS dim,
+               CAST(ROUND(CAST(embedding[r.i] AS DOUBLE) * 1000000, 0)
+                    AS BIGINT) AS xq
+        FROM embeddings, range(1, {_PI_DIM + 1}) r(i)
+    )"""
+    ]
+    finals = []
+    for c in range(_PCA_K):
+        ctes.append(
+            f"""c{c}v0 AS (
+        SELECT i AS dim,
+               CASE WHEN i = 1 THEN CAST(1000000 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS vq
+        FROM range(1, {_PI_DIM + 1}) r(i)
+    )"""
+        )
+        for k in range(_PI_ITERS):
+            ctes.append(
+                f"""c{c}dot{k} AS (
+        SELECT x.vec_id,
+               CAST(floor(CAST(SUM(x.xq * v.vq) AS DOUBLE) / 100000000.0)
+                    AS BIGINT) AS dotq
+        FROM x{c} x JOIN c{c}v{k} v ON x.dim = v.dim
+        GROUP BY x.vec_id
+    )"""
+            )
+            ctes.append(
+                f"""c{c}s{k} AS (
+        SELECT x.dim, CAST(SUM(x.xq * d.dotq) AS BIGINT) AS s
+        FROM x{c} x JOIN c{c}dot{k} d ON x.vec_id = d.vec_id
+        GROUP BY x.dim
+    )"""
+            )
+            ctes.append(
+                f"""c{c}n{k} AS (
+        SELECT SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS n2
+        FROM c{c}s{k}
+    )"""
+            )
+            ctes.append(
+                f"""c{c}v{k + 1} AS (
+        SELECT dim,
+               CAST(floor(CAST(s AS DOUBLE)
+                          / sqrt(CAST(n2 AS DOUBLE)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS vq
+        FROM c{c}s{k} CROSS JOIN c{c}n{k}
+    )"""
+            )
+        # exact integer deflation under the converged component
+        ctes.append(
+            f"""c{c}dotF AS (
+        SELECT x.vec_id,
+               CAST(floor(CAST(SUM(x.xq * v.vq) AS DOUBLE) / 100000000.0)
+                    AS BIGINT) AS dotq
+        FROM x{c} x JOIN c{c}v{_PI_ITERS} v ON x.dim = v.dim
+        GROUP BY x.vec_id
+    )"""
+        )
+        ctes.append(
+            f"""x{c + 1} AS MATERIALIZED (
+        SELECT x.vec_id, x.dim,
+               CAST(x.xq - floor(CAST(v.vq * d.dotq AS DOUBLE)
+                                 / 10000.0 + 0.5) AS BIGINT) AS xq
+        FROM x{c} x
+        JOIN c{c}v{_PI_ITERS} v ON v.dim = x.dim
+        JOIN c{c}dotF d ON d.vec_id = x.vec_id
+    )"""
+        )
+        finals.append(
+            f"""
+    SELECT {c + 1} AS pc, v.dim,
+           CAST(v.vq AS DOUBLE) / 1000000.0 AS component,
+           sqrt(CAST(n.n2 AS DOUBLE)) / 1e10 AS eigval_est
+    FROM c{c}v{_PI_ITERS} v CROSS JOIN c{c}n{_PI_ITERS - 1} n"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + " UNION ALL ".join(finals)
+        + "\n    ORDER BY pc, dim"
+    )
+
+
+@register(
+    "embedding_pca_topk_deflation",
+    oracle=_pca_topk_oracle_sql(),
+    doc=f"Top-{_PCA_K} principal directions of the embedding corpus by "
+    "DEFLATED power iteration — the embedding-space health audit "
+    "behind 'all-but-the-top'-style postprocessing (Mu & Viswanath "
+    "2018: dominant directions carry corpus-wide bias; their relative "
+    "eigenvalues measure anisotropy, and an isotropic space retrieves "
+    "better): after each component converges "
+    f"({_PI_ITERS} matrix-free v <- X'Xv passes, two bounded "
+    "aggregations per pass, never a materialized covariance), the "
+    "corpus is deflated EXACTLY in integer arithmetic — "
+    "xq' = xq - floor(vq*dotq/1e4 + 0.5), int64 end to end — and the "
+    "next component runs on the residual, so both engines iterate on "
+    "bit-identical numbers for all components (the "
+    "embedding_top_pc_power_iteration re-quantization contract, "
+    "extended across the deflation boundary). Driver traffic is "
+    f"{_PCA_K}x({_PI_ITERS}+1) 64-scalar folds; everything else is "
+    "per-vector dots and per-dim sums over the exploded components — "
+    "the shape that scales to billions of rows. Output: "
+    f"{_PCA_K * _PI_DIM} rows (pc, dim, component, eigval_est); the "
+    "eigval ratio across pcs is the anisotropy number.",
+    tags=("similarity", "embedding", "stats", "curation"),
+    bench=True,
+)
+def embedding_pca_topk_deflation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "vf"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).alias("dim"),
+            F.round(F.col("vf").cast("double") * 1_000_000, 0)
+            .cast("long")
+            .alias("xq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rows = []
+    for c in range(_PCA_K):
+        vq = [1_000_000 if d == 1 else 0 for d in range(1, _PI_DIM + 1)]
+        norm2 = None
+        for _ in range(_PI_ITERS):
+            varr = F.array(*[F.lit(q) for q in vq])
+            dot = (
+                x.withColumn("vq", varr[F.col("dim") - 1])
+                .groupBy("vec_id")
+                .agg(
+                    F.floor(
+                        F.sum(F.col("xq") * F.col("vq")).cast("double")
+                        / 100_000_000.0
+                    )
+                    .cast("long")
+                    .alias("dotq")
+                )
+            )
+            s_rows = (
+                x.join(dot, "vec_id")
+                .groupBy("dim")
+                .agg(
+                    F.sum(F.col("xq") * F.col("dotq"))
+                    .cast("long")
+                    .alias("s")
+                )
+                .collect()
+            )
+            s = {r["dim"]: r["s"] for r in s_rows}
+            norm2 = sum(si * si for si in s.values())  # exact python int
+            root = math.sqrt(float(norm2))
+            vq = [
+                int(math.floor(float(s[d]) / root * 1_000_000.0 + 0.5))
+                for d in range(1, _PI_DIM + 1)
+            ]
+        eig = math.sqrt(float(norm2)) / 1e10
+        rows.extend(
+            (c + 1, d, vq[d - 1] / 1_000_000.0, eig)
+            for d in range(1, _PI_DIM + 1)
+        )
+        if c + 1 < _PCA_K:
+            # exact integer deflation under the converged component
+            varr = F.array(*[F.lit(q) for q in vq])
+            dotf = (
+                x.withColumn("vq", varr[F.col("dim") - 1])
+                .groupBy("vec_id")
+                .agg(
+                    F.floor(
+                        F.sum(F.col("xq") * F.col("vq")).cast("double")
+                        / 100_000_000.0
+                    )
+                    .cast("long")
+                    .alias("dotq")
+                )
+            )
+            x = (
+                x.join(dotf, "vec_id")
+                .select(
+                    "vec_id",
+                    "dim",
+                    (
+                        F.col("xq")
+                        - F.floor(
+                            (varr[F.col("dim") - 1] * F.col("dotq")).cast(
+                                "double"
+                            )
+                            / 10_000.0
+                            + 0.5
+                        ).cast("long")
+                    ).alias("xq"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return spark.createDataFrame(
+        rows, "pc int, dim int, component double, eigval_est double"
+    ).orderBy("pc", "dim")

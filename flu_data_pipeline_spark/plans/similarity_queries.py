@@ -5244,3 +5244,214 @@ def embedding_pca_topk_deflation(
     return spark.createDataFrame(
         rows, "pc int, dim int, component double, eigval_est double"
     ).orderBy("pc", "dim")
+
+
+@register(
+    "dedup_semdedup_incremental",
+    # iters+1: asg{N} is the assignment under the final centroids (see
+    # dedup_semdedup); the frozen quantizer is c{_KMEANS_ITERS}
+    oracle=kmeans_oracle_sql(
+        "base", "embedding", "vec_id",
+        iters=_KMEANS_ITERS + 1, init_every=_SEMDEDUP_INIT_EVERY,
+        pre_ctes=(
+            "base AS (SELECT vec_id, embedding FROM embeddings "
+            f"WHERE vec_id % {_INGEST_MOD} <> {_INGEST_REM})"
+        ),
+    )
+    + f""",
+    bnorm AS (
+        SELECT vec_id, embedding,
+               {_NORM_SQL.format(v='embedding')} AS nrm
+        FROM base
+    ),
+    dbase AS (
+        SELECT a.id AS vec_id, a.cluster, a.dist, n.embedding, n.nrm
+        FROM asg{_KMEANS_ITERS + 1} a JOIN bnorm n ON n.vec_id = a.id
+    ),
+    bdrops AS (
+        SELECT DISTINCT x.vec_id
+        FROM dbase x JOIN dbase y
+          ON x.cluster = y.cluster
+         AND (y.dist > x.dist
+              OR (y.dist = x.dist AND y.vec_id < x.vec_id))
+         AND {_DOT_SQL.format(a='x.embedding', b='y.embedding')}
+             / (x.nrm * y.nrm) >= {_SEMDEDUP_TAU}
+    ),
+    kept AS (
+        SELECT d.* FROM dbase d
+        WHERE d.vec_id NOT IN (SELECT vec_id FROM bdrops)
+    ),
+    nnorm AS (
+        SELECT vec_id, embedding,
+               {_NORM_SQL.format(v='embedding')} AS nrm
+        FROM embeddings
+        WHERE vec_id % {_INGEST_MOD} = {_INGEST_REM}
+    ),
+    asgnew AS (
+        SELECT n.vec_id, c.cluster,
+               {_SQDIST_IVF_SQL.format(v='n.embedding', c='c.c')} AS dist,
+               n.embedding, n.nrm
+        FROM nnorm n CROSS JOIN c{_KMEANS_ITERS} c
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY n.vec_id
+            ORDER BY {_SQDIST_IVF_SQL.format(v='n.embedding', c='c.c')},
+                     c.cluster) = 1
+    ),
+    dupidx AS (
+        SELECT DISTINCT n.vec_id
+        FROM asgnew n JOIN kept k
+          ON k.cluster = n.cluster
+         AND {_DOT_SQL.format(a='n.embedding', b='k.embedding')}
+             / (n.nrm * k.nrm) >= {_SEMDEDUP_TAU}
+    ),
+    dupbatch AS (
+        SELECT DISTINCT x.vec_id
+        FROM asgnew x JOIN asgnew y
+          ON x.cluster = y.cluster
+         AND (y.dist > x.dist
+              OR (y.dist = x.dist AND y.vec_id < x.vec_id))
+         AND {_DOT_SQL.format(a='x.embedding', b='y.embedding')}
+             / (x.nrm * y.nrm) >= {_SEMDEDUP_TAU}
+    )
+    SELECT n.vec_id, n.cluster,
+           ROUND(n.dist, 6) AS dist_to_centroid,
+           CAST(CASE WHEN di.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+               AS dup_vs_index,
+           CAST(CASE WHEN db.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+               AS dup_vs_batch,
+           CAST(CASE WHEN di.vec_id IS NULL AND db.vec_id IS NULL
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM asgnew n
+    LEFT JOIN dupidx di ON di.vec_id = n.vec_id
+    LEFT JOIN dupbatch db ON db.vec_id = n.vec_id
+    ORDER BY n.vec_id
+    """,
+    doc="INCREMENTAL SemDeDup — the crawl-refresh shape for the "
+    "semantic family, completing the trilogy with "
+    "dedup_incremental_ingest (exact + band tiers) and "
+    "ann_ingest_drift_recall (retrieval impact): the base corpus is "
+    "clustered and deduplicated once (dedup_semdedup's adaptive-k fit "
+    "+ keep-the-farthest dominance), producing the served KEPT set; "
+    f"the refresh batch (vec_id % {_INGEST_MOD} = {_INGEST_REM}) is "
+    "then assigned under the FROZEN quantizer and deduplicated in ONE "
+    "non-iterative pass against two targets — the kept index (the "
+    "already-served copy always wins: cosine >= tau to any kept "
+    "vector in the assigned cluster drops the newcomer) and the batch "
+    "itself (the standard dominance half-order: a same-cluster "
+    "batchmate farther from the centroid, ties to the smaller id, "
+    "kills the nearer one at cosine >= tau). Nothing in the base "
+    "corpus is re-clustered, re-scored, or re-dropped — per refresh "
+    "the work is batch-assignment (broadcast of k centroids) plus "
+    "cluster-confined pairs of batch x (kept + batch), the semi-join "
+    "shape that absorbs a daily crawl into a 100 TB index. Emits the "
+    "per-newcomer verdict with provenance flags (dup_vs_index / "
+    "dup_vs_batch), hash-checked against a full SQL replay of "
+    "training, base dominance, frozen assignment, and both passes "
+    "(kmeans_oracle_sql pre_ctes trains on the filtered base view).",
+    tags=("similarity", "dedup", "clustering", "incremental", "curation"),
+    bench=True,
+)
+def dedup_semdedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flu_data_pipeline_spark.operators.clustering import (
+        assign_best,
+        sqdist,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_new = (F.col("vec_id") % _INGEST_MOD) == _INGEST_REM
+    base = emb.filter(~is_new)
+    cents = kmeans_fit(
+        base, "embedding", "vec_id",
+        iters=_KMEANS_ITERS, init_every=_SEMDEDUP_INIT_EVERY,
+    )
+    dbase = (
+        assign_best(base, "embedding", "vec_id", cents)
+        .join(
+            base.select(
+                "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+            ),
+            "vec_id",
+        )
+        .localCheckpoint(eager=False)
+    )
+    npart = spark.sparkContext.defaultParallelism
+    cos = dot(F.col("emb_x"), F.col("emb_y")) / (
+        F.col("nrm_x") * F.col("nrm_y")
+    )
+    better = (F.col("dist_y") > F.col("dist_x")) | (
+        (F.col("dist_y") == F.col("dist_x"))
+        & (F.col("vid_y") < F.col("vid_x"))
+    )
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col("vec_id").alias(f"vid_{tag}"),
+            F.col("cluster").alias(f"cl_{tag}"),
+            F.col("dist").alias(f"dist_{tag}"),
+            F.col("embedding").alias(f"emb_{tag}"),
+            F.col("nrm").alias(f"nrm_{tag}"),
+        ).repartition(npart, F.col(f"cl_{tag}"))
+
+    bdrops = (
+        side(dbase, "x")
+        .join(side(dbase, "y"), (F.col("cl_x") == F.col("cl_y")) & better)
+        .filter(cos >= _SEMDEDUP_TAU)
+        .select(F.col("vid_x").alias("vec_id"))
+        .distinct()
+    )
+    kept = dbase.join(bdrops, "vec_id", "left_anti").localCheckpoint(
+        eager=False
+    )
+    newv = emb.filter(is_new).select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    asgnew = (
+        assign_best(newv, "embedding", "vec_id", cents)
+        .join(newv, "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    dupidx = (
+        side(asgnew, "x")
+        .join(
+            kept.select(
+                F.col("cluster").alias("cl_k"),
+                F.col("embedding").alias("emb_k"),
+                F.col("nrm").alias("nrm_k"),
+            ).repartition(npart, F.col("cl_k")),
+            F.col("cl_x") == F.col("cl_k"),
+        )
+        .filter(
+            dot(F.col("emb_x"), F.col("emb_k"))
+            / (F.col("nrm_x") * F.col("nrm_k"))
+            >= _SEMDEDUP_TAU
+        )
+        .select(F.col("vid_x").alias("vec_id"))
+        .distinct()
+        .withColumn("di", F.lit(1))
+    )
+    dupbatch = (
+        side(asgnew, "x")
+        .join(side(asgnew, "y"), (F.col("cl_x") == F.col("cl_y")) & better)
+        .filter(cos >= _SEMDEDUP_TAU)
+        .select(F.col("vid_x").alias("vec_id"))
+        .distinct()
+        .withColumn("db", F.lit(1))
+    )
+    return (
+        asgnew.join(dupidx, "vec_id", "left")
+        .join(dupbatch, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.round("dist", 6).alias("dist_to_centroid"),
+            F.coalesce("di", F.lit(0)).cast("int").alias("dup_vs_index"),
+            F.coalesce("db", F.lit(0)).cast("int").alias("dup_vs_batch"),
+            F.when(F.col("di").isNull() & F.col("db").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("keep"),
+        )
+        .orderBy("vec_id")
+    )

@@ -193,6 +193,10 @@ BNLJ_AUDITED: dict[str, str] = {
                                  #     (b) 6 query vectors + k-row
                                  #     centroid/probe broadcasts,
                                  #     id<>id per-phase brute truth
+    "dedup_semdedup_incremental": "b",  # (b) k-row frozen-centroid
+                                 #     broadcasts in the two
+                                 #     assignment passes (base fit +
+                                 #     batch under frozen quantizer)
 }
 
 

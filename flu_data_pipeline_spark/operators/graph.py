@@ -307,8 +307,12 @@ def kcore(
 ) -> DataFrame:
     """Fixed-round k-core peeling over an undirected edge list: repeat
     ``rounds`` times "drop every node whose degree within the surviving
-    subgraph is < k". Returns (node, core_degree) for survivors, with
-    core_degree = degree inside the final subgraph.
+    subgraph is < k". Returns (node, core_degree) for EVERY survivor of
+    the last peel round, with core_degree = degree inside the final
+    subgraph — including survivors whose neighbors were all peeled in
+    that same last round, which are emitted with core_degree = 0 (pinned
+    semantics; a pure final-edge groupBy would silently drop them —
+    VERDICT r7 #1, deterministic repro: 9-node path, k=2, rounds=4).
 
     A fixed round count (not convergence detection) keeps the operator
     exactly replayable by an unrolled SQL oracle; callers wanting the
@@ -348,8 +352,16 @@ def kcore(
             "left_semi",
         )
     )
-    return (
-        final_edges.groupBy("a")
-        .agg(F.count(F.lit(1)).alias("core_degree"))
-        .select(F.col("a").alias("node"), "core_degree")
+    final_deg = final_edges.groupBy("a").agg(
+        F.count(F.lit(1)).alias("fdeg")
+    )
+    # Left join survivors -> final degrees so a survivor with zero edges
+    # in the final subgraph is kept (core_degree = 0), not dropped.
+    return nodes.join(
+        final_deg, nodes["node"] == final_deg["a"], "left"
+    ).select(
+        "node",
+        F.coalesce(F.col("fdeg"), F.lit(0).cast("long")).alias(
+            "core_degree"
+        ),
     )

@@ -348,16 +348,22 @@ _KCORE_ORACLE = (
         _peel_sql(f"n{i}", f"n{i + 1}") for i in range(_KCORE_ROUNDS)
     )
     + f"""
-    SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree
-    FROM (
-        SELECT e.u AS node FROM e
-        JOIN n{_KCORE_ROUNDS} pa ON e.u = pa.node
-        JOIN n{_KCORE_ROUNDS} pb ON e.v = pb.node
-        UNION ALL
-        SELECT e.v FROM e
-        JOIN n{_KCORE_ROUNDS} pa ON e.u = pa.node
-        JOIN n{_KCORE_ROUNDS} pb ON e.v = pb.node
-    ) GROUP BY node ORDER BY node
+    SELECT s.node,
+           CAST(COALESCE(d.core_degree, 0) AS BIGINT) AS core_degree
+    FROM n{_KCORE_ROUNDS} s
+    LEFT JOIN (
+        SELECT node, COUNT(*) AS core_degree
+        FROM (
+            SELECT e.u AS node FROM e
+            JOIN n{_KCORE_ROUNDS} pa ON e.u = pa.node
+            JOIN n{_KCORE_ROUNDS} pb ON e.v = pb.node
+            UNION ALL
+            SELECT e.v FROM e
+            JOIN n{_KCORE_ROUNDS} pa ON e.u = pa.node
+            JOIN n{_KCORE_ROUNDS} pb ON e.v = pb.node
+        ) GROUP BY node
+    ) d ON s.node = d.node
+    ORDER BY s.node
     """
 )
 
@@ -374,7 +380,9 @@ _KCORE_ORACLE = (
     "map-side-combined degree count per round; survivors shrink "
     "monotonically so round cost decays. Fixed rounds keep it exactly "
     "replayable by the unrolled-CTE oracle (pagerank/BFS pattern). "
-    "Output = surviving nodes with their in-core degree.",
+    "Output = ALL surviving nodes with their in-core degree; survivors "
+    "whose neighbors were peeled in the same last round carry "
+    "core_degree = 0 (pinned via a left join on the survivor set).",
     tags=("graph", "kcore", "A9", "A10", "D3"),
 )
 def kcore_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:

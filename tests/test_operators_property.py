@@ -18,6 +18,10 @@ from flu_data_pipeline_spark.operators.joins import asof_join
 SETTINGS = dict(
     max_examples=6,
     deadline=None,
+    # derandomize: the property suites gate scripts/close_battery.py, so
+    # the same tree must give the same answer on every replay (a gate
+    # that flips by hypothesis seed is not a gate — VERDICT r7 #1).
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
@@ -524,7 +528,7 @@ def small_graphs(draw):
     return [(u, v) for u, v in pairs if u != v]
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@settings(max_examples=15, deadline=None, derandomize=True, suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(edges=small_graphs())
 def test_bfs_hops_matches_python(spark, edges):
     from collections import deque
@@ -557,7 +561,7 @@ def test_bfs_hops_matches_python(spark, edges):
     assert got == set(dist.items())
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@settings(max_examples=15, deadline=None, derandomize=True, suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(edges=small_graphs())
 def test_kcore_matches_python(spark, edges):
     from flu_data_pipeline_spark.operators.graph import kcore
@@ -579,13 +583,34 @@ def test_kcore_matches_python(spark, edges):
         if u in alive and v in alive:
             deg[u] = deg.get(u, 0) + 1
             deg[v] = deg.get(v, 0) + 1
-    expected = {(x, deg[x]) for x in alive}
+    # A node can survive the final peel yet hold zero edges in the final
+    # subgraph (its neighbors were peeled the same round): it is emitted
+    # with core_degree = 0, matching the operator's pinned contract.
+    expected = {(x, deg.get(x, 0)) for x in alive}
     e = spark.createDataFrame(edges, "u int, v int")
     got = {
         (r["node"], r["core_degree"])
         for r in kcore(e, k=k, rounds=rounds).collect()
     }
     assert got == expected
+
+
+def test_kcore_zero_degree_survivor_path(spark):
+    """VERDICT r7's deterministic repro, pinned as a fixed case: 9-node
+    path 0-1-...-8 with k=2, rounds=4. Endpoints peel inward one node
+    per round, so after 4 rounds only node 4 survives — and both its
+    neighbors (3 and 5) were peeled in that same last round, leaving it
+    with ZERO edges in the final subgraph. The contract: it is still
+    emitted, with core_degree = 0 (not silently dropped)."""
+    from flu_data_pipeline_spark.operators.graph import kcore
+
+    edges = [(i, i + 1) for i in range(8)]
+    e = spark.createDataFrame(edges, "u int, v int")
+    got = [
+        (r["node"], r["core_degree"])
+        for r in kcore(e, k=2, rounds=4).collect()
+    ]
+    assert got == [(4, 0)]
 
 
 # --------------------------------------------------------------------------
@@ -900,7 +925,7 @@ def test_skyline_scale_matches_reference(spark, pts):
 # --------------------------------------------------------------------------
 
 @given(data=st.data())
-@settings(max_examples=3, deadline=None,
+@settings(max_examples=3, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_ngram_capped_subset_with_exact_jaccard(spark, tmp_path_factory, data):
     """Builds the HOT-SHINGLE regime the capped variant exists for:
@@ -996,7 +1021,7 @@ def small_embedding_corpus(draw):
     return rows, stride
 
 
-@settings(max_examples=12, deadline=None,
+@settings(max_examples=12, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(case=small_embedding_corpus())
 def test_twolevel_full_probe_equals_brute_force(spark, case):
@@ -1039,7 +1064,7 @@ def test_twolevel_full_probe_equals_brute_force(spark, case):
     assert got == want
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(case=small_embedding_corpus())
 def test_twolevel_partial_probe_bounded_approximation(spark, case):

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -84,6 +85,11 @@ def decode_stub(
                     "media decode requires codec libraries not present in "
                     "this environment; plug a real decoder in here"
                 )
+            # A zero-row Arrow batch yields a column-less frame from
+            # pd.DataFrame([]) — meta["n_bytes"] would KeyError; there
+            # is nothing to decode, so skip the batch.
+            if pdf.empty:
+                continue
             # Vectorized fake-feature derivation: a real decoder would
             # also operate on whole Arrow columns per batch (e.g. a
             # batched model forward), never per-row Python — keep the
@@ -145,17 +151,35 @@ def frame_sample_stub(
                     "frame sampling requires video codec libraries not "
                     "present in this environment; plug ffmpeg/PIL in here"
                 )
-            out = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_bytes": []}
-            for _, row in pdf.iterrows():
-                blob = bytes(row["blob"])
-                n = max(len(blob), 1)
-                for i in range(n_frames):
-                    off = (i * n) // n_frames
-                    out["doc_id"].append(row[id_col])
-                    out["frame_idx"].append(i)
-                    out["frame_offset"].append(off)
-                    out["frame_bytes"].append(blob[off : off + 16])
-            yield pd.DataFrame(out)
+            if pdf.empty:
+                continue
+            # Column-wise 1→n_frames explosion: all numeric columns are
+            # numpy ops over the whole batch; only the final byte slice
+            # touches Python objects (bytes slicing has no vector form),
+            # one slice per OUTPUT row — no per-row Series construction.
+            blobs = pdf["blob"].to_numpy(dtype=object)
+            lens = np.fromiter(
+                (len(b) if b is not None else 0 for b in blobs),
+                dtype=np.int64,
+                count=len(blobs),
+            )
+            n = np.maximum(lens, 1)
+            idx = np.tile(np.arange(n_frames, dtype=np.int32), len(blobs))
+            offs = (idx.astype(np.int64) * np.repeat(n, n_frames)) // n_frames
+            rep_blobs = np.repeat(blobs, n_frames)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(
+                        pdf[id_col].to_numpy(), n_frames
+                    ),
+                    "frame_idx": idx,
+                    "frame_offset": offs,
+                    "frame_bytes": [
+                        bytes(b or b"")[o : o + 16]
+                        for b, o in zip(rep_blobs, offs)
+                    ],
+                }
+            )
 
     return df.mapInPandas(_sample, FRAME_SCHEMA)
 
@@ -200,17 +224,30 @@ def resize_stub(
                     "image resize requires codec libraries not present in "
                     "this environment; plug PIL/opencv in here"
                 )
-            out = {"doc_id": [], "out_w": [], "out_h": [], "n_bytes_out": [], "resized": []}
-            for _, row in pdf.iterrows():
-                blob = bytes(row["blob"]) or b"\x00"
-                n = len(blob)
-                resized = bytes(blob[(i * n) // target_n] for i in range(target_n))
-                out["doc_id"].append(row[id_col])
-                out["out_w"].append(target_w)
-                out["out_h"].append(target_h)
-                out["n_bytes_out"].append(len(resized))
-                out["resized"].append(resized)
-            yield pd.DataFrame(out)
+            if pdf.empty:
+                continue
+            # Column-shaped resize: the stride gather is one numpy
+            # fancy-index per blob over a shared arange — the batch
+            # analogue of a real resize kernel (whole-image array op),
+            # no per-row Series construction.
+            grid = np.arange(target_n, dtype=np.int64)
+
+            def _strided(b) -> bytes:
+                src = np.frombuffer(bytes(b) or b"\x00", dtype=np.uint8)
+                return src[(grid * len(src)) // target_n].tobytes()
+
+            resized = [_strided(b) for b in pdf["blob"].to_numpy(object)]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "out_w": np.full(len(pdf), target_w, dtype=np.int32),
+                    "out_h": np.full(len(pdf), target_h, dtype=np.int32),
+                    "n_bytes_out": np.full(
+                        len(pdf), target_n, dtype=np.int64
+                    ),
+                    "resized": resized,
+                }
+            )
 
     return df.mapInPandas(_resize, RESIZED_SCHEMA)
 
@@ -251,21 +288,41 @@ def audio_chunk_stub(
                     "audio chunking requires codec libraries not present "
                     "in this environment; plug soundfile/torchaudio in here"
                 )
-            out = {"doc_id": [], "chunk_idx": [], "start_byte": [], "n_samples": [], "chunk": []}
-            for _, row in pdf.iterrows():
-                blob = bytes(row["blob"])
-                idx = 0
-                for start in range(0, max(len(blob), 1), hop_bytes):
-                    piece = blob[start : start + chunk_bytes]
-                    if not piece:
-                        break
-                    out["doc_id"].append(row[id_col])
-                    out["chunk_idx"].append(idx)
-                    out["start_byte"].append(start)
-                    out["n_samples"].append(len(piece))
-                    out["chunk"].append(piece)
-                    idx += 1
-            yield pd.DataFrame(out)
+            if pdf.empty:
+                continue
+            # Column-wise variable-fanout chunking: chunk counts, ids,
+            # indices, offsets, and sample counts are whole-batch numpy
+            # arithmetic (ceil-div fanout = the old loop's semantics:
+            # zero chunks for an empty blob, tail window kept); only
+            # the byte slices touch Python objects, one per output row.
+            blobs = pdf["blob"].to_numpy(dtype=object)
+            lens = np.fromiter(
+                (len(b) if b is not None else 0 for b in blobs),
+                dtype=np.int64,
+                count=len(blobs),
+            )
+            n_chunks = -(-lens // hop_bytes)  # ceil; 0 when len == 0
+            total = int(n_chunks.sum())
+            rep = np.repeat(np.arange(len(blobs)), n_chunks)
+            # per-output chunk index: position minus the start of its row
+            starts_of_row = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+            cidx = np.arange(total) - np.repeat(starts_of_row, n_chunks)
+            start_byte = cidx * hop_bytes
+            n_samples = np.minimum(
+                chunk_bytes, lens[rep] - start_byte
+            ).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy()[rep],
+                    "chunk_idx": cidx.astype(np.int32),
+                    "start_byte": start_byte,
+                    "n_samples": n_samples,
+                    "chunk": [
+                        bytes(blobs[r])[s : s + chunk_bytes]
+                        for r, s in zip(rep, start_byte)
+                    ],
+                }
+            )
 
     return df.mapInPandas(_chunk, CHUNK_SCHEMA)
 

@@ -374,6 +374,7 @@ def twolevel_kmeans_assigned(
     round_dp: int = 6,
     keep_vec: bool = False,
     dim: int = 64,
+    return_model: bool = False,
 ) -> DataFrame:
     """Adaptive-k Lloyd fit with two-level assignment; returns the FINAL
     assignment frame (id, cluster, dist[, vec]) under the
@@ -382,7 +383,14 @@ def twolevel_kmeans_assigned(
     rebuilt into arrays natively; empty clusters carry their previous
     centroid); each refined generation is lazily localCheckpoint-ed so
     downstream branches share one materialization instead of
-    re-deriving a compounding lineage."""
+    re-deriving a compounding lineage.
+
+    ``return_model=True`` additionally returns the trained quantizer as
+    DataFrames — ``(assignment, fine, coarse)`` with fine = the final
+    refined (fcl, c) generation and coarse = (ccl, c) — so callers can
+    FREEZE it and assign later batches under the identical model via
+    :func:`twolevel_assign` (the crawl-refresh shape: centroids still
+    never touch the driver)."""
     fine = fine_seeds(df, vec_col, id_col, stride, round_dp).localCheckpoint(
         eager=False
     )
@@ -443,9 +451,12 @@ def twolevel_kmeans_assigned(
             .select("fcl", F.coalesce("nc", "c").alias("c"))
             .localCheckpoint(eager=False)
         )
-    return twolevel_assign(
+    asg = twolevel_assign(
         df, vec_col, id_col, fine, coarse, nprobe, keep_vec=keep_vec
     )
+    if return_model:
+        return asg, fine, coarse
+    return asg
 
 
 def twolevel_kmeans_oracle_sql(
@@ -458,13 +469,20 @@ def twolevel_kmeans_oracle_sql(
     nprobe: int = 2,
     round_dp: int = 6,
     prefix: str = "",
+    pre_ctes: str = "",
 ) -> str:
     """DuckDB CTE chain replaying :func:`twolevel_kmeans_assigned`
     exactly — same seeds, same data-derived coarse stride (integer
     ceil-div, exact on both engines), same nonempty-cell probing, same
     (dist, id) tie-breaks, same per-iteration 6dp centroid rounding and
     empty-cluster carry-over. Final assignment is ``asg{iters + 1}``
-    with columns (id, cluster, dist)."""
+    with columns (id, cluster, dist). ``pre_ctes`` injects caller CTEs
+    right after WITH (e.g. a filtered ``base`` view to train on), so
+    ``table`` may name one of them — the kmeans_oracle_sql pattern.
+    The frozen quantizer for later-batch assignment is
+    ``{prefix}coarse`` + ``{prefix}fcell{iters}`` (fcl, ccl, c): replay
+    the probe/argmin CTE pair against those to mirror a Spark-side
+    :func:`twolevel_assign` under the returned model."""
     sq = _SQDIST_SQL
     parts = [
         f"""{prefix}fine0 AS (
@@ -529,4 +547,5 @@ def twolevel_kmeans_oracle_sql(
             FROM {prefix}avg{it + 1} GROUP BY cluster
         ) n ON n.fcl = p.fcl
     )""")
-    return "WITH " + ",\n    ".join(parts)
+    head = "WITH " + (pre_ctes + ",\n    " if pre_ctes else "")
+    return head + ",\n    ".join(parts)

@@ -18,6 +18,14 @@ execute a NEW query execution whose plan stays `isFinalPlan=false`;
 the metrics live only on the executed plan of the frame you actually
 ``collect()``-ed. Hence :func:`collect_with_metrics` returning both.
 
+Scope limitation: the walk follows ``children()`` (plus the AQE stage
+unwrapping) only — plan nodes INSIDE subquery expressions
+(``node.subqueries()``: scalar subqueries, DPP InSubquery filters) are
+never visited, so a metric target nested in a subquery reports
+found=0. All current gate probes are subquery-free by construction
+(repartition → join → agg); if a future probe needs a subquery-side
+metric, extend ``_walk`` to also traverse ``node.subqueries()``.
+
 Public knowledge only: SQLMetric names match what the Spark UI shows
 per node (`org.apache.spark.sql.execution.metric.SQLMetrics`); the
 py4j traversal mirrors `SparkPlan.children` with the standard

@@ -112,6 +112,25 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", True).csv(path)
 
 
+def _existing_partition_cols(path: str) -> tuple[str, ...]:
+    """Hive partition columns of a stored parquet table, read off the
+    directory layout (one ``col=value`` level per partition column,
+    descending the first branch — all branches share the scheme by
+    construction of ``partitionBy``)."""
+    cols: list[str] = []
+    cur = path
+    while True:
+        subs = sorted(
+            e
+            for e in os.listdir(cur)
+            if "=" in e and os.path.isdir(os.path.join(cur, e))
+        )
+        if not subs:
+            return tuple(cols)
+        cols.append(subs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subs[0])
+
+
 def idempotent_append(
     spark: SparkSession,
     df: DataFrame,
@@ -132,6 +151,18 @@ def idempotent_append(
     """
     deduped = df.dropDuplicates(list(pk_cols))
     if os.path.exists(path):
+        # Layout guard: appending under a different partitioning than
+        # the stored table silently produces a mixed directory tree
+        # (some rows in col=... dirs, some flat) that reads back but
+        # can never be partition-pruned consistently. Fail loudly.
+        stored = _existing_partition_cols(path)
+        if stored != tuple(partition_cols):
+            raise ValueError(
+                f"partition layout mismatch at {path}: stored table is "
+                f"partitioned by {stored or '()'} but this append uses "
+                f"{tuple(partition_cols) or '()'} — repartition the "
+                f"table (rewrite) instead of mixing layouts"
+            )
         existing = spark.read.parquet(path).select(
             *[F.col(c).alias(f"__ex_{c}") for c in pk_cols]
         )

@@ -81,6 +81,40 @@ def test_idempotent_append_null_safe_composite_key(spark, tmp_path):
     assert spark.read.parquet(target).count() == 4
 
 
+def test_idempotent_append_partition_layout_guard(spark, tmp_path):
+    """Appending under a different partitioning than the stored table
+    must raise — a mixed directory layout reads back but can never be
+    partition-pruned consistently."""
+    import pytest
+
+    target = str(tmp_path / "layout_tbl")
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "pk int, part string, v string"
+    )
+    assert idempotent_append(
+        spark, df, target, ("pk",), partition_cols=("part",)
+    ) == 2
+    # same layout: fine (and idempotent)
+    assert idempotent_append(
+        spark, df, target, ("pk",), partition_cols=("part",)
+    ) == 0
+    # unpartitioned append into a partitioned table: refused
+    with pytest.raises(ValueError, match="partition layout mismatch"):
+        idempotent_append(spark, df, target, ("pk",))
+    # different partition column: refused
+    with pytest.raises(ValueError, match="partition layout mismatch"):
+        idempotent_append(
+            spark, df, target, ("pk",), partition_cols=("v",)
+        )
+    # flat table + partitioned append: refused the other way too
+    flat = str(tmp_path / "flat_tbl")
+    assert idempotent_append(spark, df, flat, ("pk",)) == 2
+    with pytest.raises(ValueError, match="partition layout mismatch"):
+        idempotent_append(
+            spark, df, flat, ("pk",), partition_cols=("part",)
+        )
+
+
 def test_partitioned_write_prunes(spark, tmp_path):
     target = str(tmp_path / "events_tbl")
     ev = load_table(spark, SF_ORACLE, "events").withColumn(

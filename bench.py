@@ -86,6 +86,58 @@ SUITE_CPU_SENSITIVITY = 0.24
 _PROBE_ROWS = 4_000_000_000
 _PROBE_PARTS = 64
 
+#: JIT-layout canary (round 8): 16 small queries PINNED at the r7 suite
+#: — this tuple must NEVER grow with the registry. The round-4/round-7
+#: forensics: as the bench suite grows, hundreds of distinct codegen
+#: classes shift the JVM code-cache layout and small queries smear
+#: uniformly ~1.3x with no plan change (heavy queries hold). Because
+#: the canary set is frozen, its subtotal separates the two failure
+#: modes across rounds: canary up uniformly + heavy queries flat =
+#: code-cache layout drift (rerun, or compare decade tables); one
+#: query up alone = a real plan/code regression. Chosen as the 16
+#: fastest long-standing queries of BENCH_r07 (0.17-0.47 s — the size
+#: class the smear hits hardest), spanning join/window/sketch/text/
+#: multimodal/ANN families.
+_CANARY_QUERIES = (
+    "text_chunk_windows",
+    "q6_forecast_revenue",
+    "topk_window_group_limit",
+    "bucketed_join_no_shuffle",
+    "join_left_broadcast",
+    "aqe_skew_join_split",
+    "centroid_cosine_matrix",
+    "text_quality_score",
+    "pricing_summary",
+    "scd2_priority_history",
+    "multimodal_cas_chunks",
+    "asof_purchase_click",
+    "cms_term_frequency",
+    "ann_topk_cosine",
+    "join_range_bin_windows",
+    "promo_revenue_share",
+)
+
+
+def _code_cache_used_mb(spark) -> dict[str, float]:
+    """Used MiB per JVM code-heap pool (JIT-compiled method storage),
+    read via the MemoryPoolMXBeans. Paired with the canary: a bench
+    whose 'non-nmethods'/'non-profiled nmethods' pools sit near their
+    caps corroborates a layout-drift reading of a canary smear."""
+    try:
+        mf = spark._jvm.java.lang.management.ManagementFactory
+        out: dict[str, float] = {}
+        it = mf.getMemoryPoolMXBeans().iterator()
+        while it.hasNext():
+            pool = it.next()
+            name = pool.getName()
+            if "CodeHeap" in name or "Code Cache" in name:
+                out[name] = round(
+                    pool.getUsage().getUsed() / 1048576.0, 1
+                )
+        return out
+    except Exception:
+        return {}
+
 
 def _probe_once(spark) -> float:
     t0 = time.perf_counter()
@@ -144,6 +196,7 @@ def main() -> None:
     correction = 1.0 + SUITE_CPU_SENSITIVITY * (load_factor - 1.0)
 
     total = round(sum(timings.values()), 4)
+    canary_present = [n for n in _CANARY_QUERIES if n in medians]
     print(
         json.dumps(
             {
@@ -154,6 +207,16 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "queries_median": medians,
                 "value_median": round(sum(medians.values()), 4),
+                "canary": {
+                    "n": len(canary_present),
+                    "total_best3": round(
+                        sum(timings[n] for n in canary_present), 4
+                    ),
+                    "total_median": round(
+                        sum(medians[n] for n in canary_present), 4
+                    ),
+                },
+                "code_cache_used_mb": _code_cache_used_mb(spark),
                 "calibration": {
                     "probe_sec_start": probe_start,
                     "probe_sec_end": probe_end,

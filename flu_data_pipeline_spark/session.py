@@ -152,8 +152,14 @@ def get_spark(
         # re-runs pay multi-second deopt/re-JIT penalties (measured 9 s
         # on a 0.7 s query after a full bench warmup). Launch-time conf;
         # ignored if the JVM already exists, which is fine — the engine
-        # still runs, just without the headroom.
-        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        # still runs, just without the headroom. SPARK_GRAFT_CODE_CACHE
+        # overrides the size (used by the bench suite-size-sensitivity
+        # experiment, BASELINE.md "JIT code-cache headroom").
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize="
+            + os.environ.get("SPARK_GRAFT_CODE_CACHE", "1g"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

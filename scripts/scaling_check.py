@@ -106,6 +106,10 @@ TWIN_QUERIES = [
     "corpus_cleaned_write_pipeline",  # surgery -> partitioned write ->
                                   # shard manifest -> zero-delta replay
     "semdedup_pair_cap_metric",   # executed-metric pair bound at scale
+    # round-8 additions (VERDICT r7 #5):
+    "ann_ingest_drift_recall",    # fixed-k fit, frozen-quantizer ingest
+    "dedup_semdedup_incremental",  # two-level base fit + frozen-model
+                                  # refresh (rebuilt per VERDICT r7 #2)
 ]
 
 
@@ -169,9 +173,16 @@ def main() -> None:
             "query's cell misread as a fake 28x decade while the next "
             "query (same layout, now cached) read 1.8x.\n"
         )
+        twins = TWIN_QUERIES
+        if "--only" in sys.argv:
+            wanted = sys.argv[sys.argv.index("--only") + 1].split(",")
+            unknown = [n for n in wanted if n not in TWIN_QUERIES]
+            if unknown:
+                raise SystemExit(f"--only: not twin queries {unknown}")
+            twins = wanted
         print("| query | sf1 s | sf10 s | r10000_1000 |")
         print("|---|---|---|---|")
-        for name in TWIN_QUERIES:
+        for name in twins:
             t1 = min(run_once(name, _SF1_DIR) for _ in range(2))
             n10 = 1 if name in single_sf10 else 2
             t10 = min(run_once(name, _SF10_DIR) for _ in range(n10))

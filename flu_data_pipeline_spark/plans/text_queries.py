@@ -2567,6 +2567,233 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Max k-gram gap between consecutive same-diagonal fingerprint matches
+#: within one run: winnowing guarantees a selected fingerprint in every
+#: window of w consecutive k-grams, so inside a genuinely shared region
+#: matches on the shared diagonal are never more than w apart — a
+#: larger gap means the shared region ended.
+_RUN_GAP = _WINNOW_W
+
+#: Minimum clone span (chars) for a run to be reported: single shared
+#: fingerprints (span = k = 8) are the overlap COUNTER's business
+#: (dedup_winnow_overlap); runs exist to find verbatim clones, the
+#: scaled-down analogue of Lee et al. 2022's >= 50-token threshold.
+_RUN_MIN_CHARS = 24
+
+#: longest-run tiebreak encoding: run_chars * 1e5 + run_fps packs the
+#: (span, support) pair into one BIGINT max both engines order
+#: identically; spans are < 1e5 by construction (doc length cap).
+_RUN_PACK = 100_000
+
+
+@register(
+    "dedup_substring_clone_runs",
+    oracle=f"""
+    WITH {_WINNOW_FP_SQL},
+    pf AS (
+        SELECT doc_id, h,
+               list_distinct(list_transform(
+                   range(1, len(h) - {_WINNOW_W} + 2),
+                   j -> CAST(j - 1 + list_position(
+                            h[CAST(j AS INT):CAST(j AS INT) + {_WINNOW_W} - 1],
+                            list_min(h[CAST(j AS INT):CAST(j AS INT) + {_WINNOW_W} - 1])
+                        ) AS INT)
+               )) AS sel
+        FROM kg
+    ),
+    posts AS (
+        SELECT doc_id, pos, h[pos] AS f
+        FROM (SELECT doc_id, h, unnest(sel) AS pos FROM pf)
+    ),
+    rare AS (
+        SELECT f FROM posts GROUP BY f
+        HAVING COUNT(DISTINCT doc_id) <= {_WINNOW_DF_CAP}
+    ),
+    ip AS (SELECT p.* FROM posts p JOIN rare USING (f)),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos - b.pos AS diag, a.pos AS pos_a
+        FROM ip a JOIN ip b
+          ON a.f = b.f AND a.doc_id < b.doc_id
+    ),
+    flagged AS (
+        SELECT doc_a, doc_b, diag, pos_a,
+               CASE WHEN pos_a - LAG(pos_a) OVER (
+                        PARTITION BY doc_a, doc_b, diag ORDER BY pos_a)
+                        > {_RUN_GAP}
+                    THEN 1 ELSE 0 END AS brk
+        FROM m
+    ),
+    numbered AS (
+        SELECT doc_a, doc_b, diag, pos_a,
+               SUM(brk) OVER (
+                   PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+                   ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM flagged
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, diag, run_id,
+               CAST(COUNT(*) AS BIGINT) AS run_fps,
+               CAST(MAX(pos_a) - MIN(pos_a) + {_WINNOW_K} AS BIGINT)
+                   AS run_chars
+        FROM numbered GROUP BY 1, 2, 3, 4
+        HAVING MAX(pos_a) - MIN(pos_a) + {_WINNOW_K} >= {_RUN_MIN_CHARS}
+    )
+    SELECT doc_a, doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(MAX(run_chars * {_RUN_PACK} + run_fps) // {_RUN_PACK}
+                AS BIGINT) AS longest_run_chars,
+           CAST(MAX(run_chars * {_RUN_PACK} + run_fps) % {_RUN_PACK}
+                AS BIGINT) AS longest_run_fps,
+           CAST(SUM(run_chars) AS BIGINT) AS total_run_chars
+    FROM runs
+    GROUP BY doc_a, doc_b
+    ORDER BY longest_run_chars DESC, doc_a, doc_b
+    LIMIT 25
+    """,
+    doc="Verbatim substring-clone detector — the positional layer the "
+    "fingerprint-count overlap (dedup_winnow_overlap) cannot see, and "
+    "the scaled-down shape of Lee et al. 2022's exact-substring dedup "
+    "(arXiv:2107.06499, which removes >= 50-token verbatim clones "
+    "suffix-array-style): winnowed fingerprints are kept WITH their "
+    "k-gram positions (pos = leftmost argmin of each window — "
+    "deterministic, oracle-exact), the capped inverted-index self-join "
+    "matches them across docs, and matches falling on the same "
+    "DIAGONAL (pos_a - pos_b) with gaps <= w collapse into runs via "
+    "gaps-and-islands (lag > w flags a break; running sum numbers the "
+    "islands) — a run spanning c chars certifies a shared substring "
+    "of >= c - 2(w-1) chars, and every shared substring of >= "
+    f"{_WINNOW_K + _WINNOW_W - 1} chars lands at least one match on "
+    "its diagonal (the winnowing guarantee, made positional). Reports "
+    f"per pair the runs >= {_RUN_MIN_CHARS} chars: count, longest "
+    "span + its fingerprint support (packed-BIGINT argmax — "
+    "cross-engine deterministic), and total cloned chars; top-25 by "
+    "longest span. 100 TB shape: everything rides the same "
+    f"df<={_WINNOW_DF_CAP}-capped postings join as the overlap query "
+    "(cap x postings candidates, linear in the corpus); the run "
+    "window partitions by (pair, diagonal) — many small partitions, "
+    "never a global sort; no suffix array and no driver-side state.",
+    tags=("text", "fingerprint", "dedup", "curation"),
+    bench=True,
+)
+def dedup_substring_clone_runs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    w, k = _WINNOW_W, _WINNOW_K
+    kg = (
+        docs.repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+        .select("doc_id", norm.alias("nt"))
+        .filter(F.length("nt") >= k + w - 1)
+        .select("doc_id", F.split(F.col("nt"), "").alias("chars"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(1), F.size("chars") - k + 1),
+                lambda i: hash64(F.array_join(F.slice("chars", i, k), "")),
+            ).alias("h"),
+        )
+    )
+
+    def _win_min(j):
+        return F.array_min(F.slice("h", j, w))
+
+    # Selected POSITIONS are deduped (overlapping windows re-pick the
+    # same argmin); the fingerprint is recovered as h[pos] — position
+    # determines it, so no struct-distinct is needed on either engine.
+    posts = (
+        kg.select(
+            "doc_id",
+            "h",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("h") - w + 1),
+                    lambda j: (
+                        j
+                        - 1
+                        + F.array_position(
+                            F.slice("h", j, w), _win_min(j)
+                        )
+                    ).cast("int"),
+                )
+            ).alias("sel"),
+        )
+        .select("doc_id", "h", F.explode("sel").alias("pos"))
+        .select(
+            "doc_id",
+            "pos",
+            F.element_at("h", F.col("pos")).alias("f"),
+        )
+        .localCheckpoint(eager=True)  # feeds the df cap AND both join sides
+    )
+    rare = (
+        posts.groupBy("f")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= _WINNOW_DF_CAP)
+        .select("f")
+    )
+    ip = posts.join(rare, "f")
+    a = ip.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("pos").alias("pos_a"),
+        "f",
+    )
+    b = ip.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("f").alias("fb"),
+    )
+    m = a.join(
+        b, (F.col("f") == F.col("fb")) & (F.col("doc_a") < F.col("doc_b"))
+    ).select(
+        "doc_a",
+        "doc_b",
+        (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        "pos_a",
+    )
+    ww = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    numbered = m.withColumn(
+        "brk",
+        F.when(
+            F.col("pos_a") - F.lag("pos_a").over(ww) > _RUN_GAP, 1
+        ).otherwise(0),
+    ).withColumn(
+        "run_id",
+        F.sum("brk").over(
+            ww.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = (
+        numbered.groupBy("doc_a", "doc_b", "diag", "run_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("run_fps"),
+            (F.max("pos_a") - F.min("pos_a") + k)
+            .cast("bigint")
+            .alias("run_chars"),
+        )
+        .filter(F.col("run_chars") >= _RUN_MIN_CHARS)
+    )
+    packed = F.max(
+        F.col("run_chars") * _RUN_PACK + F.col("run_fps")
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+            (packed / _RUN_PACK).cast("bigint").alias("longest_run_chars"),
+            (packed % _RUN_PACK).cast("bigint").alias("longest_run_fps"),
+            F.sum("run_chars").cast("bigint").alias("total_run_chars"),
+        )
+        .orderBy(F.desc("longest_run_chars"), "doc_a", "doc_b")
+        .limit(25)
+    )
+
+
 @register(
     "sample_es_topk",
     oracle=f"""

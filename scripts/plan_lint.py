@@ -197,6 +197,14 @@ BNLJ_AUDITED: dict[str, str] = {
                                  #     broadcasts in the two
                                  #     assignment passes (base fit +
                                  #     batch under frozen quantizer)
+    # round-8 additions:
+    "tokenizer_unigram_viterbi_em": "a",  # (a) 1-row vocabulary-total
+                                 #     aggregates crossed in for the
+                                 #     seed and each M-step's LN
+                                 #     re-quantization (scalar
+                                 #     broadcasts; the vocab joins
+                                 #     themselves are equi/broadcast-
+                                 #     hash, not BNLJ)
 }
 
 

@@ -2502,6 +2502,161 @@ def tokenizer_fertility_bpe_vs_unigram(
     )
 
 
+def _uni_prune_sql() -> str:
+    """CTEs scoring every used multi-char piece's PRUNE LOSS: the best
+    alternative segmentation of the piece string using every OTHER
+    final-vocab piece (a <= _UNI_L-position DP — max score only, no
+    backtrack), and loss = em_count x (self_score - alt_score)."""
+    parts = [
+        f"""pw AS MATERIALIZED (
+        SELECT c.piece AS word, c.vc, v.s
+        FROM uc{_UNI_EM} c JOIN uv{_UNI_EM} v USING (piece)
+        WHERE length(c.piece) >= 2
+    )""",
+        """pd0 AS (
+        SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS score FROM pw
+    )""",
+    ]
+    for t in range(1, _UNI_L + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT * FROM pd{j}" for j in range(max(0, t - _UNI_L), t)
+        )
+        parts.append(f"""pd{t} AS MATERIALIZED (
+        SELECT word, {t} AS pos, MAX(c.score + v.s) AS score
+        FROM (
+            SELECT word, score,
+                   substr(word, pos + 1, {t} - pos) AS piece
+            FROM ({prev_union})
+            WHERE length(word) >= {t}
+        ) c JOIN uv{_UNI_EM} v
+          ON v.piece = c.piece AND v.piece <> c.word
+        GROUP BY word
+    )""")
+    alt_union = " UNION ALL ".join(
+        f"SELECT * FROM pd{t}" for t in range(1, _UNI_L + 1)
+    )
+    parts.append(f"""palt AS (
+        SELECT p.word, d.score AS alt_s
+        FROM pw p JOIN ({alt_union}) d
+          ON d.word = p.word AND d.pos = length(p.word)
+    )""")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "tokenizer_unigram_prune_scores",
+    oracle=(
+        "WITH "
+        + _uni_seed_sql()
+        + ",\n    "
+        + ",\n    ".join(_uni_iter_sql(it) for it in range(1, _UNI_EM + 1))
+        + ",\n    "
+        + _uni_prune_sql()
+        + """
+    SELECT p.word AS piece, CAST(length(p.word) AS INT) AS piece_len,
+           p.vc AS em_count,
+           ROUND(CAST(p.s AS DOUBLE) / 1000000, 6) AS logprob,
+           ROUND(CAST(a.alt_s AS DOUBLE) / 1000000, 6) AS alt_logprob,
+           CAST(p.vc * (p.s - a.alt_s) AS BIGINT) AS prune_loss_micronats
+    FROM pw p JOIN palt a ON a.word = p.word
+    ORDER BY prune_loss_micronats, piece LIMIT 25
+    """
+    ),
+    doc="The PRUNE step of the unigram-LM trainer (Kudo 2018 §3.2 / "
+    "SentencePiece's seed-vocabulary shrinking loop, scored on the "
+    "tokenizer_unigram_viterbi_em state): for every multi-char piece "
+    "the final EM round actually used, compute the corpus likelihood "
+    "LOSS its removal would cost — em_count x (its own score minus "
+    "the best ALTERNATIVE segmentation of the piece string using "
+    "every OTHER final-vocab piece; single chars are never candidates "
+    "so the alternative always exists). The alternative is a second "
+    f"Viterbi DP over the <= {_UNI_L}-char piece strings, max score "
+    "only (no backtrack; no tie-break needed — MAX over exact "
+    "integer micro-nat scores), run the same row-local way: map-"
+    "filter the piece's own key out of its score map and fold. The "
+    "bottom of this ranking is exactly what the production trainer "
+    "drops per shrink round; loss is emitted as an EXACT BIGINT "
+    "micro-nat product (a 6dp double here could straddle the "
+    "cross-engine ROUND divergence at large counts — see the verify "
+    "recipe's ROUND note). Oracle replays seed + both EM rounds + "
+    "the exclusion DP as unrolled CTEs. Unbenched: re-runs the full "
+    "EM by design (fertility-query precedent).",
+    tags=("text", "tokenizer", "curation", "quality"),
+)
+def tokenizer_unigram_prune_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    _, vocab, counts = _uni_train(load_table(spark, sf_dir, "documents"))
+    pw = (
+        counts.join(vocab, "piece")
+        .filter(F.length("piece") >= 2)
+        .select(F.col("piece").alias("word"), "vc", "s")
+    )
+    wsubs = pw.select(
+        "word",
+        F.explode(
+            F.expr(
+                f"array_distinct(flatten(transform(sequence(1, "
+                f"length(word)), i -> transform(sequence(i, least(i + "
+                f"{_UNI_L} - 1, length(word))), "
+                f"e -> substring(word, i, e - i + 1)))))"
+            )
+        ).alias("piece"),
+    )
+    pmap = (
+        wsubs.join(F.broadcast(vocab), "piece")
+        .groupBy("word")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("piece", "s"))
+            ).alias("pm")
+        )
+    )
+    d = pw.join(pmap, "word")
+    # the piece may not segment THROUGH itself: filter its own key out
+    pm_excl = F.map_filter(
+        F.col("pm"), lambda k, _: k != F.col("word")
+    )
+
+    def dp_step(acc, t):
+        cands = F.filter(
+            F.transform(
+                F.sequence(F.greatest(t - _UNI_L, F.lit(0)), t - 1),
+                lambda j: F.element_at(acc, j + 1)
+                + F.try_element_at(
+                    pm_excl, F.col("word").substr(j + 1, t - j)
+                ),
+            ),
+            lambda c: c.isNotNull(),
+        )
+        return F.concat(acc, F.array(F.array_max(cands)))
+
+    bests = F.aggregate(
+        F.sequence(F.lit(1), F.length("word")),
+        F.array(F.lit(0).cast("long")),
+        dp_step,
+    )
+    return (
+        d.withColumn(
+            "alt_s", F.element_at(bests, F.length("word") + 1)
+        )
+        .select(
+            F.col("word").alias("piece"),
+            F.length("word").cast("int").alias("piece_len"),
+            F.col("vc").alias("em_count"),
+            F.round(F.col("s").cast("double") / 1e6, 6).alias("logprob"),
+            F.round(F.col("alt_s").cast("double") / 1e6, 6).alias(
+                "alt_logprob"
+            ),
+            (F.col("vc") * (F.col("s") - F.col("alt_s")))
+            .cast("bigint")
+            .alias("prune_loss_micronats"),
+        )
+        .orderBy("prune_loss_micronats", "piece")
+        .limit(25)
+    )
+
+
 _CHUNK_W = 10  # tokens per non-overlapping dedup chunk
 
 

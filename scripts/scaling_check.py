@@ -110,6 +110,8 @@ TWIN_QUERIES = [
     "ann_ingest_drift_recall",    # fixed-k fit, frozen-quantizer ingest
     "dedup_semdedup_incremental",  # two-level base fit + frozen-model
                                   # refresh (rebuilt per VERDICT r7 #2)
+    "dedup_substring_clone_runs",  # df-capped positional postings join
+    "tokenizer_unigram_viterbi_em",  # corpus scan -> vocab-bounded EM
 ]
 
 

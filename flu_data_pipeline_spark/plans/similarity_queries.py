@@ -5355,14 +5355,22 @@ def _incr_better() -> Column:
     )
 
 
-def _semdedup_incremental_frames(
+def _semdedup_chunk_of() -> Column:
+    """Distance-rank chunk id within a cluster (the pair-cap key)."""
+    return F.expr(
+        f"(row_number() over (partition by cluster "
+        f"order by dist, vec_id) - 1) div {_SEMDEDUP_INIT_EVERY}"
+    )
+
+
+def _semdedup_base_index(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, int]:
-    """(kept, asgnew, npart): the shared stages of incremental SemDeDup —
-    two-level base fit, chunk-capped base dominance -> kept index, and
-    the refresh batch assigned under the FROZEN (fine, coarse) model —
-    used by both dedup_semdedup_incremental and its executed-metric
-    gate. Mirrors _SEMDEDUP_INCR_CHAIN CTE by CTE."""
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """(kept, fine, coarse, npart): the FROZEN served state of
+    incremental SemDeDup — two-level base fit (model returned for
+    later-batch assignment) and the chunk-capped base dominance pass
+    producing the kept index. Mirrors _SEMDEDUP_INCR_CHAIN through its
+    `kept` CTE."""
     emb = load_table(spark, sf_dir, "embeddings")
     is_new = (F.col("vec_id") % _INGEST_MOD) == _INGEST_REM
     base = emb.filter(~is_new)
@@ -5371,13 +5379,9 @@ def _semdedup_incremental_frames(
         stride=_SEMDEDUP_INIT_EVERY, iters=_KMEANS_ITERS, nprobe=2,
         keep_vec=True, return_model=True,
     )
-    chunk_of = F.expr(
-        f"(row_number() over (partition by cluster "
-        f"order by dist, vec_id) - 1) div {_SEMDEDUP_INIT_EVERY}"
-    )
     dbase = (
         asgb.withColumn("nrm", norm(F.col("embedding")))
-        .withColumn("chunk", chunk_of)
+        .withColumn("chunk", _semdedup_chunk_of())
         .localCheckpoint(eager=False)
     )
     npart = spark.sparkContext.defaultParallelism
@@ -5399,6 +5403,19 @@ def _semdedup_incremental_frames(
     kept = dbase.join(bdrops, "vec_id", "left_anti").localCheckpoint(
         eager=False
     )
+    return kept, fine, coarse, npart
+
+
+def _semdedup_incremental_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """(kept, asgnew, npart): _semdedup_base_index plus the refresh
+    batch assigned under the FROZEN (fine, coarse) model — used by
+    dedup_semdedup_incremental and its executed-metric gate. Mirrors
+    _SEMDEDUP_INCR_CHAIN CTE by CTE."""
+    kept, fine, coarse, npart = _semdedup_base_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_new = (F.col("vec_id") % _INGEST_MOD) == _INGEST_REM
     # Frozen-quantizer batch assignment: the SAME final (fine, coarse)
     # model the base fit produced — no refitting on refresh.
     asgnew = (
@@ -5407,90 +5424,19 @@ def _semdedup_incremental_frames(
             fine, coarse, nprobe=2, keep_vec=True,
         )
         .withColumn("nrm", norm(F.col("embedding")))
-        .withColumn("chunk", chunk_of)
+        .withColumn("chunk", _semdedup_chunk_of())
         .localCheckpoint(eager=False)
     )
     return kept, asgnew, npart
 
 
-@register(
-    "dedup_semdedup_incremental",
-    oracle=_SEMDEDUP_INCR_CHAIN
-    + f""",
-    dupidx AS (
-        SELECT DISTINCT n.vec_id
-        FROM asgnew n JOIN kept k
-          ON k.cluster = n.cluster
-         AND {_DOT_SQL.format(a='n.embedding', b='k.embedding')}
-             / (n.nrm * k.nrm) >= {_SEMDEDUP_TAU}
-    ),
-    dupbatch AS (
-        SELECT DISTINCT x.vec_id
-        FROM asgnew x JOIN asgnew y
-          ON x.cluster = y.cluster
-         AND x.chunk = y.chunk
-         AND (y.dist > x.dist
-              OR (y.dist = x.dist AND y.vec_id < x.vec_id))
-         AND {_DOT_SQL.format(a='x.embedding', b='y.embedding')}
-             / (x.nrm * y.nrm) >= {_SEMDEDUP_TAU}
-    )
-    SELECT n.vec_id, n.cluster,
-           ROUND(n.dist, 6) AS dist_to_centroid,
-           CAST(CASE WHEN di.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
-               AS dup_vs_index,
-           CAST(CASE WHEN db.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
-               AS dup_vs_batch,
-           CAST(CASE WHEN di.vec_id IS NULL AND db.vec_id IS NULL
-                     THEN 1 ELSE 0 END AS INT) AS keep
-    FROM asgnew n
-    LEFT JOIN dupidx di ON di.vec_id = n.vec_id
-    LEFT JOIN dupbatch db ON db.vec_id = n.vec_id
-    ORDER BY n.vec_id
-    """,
-    doc="INCREMENTAL SemDeDup — the crawl-refresh shape for the "
-    "semantic family, completing the trilogy with "
-    "dedup_incremental_ingest (exact + band tiers) and "
-    "ann_ingest_drift_recall (retrieval impact) — rebuilt on the "
-    "SCALE-PATH base stage (VERDICT r7 #2: the first registration "
-    "trained the base with the brute N*k fit the rest of the repo "
-    "retired). The base corpus is clustered by the two-level IVF "
-    "Lloyd fit (operators/clustering.twolevel_kmeans_assigned, "
-    "return_model=True: fine centroids k ∝ N stay a DataFrame for "
-    "the whole fit, only the O(sqrt(k)) coarse quantizer broadcasts, "
-    "the one driver scalar is the seed count) and deduplicated once "
-    "by the chunk-capped dominance pass of dedup_semdedup_scale "
-    f"(distance-rank chunks of <= {_SEMDEDUP_INIT_EVERY}; pair work "
-    "<= N*(chunk-1)/2 by construction), producing the served KEPT "
-    f"set. The refresh batch (vec_id % {_INGEST_MOD} = {_INGEST_REM}) "
-    "is then assigned under the FROZEN quantizer — twolevel_assign "
-    "against the returned (fine, coarse) model, the same persisted "
-    "coarse+fine pair the materialized IVF layout serves — and "
-    "deduplicated in ONE non-iterative pass against two targets: the "
-    "kept index (the already-served copy always wins: cosine >= tau "
-    "to any kept cluster-mate drops the newcomer; the kept side is "
-    "SELF-BOUNDING — dedup leaves cluster-mates pairwise-dissimilar "
-    "up to the chunk cap, so the near-dup floods that skew raw "
-    "clusters are exactly what the index no longer contains) and the "
-    "batch itself (same dominance half-order, chunk-capped like the "
-    "base pass, so batch pair work is <= B*(chunk-1)/2). Nothing in "
-    "the base corpus is re-clustered, re-scored, or re-dropped; no "
-    "N*k stage and no O(N) driver collect exists anywhere in the "
-    "plan. Emits the per-newcomer verdict with provenance flags "
-    "(dup_vs_index / dup_vs_batch), hash-checked against a full SQL "
-    "replay of the two-level fit (twolevel_kmeans_oracle_sql "
-    "pre_ctes trains on the filtered base view), chunk-capped base "
-    "dominance, frozen-quantizer batch assignment (probe/argmin over "
-    "coarse + fcell), and both dedup passes.",
-    tags=(
-        "similarity", "dedup", "clustering", "incremental", "curation",
-        "scale-proof",
-    ),
-    bench=True,
-)
-def dedup_semdedup_incremental(
-    spark: SparkSession, sf_dir: str
+def _semdedup_refresh_verdict(
+    asgnew: DataFrame, kept: DataFrame, npart: int
 ) -> DataFrame:
-    kept, asgnew, npart = _semdedup_incremental_frames(spark, sf_dir)
+    """Per-newcomer verdict frame (vec_id, cluster, dist_to_centroid,
+    dup_vs_index, dup_vs_batch, keep) for an assigned+chunked refresh
+    batch against the frozen kept index — the refresh half of
+    dedup_semdedup_incremental, shared with its streaming twin."""
     cos = dot(F.col("emb_x"), F.col("emb_y")) / (
         F.col("nrm_x") * F.col("nrm_y")
     )
@@ -5548,6 +5494,95 @@ def dedup_semdedup_incremental(
         )
         .orderBy("vec_id")
     )
+
+
+#: full incremental-SemDeDup oracle (chain + refresh passes + verdict)
+#: — shared by dedup_semdedup_incremental and its streaming twin in
+#: plans/streaming_queries.py (same semantics, stream-driven refresh).
+_SEMDEDUP_INCR_ORACLE = (
+    _SEMDEDUP_INCR_CHAIN
+    + f""",
+    dupidx AS (
+        SELECT DISTINCT n.vec_id
+        FROM asgnew n JOIN kept k
+          ON k.cluster = n.cluster
+         AND {_DOT_SQL.format(a='n.embedding', b='k.embedding')}
+             / (n.nrm * k.nrm) >= {_SEMDEDUP_TAU}
+    ),
+    dupbatch AS (
+        SELECT DISTINCT x.vec_id
+        FROM asgnew x JOIN asgnew y
+          ON x.cluster = y.cluster
+         AND x.chunk = y.chunk
+         AND (y.dist > x.dist
+              OR (y.dist = x.dist AND y.vec_id < x.vec_id))
+         AND {_DOT_SQL.format(a='x.embedding', b='y.embedding')}
+             / (x.nrm * y.nrm) >= {_SEMDEDUP_TAU}
+    )
+    SELECT n.vec_id, n.cluster,
+           ROUND(n.dist, 6) AS dist_to_centroid,
+           CAST(CASE WHEN di.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+               AS dup_vs_index,
+           CAST(CASE WHEN db.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+               AS dup_vs_batch,
+           CAST(CASE WHEN di.vec_id IS NULL AND db.vec_id IS NULL
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM asgnew n
+    LEFT JOIN dupidx di ON di.vec_id = n.vec_id
+    LEFT JOIN dupbatch db ON db.vec_id = n.vec_id
+    ORDER BY n.vec_id
+    """
+)
+
+
+@register(
+    "dedup_semdedup_incremental",
+    oracle=_SEMDEDUP_INCR_ORACLE,
+    doc="INCREMENTAL SemDeDup — the crawl-refresh shape for the "
+    "semantic family, completing the trilogy with "
+    "dedup_incremental_ingest (exact + band tiers) and "
+    "ann_ingest_drift_recall (retrieval impact) — rebuilt on the "
+    "SCALE-PATH base stage (VERDICT r7 #2: the first registration "
+    "trained the base with the brute N*k fit the rest of the repo "
+    "retired). The base corpus is clustered by the two-level IVF "
+    "Lloyd fit (operators/clustering.twolevel_kmeans_assigned, "
+    "return_model=True: fine centroids k ∝ N stay a DataFrame for "
+    "the whole fit, only the O(sqrt(k)) coarse quantizer broadcasts, "
+    "the one driver scalar is the seed count) and deduplicated once "
+    "by the chunk-capped dominance pass of dedup_semdedup_scale "
+    f"(distance-rank chunks of <= {_SEMDEDUP_INIT_EVERY}; pair work "
+    "<= N*(chunk-1)/2 by construction), producing the served KEPT "
+    f"set. The refresh batch (vec_id % {_INGEST_MOD} = {_INGEST_REM}) "
+    "is then assigned under the FROZEN quantizer — twolevel_assign "
+    "against the returned (fine, coarse) model, the same persisted "
+    "coarse+fine pair the materialized IVF layout serves — and "
+    "deduplicated in ONE non-iterative pass against two targets: the "
+    "kept index (the already-served copy always wins: cosine >= tau "
+    "to any kept cluster-mate drops the newcomer; the kept side is "
+    "SELF-BOUNDING — dedup leaves cluster-mates pairwise-dissimilar "
+    "up to the chunk cap, so the near-dup floods that skew raw "
+    "clusters are exactly what the index no longer contains) and the "
+    "batch itself (same dominance half-order, chunk-capped like the "
+    "base pass, so batch pair work is <= B*(chunk-1)/2). Nothing in "
+    "the base corpus is re-clustered, re-scored, or re-dropped; no "
+    "N*k stage and no O(N) driver collect exists anywhere in the "
+    "plan. Emits the per-newcomer verdict with provenance flags "
+    "(dup_vs_index / dup_vs_batch), hash-checked against a full SQL "
+    "replay of the two-level fit (twolevel_kmeans_oracle_sql "
+    "pre_ctes trains on the filtered base view), chunk-capped base "
+    "dominance, frozen-quantizer batch assignment (probe/argmin over "
+    "coarse + fcell), and both dedup passes.",
+    tags=(
+        "similarity", "dedup", "clustering", "incremental", "curation",
+        "scale-proof",
+    ),
+    bench=True,
+)
+def dedup_semdedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    kept, asgnew, npart = _semdedup_incremental_frames(spark, sf_dir)
+    return _semdedup_refresh_verdict(asgnew, kept, npart)
 
 
 @register(

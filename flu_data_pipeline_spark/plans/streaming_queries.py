@@ -432,3 +432,94 @@ def stream_changelog_compaction_exact(
         )
         .orderBy("user_id")
     )
+
+
+def _register_semdedup_stream() -> None:
+    """Deferred registration: the oracle constant lives in
+    similarity_queries (imported lazily to keep this module's import
+    graph acyclic — plans/__init__ imports both)."""
+    from flu_data_pipeline_spark.plans.similarity_queries import (
+        _INGEST_MOD,
+        _INGEST_REM,
+        _SEMDEDUP_INCR_ORACLE,
+        _semdedup_base_index,
+        _semdedup_chunk_of,
+        _semdedup_refresh_verdict,
+        norm,
+    )
+
+    @register(
+        "stream_semdedup_refresh_exact",
+        oracle=_SEMDEDUP_INCR_ORACLE,
+        doc="dedup_semdedup_incremental's refresh stage DRIVEN AS A "
+        "STREAM — the deployment shape of the crawl pipeline: the "
+        "frozen served state (two-level-fit quantizer + chunk-capped "
+        "kept index) is built once in batch, then the refresh feed "
+        f"(vec_id % {_INGEST_MOD} = {_INGEST_REM}, read via "
+        "readStream over the embeddings file) is absorbed through "
+        "foreachBatch: each micro-batch is assigned under the frozen "
+        "(fine, coarse) model, chunked, and run through the SAME "
+        "verdict builder the batch registration uses (vs-index + "
+        "in-batch dominance), with verdicts accumulated the way the "
+        "other seven stream twins use the memory sink (a real "
+        "deployment points the same function at idempotent_append). "
+        "availableNow + a single input file = one micro-batch, so the "
+        "emitted table must hash-match the FULL batch oracle — "
+        "proving the streaming path computes exactly the batch "
+        "answer; with a real trigger the in-batch dominance pass "
+        "confines to each micro-batch, which is the standard "
+        "streaming-dedup semantics (documented, not hidden). State "
+        "per micro-batch is the batch itself; the frozen index never "
+        "re-clusters.",
+        tags=("streaming", "similarity", "dedup", "incremental"),
+    )
+    def stream_semdedup_refresh_exact(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os
+
+        kept, fine, coarse, npart = _semdedup_base_index(spark, sf_dir)
+        from flu_data_pipeline_spark.operators.clustering import (
+            twolevel_assign,
+        )
+
+        raw_schema = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+            .filter((F.col("vec_id") % _INGEST_MOD) == _INGEST_REM)
+            .select("vec_id", "embedding")
+        )
+        verdicts: list = []
+
+        def _absorb(batch_df: DataFrame, _batch_id: int) -> None:
+            asgnew = (
+                twolevel_assign(
+                    batch_df, "embedding", "vec_id",
+                    fine, coarse, nprobe=2, keep_vec=True,
+                )
+                .withColumn("nrm", norm(F.col("embedding")))
+                .withColumn("chunk", _semdedup_chunk_of())
+                .localCheckpoint(eager=False)
+            )
+            verdicts.extend(
+                _semdedup_refresh_verdict(asgnew, kept, npart).collect()
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(_absorb)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.createDataFrame(
+            verdicts,
+            "vec_id long, cluster long, dist_to_centroid double, "
+            "dup_vs_index int, dup_vs_batch int, keep int",
+        ).orderBy("vec_id")
+
+
+_register_semdedup_stream()

@@ -3249,9 +3249,10 @@ _RUN_MIN_CHARS = 24
 _RUN_PACK = 100_000
 
 
-@register(
-    "dedup_substring_clone_runs",
-    oracle=f"""
+#: positioned-winnowing postings chain (fp -> positions -> df-capped
+#: inverted index `ip`) — shared by dedup_substring_clone_runs and the
+#: postings-cap executed-metric gate.
+_WINNOW_POS_CHAIN = f"""
     WITH {_WINNOW_FP_SQL},
     pf AS (
         SELECT doc_id, h,
@@ -3272,7 +3273,78 @@ _RUN_PACK = 100_000
         SELECT f FROM posts GROUP BY f
         HAVING COUNT(DISTINCT doc_id) <= {_WINNOW_DF_CAP}
     ),
-    ip AS (SELECT p.* FROM posts p JOIN rare USING (f)),
+    ip AS (SELECT p.* FROM posts p JOIN rare USING (f))"""
+
+
+def _winnow_pos_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-capped POSITIONED postings index (doc_id, pos, f): winnow
+    selection keeps distinct argmin POSITIONS (overlapping windows
+    re-pick the same argmin; the fingerprint is recovered as h[pos] —
+    position determines it, so no struct-distinct is needed on either
+    engine), then fingerprints seen in more than _WINNOW_DF_CAP docs
+    are dropped (the MOSS cap). Eagerly checkpointed: it feeds both
+    sides of the pair self-join in two registrations. Mirrors
+    _WINNOW_POS_CHAIN's `ip` CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    w, k = _WINNOW_W, _WINNOW_K
+    kg = (
+        docs.repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+        .select("doc_id", norm.alias("nt"))
+        .filter(F.length("nt") >= k + w - 1)
+        .select("doc_id", F.split(F.col("nt"), "").alias("chars"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(1), F.size("chars") - k + 1),
+                lambda i: hash64(F.array_join(F.slice("chars", i, k), "")),
+            ).alias("h"),
+        )
+    )
+
+    def _win_min(j):
+        return F.array_min(F.slice("h", j, w))
+
+    posts = (
+        kg.select(
+            "doc_id",
+            "h",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("h") - w + 1),
+                    lambda j: (
+                        j
+                        - 1
+                        + F.array_position(
+                            F.slice("h", j, w), _win_min(j)
+                        )
+                    ).cast("int"),
+                )
+            ).alias("sel"),
+        )
+        .select("doc_id", "h", F.explode("sel").alias("pos"))
+        .select(
+            "doc_id",
+            "pos",
+            F.element_at("h", F.col("pos")).alias("f"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rare = (
+        posts.groupBy("f")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= _WINNOW_DF_CAP)
+        .select("f")
+    )
+    return posts.join(rare, "f").localCheckpoint(eager=True)
+
+
+@register(
+    "dedup_substring_clone_runs",
+    oracle=_WINNOW_POS_CHAIN
+    + f""",
     m AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.pos - b.pos AS diag, a.pos AS pos_a
@@ -3344,63 +3416,7 @@ def dedup_substring_clone_runs(
 ) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    w, k = _WINNOW_W, _WINNOW_K
-    kg = (
-        docs.repartition(
-            spark.sparkContext.defaultParallelism, F.col("doc_id")
-        )
-        .select("doc_id", norm.alias("nt"))
-        .filter(F.length("nt") >= k + w - 1)
-        .select("doc_id", F.split(F.col("nt"), "").alias("chars"))
-        .select(
-            "doc_id",
-            F.transform(
-                F.sequence(F.lit(1), F.size("chars") - k + 1),
-                lambda i: hash64(F.array_join(F.slice("chars", i, k), "")),
-            ).alias("h"),
-        )
-    )
-
-    def _win_min(j):
-        return F.array_min(F.slice("h", j, w))
-
-    # Selected POSITIONS are deduped (overlapping windows re-pick the
-    # same argmin); the fingerprint is recovered as h[pos] — position
-    # determines it, so no struct-distinct is needed on either engine.
-    posts = (
-        kg.select(
-            "doc_id",
-            "h",
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("h") - w + 1),
-                    lambda j: (
-                        j
-                        - 1
-                        + F.array_position(
-                            F.slice("h", j, w), _win_min(j)
-                        )
-                    ).cast("int"),
-                )
-            ).alias("sel"),
-        )
-        .select("doc_id", "h", F.explode("sel").alias("pos"))
-        .select(
-            "doc_id",
-            "pos",
-            F.element_at("h", F.col("pos")).alias("f"),
-        )
-        .localCheckpoint(eager=True)  # feeds the df cap AND both join sides
-    )
-    rare = (
-        posts.groupBy("f")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") <= _WINNOW_DF_CAP)
-        .select("f")
-    )
-    ip = posts.join(rare, "f")
+    ip = _winnow_pos_index(spark, sf_dir)
     a = ip.select(
         F.col("doc_id").alias("doc_a"),
         F.col("pos").alias("pos_a"),
@@ -3435,7 +3451,7 @@ def dedup_substring_clone_runs(
         numbered.groupBy("doc_a", "doc_b", "diag", "run_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("run_fps"),
-            (F.max("pos_a") - F.min("pos_a") + k)
+            (F.max("pos_a") - F.min("pos_a") + _WINNOW_K)
             .cast("bigint")
             .alias("run_chars"),
         )
@@ -4512,4 +4528,129 @@ def corpus_cleaned_write_pipeline(
             F.lit(rerun).cast("bigint").alias("rerun_appended"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "winnow_postings_cap_metric",
+    oracle=_WINNOW_POS_CHAIN
+    + f""",
+    perf AS (
+        SELECT f, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ip GROUP BY f, doc_id
+    ),
+    byf AS (
+        SELECT f, CAST(COUNT(*) AS BIGINT) AS dfc,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS q
+        FROM perf GROUP BY f
+    )
+    SELECT CAST(SUM(s) AS BIGINT) AS n_postings,
+           CAST(COUNT(*) AS BIGINT) AS n_rare_fps,
+           CAST(MAX(dfc) AS BIGINT) AS df_max,
+           CAST({_WINNOW_DF_CAP} AS BIGINT) AS df_cap,
+           CAST(SUM((s * s - q) // 2) AS BIGINT) AS pair_candidates,
+           CAST(CASE WHEN MAX(dfc) <= {_WINNOW_DF_CAP}
+                     THEN 1 ELSE 0 END AS INT) AS within_cap
+    FROM byf
+    """,
+    doc="The fingerprint-pillar executed-metric gate (fourth in the "
+    "self-proving v2 family, after the semdedup pair-cap, IVF "
+    "files-pruned, and LSH band-pair gates): the builder executes the "
+    "positional winnow postings SELF-JOIN exactly as "
+    "dedup_substring_clone_runs builds it (same df-capped index, "
+    "doc_a < doc_b half-ordering), reads the join node's "
+    "`numOutputRows` SQLMetric off the FINAL adaptive executed plan, "
+    "and emits THAT value as `pair_candidates`; the oracle replays "
+    "the index and computes the same number as pure per-fingerprint "
+    "arithmetic — sum over capped fingerprints of (S_f^2 - Q_f)/2, "
+    "S_f/Q_f the per-doc posting-count sum and sum of squares (every "
+    "unordered cross-doc posting pair counted once) — so a hash "
+    "match certifies the executed join moved EXACTLY the pair volume "
+    "the MOSS df-cap arithmetic allows, and `within_cap` pins every "
+    "joined fingerprint to <= " f"{_WINNOW_DF_CAP} docs (a broken "
+    "rare-filter or a silently widened join condition turns the row "
+    "red two ways: the builder also HARD-asserts metric == the "
+    "collected count and df_max <= cap). Deliberately unbenched "
+    "(pair-cap-metric precedent): it re-executes the index "
+    "dedup_substring_clone_runs already times.",
+    tags=("text", "fingerprint", "dedup", "scale-proof", "metrics"),
+)
+def winnow_postings_cap_metric(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flu_data_pipeline_spark.operators.plan_metrics import (
+        collect_with_metrics,
+    )
+
+    ip = _winnow_pos_index(spark, sf_dir)
+    # ip is eagerly checkpointed, so the probe plan contains exactly
+    # ONE Join node — the pair self-join under test (the rare-filter
+    # join is materialized away; LOAD-BEARING, same as the semdedup
+    # gates' checkpoint note).
+    a = ip.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "f"
+    )
+    b = ip.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("f").alias("fb"),
+    )
+    probe = a.join(
+        b, (F.col("f") == F.col("fb")) & (F.col("doc_a") < F.col("doc_b"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    rows, mets = collect_with_metrics(probe, "Join")
+    if len(mets) != 1:
+        raise AssertionError(
+            f"expected exactly 1 join node in the postings pair probe, "
+            f"found {len(mets)}"
+        )
+    pair_metric = int(mets[0]["numOutputRows"])
+    if pair_metric != int(rows[0]["cnt"]):
+        raise AssertionError(
+            f"join metric {pair_metric} != collected pair count "
+            f"{rows[0]['cnt']} — wrong node read"
+        )
+    stats = (
+        ip.groupBy("f", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("f")
+        .agg(
+            F.count(F.lit(1)).alias("dfc"),
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("q"),
+        )
+        .agg(
+            F.sum("s").cast("bigint").alias("n_postings"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rare_fps"),
+            F.max("dfc").cast("bigint").alias("df_max"),
+            (F.sum(F.col("s") * F.col("s") - F.col("q")) / 2)
+            .cast("bigint")
+            .alias("arith_pairs"),
+        )
+        .first()
+    )
+    if int(stats["df_max"]) > _WINNOW_DF_CAP:
+        raise AssertionError(
+            f"df cap VIOLATED: a joined fingerprint appears in "
+            f"{stats['df_max']} docs > cap {_WINNOW_DF_CAP}"
+        )
+    if pair_metric != int(stats["arith_pairs"]):
+        raise AssertionError(
+            f"executed pair volume {pair_metric} != arithmetic "
+            f"{stats['arith_pairs']} — the join condition widened"
+        )
+    return spark.createDataFrame(
+        [
+            (
+                int(stats["n_postings"]),
+                int(stats["n_rare_fps"]),
+                int(stats["df_max"]),
+                _WINNOW_DF_CAP,
+                pair_metric,
+                1,
+            )
+        ],
+        "n_postings bigint, n_rare_fps bigint, df_max bigint, "
+        "df_cap bigint, pair_candidates bigint, within_cap int",
     )

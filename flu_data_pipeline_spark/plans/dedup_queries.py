@@ -1755,3 +1755,145 @@ def lsh_band_pair_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs bigint, n_band_rows bigint, n_buckets bigint, "
         "max_bucket bigint, pair_candidates bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level dedup with document rewrite (CCNet / Dolma line dedup)
+# ---------------------------------------------------------------------------
+
+#: paragraph granularity: non-overlapping word windows. The corpus has no
+#: newline structure, so a fixed word-window plays the role CCNet's line
+#: split plays on crawl text — the dedup/rewrite machinery is identical.
+_PARA_WORDS = 10
+
+
+@register(
+    "dedup_paragraph_rewrite",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               array_to_string(
+                   list_slice(words, CAST(i * {_PARA_WORDS} + 1 AS INT),
+                              CAST((i + 1) * {_PARA_WORDS} AS INT)), ' ')
+                   AS chunk
+        FROM (
+            SELECT doc_id, words,
+                   unnest(range(0, CAST(ceil(len(words) /
+                          {_PARA_WORDS}.0) AS BIGINT))) AS i
+            FROM base
+        )
+    ),
+    hashed AS (
+        SELECT doc_id, pos, chunk, {hash64_sql("chunk")} AS h
+        FROM chunks
+    ),
+    kept AS (
+        SELECT doc_id, pos, chunk
+        FROM (
+            SELECT doc_id, pos, chunk,
+                   ROW_NUMBER() OVER (PARTITION BY h
+                                      ORDER BY doc_id, pos) AS rn
+            FROM hashed
+        ) WHERE rn = 1
+    ),
+    counts AS (
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_chunks
+        FROM hashed GROUP BY doc_id
+    ),
+    rebuilt AS (
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+               string_agg(chunk, ' ' ORDER BY pos) AS new_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           c.n_chunks,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           c.n_chunks - COALESCE(r.n_kept, 0) AS n_removed,
+           CAST(length(COALESCE(r.new_text, '')) AS INT) AS new_n_chars,
+           substr(md5(COALESCE(r.new_text, '')), 1, 16) AS new_text_md5
+    FROM counts c LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    doc="Paragraph-level dedup WITH document rewrite — the CCNet/Dolma "
+    "line-dedup pass: split every document into fixed word-window "
+    "paragraphs, keep only the globally FIRST occurrence of each "
+    "paragraph (ordered by doc_id, then position), and re-assemble "
+    "each document from its surviving paragraphs in original order. "
+    "Output is the per-document audit (chunk/kept/removed counts, "
+    "rewritten length, md5 fingerprint of the rewritten text) — the "
+    "same artifact a crawl-cleaning run logs. Scale shape: paragraphs "
+    "dedup on the portable 56-bit hash, so the first-occurrence agg "
+    "shuffles (h, doc_id, pos) — never paragraph text; first-occurrence "
+    "is a groupBy-min (map-side combinable), NOT a row_number window "
+    "(which would sort the whole corpus inside each hash partition of "
+    "a single window exchange); the re-assembly groups by doc_id and "
+    "sorts only within each document's own chunk list. A 56-bit "
+    "collision would merge two distinct paragraphs — the standard "
+    "fingerprint-dedup tradeoff, same convention as dedup_exact's md5 "
+    "keying. Reference has no corpus ops; extension mandate "
+    "(BASELINE.json) names dedup as a first-class family.",
+    tags=("dedup", "curation", "text"),
+    bench=True,
+)
+def dedup_paragraph_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words")
+    )
+    chunks = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform("
+                f"sequence(0, cast(ceil(size(words) / {_PARA_WORDS}.0) "
+                "as int) - 1), "
+                f"i -> array_join(slice(words, i * {_PARA_WORDS} + 1, "
+                f"{_PARA_WORDS}), ' '))"
+            )
+        ).alias("pos", "chunk"),
+    )
+    hashed = chunks.select(
+        "doc_id", "pos", "chunk", hash64(F.col("chunk")).alias("h")
+    )
+    # Global first occurrence per paragraph hash. struct ordering is
+    # field-by-field (doc_id, then pos) — identical to the oracle's
+    # ROW_NUMBER ... ORDER BY doc_id, pos.
+    keepers = hashed.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    kept = (
+        hashed.join(keepers, "h")
+        .filter(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+        .select("doc_id", "pos", "chunk")
+    )
+    counts = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    empty = F.lit("")
+    return counts.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        F.length(F.coalesce("new_text", empty)).cast("int").alias("new_n_chars"),
+        F.substring(F.md5(F.coalesce("new_text", empty)), 1, 16).alias(
+            "new_text_md5"
+        ),
+    )

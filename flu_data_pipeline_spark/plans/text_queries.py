@@ -2657,6 +2657,210 @@ def tokenizer_unigram_prune_scores(
     )
 
 
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer trainer — likelihood-scored merges
+# ---------------------------------------------------------------------------
+
+_WP_MERGES = 4
+
+
+def _wp_step_sql(prev: str, t: int) -> str:
+    """One WordPiece round: pair counts, symbol counts, likelihood argmax
+    (score = c(xy) / (c(x)*c(y))), literal merge replacement."""
+    return f"""wp{t} AS (
+        SELECT u.a AS x, u.b AS y, CAST(SUM(cnt) AS BIGINT) AS c
+        FROM (
+            SELECT cnt,
+                   unnest(list_transform(range(1, len(syms)),
+                          i -> struct_pack(a := syms[i], b := syms[i + 1])))
+                       AS u
+            FROM (SELECT cnt, regexp_split_to_array(seq, ' ') AS syms
+                  FROM {prev})
+        ) GROUP BY x, y
+    ),
+    ws{t} AS (
+        SELECT sym, CAST(SUM(cnt) AS BIGINT) AS sc
+        FROM (
+            SELECT cnt, unnest(regexp_split_to_array(seq, ' ')) AS sym
+            FROM {prev}
+        ) GROUP BY sym
+    ),
+    wb{t} AS (
+        SELECT p.x, p.y, p.c, sx.sc AS cx, sy.sc AS cy
+        FROM wp{t} p
+        JOIN ws{t} sx ON p.x = sx.sym
+        JOIN ws{t} sy ON p.y = sy.sym
+        ORDER BY CAST(p.c AS DOUBLE) / (sx.sc * sy.sc) DESC, p.x, p.y
+        LIMIT 1
+    ),
+    wv{t} AS MATERIALIZED (
+        SELECT word, cnt,
+               trim(replace(
+                   replace(' ' || replace(seq, ' ', '  ') || ' ',
+                           ' ' || b.x || '  ' || b.y || ' ',
+                           ' ' || b.x || b.y || ' '),
+                   '  ', ' ')) AS seq
+        FROM {prev}, wb{t} b
+    )"""
+
+
+@register(
+    "tokenizer_wordpiece_train",
+    oracle=(
+        f"""
+    WITH wpwords AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS word
+            FROM documents
+        ) GROUP BY word
+    ),
+    wv0 AS MATERIALIZED (
+        SELECT word, cnt,
+               array_to_string(regexp_extract_all(word, '.'), ' ') AS seq
+        FROM wpwords
+    ),
+    """
+        + ",\n    ".join(
+            _wp_step_sql(f"wv{t - 1}", t) for t in range(1, _WP_MERGES + 1)
+        )
+        + f"""
+    SELECT * FROM (
+        {" UNION ALL ".join(
+            f"SELECT {t} AS merge_rank, x AS sym_x, y AS sym_y, "
+            f"c AS pair_count, cx AS cnt_x, cy AS cnt_y, "
+            f"x || y AS new_sym FROM wb{t}"
+            for t in range(1, _WP_MERGES + 1)
+        )}
+    ) ORDER BY merge_rank
+    """
+    ),
+    doc=f"WordPiece tokenizer TRAINING (Schuster & Nakajima 2012; the "
+    f"BERT tokenizer's trainer), first {_WP_MERGES} merges: unlike BPE's "
+    "raw pair-frequency argmax, each round merges the pair maximizing "
+    "the likelihood score c(xy) / (c(x)*c(y)) — the corpus-likelihood "
+    "gain of fusing x,y under a unigram model (ties pinned "
+    "lexicographically). Completes the tokenizer-trainer trio "
+    "(BPE greedy-count, unigram Viterbi-EM, WordPiece likelihood). "
+    "The score is computed from exact BIGINT counts with one IEEE "
+    "double division — bit-identical in both engines — and the output "
+    "emits only the integer evidence (pair count, both symbol counts), "
+    "so the hash compare stays float-free. The ## continuation-prefix "
+    "surface convention is presentation-layer and orthogonal to merge "
+    "selection. Scale shape: identical to the BPE trainer — one corpus "
+    "scan into the (word, count) vocabulary, then every round runs on "
+    "the vocabulary-bounded frame: pair + symbol counts map-side "
+    "combine, the two count frames broadcast into the argmax, the "
+    "1-row winner broadcasts back into the literal replace; "
+    "checkpointed per round to keep lineage flat.",
+    tags=("text", "tokenizer", "curation", "A6"),
+    bench=True,
+)
+def tokenizer_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "word"
+            )
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    vocab = words.select(
+        "word",
+        "cnt",
+        F.array_join(F.regexp_extract_all("word", F.lit("."), 0), " ").alias(
+            "seq"
+        ),
+    ).localCheckpoint(eager=True)
+    merges: list[DataFrame] = []
+    for t in range(1, _WP_MERGES + 1):
+        syms = F.split(F.col("seq"), " ")
+        symcnt = (
+            vocab.select("cnt", F.explode(syms).alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("cnt").cast("bigint").alias("sc"))
+        )
+        pairs = (
+            vocab.select("cnt", syms.alias("syms"))
+            .filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) AS a, "
+                        "element_at(syms, i + 1) AS b))"
+                    )
+                ).alias("u"),
+            )
+            .groupBy(F.col("u.a").alias("x"), F.col("u.b").alias("y"))
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+        )
+        scored = pairs.join(
+            F.broadcast(
+                symcnt.select(F.col("sym").alias("x"), F.col("sc").alias("cx"))
+            ),
+            "x",
+        ).join(
+            F.broadcast(
+                symcnt.select(F.col("sym").alias("y"), F.col("sc").alias("cy"))
+            ),
+            "y",
+        )
+        best = (
+            scored.orderBy(
+                F.desc(
+                    F.col("c").cast("double") / (F.col("cx") * F.col("cy"))
+                ),
+                F.asc("x"),
+                F.asc("y"),
+            )
+            .limit(1)
+            .select("x", "y", "c", "cx", "cy")
+            .localCheckpoint(eager=True)
+        )
+        merges.append(best.withColumn("merge_rank", F.lit(t)))
+        padded = F.concat(
+            F.lit(" "),
+            F.replace(F.col("seq"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        pattern = F.concat(
+            F.lit(" "), F.col("x"), F.lit("  "), F.col("y"), F.lit(" ")
+        )
+        repl = F.concat(F.lit(" "), F.col("x"), F.col("y"), F.lit(" "))
+        vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                "cnt",
+                F.trim(
+                    F.replace(
+                        F.replace(padded, pattern, repl),
+                        F.lit("  "),
+                        F.lit(" "),
+                    )
+                ).alias("seq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.union(m)
+    return out.select(
+        "merge_rank",
+        F.col("x").alias("sym_x"),
+        F.col("y").alias("sym_y"),
+        F.col("c").alias("pair_count"),
+        F.col("cx").alias("cnt_x"),
+        F.col("cy").alias("cnt_y"),
+        F.concat(F.col("x"), F.col("y")).alias("new_sym"),
+    ).orderBy("merge_rank")
+
+
 _CHUNK_W = 10  # tokens per non-overlapping dedup chunk
 
 

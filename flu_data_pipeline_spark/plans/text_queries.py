@@ -2758,7 +2758,26 @@ def _wp_step_sql(prev: str, t: int) -> str:
     bench=True,
 )
 def tokenizer_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    _, merges = _wp_train(load_table(spark, sf_dir, "documents"))
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.union(m)
+    return out.select(
+        "merge_rank",
+        F.col("x").alias("sym_x"),
+        F.col("y").alias("sym_y"),
+        F.col("c").alias("pair_count"),
+        F.col("cx").alias("cnt_x"),
+        F.col("cy").alias("cnt_y"),
+        F.concat(F.col("x"), F.col("y")).alias("new_sym"),
+    ).orderBy("merge_rank")
+
+
+def _wp_train(docs: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
+    """Run the _WP_MERGES-round WordPiece trainer; returns the final
+    (word, cnt, seq) state and the per-round 1-row argmax frames
+    (x, y, c, cx, cy, merge_rank). Shared by tokenizer_wordpiece_train
+    and tokenizer_wordpiece_encode."""
     words = (
         docs.select(
             F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
@@ -2847,18 +2866,150 @@ def tokenizer_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    out = merges[0]
+    return vocab, merges
+
+
+#: longest trainable piece after _WP_MERGES binary merges
+_WP_PMAX = 2 ** _WP_MERGES
+
+
+@register(
+    "tokenizer_wordpiece_encode",
+    oracle=(
+        f"""
+    WITH RECURSIVE wpwords AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS word
+            FROM documents
+        ) GROUP BY word
+    ),
+    wv0 AS MATERIALIZED (
+        SELECT word, cnt,
+               array_to_string(regexp_extract_all(word, '.'), ' ') AS seq
+        FROM wpwords
+    ),
+    """
+        + ",\n    ".join(
+            _wp_step_sql(f"wv{t - 1}", t) for t in range(1, _WP_MERGES + 1)
+        )
+        + f""",
+    vocabp AS MATERIALIZED (
+        SELECT DISTINCT piece FROM (
+            {" UNION ALL ".join(
+                f"SELECT x || y AS piece FROM wb{t}"
+                for t in range(1, _WP_MERGES + 1)
+            )}
+        )
+    ),
+    wrec AS (
+        SELECT word, cnt, 1 AS pos, 0 AS n, '' AS parts FROM wpwords
+        UNION ALL
+        SELECT r.word, r.cnt, r.pos + m.l AS pos, r.n + 1 AS n,
+               r.parts || ' ' || substr(r.word, r.pos, CAST(m.l AS INT))
+                   AS parts
+        FROM wrec r, LATERAL (
+            SELECT COALESCE(MAX(length(v.piece)), 1) AS l
+            FROM vocabp v
+            WHERE length(v.piece) <= length(r.word) - r.pos + 1
+              AND substr(r.word, CAST(r.pos AS INT),
+                         CAST(length(v.piece) AS INT)) = v.piece
+        ) m
+        WHERE r.pos <= length(r.word)
+    )
+    SELECT word, cnt, CAST(n AS INT) AS n_pieces, trim(parts) AS pieces
+    FROM wrec WHERE pos > length(word)
+    """
+    ),
+    doc="WordPiece ENCODING — greedy longest-match-first segmentation "
+    "(the BERT inference tokenizer) under the vocabulary trained by "
+    "tokenizer_wordpiece_train: at each position take the longest "
+    "trained multi-char piece that prefixes the remainder, else emit "
+    "the single character. Runs on the distinct-word table (the corpus "
+    "is scanned once into word counts; segmentation cost is "
+    "vocab-bounded, the standard trick production tokenizers use). "
+    "Spark side gathers each word's in-vocab substrings into a "
+    "broadcast-joined map column, then runs the whole greedy scan as a "
+    "row-local F.aggregate fold over char positions — no UDF, no "
+    "driver loop; per the verify recipe's list_reduce warning the "
+    "DuckDB oracle instead replays the scan as a recursive CTE "
+    "advancing every word one piece per iteration (HOF folds with "
+    "branching struct accumulators mis-execute vectorized there). "
+    "Output is integer/string only — float-free hash compare.",
+    tags=("text", "tokenizer", "curation"),
+)
+def tokenizer_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    _, merges = _wp_train(docs)
+    prods = merges[0].select(F.concat("x", "y").alias("piece"))
     for m in merges[1:]:
-        out = out.union(m)
-    return out.select(
-        "merge_rank",
-        F.col("x").alias("sym_x"),
-        F.col("y").alias("sym_y"),
-        F.col("c").alias("pair_count"),
-        F.col("cx").alias("cnt_x"),
-        F.col("cy").alias("cnt_y"),
-        F.concat(F.col("x"), F.col("y")).alias("new_sym"),
-    ).orderBy("merge_rank")
+        prods = prods.union(m.select(F.concat("x", "y").alias("piece")))
+    prods = prods.distinct()
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "word"
+            )
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    # each word's distinct multi-char substrings that are trained pieces,
+    # gathered into one map column (same broadcast-gather shape as the
+    # unigram prune DP)
+    wsubs = (
+        words.filter(F.length("word") >= 2)
+        .select(
+            "word",
+            F.explode(
+                F.expr(
+                    "array_distinct(flatten(transform("
+                    "sequence(1, length(word) - 1), "
+                    "i -> transform(sequence(i + 1, length(word)), "
+                    "e -> substring(word, i, e - i + 1)))))"
+                )
+            ).alias("piece"),
+        )
+        .join(F.broadcast(prods), "piece")
+    )
+    pmap = wsubs.groupBy("word").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("piece", F.lit(1)))
+        ).alias("pm")
+    )
+    d = words.join(pmap, "word", "left").withColumn(
+        "pm", F.coalesce(F.col("pm"), F.expr("cast(map() as map<string,int>)"))
+    )
+
+    def step(acc, i):
+        rem = F.length("word") - acc["pos"] + 1
+        lens = F.filter(
+            F.sequence(F.lit(2), F.least(F.lit(_WP_PMAX), rem)),
+            lambda l: F.try_element_at(
+                F.col("pm"), F.col("word").substr(acc["pos"], l)
+            ).isNotNull(),
+        )
+        ln = F.coalesce(F.array_max(lens), F.lit(1))
+        take = F.struct(
+            (acc["pos"] + ln).alias("pos"),
+            (acc["n"] + 1).alias("n"),
+            F.concat(
+                acc["parts"], F.lit(" "), F.col("word").substr(acc["pos"], ln)
+            ).alias("parts"),
+        )
+        return F.when(i == acc["pos"], take).otherwise(acc)
+
+    init = F.struct(
+        F.lit(1).alias("pos"), F.lit(0).alias("n"), F.lit("").alias("parts")
+    )
+    fin = F.aggregate(F.sequence(F.lit(1), F.length("word")), init, step)
+    return d.select(
+        "word",
+        "cnt",
+        fin["n"].cast("int").alias("n_pieces"),
+        F.trim(fin["parts"]).alias("pieces"),
+    )
 
 
 _CHUNK_W = 10  # tokens per non-overlapping dedup chunk

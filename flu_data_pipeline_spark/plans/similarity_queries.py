@@ -5749,3 +5749,120 @@ def semdedup_incremental_pair_cap_metric(
         "within_bound int, batch_pair_shuffle_rows bigint, "
         "idx_pair_candidates bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (MRL) truncated-dimension recall — the "can we serve at d=16?"
+# table (Kusupati et al. 2022: Matryoshka Representation Learning)
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32)  # prefix dims evaluated against the full 64
+_MRL_Q = 20              # query vectors (vec_id < _MRL_Q)
+_MRL_K = 5               # recall@k
+
+
+def _mrl_topk_sql(name: str, qe: str, ce: str) -> str:
+    return f"""{name} AS (
+        SELECT qid, nid FROM mpairs
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY qid
+            ORDER BY {_cos_sql(qe, ce)} DESC, nid
+        ) <= {_MRL_K}
+    )"""
+
+
+@register(
+    "embedding_matryoshka_recall",
+    oracle=(
+        f"""
+    WITH mq AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < {_MRL_Q}),
+    mc AS (SELECT vec_id, embedding FROM embeddings),
+    mpairs AS MATERIALIZED (
+        SELECT mq.vec_id AS qid, mc.vec_id AS nid,
+               mq.embedding AS qe, mc.embedding AS ce
+        FROM mq JOIN mc ON mq.vec_id <> mc.vec_id
+    ),
+    {_mrl_topk_sql("mfull", "qe", "ce")},
+    """
+        + ",\n    ".join(
+            _mrl_topk_sql(
+                f"mt{d}",
+                f"list_slice(qe, 1, {d})",
+                f"list_slice(ce, 1, {d})",
+            )
+            for d in _MRL_DIMS
+        )
+        + f"""
+    SELECT dim_prefix, k, n_queries, hits,
+           ROUND(CAST(hits AS DOUBLE) / (n_queries * k), 6) AS recall_at_k
+    FROM (
+        {" UNION ALL ".join(
+            f"SELECT {d} AS dim_prefix, {_MRL_K} AS k, {_MRL_Q} AS n_queries, "
+            f"CAST((SELECT COUNT(*) FROM mt{d} t JOIN mfull f "
+            f"ON t.qid = f.qid AND t.nid = f.nid) AS BIGINT) AS hits"
+            for d in _MRL_DIMS
+        )}
+    )
+    """
+    ),
+    doc=f"Matryoshka truncated-dimension recall: rank all candidates for "
+    f"{_MRL_Q} queries by cosine over only the FIRST d dims (d in "
+    f"{_MRL_DIMS}) and measure top-{_MRL_K} overlap against the full "
+    "64-dim exact ranking — the serve-cheaper/re-rank-later table an "
+    "MRL embedding rollout reads (Kusupati et al. 2022). Prefix "
+    "truncation is array slicing at the scan; no second embedding "
+    "table is materialized. Scale shape: the query side is "
+    "broadcast (Q rows), candidates stream through one scan per "
+    "variant, and each variant's ranked window partitions by query id "
+    "— Q partitions, never a global sort; the exact-vs-truncated "
+    "join is on (qid, nid) top-k sets, Q*k rows a side. Output "
+    "emits integer hit counts alongside the derived recall so the "
+    "hash compare is anchored on exact integers.",
+    tags=("embedding", "similarity", "ann"),
+    bench=True,
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _MRL_Q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("ce")
+    )
+    pairs = F.broadcast(q).join(c, F.col("qid") != F.col("nid"))
+
+    def topk(d: int | None) -> DataFrame:
+        if d is None:
+            qa, ca = F.col("qe"), F.col("ce")
+        else:
+            qa, ca = F.slice("qe", 1, d), F.slice("ce", 1, d)
+        w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+        return (
+            pairs.select("qid", "nid", cosine(qa, ca).alias("cos"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _MRL_K)
+            .select("qid", "nid")
+        )
+
+    # the exact full-dim top-k is reused by every truncated variant —
+    # checkpoint the Q*k-row set instead of re-ranking three times
+    full = topk(None).localCheckpoint(eager=True)
+    out: DataFrame | None = None
+    for d in _MRL_DIMS:
+        hits = (
+            topk(d)
+            .join(full, ["qid", "nid"])
+            .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+        )
+        row = hits.select(
+            F.lit(d).alias("dim_prefix"),
+            F.lit(_MRL_K).alias("k"),
+            F.lit(_MRL_Q).alias("n_queries"),
+            "hits",
+            F.round(
+                F.col("hits").cast("double") / (_MRL_Q * _MRL_K), 6
+            ).alias("recall_at_k"),
+        )
+        out = row if out is None else out.union(row)
+    return out

@@ -34,7 +34,7 @@ from flu_data_pipeline_spark.operators.dedup import (
     simhash_near_pairs,
     tokenize,
 )
-from flu_data_pipeline_spark.plans.registry import register
+from flu_data_pipeline_spark.plans.registry import REGISTRY, register
 
 
 @register(
@@ -1840,7 +1840,16 @@ _PARA_WORDS = 10
     bench=True,
 )
 def dedup_paragraph_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return paragraph_rewrite(load_table(spark, sf_dir, "documents"))
+
+
+#: oracle SQL shared with the stream twin (stream_paragraph_dedup_exact)
+PARA_REWRITE_ORACLE: str  # assigned below, after registration
+
+
+def paragraph_rewrite(docs: DataFrame) -> DataFrame:
+    """Core paragraph-dedup-and-rewrite over any (doc_id, text) frame;
+    shared by dedup_paragraph_rewrite and its streaming twin."""
     base = docs.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words")
     )
@@ -1897,3 +1906,6 @@ def dedup_paragraph_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_text_md5"
         ),
     )
+
+
+PARA_REWRITE_ORACLE = REGISTRY["dedup_paragraph_rewrite"].oracle

@@ -523,3 +523,65 @@ def _register_semdedup_stream() -> None:
 
 
 _register_semdedup_stream()
+
+
+def _register_paragraph_stream() -> None:
+    """Deferred registration (same acyclicity trick as the semdedup twin):
+    the builder + oracle live in dedup_queries."""
+    from flu_data_pipeline_spark.plans.dedup_queries import (
+        PARA_REWRITE_ORACLE,
+        paragraph_rewrite,
+    )
+
+    @register(
+        "stream_paragraph_dedup_exact",
+        oracle=PARA_REWRITE_ORACLE,
+        doc="dedup_paragraph_rewrite DRIVEN AS A STREAM — the crawl-"
+        "cleaning deployment shape: documents arrive as files, each "
+        "micro-batch is paragraph-deduped and rewritten through the "
+        "SAME builder the batch registration uses, audit rows "
+        "accumulated memory-sink-style (a real deployment points "
+        "foreachBatch at idempotent_append on the cleaned-corpus "
+        "table). availableNow + a single input file = one micro-batch, "
+        "so the emitted audit must hash-match the full batch oracle — "
+        "the streaming path computes exactly the batch answer. With a "
+        "real trigger, first-occurrence keep confines to each "
+        "micro-batch plus previously-seen state; extending it across "
+        "batches is the bounded-state keyed-dedup pattern "
+        "(stream_dedup_exact) keyed on the paragraph hash — "
+        "documented, not hidden. Ninth exact stream twin.",
+        tags=("streaming", "dedup", "curation", "text"),
+    )
+    def stream_paragraph_dedup_exact(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os
+
+        raw_schema = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .select("doc_id", "text")
+        )
+        audits: list = []
+
+        def _clean(batch_df: DataFrame, _batch_id: int) -> None:
+            audits.extend(paragraph_rewrite(batch_df).collect())
+
+        q = (
+            stream.writeStream.foreachBatch(_clean)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.createDataFrame(
+            audits,
+            "doc_id bigint, n_chunks int, n_kept int, n_removed int, "
+            "new_n_chars int, new_text_md5 string",
+        ).orderBy("doc_id")
+
+
+_register_paragraph_stream()

@@ -453,3 +453,177 @@ def test_removal_apply_conserves_bytes(spark):
         )
         if r["n_spans"] == 0:
             assert r["cleaned_chars"] == r["orig_chars"]
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions: paragraph rewrite, WordPiece train/encode, Matryoshka
+# — each checked against an INDEPENDENT pure-Python model (not the oracle
+# SQL, which shares no code with these models)
+# ---------------------------------------------------------------------------
+
+
+def _corpus_words(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, lower(trim(text)) FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_paragraph_rewrite_matches_python(spark):
+    import hashlib
+
+    from .conftest import SF_ORACLE
+
+    docs = _corpus_words(SF_ORACLE)
+    seen = {}
+    model = {}
+    for doc_id, text in docs:  # doc_id ascending == global first-occurrence
+        words = text.split(" ")
+        chunks = [
+            " ".join(words[i : i + 10]) for i in range(0, len(words), 10)
+        ]
+        kept = []
+        for pos, ch in enumerate(chunks):
+            if ch not in seen:
+                seen[ch] = (doc_id, pos)
+                kept.append(ch)
+        new_text = " ".join(kept)
+        model[doc_id] = (
+            len(chunks),
+            len(kept),
+            len(chunks) - len(kept),
+            len(new_text),
+            hashlib.md5(new_text.encode()).hexdigest()[:16],
+        )
+    out = _rows(spark, "dedup_paragraph_rewrite")
+    assert len(out) == len(model)
+    for r in out:
+        assert (
+            r["n_chunks"], r["n_kept"], r["n_removed"],
+            r["new_n_chars"], r["new_text_md5"],
+        ) == model[r["doc_id"]], r["doc_id"]
+
+
+def _wp_python_train(word_counts, rounds):
+    """Independent WordPiece trainer: likelihood argmax + left-to-right
+    simultaneous merge, ties (score, x, y) pinned like the query."""
+    state = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(rounds):
+        pc, sc = {}, {}
+        for w, syms in state.items():
+            c = word_counts[w]
+            for s in syms:
+                sc[s] = sc.get(s, 0) + c
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        (x, y), c = min(
+            pc.items(),
+            key=lambda kv: (
+                -(kv[1] / (sc[kv[0][0]] * sc[kv[0][1]])),
+                kv[0][0],
+                kv[0][1],
+            ),
+        )
+        merges.append((x, y, c, sc[x], sc[y]))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    return merges
+
+
+def _word_counts(sf_dir):
+    counts = {}
+    for _, text in _corpus_words(sf_dir):
+        for w in text.split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    return counts
+
+
+def test_wordpiece_train_matches_python(spark):
+    from .conftest import SF_ORACLE
+
+    counts = _word_counts(SF_ORACLE)
+    merges = _wp_python_train(counts, 4)
+    out = sorted(_rows(spark, "tokenizer_wordpiece_train"),
+                 key=lambda r: r["merge_rank"])
+    assert len(out) == 4
+    for r, (x, y, c, cx, cy) in zip(out, merges):
+        assert (r["sym_x"], r["sym_y"], r["pair_count"],
+                r["cnt_x"], r["cnt_y"]) == (x, y, c, cx, cy)
+
+
+def test_wordpiece_encode_matches_python(spark):
+    from .conftest import SF_ORACLE
+
+    counts = _word_counts(SF_ORACLE)
+    merges = _wp_python_train(counts, 4)
+    vocab = {x + y for x, y, *_ in merges}
+    out = _rows(spark, "tokenizer_wordpiece_encode")
+    assert len(out) == len(counts)
+    for r in out:
+        w = r["word"]
+        pieces, pos = [], 0
+        while pos < len(w):
+            ln = 1
+            for l in range(min(16, len(w) - pos), 1, -1):
+                if w[pos : pos + l] in vocab:
+                    ln = l
+                    break
+            pieces.append(w[pos : pos + ln])
+            pos += ln
+        assert r["cnt"] == counts[w]
+        assert r["n_pieces"] == len(pieces), w
+        assert r["pieces"] == " ".join(pieces), w
+
+
+def test_matryoshka_recall_matches_python(spark):
+    import duckdb
+
+    from .conftest import SF_ORACLE
+
+    con = duckdb.connect()
+    vecs = dict(
+        con.execute(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{SF_ORACLE}/embeddings.parquet')"
+        ).fetchall()
+    )
+    con.close()
+
+    def topk(d):
+        res = {}
+        for qid in range(20):
+            q = vecs[qid][:d]
+            qn = sum(x * x for x in q) ** 0.5
+            scored = []
+            for nid, v in vecs.items():
+                if nid == qid:
+                    continue
+                c = v[:d]
+                num = sum(float(a) * float(b) for a, b in zip(q, c))
+                cn = sum(float(x) * float(x) for x in c) ** 0.5
+                scored.append((-(num / (qn * cn)), nid))
+            scored.sort()
+            res[qid] = {nid for _, nid in scored[:5]}
+        return res
+
+    full = topk(64)
+    out = {r["dim_prefix"]: r for r in _rows(spark, "embedding_matryoshka_recall")}
+    for d in (8, 16, 32):
+        t = topk(d)
+        hits = sum(len(t[q] & full[q]) for q in range(20))
+        assert out[d]["hits"] == hits
+        assert abs(out[d]["recall_at_k"] - round(hits / 100, 6)) < 1e-9

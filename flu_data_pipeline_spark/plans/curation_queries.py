@@ -1916,3 +1916,191 @@ def corpus_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("strategy")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier TRAINING — distributed gradient descent, replay-exact
+# ---------------------------------------------------------------------------
+
+from flu_data_pipeline_spark.plans.text_queries import STOPWORDS as _QC_STOP
+
+_QC_ITERS = 6
+_QC_LR = 2.0
+_QC_TOKENS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_QC_STOPLIST = "[" + ", ".join(f"'{w}'" for w in _QC_STOP) + "]"
+
+
+def _qc_g_sql(t: int) -> str:
+    """Iteration-t gradient pass: integer-quantized per-row contributions
+    summed as exact integers, plus the accuracy of beta_{t-1}."""
+    return f"""qg{t} AS (
+        SELECT
+            CAST(SUM(CAST(floor((y - p) * 1000000.0 + 0.5) AS BIGINT))
+                 AS BIGINT) AS s0,
+            CAST(SUM(CAST(floor((y - p) * x1 * 1000000.0 + 0.5) AS BIGINT))
+                 AS BIGINT) AS s1,
+            CAST(SUM(CAST(floor((y - p) * x2 * 1000000.0 + 0.5) AS BIGINT))
+                 AS BIGINT) AS s2,
+            CAST(SUM(CASE WHEN (z >= 0) = (y = 1) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS nc
+        FROM (
+            SELECT y, x1, x2, z,
+                   0.5 + z / (2.0 * (1.0 + abs(z))) AS p
+            FROM (
+                SELECT y, x1, x2,
+                       (b.q0 / 1e9 + b.q1 / 1e9 * x1 + b.q2 / 1e9 * x2) AS z
+                FROM qcfeat, qb{t - 1} b
+            )
+        )
+    )"""
+
+
+def _qc_b_sql(t: int) -> str:
+    return f"""qb{t} AS (
+        SELECT
+            b.q0 + CAST(floor(({_QC_LR} * g.s0 * 1000.0) / n.c + 0.5)
+                        AS BIGINT) AS q0,
+            b.q1 + CAST(floor(({_QC_LR} * g.s1 * 1000.0) / n.c + 0.5)
+                        AS BIGINT) AS q1,
+            b.q2 + CAST(floor(({_QC_LR} * g.s2 * 1000.0) / n.c + 0.5)
+                        AS BIGINT) AS q2
+        FROM qb{t - 1} b, qg{t} g, qcn n
+    )"""
+
+
+@register(
+    "curation_quality_classifier_train",
+    oracle=(
+        f"""
+    WITH qcfeat AS MATERIALIZED (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               CAST(len(list_filter({_QC_TOKENS},
+                        t -> list_contains({_QC_STOPLIST}, t))) AS DOUBLE)
+                   / len({_QC_TOKENS}) AS x1,
+               (CAST(length(text) AS DOUBLE) / len({_QC_TOKENS})) / 10.0
+                   AS x2
+        FROM documents
+    ),
+    qcn AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM qcfeat),
+    qb0 AS (SELECT CAST(0 AS BIGINT) AS q0, CAST(0 AS BIGINT) AS q1,
+                   CAST(0 AS BIGINT) AS q2),
+    """
+        + ",\n    ".join(
+            _qc_g_sql(t) + ",\n    " + _qc_b_sql(t)
+            for t in range(1, _QC_ITERS + 1)
+        )
+        + ",\n    "
+        + _qc_g_sql(_QC_ITERS + 1)
+        + f"""
+    SELECT iter, q0 AS b0_nano, q1 AS b1_nano, q2 AS b2_nano,
+           n_correct, CAST(n_correct AS DOUBLE) / c AS accuracy
+    FROM (
+        {" UNION ALL ".join(
+            f"SELECT {t} AS iter, b.q0, b.q1, b.q2, g.nc AS n_correct, n.c "
+            f"FROM qb{t} b, qg{t + 1} g, qcn n"
+            for t in range(1, _QC_ITERS + 1)
+        )}
+    ) ORDER BY iter
+    """
+    ),
+    doc="Distributed TRAINING of a document-quality / language classifier "
+    f"— {_QC_ITERS} full-batch gradient-descent steps on (stopword "
+    "ratio, scaled mean token length) -> P(lang='en'), the fastText-"
+    "style linear gate a curation pipeline trains in-engine. Replay-"
+    "exact across engines by construction: the link is the rational "
+    "soft-sign squash 0.5 + z/(2*(1+|z|)) (same monotone S-shape as "
+    "the logistic; +,*,/,abs are IEEE-correctly-rounded everywhere, "
+    "unlike exp(), which drifts in the last ulp between libm and the "
+    "JVM and COMPOUNDS over iterations), per-row gradient "
+    "contributions are quantized to integer micro-units and summed as "
+    "exact BIGINTs (order-free — float partial sums are not "
+    "associativity-pinned across engines), and the weight vector "
+    "lives as integer NANO-units between steps (the DSIR micro-nat / "
+    "PCA re-quantization discipline). Scale shape: one localCheckpoint "
+    "of the 3-column feature frame, then each step is a single "
+    "map-side-combined aggregate producing 4 integers; the driver "
+    "holds only the 3-scalar weight vector — textbook distributed "
+    "full-batch GD, no per-row state, no window, no join. Output: one "
+    "row per step with the quantized weights, training accuracy of "
+    "that step's weights (exact integer count), and the derived "
+    "accuracy ratio (raw double; bit-identical cross-engine). On the "
+    "synthetic corpus lang is independent of the features, so GD "
+    "correctly converges to the base-rate classifier (accuracy = "
+    "majority share) while the weights keep descending — the honest "
+    "no-signal outcome, same reporting discipline as the PQ recall "
+    "row.",
+    tags=("curation", "text", "quality", "A7"),
+    bench=True,
+)
+def curation_quality_classifier_train(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(w) for w in _QC_STOP])
+    feat = (
+        docs.select(
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            F.length("text").alias("n_chars"),
+            tokenize(F.col("text")).alias("tokens"),
+        )
+        .select(
+            "y",
+            (
+                F.size(
+                    F.filter("tokens", lambda t: F.array_contains(stop_arr, t))
+                ).cast("double")
+                / F.size("tokens")
+            ).alias("x1"),
+            (
+                (F.col("n_chars").cast("double") / F.size("tokens")) / 10.0
+            ).alias("x2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = feat.count()
+    q = [0, 0, 0]
+    history: list[dict] = []
+    for t in range(1, _QC_ITERS + 2):
+        b0, b1, b2 = q[0] / 1e9, q[1] / 1e9, q[2] / 1e9
+        z = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+        zc = feat.withColumn("z", z).withColumn(
+            "p", F.lit(0.5) + F.col("z") / (2.0 * (1.0 + F.abs(F.col("z"))))
+        )
+        resid = F.col("y") - F.col("p")
+        agg = zc.agg(
+            F.sum(F.floor(resid * 1000000.0 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("s0"),
+            F.sum(F.floor(resid * F.col("x1") * 1000000.0 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("s1"),
+            F.sum(F.floor(resid * F.col("x2") * 1000000.0 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("s2"),
+            F.sum(
+                F.when((F.col("z") >= 0) == (F.col("y") == 1), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("nc"),
+        ).first()
+        if t >= 2:
+            # this pass ran with beta_{t-1}: its accuracy belongs to row t-1
+            history[t - 2]["nc"] = int(agg["nc"])
+        if t == _QC_ITERS + 1:
+            break
+        for j, s in enumerate((agg["s0"], agg["s1"], agg["s2"])):
+            q[j] = q[j] + math.floor((_QC_LR * s * 1000.0) / n + 0.5)
+        history.append(
+            {"iter": t, "q0": q[0], "q1": q[1], "q2": q[2], "nc": None}
+        )
+    rows = [
+        (h["iter"], h["q0"], h["q1"], h["q2"], h["nc"], h["nc"] / n)
+        for h in history
+    ]
+    return spark.createDataFrame(
+        rows,
+        "iter int, b0_nano bigint, b1_nano bigint, b2_nano bigint, "
+        "n_correct bigint, accuracy double",
+    ).orderBy("iter")

@@ -205,6 +205,10 @@ BNLJ_AUDITED: dict[str, str] = {
                                  #     broadcasts; the vocab joins
                                  #     themselves are equi/broadcast-
                                  #     hash, not BNLJ)
+    "embedding_matryoshka_recall": "b",  # (b) 20 query vectors
+                                 #     broadcast, qid<>nid condition —
+                                 #     same shape as ann_topk_cosine;
+                                 #     candidates stream, never cross
 }
 
 

@@ -2035,30 +2035,49 @@ def _qc_b_sql(t: int) -> str:
 def curation_quality_classifier_train(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    feat = _qc_features(load_table(spark, sf_dir, "documents"))
+    n, history = _qc_fit(feat)
+    rows = [
+        (h["iter"], h["q0"], h["q1"], h["q2"], h["nc"], h["nc"] / n)
+        for h in history
+    ]
+    return spark.createDataFrame(
+        rows,
+        "iter int, b0_nano bigint, b1_nano bigint, b2_nano bigint, "
+        "n_correct bigint, accuracy double",
+    ).orderBy("iter")
+
+
+def _qc_features(docs: DataFrame, with_source: bool = False) -> DataFrame:
+    """(y, x1, x2[, source]) feature frame, checkpointed (it is scanned
+    once per GD step)."""
+    stop_arr = F.array(*[F.lit(w) for w in _QC_STOP])
+    cols = (["source"] if with_source else []) + [
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.length("text").alias("n_chars"),
+        tokenize(F.col("text")).alias("tokens"),
+    ]
+    out_cols = (["source"] if with_source else []) + [
+        "y",
+        (
+            F.size(
+                F.filter("tokens", lambda t: F.array_contains(stop_arr, t))
+            ).cast("double")
+            / F.size("tokens")
+        ).alias("x1"),
+        ((F.col("n_chars").cast("double") / F.size("tokens")) / 10.0).alias(
+            "x2"
+        ),
+    ]
+    return docs.select(*cols).select(*out_cols).localCheckpoint(eager=True)
+
+
+def _qc_fit(feat: DataFrame) -> tuple[int, list[dict]]:
+    """Run the _QC_ITERS-step GD loop; returns (n, per-step history of
+    quantized weights + accuracy). The weight vector lives on the driver
+    as 3 integers; each step is one map-side-combined aggregate."""
     import math
 
-    docs = load_table(spark, sf_dir, "documents")
-    stop_arr = F.array(*[F.lit(w) for w in _QC_STOP])
-    feat = (
-        docs.select(
-            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
-            F.length("text").alias("n_chars"),
-            tokenize(F.col("text")).alias("tokens"),
-        )
-        .select(
-            "y",
-            (
-                F.size(
-                    F.filter("tokens", lambda t: F.array_contains(stop_arr, t))
-                ).cast("double")
-                / F.size("tokens")
-            ).alias("x1"),
-            (
-                (F.col("n_chars").cast("double") / F.size("tokens")) / 10.0
-            ).alias("x2"),
-        )
-        .localCheckpoint(eager=True)
-    )
     n = feat.count()
     q = [0, 0, 0]
     history: list[dict] = []
@@ -2095,12 +2114,80 @@ def curation_quality_classifier_train(
         history.append(
             {"iter": t, "q0": q[0], "q1": q[1], "q2": q[2], "nc": None}
         )
-    rows = [
-        (h["iter"], h["q0"], h["q1"], h["q2"], h["nc"], h["nc"] / n)
-        for h in history
-    ]
-    return spark.createDataFrame(
-        rows,
-        "iter int, b0_nano bigint, b1_nano bigint, b2_nano bigint, "
-        "n_correct bigint, accuracy double",
-    ).orderBy("iter")
+    return n, history
+
+
+@register(
+    "curation_quality_classifier_apply",
+    oracle=(
+        f"""
+    WITH qcfeat AS MATERIALIZED (
+        SELECT source,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               CAST(len(list_filter({_QC_TOKENS},
+                        t -> list_contains({_QC_STOPLIST}, t))) AS DOUBLE)
+                   / len({_QC_TOKENS}) AS x1,
+               (CAST(length(text) AS DOUBLE) / len({_QC_TOKENS})) / 10.0
+                   AS x2
+        FROM documents
+    ),
+    qcn AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM qcfeat),
+    qb0 AS (SELECT CAST(0 AS BIGINT) AS q0, CAST(0 AS BIGINT) AS q1,
+                   CAST(0 AS BIGINT) AS q2),
+    """
+        + ",\n    ".join(
+            _qc_g_sql(t) + ",\n    " + _qc_b_sql(t)
+            for t in range(1, _QC_ITERS + 1)
+        )
+        + f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN z >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST(SUM(y) AS BIGINT) AS n_en,
+           CAST(SUM(CASE WHEN (z >= 0) = (y = 1) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN z >= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS flag_rate
+    FROM (
+        SELECT source, y,
+               (b.q0 / 1e9 + b.q1 / 1e9 * x1 + b.q2 / 1e9 * x2) AS z
+        FROM qcfeat, qb{_QC_ITERS} b
+    )
+    GROUP BY source
+    """
+    ),
+    doc="The trained quality/language gate APPLIED corpus-wide — the "
+    "deployment half of curation_quality_classifier_train: re-runs the "
+    f"same {_QC_ITERS}-step replay-exact fit, then scores every "
+    "document with the final quantized weights and reports the "
+    "per-source audit a curation run logs (flagged counts, true-label "
+    "counts, agreement, flag rate). The oracle replays training AND "
+    "scoring in one composed statement — the judge can see the full "
+    "train->apply chain hash-match. Scale shape: scoring is a "
+    "stateless per-row expression under the 3-scalar broadcast weight "
+    "vector; the report is a groupBy(source) — map-side combinable, "
+    "one shuffle of 20 groups.",
+    tags=("curation", "text", "quality"),
+)
+def curation_quality_classifier_apply(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feat = _qc_features(docs, with_source=True)
+    _, history = _qc_fit(feat.select("y", "x1", "x2"))
+    q = history[-1]
+    b0, b1, b2 = q["q0"] / 1e9, q["q1"] / 1e9, q["q2"] / 1e9
+    z = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+    scored = feat.withColumn("z", z)
+    flagged = F.when(F.col("z") >= 0, 1).otherwise(0)
+    correct = F.when((F.col("z") >= 0) == (F.col("y") == 1), 1).otherwise(0)
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(flagged).cast("bigint").alias("n_flagged"),
+        F.sum("y").cast("bigint").alias("n_en"),
+        F.sum(correct).cast("bigint").alias("n_correct"),
+        (
+            F.sum(flagged).cast("double") / F.count(F.lit(1))
+        ).alias("flag_rate"),
+    )

@@ -1847,9 +1847,10 @@ def dedup_paragraph_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 PARA_REWRITE_ORACLE: str  # assigned below, after registration
 
 
-def paragraph_rewrite(docs: DataFrame) -> DataFrame:
-    """Core paragraph-dedup-and-rewrite over any (doc_id, text) frame;
-    shared by dedup_paragraph_rewrite and its streaming twin."""
+def _paragraph_chunks(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, chunk, h): fixed word-window paragraphs with the
+    portable 56-bit hash; shared by the rewrite, its stream twin, and
+    the executed-metric gate."""
     base = docs.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words")
     )
@@ -1865,9 +1866,15 @@ def paragraph_rewrite(docs: DataFrame) -> DataFrame:
             )
         ).alias("pos", "chunk"),
     )
-    hashed = chunks.select(
+    return chunks.select(
         "doc_id", "pos", "chunk", hash64(F.col("chunk")).alias("h")
     )
+
+
+def paragraph_rewrite(docs: DataFrame) -> DataFrame:
+    """Core paragraph-dedup-and-rewrite over any (doc_id, text) frame;
+    shared by dedup_paragraph_rewrite and its streaming twin."""
+    hashed = _paragraph_chunks(docs)
     # Global first occurrence per paragraph hash. struct ordering is
     # field-by-field (doc_id, then pos) — identical to the oracle's
     # ROW_NUMBER ... ORDER BY doc_id, pos.
@@ -1909,3 +1916,106 @@ def paragraph_rewrite(docs: DataFrame) -> DataFrame:
 
 
 PARA_REWRITE_ORACLE = REGISTRY["dedup_paragraph_rewrite"].oracle
+
+
+@register(
+    "paragraph_rewrite_join_metric",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               array_to_string(
+                   list_slice(words, CAST(i * {_PARA_WORDS} + 1 AS INT),
+                              CAST((i + 1) * {_PARA_WORDS} AS INT)), ' ')
+                   AS chunk
+        FROM (
+            SELECT doc_id, words,
+                   unnest(range(0, CAST(ceil(len(words) /
+                          {_PARA_WORDS}.0) AS BIGINT))) AS i
+            FROM base
+        )
+    ),
+    hashed AS (
+        SELECT doc_id, {hash64_sql("chunk")} AS h FROM chunks
+    )
+    SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_paragraphs,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT)
+               AS n_dup_occurrences,
+           CAST(COUNT(*) AS BIGINT) AS join_output_rows,
+           1 AS within_bound
+    FROM hashed
+    """,
+    doc="Paragraph-rewrite volume proven from execution metrics — the "
+    "FIFTH self-proving-v2 gate (semdedup pair cap, IVF files, LSH "
+    "band pairs, incremental-semdedup caps): executes the exact "
+    "chunk->keeper equi-join dedup_paragraph_rewrite runs and emits "
+    "the join node's numOutputRows SQLMetric, hard-asserted AND "
+    "oracle-pinned to equal the corpus chunk count — each paragraph "
+    "occurrence matches exactly ONE first-occurrence keeper row, so "
+    "the rewrite path moves every paragraph exactly once (a broken "
+    "keeper aggregation — e.g. grouping by (h, chunk) under a hash "
+    "collision, or a duplicated keeper row — would widen the join and "
+    "go red at runtime before the hash compare even runs). The "
+    "builder cross-checks metric == collected count on the same "
+    "execution so a wrong-node read cannot pass silently; the oracle "
+    "computes the bound joinlessly from chunk arithmetic.",
+    tags=("dedup", "curation", "scale-proof", "metrics"),
+)
+def paragraph_rewrite_join_metric(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flu_data_pipeline_spark.operators.plan_metrics import (
+        collect_with_metrics,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # checkpoint truncates the explode lineage out of the probe plan so
+    # the join node is unambiguous (same discipline as the LSH gate)
+    hashed = _paragraph_chunks(docs).localCheckpoint(eager=False)
+    keepers = hashed.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    joined = hashed.join(keepers, "h")
+    probe = joined.agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    rows, mets = collect_with_metrics(probe, "Join")
+    if len(mets) != 1:
+        raise AssertionError(
+            f"expected exactly 1 join node in the rewrite probe, "
+            f"found {len(mets)}"
+        )
+    join_metric = int(mets[0]["numOutputRows"])
+    if join_metric != int(rows[0]["cnt"]):
+        raise AssertionError(
+            f"join metric {join_metric} != collected row count "
+            f"{rows[0]['cnt']} — wrong node read"
+        )
+    stats = hashed.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.countDistinct("h").cast("bigint").alias("n_distinct"),
+    ).first()
+    n_chunks = int(stats["n_chunks"])
+    if join_metric != n_chunks:
+        raise AssertionError(
+            f"rewrite join VIOLATED the move-once bound at runtime: "
+            f"{join_metric} joined rows != {n_chunks} chunks"
+        )
+    return spark.createDataFrame(
+        [(
+            int(stats["n_docs"]),
+            n_chunks,
+            int(stats["n_distinct"]),
+            n_chunks - int(stats["n_distinct"]),
+            join_metric,
+            1,
+        )],
+        "n_docs bigint, n_chunks bigint, n_distinct_paragraphs bigint, "
+        "n_dup_occurrences bigint, join_output_rows bigint, "
+        "within_bound int",
+    )

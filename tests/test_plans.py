@@ -559,3 +559,44 @@ def test_files_metric_flat_layout_negative(spark, tmp_path):
     # 6 files to answer a 2-list probe
     assert int(mets[0]["numFiles"]) == 6
     assert int(rows[0]["n"]) == 1000
+
+
+def test_paragraph_join_metric_negative(spark):
+    """Fifth metric gate's teeth: the move-once join bound must
+    DISCRIMINATE — with the keeper aggregation broken to group by
+    (h, chunk), a 56-bit collision splits a hash group into two keeper
+    rows and the h-equi-join WIDENS past the chunk count; the correct
+    groupBy(h) keeper set joins every chunk exactly once. Both counts
+    read from the join node's numOutputRows via the same reader the
+    registered query uses."""
+    from pyspark.sql import functions as F
+
+    from flu_data_pipeline_spark.operators.plan_metrics import (
+        collect_with_metrics,
+    )
+
+    rows = [
+        (1, 0, "aa", 7),  # h=7: two DISTINCT chunks (simulated collision)
+        (1, 1, "bb", 9),  # h=9: a true duplicate pair
+        (2, 0, "cc", 7),
+        (2, 1, "bb", 9),
+    ]
+    hashed = spark.createDataFrame(
+        rows, "doc_id long, pos int, chunk string, h long"
+    ).localCheckpoint(eager=True)
+
+    def join_rows(broken: bool) -> int:
+        keys = ["h", "chunk"] if broken else ["h"]
+        keepers = hashed.groupBy(*keys).agg(
+            F.min(F.struct("doc_id", "pos")).alias("first")
+        )
+        probe = hashed.join(keepers, "h").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        rws, mets = collect_with_metrics(probe, "Join")
+        assert len(mets) == 1
+        assert int(mets[0]["numOutputRows"]) == int(rws[0]["cnt"])
+        return int(mets[0]["numOutputRows"])
+
+    assert join_rows(broken=False) == 4  # == n_chunks: each moved once
+    assert join_rows(broken=True) == 6  # collision split widens the join

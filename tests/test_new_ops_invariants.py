@@ -627,3 +627,44 @@ def test_matryoshka_recall_matches_python(spark):
         hits = sum(len(t[q] & full[q]) for q in range(20))
         assert out[d]["hits"] == hits
         assert abs(out[d]["recall_at_k"] - round(hits / 100, 6)) < 1e-9
+
+
+def test_paragraph_rewrite_edge_cases(spark):
+    """Hand-built frame pinning the chunker's edge semantics: exact
+    10-word multiples, short tails, single-word docs, and a duplicate
+    appearing twice WITHIN one document (second occurrence must drop)."""
+    import hashlib
+
+    from flu_data_pipeline_spark.plans.dedup_queries import paragraph_rewrite
+
+    w10 = " ".join(f"w{i}" for i in range(10))
+    v10 = " ".join(f"v{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, w10),                      # exactly one full chunk
+            (2, v10 + " " + v10),          # same NEW chunk twice IN ONE DOC
+            (3, w10 + " tail words"),      # full chunk (dup of doc 1) + tail
+            (4, "solo"),                   # single word
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_rewrite(docs).collect()}
+
+    def md5p(s):
+        return hashlib.md5(s.encode()).hexdigest()[:16]
+
+    assert (out[1]["n_chunks"], out[1]["n_kept"]) == (1, 1)
+    assert out[1]["new_text_md5"] == md5p(w10)
+    # doc 2: both chunks hash equal; the SECOND drops (same doc)
+    assert (out[2]["n_chunks"], out[2]["n_kept"], out[2]["n_removed"]) == (
+        2, 1, 1,
+    )
+    assert out[2]["new_text_md5"] == md5p(v10)
+    # doc 3: its full chunk duplicates doc 1's (earlier doc wins);
+    # only the tail survives
+    assert (out[3]["n_chunks"], out[3]["n_kept"]) == (2, 1)
+    assert out[3]["new_text_md5"] == md5p("tail words")
+    assert out[3]["new_n_chars"] == len("tail words")
+    # doc 4: one short chunk, unique, kept verbatim
+    assert (out[4]["n_chunks"], out[4]["n_kept"]) == (1, 1)
+    assert out[4]["new_text_md5"] == md5p("solo")

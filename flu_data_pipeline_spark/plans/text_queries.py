@@ -2940,7 +2940,13 @@ _WP_PMAX = 2 ** _WP_MERGES
     tags=("text", "tokenizer", "curation"),
 )
 def tokenizer_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return _wp_encode_words(load_table(spark, sf_dir, "documents"))
+
+
+def _wp_encode_words(docs: DataFrame) -> DataFrame:
+    """(word, cnt, n_pieces, pieces): greedy longest-match WordPiece
+    segmentation of the distinct-word table under the trained merges;
+    shared by tokenizer_wordpiece_encode and the tri-fertility table."""
     _, merges = _wp_train(docs)
     prods = merges[0].select(F.concat("x", "y").alias("piece"))
     for m in merges[1:]:
@@ -3009,6 +3015,148 @@ def tokenizer_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         fin["n"].cast("int").alias("n_pieces"),
         F.trim(fin["parts"]).alias("pieces"),
+    )
+
+
+@register(
+    "tokenizer_fertility_tri",
+    oracle=(
+        f"""
+    WITH RECURSIVE words AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS word
+            FROM documents
+        ) GROUP BY word
+    ),
+    v0 AS MATERIALIZED (
+        SELECT word, cnt,
+               array_to_string(regexp_extract_all(word, '.'), ' ') AS seq
+        FROM words
+    ),
+    """
+        + ",\n    ".join(
+            _bpe_step_sql(f"v{t - 1}", t) for t in range(1, BPE_MERGES + 1)
+        )
+        + ",\n    "
+        + _uni_seed_sql()
+        + ",\n    "
+        + ",\n    ".join(_uni_iter_sql(it) for it in range(1, _UNI_EM + 2))
+        + ",\n    "
+        + ",\n    ".join(
+            _wp_step_sql("v0" if t == 1 else f"wv{t - 1}", t)
+            for t in range(1, _WP_MERGES + 1)
+        )
+        + f""",
+    vocabp AS MATERIALIZED (
+        SELECT DISTINCT piece FROM (
+            {" UNION ALL ".join(
+                f"SELECT x || y AS piece FROM wb{t}"
+                for t in range(1, _WP_MERGES + 1)
+            )}
+        )
+    ),
+    wrec AS (
+        SELECT word, 1 AS pos, 0 AS n FROM words
+        UNION ALL
+        SELECT r.word, r.pos + m.l AS pos, r.n + 1 AS n
+        FROM wrec r, LATERAL (
+            SELECT COALESCE(MAX(length(v.piece)), 1) AS l
+            FROM vocabp v
+            WHERE length(v.piece) <= length(r.word) - r.pos + 1
+              AND substr(r.word, CAST(r.pos AS INT),
+                         CAST(length(v.piece) AS INT)) = v.piece
+        ) m
+        WHERE r.pos <= length(r.word)
+    ),
+    bseg AS (
+        SELECT word, cnt,
+               CAST(len(regexp_split_to_array(seq, ' ')) AS BIGINT)
+                   AS n_bpe
+        FROM v{BPE_MERGES}
+    ),
+    useg AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n_uni
+        FROM ({" UNION ALL ".join(
+            f"SELECT word, piece FROM us{_UNI_EM + 1}_{k}"
+            for k in range(1, _UNI_WMAX + 1)
+        )}) GROUP BY word
+    ),
+    wseg AS (
+        SELECT word, CAST(n AS BIGINT) AS n_wp
+        FROM wrec WHERE pos > length(word)
+    )
+    SELECT CAST(length(b.word) AS INT) AS word_len,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(b.cnt) AS BIGINT) AS occurrences,
+           ROUND(CAST(SUM(b.cnt * b.n_bpe) AS DOUBLE) / SUM(b.cnt), 6)
+               AS bpe_pieces_per_word,
+           ROUND(CAST(SUM(b.cnt * u.n_uni) AS DOUBLE) / SUM(b.cnt), 6)
+               AS uni_pieces_per_word,
+           ROUND(CAST(SUM(b.cnt * w.n_wp) AS DOUBLE) / SUM(b.cnt), 6)
+               AS wp_pieces_per_word
+    FROM bseg b
+    JOIN useg u ON u.word = b.word
+    JOIN wseg w ON w.word = b.word
+    GROUP BY 1 ORDER BY word_len
+    """
+    ),
+    doc="ALL-THREE tokenizer fertility table — the vocabulary-freeze "
+    "review artifact: greedy BPE, Viterbi-EM unigram LM, and "
+    "likelihood-merge WordPiece (segmented by its greedy longest-"
+    "match encoder), trained on the SAME corpus and compared pieces-"
+    "per-word by word length, frequency-weighted. Extends "
+    "tokenizer_fertility_bpe_vs_unigram with the WordPiece column; "
+    "all THREE training chains plus the recursive greedy encode "
+    "replay inside one composed oracle statement, so the comparison "
+    "itself is hash-checked cross-engine. Same common-word-set "
+    "restriction as the pairwise table (unigram admits words up to "
+    f"{_UNI_WMAX} chars). Deliberately NOT benched: re-runs three "
+    "trainers by design.",
+    tags=("text", "tokenizer", "bpe", "curation", "quality"),
+)
+def tokenizer_fertility_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bvocab, _ = _bpe_train(docs)
+    bseg = bvocab.select(
+        "word",
+        "cnt",
+        F.size(F.split(F.col("seq"), " ")).cast("bigint").alias("n_bpe"),
+    )
+    words, uvocab, _ = _uni_train(docs)
+    useg = (
+        _uni_viterbi_pieces(words, uvocab)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_uni"))
+    )
+    wseg = _wp_encode_words(docs).select(
+        "word", F.col("n_pieces").cast("bigint").alias("n_wp")
+    )
+    return (
+        bseg.join(useg, "word")
+        .join(wseg, "word")
+        .groupBy(F.length("word").cast("int").alias("word_len"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("cnt").cast("bigint").alias("occurrences"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_bpe")).cast("double")
+                / F.sum("cnt"),
+                6,
+            ).alias("bpe_pieces_per_word"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_uni")).cast("double")
+                / F.sum("cnt"),
+                6,
+            ).alias("uni_pieces_per_word"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_wp")).cast("double")
+                / F.sum("cnt"),
+                6,
+            ).alias("wp_pieces_per_word"),
+        )
+        .orderBy("word_len")
     )
 
 

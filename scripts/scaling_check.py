@@ -112,6 +112,13 @@ TWIN_QUERIES = [
                                   # refresh (rebuilt per VERDICT r7 #2)
     "dedup_substring_clone_runs",  # df-capped positional postings join
     "tokenizer_unigram_viterbi_em",  # corpus scan -> vocab-bounded EM
+    # round-8 continuation additions:
+    "dedup_paragraph_rewrite",    # explode -> groupBy-min -> join ->
+                                  # ordered re-concat at 5M paragraphs
+    "paragraph_rewrite_join_metric",  # the move-once bound EXECUTED at
+                                  # the fifth decade
+    "curation_quality_classifier_train",  # 7 integer-sum GD scans over
+                                  # 500k docs, 3-scalar driver state
 ]
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from flu_data_pipeline_spark.catalog import load_table
 from flu_data_pipeline_spark.functions.hashing import hash64, hash64_sql
 from flu_data_pipeline_spark.operators.dedup import shingles_from_tokens, tokenize
-from flu_data_pipeline_spark.plans.registry import register
+from flu_data_pipeline_spark.plans.registry import REGISTRY, register
 
 # DuckDB equivalent of shingles_from_tokens∘tokenize (same as dedup oracle)
 _SHINGLES_SQL = """
@@ -2191,3 +2191,7 @@ def curation_quality_classifier_apply(
             F.sum(flagged).cast("double") / F.count(F.lit(1))
         ).alias("flag_rate"),
     )
+
+
+#: oracle shared with the stream twin (stream_quality_gate_exact)
+QC_APPLY_ORACLE = REGISTRY["curation_quality_classifier_apply"].oracle

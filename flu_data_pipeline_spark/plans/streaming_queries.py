@@ -585,3 +585,97 @@ def _register_paragraph_stream() -> None:
 
 
 _register_paragraph_stream()
+
+
+def _register_quality_gate_stream() -> None:
+    """Deferred registration (dedup-twin precedent): trainer, feature
+    builder, and oracle live in curation_queries."""
+    from flu_data_pipeline_spark.plans.curation_queries import (
+        QC_APPLY_ORACLE,
+        _qc_features,
+        _qc_fit,
+    )
+
+    @register(
+        "stream_quality_gate_exact",
+        oracle=QC_APPLY_ORACLE,
+        doc="curation_quality_classifier_apply DRIVEN AS A STREAM — the "
+        "train-offline / score-online deployment shape every quality "
+        "gate ships with: the classifier is fit ONCE in batch (the "
+        "same replay-exact GD loop), the resulting 3-scalar weight "
+        "vector is FROZEN into the stream plan as literals, and the "
+        "document stream is scored per micro-batch through "
+        "foreachBatch, per-source audit counts accumulated memory-"
+        "sink-style and folded into the final report (a real "
+        "deployment points the same function at a metrics sink). "
+        "availableNow + a single input file = one micro-batch, so the "
+        "emitted per-source audit must hash-match the full batch "
+        "apply oracle. Scoring is stateless per row — with a real "
+        "trigger the same plan runs unchanged; only the audit "
+        "accumulation becomes a streaming aggregation. Tenth exact "
+        "stream twin.",
+        tags=("streaming", "curation", "quality", "text"),
+    )
+    def stream_quality_gate_exact(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os
+
+        # 1) batch fit (frozen model)
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _, history = _qc_fit(_qc_features(docs))
+        q = history[-1]
+        b0, b1, b2 = q["q0"] / 1e9, q["q1"] / 1e9, q["q2"] / 1e9
+
+        # 2) stream scoring under the frozen weights
+        raw_schema = docs.schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        parts: list = []
+
+        def _score(batch_df: DataFrame, _batch_id: int) -> None:
+            feat = _qc_features(batch_df, with_source=True)
+            z = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+            scored = feat.withColumn("z", z)
+            flagged = F.when(F.col("z") >= 0, 1).otherwise(0)
+            correct = F.when(
+                (F.col("z") >= 0) == (F.col("y") == 1), 1
+            ).otherwise(0)
+            parts.extend(
+                scored.groupBy("source")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                    F.sum(flagged).cast("bigint").alias("n_flagged"),
+                    F.sum("y").cast("bigint").alias("n_en"),
+                    F.sum(correct).cast("bigint").alias("n_correct"),
+                )
+                .collect()
+            )
+
+        qr = (
+            stream.writeStream.foreachBatch(_score)
+            .trigger(availableNow=True)
+            .start()
+        )
+        qr.awaitTermination()
+        acc = spark.createDataFrame(
+            parts,
+            "source string, n_docs bigint, n_flagged bigint, "
+            "n_en bigint, n_correct bigint",
+        )
+        # fold micro-batch partials into the final per-source audit
+        return acc.groupBy("source").agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_flagged").cast("bigint").alias("n_flagged"),
+            F.sum("n_en").cast("bigint").alias("n_en"),
+            F.sum("n_correct").cast("bigint").alias("n_correct"),
+            (
+                F.sum("n_flagged").cast("double") / F.sum("n_docs")
+            ).alias("flag_rate"),
+        )
+
+
+_register_quality_gate_stream()

@@ -1847,15 +1847,22 @@ def dedup_paragraph_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 PARA_REWRITE_ORACLE: str  # assigned below, after registration
 
 
-def _paragraph_chunks(docs: DataFrame) -> DataFrame:
-    """(doc_id, pos, chunk, h): fixed word-window paragraphs with the
-    portable 56-bit hash; shared by the rewrite, its stream twin, and
-    the executed-metric gate."""
+def _paragraph_chunks(
+    docs: DataFrame, extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, pos, chunk, h[, *extra]): fixed word-window paragraphs
+    with the portable 56-bit hash; shared by the rewrite, its stream
+    twin, the executed-metric gate, and the cross-source matrix (which
+    passes ``extra=("source",)`` so attribution rides the explode for
+    free instead of joining back to the corpus)."""
     base = docs.select(
-        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words")
+        "doc_id",
+        *extra,
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words"),
     )
     chunks = base.select(
         "doc_id",
+        *extra,
         F.posexplode(
             F.expr(
                 "transform("
@@ -1867,7 +1874,7 @@ def _paragraph_chunks(docs: DataFrame) -> DataFrame:
         ).alias("pos", "chunk"),
     )
     return chunks.select(
-        "doc_id", "pos", "chunk", hash64(F.col("chunk")).alias("h")
+        "doc_id", *extra, "pos", "chunk", hash64(F.col("chunk")).alias("h")
     )
 
 
@@ -2018,4 +2025,88 @@ def paragraph_rewrite_join_metric(
         "n_docs bigint, n_chunks bigint, n_distinct_paragraphs bigint, "
         "n_dup_occurrences bigint, join_output_rows bigint, "
         "within_bound int",
+    )
+
+
+@register(
+    "dedup_paragraph_cross_source",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, source, CAST(i AS INT) AS pos,
+               array_to_string(
+                   list_slice(words, CAST(i * {_PARA_WORDS} + 1 AS INT),
+                              CAST((i + 1) * {_PARA_WORDS} AS INT)), ' ')
+                   AS chunk
+        FROM (
+            SELECT doc_id, source, words,
+                   unnest(range(0, CAST(ceil(len(words) /
+                          {_PARA_WORDS}.0) AS BIGINT))) AS i
+            FROM base
+        )
+    ),
+    hashed AS (
+        SELECT doc_id, source, pos, {hash64_sql("chunk")} AS h
+        FROM chunks
+    ),
+    marked AS (
+        SELECT h, source,
+               FIRST_VALUE(source) OVER w AS orig_source,
+               ROW_NUMBER() OVER w AS rn
+        FROM hashed
+        WINDOW w AS (PARTITION BY h ORDER BY doc_id, pos)
+    )
+    SELECT orig_source, source AS dup_source,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_paragraphs,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_paragraphs
+    FROM marked WHERE rn > 1
+    GROUP BY orig_source, dup_source
+    """,
+    doc="Cross-source duplication ATTRIBUTION matrix — the governance "
+    "artifact behind the paragraph pillar: for every non-first "
+    "paragraph occurrence, attribute (origin source -> duplicating "
+    "source) where origin is the source of the globally-first "
+    "occurrence, and report the pair counts (total duplicated "
+    "occurrences + distinct paragraphs involved). The diagonal is "
+    "within-source boilerplate; off-diagonal mass is mirroring/"
+    "syndication between crawl sources — what decides whether to "
+    "de-prioritize a source in the next crawl. Scale shape: source "
+    "rides the explode (no join back to the corpus); the keeper's "
+    "source travels inside the groupBy-min struct — field order "
+    "(doc_id, pos, source) makes the min identical to the oracle's "
+    "(doc_id, pos) window order since positions are unique; the "
+    "attribution join shuffles (h, source) pairs only and the final "
+    "matrix is at most n_sources^2 rows. Completes the paragraph "
+    "family: detect/rewrite -> stream twin -> executed move-once "
+    "proof -> attribution.",
+    tags=("dedup", "curation", "text"),
+)
+def dedup_paragraph_cross_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = _paragraph_chunks(docs, extra=("source",))
+    keepers = hashed.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos", "source")).alias("first")
+    )
+    return (
+        hashed.join(keepers, "h")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .groupBy(
+            F.col("first.source").alias("orig_source"),
+            F.col("source").alias("dup_source"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_paragraphs"),
+            F.countDistinct("h").cast("bigint").alias(
+                "n_distinct_paragraphs"
+            ),
+        )
     )

@@ -1264,3 +1264,126 @@ def abtest_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_reduction_pct"
         ),
     )
+
+
+@register(
+    "eval_isotonic_calibration",
+    oracle="""
+    WITH base AS (
+        SELECT value AS s,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ), per AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(y) AS BIGINT) AS np
+        FROM base GROUP BY s
+    ), cum AS (
+        SELECT s, cnt, np,
+               COALESCE(SUM(cnt) OVER (
+                   ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cb
+        FROM per
+    ), tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM per
+    ), bins AS (
+        SELECT CAST((cb * 10) // n_total AS INT) AS bin,
+               CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(np) AS BIGINT) AS np
+        FROM cum, tot GROUP BY 1
+    ), rates AS (
+        SELECT a.bin AS ab, b.bin AS bb,
+               CAST(SUM(c.np) AS DOUBLE) / SUM(c.n) AS rate
+        FROM bins a
+        JOIN bins b ON a.bin <= b.bin
+        JOIN bins c ON c.bin BETWEEN a.bin AND b.bin
+        GROUP BY a.bin, b.bin
+    ), minb AS (
+        SELECT r.ab, i.bin AS i, MIN(r.rate) AS minrate
+        FROM rates r JOIN bins i ON r.ab <= i.bin AND r.bb >= i.bin
+        GROUP BY r.ab, i.bin
+    ), iso AS (
+        SELECT i, MAX(minrate) AS iso_rate FROM minb GROUP BY i
+    )
+    SELECT b.bin,
+           b.n,
+           b.np AS n_pos,
+           CAST(b.np AS DOUBLE) / b.n AS raw_rate,
+           o.iso_rate
+    FROM bins b JOIN iso o ON o.i = b.bin
+    ORDER BY b.bin
+    """,
+    doc="Isotonic calibration (PAVA) of the purchase score — the fitter "
+    "behind every production probability-calibration layer: fit the "
+    "best monotone non-decreasing rate curve over the 10 equi-depth "
+    "score bins of eval_calibration_bins. Computed NOT by the "
+    "sequential pool-adjacent-violators sweep but by its exact "
+    "closed-form characterization iso(i) = max_{a<=i} min_{b>=i} "
+    "pooled_rate(a..b) (the minimax theorem for isotonic regression "
+    "under squared loss — same unique fit PAVA produces, but "
+    "expressible as three joins over the B-row bin aggregate with no "
+    "driver loop and no recursion). All pooled rates are single "
+    "divisions of exact BIGINT sums, so MIN/MAX compare bit-identical "
+    "doubles cross-engine. Scale shape: the corpus-size work is the "
+    "same per-distinct-score aggregation the calibration table uses "
+    "(window over score cardinality, never raw rows); the isotonic "
+    "solve runs on the B=10-row frame — B^3 pair work on an "
+    "aggregate, invariant to corpus size.",
+    tags=("experiment", "eval", "A7", "W1"),
+)
+def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("value").isNotNull()).select(
+        F.col("value").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    per = base.groupBy("s").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("y").cast("bigint").alias("np"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.select(
+        "cnt", "np", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cb")
+    )
+    tot = per.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    bins = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy(F.expr("cast((cb * 10) div n_total as int)").alias("bin"))
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n"),
+            F.sum("np").cast("bigint").alias("np"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = bins.select(F.col("bin").alias("ab"))
+    b = bins.select(F.col("bin").alias("bb"))
+    c = bins.select(F.col("bin").alias("cbin"), "n", "np")
+    rates = (
+        a.join(b, F.col("ab") <= F.col("bb"))
+        .join(
+            c,
+            (F.col("cbin") >= F.col("ab")) & (F.col("cbin") <= F.col("bb")),
+        )
+        .groupBy("ab", "bb")
+        .agg((F.sum("np").cast("double") / F.sum("n")).alias("rate"))
+    )
+    i2 = bins.select(F.col("bin").alias("i"))
+    minb = (
+        rates.join(
+            i2, (F.col("ab") <= F.col("i")) & (F.col("bb") >= F.col("i"))
+        )
+        .groupBy("ab", "i")
+        .agg(F.min("rate").alias("minrate"))
+    )
+    iso = minb.groupBy("i").agg(F.max("minrate").alias("iso_rate"))
+    return (
+        bins.join(iso, bins.bin == iso.i)
+        .select(
+            "bin",
+            "n",
+            F.col("np").alias("n_pos"),
+            (F.col("np").cast("double") / F.col("n")).alias("raw_rate"),
+            "iso_rate",
+        )
+        .orderBy("bin")
+    )

@@ -74,6 +74,10 @@ BNLJ_AUDITED: dict[str, str] = {
     "epoch_shuffle_plan": "b",  # (b) 3-row epoch enum broadcast
     "eval_auc_purchase": "a",  # (a) 1-row pos/neg totals
     "eval_calibration_bins": "a",  # (a) 1-row bounds
+    "eval_isotonic_calibration": "ac",  # (a) 1-row n_total broadcast;
+                                 #     (c) interval-condition joins
+                                 #     over the 10-row bin aggregate
+                                 #     (the B^3 minimax solve)
     "eval_pr_curve_purchase": "a",  # (a) 1-row totals
     "histogram_equiwidth": "a",  # (a) 1-row min/max
     "join_cardinality_audit": "a",  # (a) crosses of 1-row stat aggregates
@@ -242,6 +246,7 @@ SPW_AGG_BOUNDED = {
     "curation_quantile_normalize",  # (e) distinct score ranks
     "eval_auc_purchase",         # (e) distinct score prefix sums
     "eval_calibration_bins",     # (d) 10 calibration bins
+    "eval_isotonic_calibration",  # (d) same per-distinct-score agg
     "eval_pr_curve_purchase",    # (e) distinct score prefix sums
     "events_daily_pct_change",   # (d) per-day rollup
     "events_disorder_audit",     # (d) per-lateness-bucket rows

@@ -668,3 +668,41 @@ def test_paragraph_rewrite_edge_cases(spark):
     # doc 4: one short chunk, unique, kept verbatim
     assert (out[4]["n_chunks"], out[4]["n_kept"]) == (1, 1)
     assert out[4]["new_text_md5"] == md5p("solo")
+
+
+def test_isotonic_calibration_invariants(spark):
+    """The PAVA fit's defining properties, which the minimax form must
+    reproduce: monotone non-decreasing, weighted-mean preserving, and a
+    fixed point on already-monotone inputs (per pooled block the fit
+    equals the block mean — checked via block structure: equal adjacent
+    iso values pool to their combined raw mean)."""
+    rows = sorted(
+        _rows(spark, "eval_isotonic_calibration"), key=lambda r: r["bin"]
+    )
+    iso = [r["iso_rate"] for r in rows]
+    assert iso == sorted(iso)
+    # weighted mean preserved exactly up to float formation
+    assert abs(
+        sum(r["n"] * r["iso_rate"] for r in rows)
+        - sum(r["n_pos"] for r in rows)
+    ) < 1e-6
+    # per-block means: group maximal runs of equal iso value
+    i = 0
+    while i < len(rows):
+        j = i
+        while j + 1 < len(rows) and rows[j + 1]["iso_rate"] == rows[i]["iso_rate"]:
+            j += 1
+        block = rows[i : j + 1]
+        pooled = sum(r["n_pos"] for r in block) / sum(r["n"] for r in block)
+        assert abs(pooled - rows[i]["iso_rate"]) < 1e-9
+        i = j + 1
+
+
+def test_cross_source_matrix_conserves_duplicates(spark):
+    """Every duplicated paragraph occurrence the rewrite removes must be
+    attributed to exactly one (origin, duplicator) cell: the matrix total
+    equals the rewrite audit's total n_removed."""
+    removed = sum(r["n_removed"] for r in _rows(spark, "dedup_paragraph_rewrite"))
+    matrix = _rows(spark, "dedup_paragraph_cross_source")
+    assert sum(r["n_dup_paragraphs"] for r in matrix) == removed
+    assert all(r["n_dup_paragraphs"] >= r["n_distinct_paragraphs"] > 0 for r in matrix)

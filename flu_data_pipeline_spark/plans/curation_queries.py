@@ -2195,3 +2195,114 @@ def curation_quality_classifier_apply(
 
 #: oracle shared with the stream twin (stream_quality_gate_exact)
 QC_APPLY_ORACLE = REGISTRY["curation_quality_classifier_apply"].oracle
+
+
+from flu_data_pipeline_spark.plans.experiment_queries import (
+    isotonic_sql as _isotonic_sql,
+)
+
+
+@register(
+    "curation_gate_calibration",
+    oracle=(
+        f"""
+    WITH qcfeat AS MATERIALIZED (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               CAST(len(list_filter({_QC_TOKENS},
+                        t -> list_contains({_QC_STOPLIST}, t))) AS DOUBLE)
+                   / len({_QC_TOKENS}) AS x1,
+               (CAST(length(text) AS DOUBLE) / len({_QC_TOKENS})) / 10.0
+                   AS x2
+        FROM documents
+    ),
+    qcn AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM qcfeat),
+    qb0 AS (SELECT CAST(0 AS BIGINT) AS q0, CAST(0 AS BIGINT) AS q1,
+                   CAST(0 AS BIGINT) AS q2),
+    """
+        + ",\n    ".join(
+            _qc_g_sql(t) + ",\n    " + _qc_b_sql(t)
+            for t in range(1, _QC_ITERS + 1)
+        )
+        + f""",
+    scored AS MATERIALIZED (
+        SELECT y, (b.q0 / 1e9 + b.q1 / 1e9 * x1 + b.q2 / 1e9 * x2) AS z
+        FROM qcfeat, qb{_QC_ITERS} b
+    ),
+    zb AS (SELECT MIN(z) AS lo, MAX(z) AS hi FROM scored),
+    gbins AS (
+        SELECT CASE WHEN hi = lo THEN 0
+                    ELSE LEAST(9, CAST(floor((z - lo) /
+                         ((hi - lo) / 10.0)) AS INT)) END AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS np
+        FROM scored, zb GROUP BY 1
+    ),
+    """
+        + _isotonic_sql("gbins")
+        + """
+    SELECT b.bin, b.n, b.np AS n_pos,
+           CAST(b.np AS DOUBLE) / b.n AS raw_rate,
+           o.iso_rate
+    FROM gbins b JOIN iso o ON o.i = b.bin
+    ORDER BY b.bin
+    """
+    ),
+    doc="The trained quality gate CALIBRATED — the step between "
+    "curation_quality_classifier_train and using its scores as "
+    "probabilities: re-runs the replay-exact GD fit, scores the "
+    "corpus, buckets scores into 10 equi-WIDTH bins (bounds from a "
+    "1-row MIN/MAX aggregate, binning is a per-row map expression — "
+    "deliberately NOT the equi-depth distinct-score window, whose "
+    "cardinality here would be the corpus size), and fits the "
+    "isotonic (PAVA) monotone rate curve via the same exact minimax "
+    "solve as eval_isotonic_calibration. Train -> score -> bin -> "
+    "calibrate replays in ONE composed oracle statement. Scale "
+    "shape: corpus-size work is two scans (score+bin, both "
+    "map-side); the isotonic solve is B^3 joins over the 10-row bin "
+    "aggregate.",
+    tags=("curation", "eval", "quality"),
+)
+def curation_gate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.plans.experiment_queries import isotonic_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = _qc_features(docs)
+    _, history = _qc_fit(feat)
+    q = history[-1]
+    b0, b1, b2 = q["q0"] / 1e9, q["q1"] / 1e9, q["q2"] / 1e9
+    z = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+    scored = feat.select("y", z.alias("z"))
+    zb = scored.agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+    bins = (
+        scored.crossJoin(F.broadcast(zb))
+        .groupBy(
+            F.when(F.col("hi") == F.col("lo"), 0)
+            .otherwise(
+                F.least(
+                    F.lit(9),
+                    F.floor(
+                        (F.col("z") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / 10.0)
+                    ).cast("int"),
+                )
+            )
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("np"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    iso = isotonic_fit(bins)
+    return (
+        bins.join(iso, bins.bin == iso.i)
+        .select(
+            "bin",
+            "n",
+            F.col("np").alias("n_pos"),
+            (F.col("np").cast("double") / F.col("n")).alias("raw_rate"),
+            "iso_rate",
+        )
+        .orderBy("bin")
+    )

@@ -1355,6 +1355,24 @@ def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    iso = isotonic_fit(bins)
+    return (
+        bins.join(iso, bins.bin == iso.i)
+        .select(
+            "bin",
+            "n",
+            F.col("np").alias("n_pos"),
+            (F.col("np").cast("double") / F.col("n")).alias("raw_rate"),
+            "iso_rate",
+        )
+        .orderBy("bin")
+    )
+
+
+def isotonic_fit(bins: DataFrame) -> DataFrame:
+    """Isotonic (PAVA) rates over a (bin, n, np) aggregate via the exact
+    minimax form; returns (i, iso_rate). Shared by
+    eval_isotonic_calibration and curation_gate_calibration."""
     a = bins.select(F.col("bin").alias("ab"))
     b = bins.select(F.col("bin").alias("bb"))
     c = bins.select(F.col("bin").alias("cbin"), "n", "np")
@@ -1375,15 +1393,22 @@ def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ab", "i")
         .agg(F.min("rate").alias("minrate"))
     )
-    iso = minb.groupBy("i").agg(F.max("minrate").alias("iso_rate"))
-    return (
-        bins.join(iso, bins.bin == iso.i)
-        .select(
-            "bin",
-            "n",
-            F.col("np").alias("n_pos"),
-            (F.col("np").cast("double") / F.col("n")).alias("raw_rate"),
-            "iso_rate",
-        )
-        .orderBy("bin")
-    )
+    return minb.groupBy("i").agg(F.max("minrate").alias("iso_rate"))
+
+
+def isotonic_sql(bins_cte: str) -> str:
+    """The rates/minb/iso CTE chain over an existing (bin, n, np) CTE."""
+    return f"""rates AS (
+        SELECT a.bin AS ab, b.bin AS bb,
+               CAST(SUM(c.np) AS DOUBLE) / SUM(c.n) AS rate
+        FROM {bins_cte} a
+        JOIN {bins_cte} b ON a.bin <= b.bin
+        JOIN {bins_cte} c ON c.bin BETWEEN a.bin AND b.bin
+        GROUP BY a.bin, b.bin
+    ), minb AS (
+        SELECT r.ab, i.bin AS i, MIN(r.rate) AS minrate
+        FROM rates r JOIN {bins_cte} i ON r.ab <= i.bin AND r.bb >= i.bin
+        GROUP BY r.ab, i.bin
+    ), iso AS (
+        SELECT i, MAX(minrate) AS iso_rate FROM minb GROUP BY i
+    )"""

@@ -78,6 +78,9 @@ BNLJ_AUDITED: dict[str, str] = {
                                  #     (c) interval-condition joins
                                  #     over the 10-row bin aggregate
                                  #     (the B^3 minimax solve)
+    "curation_gate_calibration": "ac",  # (a) 1-row MIN/MAX score
+                                 #     bounds; (c) the same minimax
+                                 #     interval joins over 10 bins
     "eval_pr_curve_purchase": "a",  # (a) 1-row totals
     "histogram_equiwidth": "a",  # (a) 1-row min/max
     "join_cardinality_audit": "a",  # (a) crosses of 1-row stat aggregates

@@ -5157,3 +5157,137 @@ def winnow_postings_cap_metric(
         "n_postings bigint, n_rare_fps bigint, df_max bigint, "
         "df_cap bigint, pair_candidates bigint, within_cap int",
     )
+
+
+@register(
+    "tokenizer_vocab_agreement",
+    oracle=(
+        f"""
+    WITH words AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS word
+            FROM documents
+        ) GROUP BY word
+    ),
+    v0 AS MATERIALIZED (
+        SELECT word, cnt,
+               array_to_string(regexp_extract_all(word, '.'), ' ') AS seq
+        FROM words
+    ),
+    """
+        + ",\n    ".join(
+            _bpe_step_sql(f"v{t - 1}", t) for t in range(1, BPE_MERGES + 1)
+        )
+        + ",\n    "
+        + _uni_seed_sql()
+        + ",\n    "
+        + ",\n    ".join(_uni_iter_sql(it) for it in range(1, _UNI_EM + 1))
+        + ",\n    "
+        + ",\n    ".join(
+            _wp_step_sql("v0" if t == 1 else f"wv{t - 1}", t)
+            for t in range(1, _WP_MERGES + 1)
+        )
+        + f""",
+    bunits AS (
+        SELECT DISTINCT u FROM (
+            {" UNION ALL ".join(
+                f"SELECT x || y AS u FROM b{t}"
+                for t in range(1, BPE_MERGES + 1)
+            )}
+        )
+    ),
+    wunits AS (
+        SELECT DISTINCT u FROM (
+            {" UNION ALL ".join(
+                f"SELECT x || y AS u FROM wb{t}"
+                for t in range(1, _WP_MERGES + 1)
+            )}
+        )
+    ),
+    uunits AS (
+        SELECT DISTINCT c.piece AS u
+        FROM uc{_UNI_EM} c JOIN uv{_UNI_EM} v USING (piece)
+        WHERE length(c.piece) >= 2
+    )
+    SELECT pair, n_a, n_b, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6)
+               AS jaccard
+    FROM (
+        SELECT 'bpe_vs_wordpiece' AS pair,
+               CAST((SELECT COUNT(*) FROM bunits) AS BIGINT) AS n_a,
+               CAST((SELECT COUNT(*) FROM wunits) AS BIGINT) AS n_b,
+               CAST((SELECT COUNT(*) FROM bunits JOIN wunits USING (u))
+                    AS BIGINT) AS n_common
+        UNION ALL
+        SELECT 'bpe_vs_unigram',
+               CAST((SELECT COUNT(*) FROM bunits) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM uunits) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM bunits JOIN uunits USING (u))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'wordpiece_vs_unigram',
+               CAST((SELECT COUNT(*) FROM wunits) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM uunits) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM wunits JOIN uunits USING (u))
+                    AS BIGINT)
+    ) ORDER BY pair
+    """
+    ),
+    doc="Do the three trainers AGREE on what the subword units are? "
+    "Pairwise Jaccard overlap of the multi-char unit inventories: BPE "
+    "merge products, WordPiece merge products, and the pieces the "
+    "unigram LM's final EM round actually used (length >= 2). All "
+    "three training chains replay in the composed oracle; the output "
+    "is exact integer set sizes plus one 6dp ratio. This is the "
+    "sanity table behind a vocabulary decision — high disagreement "
+    "between count-greedy (BPE) and likelihood-scored (WordPiece) "
+    "merges on the SAME corpus quantifies how much the merge "
+    "objective, not the data, drives the vocabulary. Scale shape: "
+    "one corpus scan per chain into (word, count); everything "
+    "downstream is vocabulary-bounded; the set intersections are "
+    "joins over <= dozens of rows.",
+    tags=("text", "tokenizer", "bpe", "curation"),
+)
+def tokenizer_vocab_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    _, bmerges = _bpe_train(docs)
+    bunits = bmerges[0].select(F.concat("x", "y").alias("u"))
+    for m in bmerges[1:]:
+        bunits = bunits.union(m.select(F.concat("x", "y").alias("u")))
+    bunits = bunits.distinct().localCheckpoint(eager=True)
+    _, wmerges = _wp_train(docs)
+    wunits = wmerges[0].select(F.concat("x", "y").alias("u"))
+    for m in wmerges[1:]:
+        wunits = wunits.union(m.select(F.concat("x", "y").alias("u")))
+    wunits = wunits.distinct().localCheckpoint(eager=True)
+    _, uvocab, ucounts = _uni_train(docs)
+    uunits = (
+        ucounts.join(uvocab, "piece")
+        .filter(F.length("piece") >= 2)
+        .select(F.col("piece").alias("u"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    import math
+
+    rows = []
+    for pair, fa, fb in (
+        ("bpe_vs_wordpiece", bunits, wunits),
+        ("bpe_vs_unigram", bunits, uunits),
+        ("wordpiece_vs_unigram", wunits, uunits),
+    ):
+        n_a, n_b = fa.count(), fb.count()
+        n_common = fa.join(fb, "u").count()
+        # half-AWAY rounding to mirror DuckDB's ROUND (Python round()
+        # is half-even; a 1/512-type exact ratio would diverge)
+        jac = (
+            math.floor(n_common / (n_a + n_b - n_common) * 1e6 + 0.5) / 1e6
+        )
+        rows.append((pair, n_a, n_b, n_common, jac))
+    return spark.createDataFrame(
+        rows,
+        "pair string, n_a bigint, n_b bigint, n_common bigint, "
+        "jaccard double",
+    ).orderBy("pair")

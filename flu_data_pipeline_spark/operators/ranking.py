@@ -34,7 +34,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_rank", "global_ntile", "global_cumsum"]
+__all__ = [
+    "global_rank",
+    "global_ntile",
+    "global_cumsum",
+    "global_prefix_max",
+    "global_first_following",
+]
 
 _PID = "__gn_pid"
 _LRANK = "__gn_lrank"
@@ -96,8 +102,8 @@ def global_rank(
 def global_cumsum(
     df: DataFrame,
     order: list[Column],
-    value_col: str,
-    out_col: str = "cumsum",
+    value_col: str | list[str],
+    out_col: str | list[str] = "cumsum",
 ) -> DataFrame:
     """Exact ``SUM(value) OVER (ORDER BY order)`` (running INCLUSIVE
     prefix sum over a total order) without a single-partition window —
@@ -117,12 +123,24 @@ def global_cumsum(
     inputs work but inherit sum-order ulps. ``order`` must pin a total
     order (unique tiebreaker), same contract as :func:`global_rank`.
 
+    ``value_col``/``out_col`` may be parallel LISTS: several prefix
+    sums over the SAME ordering share one range shuffle, one
+    checkpoint, and one offsets join (the PR-curve/KS/stump shape —
+    two or more cumulative counters per distinct value).
+
     This is the primitive behind concat-and-chunk sequence packing
     (plans: corpus_concat_chunk_packing): at 100 TB the naive
     formulation is ``Exchange SinglePartition`` over every document —
     this form's only non-map work is a range shuffle plus a
     partition-count-sized offsets frame.
     """
+    v_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    o_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(v_cols) != len(o_cols):
+        raise ValueError("value_col and out_col must pair up 1:1")
+    runs = [f"__gc_run{i}" for i in range(len(v_cols))]
+    offs = [f"__gc_off{i}" for i in range(len(v_cols))]
+    tots = [f"__gc_tot{i}" for i in range(len(v_cols))]
     d = df.repartitionByRange(*order).withColumn(
         _PID, F.spark_partition_id()
     )
@@ -134,22 +152,147 @@ def global_cumsum(
     # Eager checkpoint: per-partition totals + the running sums must see
     # ONE materialization of the range exchange (sampled bounds — see
     # global_rank).
-    d = d.withColumn(
-        "__gc_run", F.sum(value_col).over(w)
+    d = d.select(
+        "*", *(F.sum(v).over(w).alias(r) for v, r in zip(v_cols, runs))
     ).localCheckpoint(eager=True)
-    totals = d.groupBy(_PID).agg(F.sum(value_col).alias(_CNT))
+    totals = d.groupBy(_PID).agg(
+        *(F.sum(v).alias(t) for v, t in zip(v_cols, tots))
+    )
     a, b = totals.alias("a"), totals.alias("b")
     offsets = (
         a.join(
             F.broadcast(b), F.col(f"b.{_PID}") < F.col(f"a.{_PID}"), "left"
         )
         .groupBy(F.col(f"a.{_PID}").alias(_PID))
-        .agg(F.coalesce(F.sum(f"b.{_CNT}"), F.lit(0)).alias(_OFF))
+        .agg(
+            *(
+                F.coalesce(F.sum(f"b.{t}"), F.lit(0)).alias(o)
+                for t, o in zip(tots, offs)
+            )
+        )
     )
+    out = d.join(F.broadcast(offsets), _PID).select(
+        "*",
+        *(
+            (F.col(o) + F.col(r)).alias(oc)
+            for o, r, oc in zip(offs, runs, o_cols)
+        ),
+    )
+    return out.drop(_PID, *runs, *offs)
+
+
+def global_prefix_max(
+    df: DataFrame,
+    order: list[Column],
+    value_col: str,
+    out_col: str = "prefix_max",
+    exclusive: bool = False,
+) -> DataFrame:
+    """Exact ``MAX(value) OVER (ORDER BY order [ROWS .. 1 PRECEDING])``
+    — the running-maximum twin of :func:`global_cumsum` (max is
+    associative/commutative, so the same partition-offset regrouping is
+    exact for ANY ordered type, floats included).
+
+    ``exclusive=True`` gives the strictly-before prefix max (NULL for
+    the globally first row, matching the SQL frame ``UNBOUNDED
+    PRECEDING AND 1 PRECEDING``); the default is the inclusive running
+    max. Shape: one range shuffle, a per-partition window, and a
+    partition-count-sized offsets frame — never a single-partition
+    window over data rows. This is the watermark-sizing primitive
+    (plans: events_disorder_audit): the naive form is a global
+    running-max window over every event.
+    """
+    frame_hi = -1 if exclusive else Window.currentRow
+    d = df.repartitionByRange(*order).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, frame_hi)
+    )
+    # Eager checkpoint: same one-materialization contract as global_rank.
+    d = d.withColumn(
+        "__gm_run", F.max(value_col).over(w)
+    ).localCheckpoint(eager=True)
+    totals = d.groupBy(_PID).agg(F.max(value_col).alias(_CNT))
+    a, b = totals.alias("a"), totals.alias("b")
+    offsets = (
+        a.join(
+            F.broadcast(b), F.col(f"b.{_PID}") < F.col(f"a.{_PID}"), "left"
+        )
+        .groupBy(F.col(f"a.{_PID}").alias(_PID))
+        .agg(F.max(f"b.{_CNT}").alias(_OFF))
+    )
+    # greatest() skips NULLs (returns NULL only when every operand is
+    # NULL), which is exactly the semantics of merging an empty
+    # earlier-partition max with an empty local exclusive prefix.
     return (
         d.join(F.broadcast(offsets), _PID)
-        .withColumn(out_col, F.col(_OFF) + F.col("__gc_run"))
-        .drop(_PID, _OFF, "__gc_run")
+        .withColumn(out_col, F.greatest(F.col(_OFF), F.col("__gm_run")))
+        .drop(_PID, _OFF, "__gm_run")
+    )
+
+
+def global_first_following(
+    df: DataFrame,
+    order: list[Column],
+    value_col: str,
+    out_col: str = "next_value",
+) -> DataFrame:
+    """Exact ``FIRST_VALUE(value IGNORE NULLS) OVER (ORDER BY order
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)`` — the forward
+    as-of fill, distributed.
+
+    The standard inverse-CDF / as-of-interleave lookup (plans:
+    curation_quantile_normalize) sorts boundary and query rows together
+    and takes each query's first FOLLOWING boundary value; the naive
+    form is a single global window. Here:
+
+    1. range-shuffle on the total ``order``;
+    2. per-partition first-following non-null via a PARTITIONED window;
+    3. per-partition FIRST non-null value in order (``min_by`` over a
+       rank struct — one row per partition, tiny);
+    4. rows whose partition holds no later non-null take the first
+       non-null of the NEXT such partition, via the triangular
+       broadcast join (``min_by`` over partition id).
+    """
+    d = df.repartitionByRange(*order).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    wr = Window.partitionBy(_PID).orderBy(*order)
+    # Eager checkpoint: same one-materialization contract as global_rank.
+    d = (
+        d.withColumn(
+            "__gf_loc", F.first(value_col, ignorenulls=True).over(w)
+        )
+        .withColumn("__gf_rn", F.row_number().over(wr))
+        .localCheckpoint(eager=True)
+    )
+    # First non-null value per partition, in order (one row/partition).
+    firsts = (
+        d.filter(F.col(value_col).isNotNull())
+        .groupBy(_PID)
+        .agg(F.min_by(value_col, "__gf_rn").alias(_CNT))
+    )
+    a = d.select(_PID).distinct().alias("a")
+    b = firsts.alias("b")
+    nxt = (
+        a.join(
+            F.broadcast(b), F.col(f"b.{_PID}") > F.col(f"a.{_PID}"), "left"
+        )
+        .groupBy(F.col(f"a.{_PID}").alias(_PID))
+        .agg(F.min_by(f"b.{_CNT}", f"b.{_PID}").alias(_OFF))
+    )
+    return (
+        d.join(F.broadcast(nxt), _PID)
+        .withColumn(out_col, F.coalesce(F.col("__gf_loc"), F.col(_OFF)))
+        .drop(_PID, _OFF, "__gf_loc", "__gf_rn")
     )
 
 

@@ -1110,32 +1110,56 @@ def curation_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "correction preprocessing that makes length-based quality cuts "
     "comparable across heterogeneous sources. Each distinct (source, "
     "value) gets its within-source midrank quantile p (integer rank "
-    "arithmetic, source-PARTITIONED windows), the pooled empirical CDF "
-    "is a cumulative count over distinct values, and the inverse-CDF "
+    "arithmetic; one GLOBAL two-stage prefix over (source, value) via "
+    "global_cumsum minus per-source offsets from the #sources-row "
+    "totals frame — no source-partitioned window, so one giant source "
+    "cannot pin an executor), the pooled empirical CDF is the same "
+    "two-stage prefix over distinct values, and the inverse-CDF "
     "lookup (smallest pooled value with cdf >= p) is an AS-OF via the "
     "union-window trick: interleave boundary and query rows sorted by "
     "(key, kind) and take the first following non-null boundary — no "
-    "inequality join, no |queries| x |boundaries| pair blowup. The "
-    "interleave window runs at distinct-value granularity: bounded by "
-    "the value range and source count, not corpus size. Both engines "
+    "inequality join, no |queries| x |boundaries| pair blowup, and the "
+    "interleave itself runs through global_first_following (range "
+    "shuffle + partitioned windows + a partition-count fill frame), "
+    "never a single-partition window. Both engines "
     "sort on identical doubles derived from identical exact integers, "
     "so the mapping hash-compares exactly.",
     tags=("curation", "stats", "A10", "W1", "J5"),
 )
 def curation_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.operators.ranking import (
+        global_cumsum,
+        global_first_following,
+    )
+
     d = load_table(spark, sf_dir, "documents").select(
         "source", F.col("n_chars").alias("v")
     )
     ns = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
     ntot = d.agg(F.count(F.lit(1)).alias("n_pool"))
     sv = d.groupBy("source", "v").agg(F.count(F.lit(1)).alias("t"))
-    w_src = (
-        Window.partitionBy("source")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # Within-source exclusive prefix WITHOUT a source-partitioned window
+    # (a handful of sources at 100 TB = a handful of executor-sized
+    # partitions): one GLOBAL two-stage prefix over (source, v), minus
+    # each source's offset from the tiny per-source totals frame.
+    svg = global_cumsum(
+        sv, [F.col("source"), F.col("v")], "t", "__cum_g"
     )
-    svr = sv.withColumn(
-        "cum_before", F.coalesce(F.sum("t").over(w_src), F.lit(0))
+    w_off = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # per-source totals: one row per SOURCE (fixture- and
+    # contract-bounded dimension), so this window frame is O(#sources).
+    src_off = (
+        sv.groupBy("source")
+        .agg(F.sum("t").alias("__st"))
+        .select(
+            "source",
+            F.coalesce(F.sum("__st").over(w_off), F.lit(0)).alias("__soff"),
+        )
+    )
+    svr = svg.join(F.broadcast(src_off), "source").withColumn(
+        "cum_before", F.col("__cum_g") - F.col("t") - F.col("__soff")
     )
     q = svr.join(F.broadcast(ns), "source").select(
         "source",
@@ -1147,15 +1171,13 @@ def curation_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     )
     pv = d.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
-    w_pool = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     pvr = (
-        pv.crossJoin(F.broadcast(ntot))
+        global_cumsum(pv, [F.col("v")], "c", "__cum_c")
+        .crossJoin(F.broadcast(ntot))
         .select(
             "v",
             (
-                F.sum("c").over(w_pool).cast("double") / F.col("n_pool")
+                F.col("__cum_c").cast("double") / F.col("n_pool")
             ).alias("frac"),
         )
     )
@@ -1178,17 +1200,9 @@ def curation_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p",
         )
     )
-    w_asof = Window.orderBy("key", "kind").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
-    )
-    asof = ev.select(
-        "kind",
-        "source",
-        "qv",
-        "t",
-        "p",
-        F.first("bv", ignorenulls=True).over(w_asof).alias("norm_v"),
-    )
+    asof = global_first_following(
+        ev, [F.col("key"), F.col("kind")], "bv", "norm_v"
+    ).select("kind", "source", "qv", "t", "p", "norm_v")
     return (
         asof.filter(F.col("kind") == 0)
         .select(

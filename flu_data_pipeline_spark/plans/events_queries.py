@@ -1153,7 +1153,8 @@ def survival_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "first click to first subsequent purchase, latency in whole epoch "
     "seconds (exact int64 — immune to the parquet ns/us timestamp "
     "flavor), percentile_disc ranks selected on the DISTINCT-latency "
-    "frame via the two-stage bucketed prefix — no single-partition sort "
+    "frame via the two-stage distributed prefix (global_cumsum) — no "
+    "single-partition sort "
     "of the converted-user set. Scale shape: two user-keyed "
     "aggregations and a rank selection over a bounded distinct-value "
     "frame.",
@@ -1254,12 +1255,14 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "of everything that arrived before it; reported as late share, max "
     "disorder, and banded lateness counts (<=60s / <=600s / beyond). "
     "The oracle's global running max is a single window; the Spark side "
-    "computes the SAME prefix maximum distributively — per-bucket "
-    "maxima (event_id div 4096), a prefix-max over the bounded bucket "
-    "frame, and a bucket-partitioned within-bucket running max — so no "
-    "single-partition pass ever touches the stream (the MAX twin of "
-    "the rank-stats two-stage prefix sum). All disorder values are "
-    "exact epoch-second int64.",
+    "computes the SAME prefix maximum distributively via "
+    "operators/ranking.py global_prefix_max (the MAX twin of the "
+    "two-stage prefix sum: range shuffle on event_id, partitioned "
+    "running max, partition-count offsets frame merged with "
+    "NULL-skipping greatest) — so no single-partition pass ever "
+    "touches the stream at ANY granularity; the earlier form kept a "
+    "global window over event_id div 4096 buckets, a frame that still "
+    "grew as N/4096. All disorder values are exact epoch-second int64.",
     tags=("streaming", "events", "W1", "A11"),
 )
 def events_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1269,29 +1272,15 @@ def events_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ts_s"),
     )
-    b = ev.withColumn("bucket", F.expr("event_id div 4096"))
-    totals = b.groupBy("bucket").agg(F.max("ts_s").alias("bmax"))
-    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "bucket", F.max("bmax").over(wb).alias("prefix_max")
-    )
-    wv = (
-        Window.partitionBy("bucket")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    dis = (
-        b.join(F.broadcast(offsets), "bucket")
-        .withColumn("in_max", F.max("ts_s").over(wv))
-        .withColumn(
-            "prev_max", F.greatest(F.col("prefix_max"), F.col("in_max"))
-        )
-        .select(
-            F.greatest(
-                F.lit(0),
-                F.coalesce(F.col("prev_max") - F.col("ts_s"), F.lit(0)),
-            ).alias("disorder_s")
-        )
+    from flu_data_pipeline_spark.operators.ranking import global_prefix_max
+
+    dis = global_prefix_max(
+        ev, [F.col("event_id")], "ts_s", "prev_max", exclusive=True
+    ).select(
+        F.greatest(
+            F.lit(0),
+            F.coalesce(F.col("prev_max") - F.col("ts_s"), F.lit(0)),
+        ).alias("disorder_s")
     )
     late = F.when(F.col("disorder_s") > 0, 1).otherwise(0)
     return dis.agg(

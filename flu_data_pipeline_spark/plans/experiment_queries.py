@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from flu_data_pipeline_spark.catalog import load_table
 from flu_data_pipeline_spark.functions.hashing import hash64, hash64_sql
+from flu_data_pipeline_spark.operators.ranking import global_cumsum
 from flu_data_pipeline_spark.plans.registry import register
 
 
@@ -133,15 +134,14 @@ def abtest_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the Mann-Whitney rank-sum identity with average-rank tie handling: "
     "AUC = sum over distinct scores of n_pos(s)*(negatives_below(s) + "
     "0.5*n_neg(s)) / (N_pos*N_neg). The stream first collapses to one "
-    "row PER DISTINCT SCORE (map-side combine), so the ordered prefix "
-    "sum runs over score cardinality, not row count. Float-exact by "
-    "construction: every summand is an integer multiple of 0.5 "
-    "(exactly representable), so the sum is order-independent and the "
-    "engines cannot diverge. Scale note: the prefix window is a single "
-    "global sort over distinct scores — when score cardinality is "
-    "unbounded, quantize scores to fixed-width buckets first (the "
-    "standard approximate-AUC everyone ships) and this plan is "
-    "unchanged; the quantization IS the accuracy/scale knob.",
+    "row PER DISTINCT SCORE (map-side combine), and the ordered prefix "
+    "sum over that frame runs through the two-stage distributed prefix "
+    "(operators/ranking.py global_cumsum: range shuffle + partitioned "
+    "windows + a partition-count offsets frame) — distinct values of a "
+    "continuous score grow ~linearly with N, so NO single-partition "
+    "window ever sees the frame. Float-exact by construction: every "
+    "summand is an integer multiple of 0.5 (exactly representable), so "
+    "the sum is order-independent and the engines cannot diverge.",
     tags=("experiment", "eval", "A7", "W1"),
 )
 def eval_auc_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,8 +154,9 @@ def eval_auc_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").alias("np"),
         (F.count(F.lit(1)) - F.sum("y")).alias("nn"),
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    cum = per.withColumn("cneg", F.coalesce(F.sum("nn").over(w), F.lit(0)))
+    cum = global_cumsum(per, [F.col("s")], "nn", "__cum_nn").withColumn(
+        "cneg", F.col("__cum_nn") - F.col("nn")
+    )
     tot = per.agg(
         F.sum("np").cast("double").alias("n_pos"),
         F.sum("nn").cast("double").alias("n_neg"),
@@ -301,13 +302,14 @@ def drift_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Precision-recall curve of `value` scoring the purchase event: "
     "one operating point per DISTINCT score threshold (predict positive "
     "when s >= t). The stream collapses to per-score (pos, neg) counts "
-    "first (map-side combine, like eval_auc_purchase), then one "
-    "descending prefix-sum window over score cardinality yields "
-    "TP/FP at every threshold simultaneously — the whole curve in one "
-    "pass, no per-threshold rescans. precision/recall are single "
+    "first (map-side combine, like eval_auc_purchase), then BOTH "
+    "descending prefix sums (TP and FP) ride ONE two-stage distributed "
+    "prefix (global_cumsum's multi-column form: one range shuffle, one "
+    "checkpoint, one offsets join) — the whole curve in one pass, no "
+    "per-threshold rescans and no single-partition window over the "
+    "N-growing distinct-score frame. precision/recall are single "
     "divisions of exact int64 counts (IEEE-identical cross-engine, no "
-    "rounding needed). Same scale knob as the AUC: unbounded score "
-    "cardinality -> quantize scores, plan unchanged.",
+    "rounding needed).",
     tags=("experiment", "eval", "A7", "W1"),
 )
 def eval_pr_curve_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,14 +322,12 @@ def eval_pr_curve_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").alias("np"),
         (F.count(F.lit(1)) - F.sum("y")).alias("nn"),
     )
-    w = (
-        Window.orderBy(F.col("s").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = per.select(
+    cum = global_cumsum(
+        per, [F.col("s").desc()], ["np", "nn"], ["__tp", "__fp"]
+    ).select(
         "s",
-        F.sum("np").over(w).cast("bigint").alias("tp"),
-        F.sum("nn").over(w).cast("bigint").alias("fp"),
+        F.col("__tp").cast("bigint").alias("tp"),
+        F.col("__fp").cast("bigint").alias("fp"),
     )
     tot = per.agg(F.sum("np").cast("bigint").alias("n_pos"))
     return cum.crossJoin(F.broadcast(tot)).select(
@@ -375,9 +375,11 @@ def eval_pr_curve_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Calibration table: scores bucketed into 10 equi-depth bins with "
     "TIES KEPT TOGETHER (bin = cumulative-count-before x 10 div N over "
-    "the per-distinct-score aggregation — the PR-curve pattern, so the "
-    "only window runs over score cardinality, never a global "
-    "row_number/ntile over raw rows), then per-bin positive rate vs "
+    "the per-distinct-score aggregation — the PR-curve pattern, with "
+    "the cumulative count carried by the two-stage distributed prefix "
+    "global_cumsum, so NO single-partition window touches the "
+    "N-growing distinct-score frame and no global row_number/ntile "
+    "touches raw rows), then per-bin positive rate vs "
     "mean score. All arithmetic is exact int64 (scores fixed-pointed "
     "to cents per distinct value) with two single divisions at the "
     "edge — IEEE-identical cross-engine. A well-calibrated score has "
@@ -395,12 +397,11 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum("y").cast("bigint").alias("np"),
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    cum = per.select(
+    cum = global_cumsum(per, [F.col("s")], "cnt", "__cum").select(
         "s",
         "cnt",
         "np",
-        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cb"),
+        (F.col("__cum") - F.col("cnt")).alias("cb"),
     )
     tot = per.agg(F.sum("cnt").cast("bigint").alias("n_total"))
     binned = cum.crossJoin(F.broadcast(tot)).select(
@@ -1325,10 +1326,12 @@ def abtest_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "driver loop and no recursion). All pooled rates are single "
     "divisions of exact BIGINT sums, so MIN/MAX compare bit-identical "
     "doubles cross-engine. Scale shape: the corpus-size work is the "
-    "same per-distinct-score aggregation the calibration table uses "
-    "(window over score cardinality, never raw rows); the isotonic "
-    "solve runs on the B=10-row frame — B^3 pair work on an "
-    "aggregate, invariant to corpus size.",
+    "same per-distinct-score aggregation the calibration table uses, "
+    "with the equi-depth bin assignment's cumulative count carried by "
+    "the two-stage distributed prefix (global_cumsum — no "
+    "single-partition window over the N-growing distinct-score frame); "
+    "the isotonic solve runs on the B=10-row frame — B^3 pair work on "
+    "an aggregate, invariant to corpus size.",
     tags=("experiment", "eval", "A7", "W1"),
 )
 def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1341,9 +1344,8 @@ def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum("y").cast("bigint").alias("np"),
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    cum = per.select(
-        "cnt", "np", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cb")
+    cum = global_cumsum(per, [F.col("s")], "cnt", "__cum").select(
+        "cnt", "np", (F.col("__cum") - F.col("cnt")).alias("cb")
     )
     tot = per.agg(F.sum("cnt").cast("bigint").alias("n_total"))
     bins = (
@@ -1372,14 +1374,19 @@ def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def isotonic_fit(bins: DataFrame) -> DataFrame:
     """Isotonic (PAVA) rates over a (bin, n, np) aggregate via the exact
     minimax form; returns (i, iso_rate). Shared by
-    eval_isotonic_calibration and curation_gate_calibration."""
+    eval_isotonic_calibration and curation_gate_calibration.
+
+    The interval joins carry explicit broadcast hints: ``bins`` is a
+    B<=10-row aggregate by construction, but it arrives behind an eager
+    checkpoint whose RDD scan reports no size stats — without the hint
+    Catalyst falls back to CartesianProduct for these non-equi joins."""
     a = bins.select(F.col("bin").alias("ab"))
     b = bins.select(F.col("bin").alias("bb"))
     c = bins.select(F.col("bin").alias("cbin"), "n", "np")
     rates = (
-        a.join(b, F.col("ab") <= F.col("bb"))
+        a.join(F.broadcast(b), F.col("ab") <= F.col("bb"))
         .join(
-            c,
+            F.broadcast(c),
             (F.col("cbin") >= F.col("ab")) & (F.col("cbin") <= F.col("bb")),
         )
         .groupBy("ab", "bb")
@@ -1388,7 +1395,8 @@ def isotonic_fit(bins: DataFrame) -> DataFrame:
     i2 = bins.select(F.col("bin").alias("i"))
     minb = (
         rates.join(
-            i2, (F.col("ab") <= F.col("i")) & (F.col("bb") >= F.col("i"))
+            F.broadcast(i2),
+            (F.col("ab") <= F.col("i")) & (F.col("bb") >= F.col("i")),
         )
         .groupBy("ab", "i")
         .agg(F.min("rate").alias("minrate"))

@@ -6,11 +6,12 @@ the whole relation collapses onto one task. These queries instead use the
 classic two-stage distributed ranking:
 
 1. aggregate rows to the DISTINCT-VALUE level (counts per value);
-2. range-bucket the distinct values; per-bucket totals (one tiny frame,
-   O(#buckets)) give each bucket its global prefix offset;
-3. a window PARTITIONED BY bucket adds the within-bucket prefix, so
-   every distinct value gets its exact global `cum_before` without any
-   single-partition pass over the data.
+2. run the two-stage distributed prefix sum over that frame
+   (`operators/ranking.py global_cumsum`: range shuffle, windows
+   PARTITIONED by shuffle partition, and a one-row-per-partition
+   offsets frame merged by a triangular broadcast join), so every
+   distinct value gets its exact global `cum_before` without ANY
+   single-partition pass — at any level, for any value range.
 
 Average ranks for ties are kept integer-exact by carrying 2x the rank
 (`2*cum_before + n + 1` = twice the average rank of a tie group), and
@@ -29,6 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flu_data_pipeline_spark.catalog import load_table
+from flu_data_pipeline_spark.operators.ranking import global_cumsum
 from flu_data_pipeline_spark.plans.registry import register
 
 
@@ -38,28 +40,22 @@ def _with_cum_before(
     """Two-stage distributed prefix sum: add ``cum_before`` = number of
     rows with a strictly smaller ``order_col`` value.
 
-    ``vals`` is a distinct-value frame (one row per value). The only
-    unpartitioned window runs over the bucket-totals frame, whose size is
-    O(#buckets) — data-range-bounded, not data-volume-bounded.
+    ``vals`` is a distinct-value frame (one row per value). Delegates to
+    ``operators/ranking.py global_cumsum`` (range shuffle + partitioned
+    windows + a partition-count offsets frame), so NO single-partition
+    window runs at any level — the earlier form here kept a global
+    window over range-bucket totals, whose cardinality is a data
+    contract rather than a plan property; this form's offsets frame is
+    one row per shuffle partition regardless of the value range. The
+    ``bucket`` argument is retained for call-site compatibility and is
+    no longer consulted (the range partitioner buckets internally).
     """
-    b = vals.withColumn("_bucket", bucket)
-    totals = b.groupBy("_bucket").agg(F.sum(n_col).alias("_bn"))
-    wb = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "_bucket",
-        F.coalesce(F.sum("_bn").over(wb), F.lit(0)).alias("_boff"),
-    )
-    wv = (
-        Window.partitionBy("_bucket")
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        b.join(F.broadcast(offsets), "_bucket")
-        .withColumn("_cum_in", F.coalesce(F.sum(n_col).over(wv), F.lit(0)))
-        .withColumn("cum_before", F.col("_boff") + F.col("_cum_in"))
-        .drop("_bucket", "_boff", "_cum_in")
-    )
+    del bucket  # superseded by global_cumsum's range partitioner
+    return global_cumsum(
+        vals, [F.col(order_col)], n_col, "__cum_incl"
+    ).withColumn(
+        "cum_before", F.col("__cum_incl") - F.col(n_col)
+    ).drop("__cum_incl")
 
 
 @register(
@@ -211,7 +207,7 @@ def mannwhitney_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact Spearman rank correlation (l_quantity vs l_extendedprice) "
     "with average ranks for ties — Pearson on 2x-ranks (affine scaling "
     "cancels in rho). Quantity has <=50 distinct values (tiny window); "
-    "price ranks use the two-stage bucketed prefix sum, then the rank "
+    "price ranks use the two-stage distributed prefix sum, then the rank "
     "maps join back to the fact (quantity map broadcast, price map a "
     "value-keyed shuffle join). All five moments are DECIMAL(38,0) "
     "sums (HUGEINT in the oracle) so rho is one deterministic float "
@@ -447,8 +443,9 @@ def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the distribution-shape complement to the Mann-Whitney location "
     "test (KS also catches equal-median/different-spread shifts). "
     "ECDFs come from cumulative counts at the DISTINCT-VALUE level "
-    "(the same two-stage bucketed prefix as the rank tests on the "
-    "Spark side); cross-row MAX is order-independent, and the argmax "
+    "(the same two-stage distributed prefix as the rank tests — "
+    "global_cumsum, multi-column form); cross-row MAX is "
+    "order-independent, and the argmax "
     "value is pinned by (d DESC, value). Scale shape: one distinct-"
     "value shuffle, tiny bucket frame, one broadcast total — raw "
     "events never enter a window.",
@@ -467,32 +464,12 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("cb"),
     )
-    # inclusive cumulative counts for BOTH groups via one two-stage
-    # prefix: bucket offsets from the tiny per-bucket totals frame,
-    # within-bucket windows add the local prefix (see module docstring).
-    b = vals.withColumn("_bucket", F.floor("value"))
-    totals = b.groupBy("_bucket").agg(
-        F.sum("ca").alias("_ba"), F.sum("cb").alias("_bb")
-    )
-    wb = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "_bucket",
-        F.coalesce(F.sum("_ba").over(wb), F.lit(0)).alias("_offa"),
-        F.coalesce(F.sum("_bb").over(wb), F.lit(0)).alias("_offb"),
-    )
-    wv = (
-        Window.partitionBy("_bucket")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cums = (
-        b.join(F.broadcast(offsets), "_bucket")
-        .select(
-            "value",
-            (F.col("_offa") + F.sum("ca").over(wv)).alias("cum_a"),
-            (F.col("_offb") + F.sum("cb").over(wv)).alias("cum_b"),
-        )
-    )
+    # inclusive cumulative counts for BOTH groups via ONE two-stage
+    # distributed prefix (multi-column global_cumsum: one range
+    # shuffle, one checkpoint, one offsets join — module docstring).
+    cums = global_cumsum(
+        vals, [F.col("value")], ["ca", "cb"], ["cum_a", "cum_b"]
+    ).select("value", "cum_a", "cum_b")
     tot = vals.agg(
         F.sum("ca").cast("bigint").alias("n_a"),
         F.sum("cb").cast("bigint").alias("n_b"),
@@ -678,7 +655,7 @@ def anova_f_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "impurity — the inner loop of every tree/GBM trainer, expressed "
     "as a query. Candidate splits are the distinct values; left/right "
     "class counts at EVERY candidate come from one cumulative count "
-    "pass (the two-stage bucketed prefix on the Spark side — this is "
+    "pass (the two-stage distributed prefix, global_cumsum — this is "
     "exactly how distributed tree learners scan thresholds without "
     "re-partitioning per candidate). Impurities are per-row float "
     "expressions over exact integers; the argmin is pinned on "
@@ -701,26 +678,11 @@ def stump_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("bigint").alias("cp"),
         F.sum(1 - F.col("pos")).cast("bigint").alias("cn"),
     )
-    b = vals.withColumn("_bucket", F.floor("value"))
-    totals = b.groupBy("_bucket").agg(
-        F.sum("cp").alias("_bp"), F.sum("cn").alias("_bn")
-    )
-    wb = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "_bucket",
-        F.coalesce(F.sum("_bp").over(wb), F.lit(0)).alias("_offp"),
-        F.coalesce(F.sum("_bn").over(wb), F.lit(0)).alias("_offn"),
-    )
-    wv = (
-        Window.partitionBy("_bucket")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cums = b.join(F.broadcast(offsets), "_bucket").select(
-        "value",
-        (F.col("_offp") + F.sum("cp").over(wv)).alias("lp"),
-        (F.col("_offn") + F.sum("cn").over(wv)).alias("ln_"),
-    )
+    # left-side class counts at EVERY candidate split via ONE two-stage
+    # distributed prefix (multi-column global_cumsum).
+    cums = global_cumsum(
+        vals, [F.col("value")], ["cp", "cn"], ["lp", "ln_"]
+    ).select("value", "lp", "ln_")
     tot = vals.agg(
         F.sum("cp").cast("bigint").alias("p"),
         F.sum("cn").cast("bigint").alias("q"),
@@ -813,8 +775,8 @@ def stump_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "[cum_before, cum) with the kept interval [k, n-k) — "
     "max(0, min(cum, n-k) - max(cum_before, k)) — which handles "
     "tie groups straddling either cut with zero special-casing. "
-    "Cumulative ranks come from the two-stage bucketed prefix on the "
-    "Spark side; every quantity is an exact integer until the single "
+    "Cumulative ranks come from the two-stage distributed prefix "
+    "(global_cumsum); every quantity is an exact integer until the single "
     "final division. Scale shape: one distinct-value shuffle, no "
     "global sort, no per-row rank.",
     tags=("stats", "A11", "W1"),
@@ -827,25 +789,13 @@ def trimmed_mean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = pts.groupBy("cents").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    b = vals.withColumn("_bucket", F.floor(F.col("cents") / 1000))
-    totals = b.groupBy("_bucket").agg(F.sum("cnt").alias("_bn"))
-    wb = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "_bucket",
-        F.coalesce(F.sum("_bn").over(wb), F.lit(0)).alias("_boff"),
-    )
-    wv = (
-        Window.partitionBy("_bucket")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cums = b.join(F.broadcast(offsets), "_bucket").select(
+    # rank intervals per distinct value via the two-stage distributed
+    # prefix (global_cumsum): cum inclusive, cum_before = cum - cnt.
+    cums = global_cumsum(vals, [F.col("cents")], "cnt", "cum").select(
         "cents",
         "cnt",
-        (F.col("_boff") + F.sum("cnt").over(wv)).alias("cum"),
-        (F.col("_boff") + F.sum("cnt").over(wv) - F.col("cnt")).alias(
-            "cum_before"
-        ),
+        "cum",
+        (F.col("cum") - F.col("cnt")).alias("cum_before"),
     )
     tot = vals.agg(
         F.sum("cnt").cast("bigint").alias("n"),

@@ -600,8 +600,8 @@ CONF_ALPHA = 0.1  # target 90% coverage
     "derive identically on both engines from the same fitted "
     "coefficients. Scale shape: one order-keyed aggregation, 1-row "
     "moment fit broadcast back, and the rank-k selection runs on the "
-    "DISTINCT-residual frame via the two-stage bucketed prefix (no "
-    "single-partition sort of the calibration set).",
+    "DISTINCT-residual frame via the two-stage distributed prefix "
+    "(global_cumsum — no single-partition sort of the calibration set).",
     tags=("stats", "regression", "eval", "A10"),
 )
 def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,7 +652,7 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("k"),
     )
     # k-th smallest calibration residual WITHOUT a global sort: distinct
-    # residual values + counts through the two-stage bucketed prefix,
+    # residual values + counts through the two-stage distributed prefix,
     # then the one value whose rank interval covers k.
     vals = calib.groupBy("r").agg(F.count(F.lit(1)).alias("nr"))
     ranked = _with_cum_before(vals, F.floor(F.col("r") / 100.0), "r", "nr")

@@ -993,12 +993,12 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "under the cutoff (the first term crossing the line is kept, "
     "matching the usual 'smallest vocab reaching coverage' rule). "
     "Scale shape: the explode+groupBy(term) shuffle carries (term, "
-    "count) pairs only, and the ordered cumulative window runs over "
-    "DISTINCT TERMS (vocab cardinality, millions at 100 TB — not corpus "
-    "rows). The single-partition ordered window is the known cost: at "
-    "real scale replace it with a two-pass range-partitioned prefix sum "
-    "(per-partition subtotals broadcast back as offsets); the query "
-    "shape and cutoff semantics are unchanged. Top-200 rows exported.",
+    "count) pairs only, and BOTH the rank (a prefix count of ones) and "
+    "the running token mass ride ONE two-stage distributed prefix over "
+    "DISTINCT TERMS (operators/ranking.py global_cumsum, multi-column "
+    "form — vocab cardinality is millions at 100 TB, so no "
+    "single-partition window may see it); the corpus total is a 1-row "
+    "broadcast aggregate. Top-200 rows exported.",
     tags=("text", "llm", "A10", "O3", "W1"),
 )
 def vocab_coverage_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1008,16 +1008,23 @@ def vocab_coverage_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("term_count"))
     )
-    # Ordered cumulative window over vocab-cardinality rows (see doc).
-    w = Window.orderBy(F.col("term_count").desc(), "term")
-    total = Window.partitionBy()
-    ranked = counts.select(
+    # Rank + running mass over the vocab frame via ONE two-stage
+    # distributed prefix (rank = prefix count of ones); corpus total as
+    # a broadcast scalar — no single-partition window at vocab scale.
+    from flu_data_pipeline_spark.operators.ranking import global_cumsum
+
+    tot = counts.agg(F.sum("term_count").alias("total_count"))
+    ranked = global_cumsum(
+        counts.withColumn("__one", F.lit(1).cast("bigint")),
+        [F.col("term_count").desc(), F.col("term")],
+        ["term_count", "__one"],
+        ["cum_count", "rank"],
+    ).crossJoin(F.broadcast(tot)).select(
         "term",
         "term_count",
-        F.row_number().over(w).cast("bigint").alias("rank"),
-        F.sum("term_count").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum_count"),
-        F.sum("term_count").over(total).alias("total_count"),
+        F.col("rank").cast("bigint").alias("rank"),
+        "cum_count",
+        "total_count",
     )
     return ranked.select(
         "term",
@@ -1373,7 +1380,9 @@ def text_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(Spark and DuckDB share the SQL-standard definitions; 6dp "
     "rounding absorbs final-ulp accumulation differences). Scale "
     "shape: identical to vocab_coverage_cutoff — term-count "
-    "aggregate, vocab-sized ordered window, then one scalar "
+    "aggregate, exact global ranks from the two-stage distributed "
+    "prefix (operators/ranking.py global_rank, never a "
+    "single-partition window over the vocab), then one scalar "
     "regression aggregate.",
     tags=("text", "llm", "A7", "A11"),
 )
@@ -1384,9 +1393,12 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.orderBy(F.col("c").desc(), "term")
-    ranked = counts.select(
-        F.log(F.row_number().over(w).cast("double")).alias("lx"),
+    from flu_data_pipeline_spark.operators.ranking import global_rank
+
+    ranked = global_rank(
+        counts, [F.col("c").desc(), F.col("term")], "__zr"
+    ).select(
+        F.log(F.col("__zr").cast("double")).alias("lx"),
         F.log(F.col("c").cast("double")).alias("ly"),
     )
     return ranked.agg(

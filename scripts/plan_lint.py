@@ -45,8 +45,12 @@ INFO = ("BroadcastNestedLoopJoin",)
 #: REVIEW until audited here.
 BNLJ_AUDITED: dict[str, str] = {
     "abtest_cuped_adjustment": "a",  # (a) crossJoin of two 1-row moment aggs
-    "conversion_latency_quantiles": "ac",  # (a)+(c) 1-row n + rank-interval cond
-    "conformal_interval_coverage": "a",  # (a) 1-row fit/k/q_hat broadcasts
+    "conversion_latency_quantiles": "ac",  # (a) 1-row n; (c) rank-interval
+                                 #     cond + triangular pid-offset join
+                                 #     (global_cumsum)
+    "conformal_interval_coverage": "ac",  # (a) 1-row fit/k/q_hat broadcasts;
+                                 #     (c) triangular pid-offset join
+                                 #     (global_cumsum)
     "shard_rebalance_audit": "b",  # (b) 40-row hash ring broadcast
     "ann_mmr_rerank": "b",  # (b) 1-row query vec + 20-row pool/pairs
     "attribution_shapley": "a",  # (a) crossJoin of two 1-row aggregates
@@ -72,8 +76,11 @@ BNLJ_AUDITED: dict[str, str] = {
     "drift_value_histogram": "a",  # (a) 1-row min/max bounds
     "embedding_prefix_capture": "b",  # (b) 3-row prefix-length enum
     "epoch_shuffle_plan": "b",  # (b) 3-row epoch enum broadcast
-    "eval_auc_purchase": "a",  # (a) 1-row pos/neg totals
-    "eval_calibration_bins": "a",  # (a) 1-row bounds
+    "eval_auc_purchase": "ac",  # (a) 1-row pos/neg totals; (c)
+                                 #     triangular pid-offset join
+                                 #     (global_cumsum)
+    "eval_calibration_bins": "ac",  # (a) 1-row bounds; (c) triangular
+                                 #     pid-offset join (global_cumsum)
     "eval_isotonic_calibration": "ac",  # (a) 1-row n_total broadcast;
                                  #     (c) interval-condition joins
                                  #     over the 10-row bin aggregate
@@ -81,7 +88,8 @@ BNLJ_AUDITED: dict[str, str] = {
     "curation_gate_calibration": "ac",  # (a) 1-row MIN/MAX score
                                  #     bounds; (c) the same minimax
                                  #     interval joins over 10 bins
-    "eval_pr_curve_purchase": "a",  # (a) 1-row totals
+    "eval_pr_curve_purchase": "ac",  # (a) 1-row totals; (c) triangular
+                                 #     pid-offset join (global_cumsum)
     "histogram_equiwidth": "a",  # (a) 1-row min/max
     "join_cardinality_audit": "a",  # (a) crosses of 1-row stat aggregates
     "kmeans_cluster_summary": "b",  # (b) k centroids
@@ -99,13 +107,27 @@ BNLJ_AUDITED: dict[str, str] = {
     "ts_linear_interpolate": "c",  # (c) anchor-range condition
     "winsorize_stats": "a",  # (a) 1-row quantile cutoffs
     "zorder_layout": "a",  # (a) 1-row dimension bounds
+    # round-9 (e)-family migration onto operators/ranking.py — the
+    # triangular pid-offset join over one-row-per-partition frames is
+    # category (c); corpus totals stay (a):
+    "events_disorder_audit": "c",  # (c) triangular pid-offset join over
+                                 #     per-partition max frame
+                                 #     (global_prefix_max)
+    "text_zipf_fit": "ac",       # (a) 1-row total; (c) triangular
+                                 #     pid-offset join (global_rank)
+    "vocab_coverage_cutoff": "ac",  # (a) 1-row corpus total; (c)
+                                 #     triangular pid-offset join
+                                 #     (global_cumsum multi)
     # late round-2 stats/curation batch — all (a) 1-row-aggregate
     # broadcasts (totals, bounds, coefficients) or (b) tiny enums:
     "anova_f_groups": "a",  # (a) 1-row grand totals
     "cluster_label_nmi": "ab",  # (a) 1-row N + (b) K centroids
     "curation_ipf_raking": "a",  # (a) 1-row margin targets
     "curation_js_divergence": "a",  # (a) 1-row corpus token total
-    "curation_quantile_normalize": "a",  # (a) 1-row pool size
+    "curation_quantile_normalize": "ac",  # (a) 1-row pool size; (c)
+                                 #     triangular pid-offset + next-
+                                 #     partition fill joins (global_
+                                 #     cumsum / global_first_following)
     "cv_kfold_regression": "a",  # (a) 1-row total moments
     "did_event_value": "a",  # (a) 1-row day bounds
     "embedding_jl_distortion": "b",  # (b) 1-row sign-matrix broadcast
@@ -114,14 +136,19 @@ BNLJ_AUDITED: dict[str, str] = {
     "hilbert_layout": "a",  # (a) 1-row dimension bounds
     "hilbert_vs_zorder_locality": "a",  # (a) 1-row dimension bounds
     "huber_irls_regression": "a",  # (a) 1-row coefficient broadcast
-    "ks_two_sample": "a",  # (a) 1-row group totals
+    "ks_two_sample": "ac",  # (a) 1-row group totals; (c) triangular
+                                 #     pid-offset join (global_cumsum)
     "label_noise_estimate": "b",  # (b) K centroids broadcast
-    "mannwhitney_rank_sum": "a",  # (a) tiny bucket-offsets broadcast
+    "mannwhitney_rank_sum": "c",  # (c) triangular pid-offset join
+                                 #     (global_cumsum)
     "permutation_test_mean": "a",  # (a) 1-row moment totals
-    "spearman_rho_ranks": "a",  # (a) tiny bucket-offsets broadcast
-    "stump_best_split": "a",  # (a) 1-row class totals
+    "spearman_rho_ranks": "ac",  # (a) 1-row moments; (c) triangular
+                                 #     pid-offset join (global_cumsum)
+    "stump_best_split": "ac",  # (a) 1-row class totals; (c) triangular
+                                 #     pid-offset join (global_cumsum)
     "survival_logrank_test": "a",  # (a) 1-row cohort totals
-    "trimmed_mean_exact": "a",  # (a) 1-row n/k totals
+    "trimmed_mean_exact": "ac",  # (a) 1-row n/k totals; (c) triangular
+                                 #     pid-offset join (global_cumsum)
     "ts_acf_lags": "a",  # (a) 1-row global moments
     # round-3 additions — all (a) 1-row-aggregate or (b) tiny-enum
     # broadcasts:
@@ -223,15 +250,24 @@ BNLJ_AUDITED: dict[str, str] = {
 #: Window fed by Exchange SinglePartition. Legitimate ONLY when the
 #: windowed frame is provably bounded BEFORE the exchange: (d) an
 #: already-aggregated group/bucket/day/cell frame (cardinality = groups,
-#: not rows); (e) a distinct-VALUE frame for two-stage ranking (window
-#: over value cardinality; the fact joins the rank map back); (f) a
-#: fixture-bounded dim the SURVEY W1 ban explicitly excepts (39-row flu
-#: dims); (g) a documented small-data-only form whose scale replacement
-#: is named in the docstring (ntile -> percentile edges). A new query
-#: tripping this check lands in REVIEW until audited here.
+#: not rows); (e) a distinct-VALUE frame — the round-9 rule: distinct
+#: values of a continuous/N-growing column grow with the data, so an
+#: (e) entry is legal ONLY with an explicit `bound:` (a data-contract
+#: cardinality cap, e.g. a spec-bounded integer domain) or a `twin:`
+#: naming the registered scale replacement — enforced mechanically by
+#: ``check_spw_audit_wellformed`` below; the former free-floating (e)
+#: family (eval_auc/pr/isotonic, ks, trimmed-mean, conformal,
+#: conversion-latency, stump, quantile-normalize, zipf, vocab-cutoff)
+#: was migrated onto operators/ranking.py global_cumsum /
+#: global_prefix_max / global_first_following in round 9 and no longer
+#: produces these sites at all; (f) a fixture-bounded dim the SURVEY W1
+#: ban explicitly excepts (39-row flu dims); (g) a documented
+#: small-data-only form whose scale replacement is named in the
+#: docstring (ntile -> percentile edges). A new query tripping this
+#: check lands in REVIEW until audited here.
 #: Categories (d) and (e) claim the windowed frame is an AGGREGATE
 #: (group/bucket/cell rollup or distinct-value frame) — a claim the
-#: lint now VERIFIES against the plan: the SinglePartition exchange's
+#: lint VERIFIES against the plan: the SinglePartition exchange's
 #: input subtree must contain an Aggregate node (HashAggregate /
 #: SortAggregate / ObjectHashAggregate) or an eager-checkpoint scan of
 #: one. An entry here whose window input stops descending from an
@@ -239,42 +275,48 @@ BNLJ_AUDITED: dict[str, str] = {
 #: reasons went unchecked and one category string drifted from the
 #: actual plan).
 SPW_AGG_BOUNDED = {
-    "abc_xyz_matrix",            # (d) per-(part,month) cells
-    "ann_mrr_eval",              # (d) 5-query result lists
-    "conformal_interval_coverage",  # (e) distinct residual ranks
-    "conversion_latency_quantiles",  # (e) distinct latency values
-    "corpus_mix_stats",          # (d) lang x source cells
-    "corpus_temperature_mix",    # (d) per-source rows
-    "corpus_unimax_allocation",  # (d) per-language aggregate (5 rows)
-    "curation_quantile_normalize",  # (e) distinct score ranks
-    "eval_auc_purchase",         # (e) distinct score prefix sums
-    "eval_calibration_bins",     # (d) 10 calibration bins
-    "eval_isotonic_calibration",  # (d) same per-distinct-score agg
-    "eval_pr_curve_purchase",    # (e) distinct score prefix sums
-    "events_daily_pct_change",   # (d) per-day rollup
-    "events_disorder_audit",     # (d) per-lateness-bucket rows
-    "events_survival_km",        # (d) distinct event-day rows
-    "ks_two_sample",             # (e) distinct value prefix sums
-    "mannwhitney_rank_sum",      # (e) bucket offsets (module doc)
-    "median_exact_twopass",      # (d) 2^16-cent bucket counts
-    "multimodal_bytes_shard_pack",  # (d) chunk-count offset rows
-    "poisson_bootstrap_se",      # (d) per-replicate aggregates
-    "quantile_histogram_sketch",  # (d) 256 merged bins
-    "sampling_neyman_allocation",  # (d) per-stratum rows
-    "sessions_peak_concurrency",  # (d) per-second delta rollup
-    "spearman_rho_ranks",        # (e) bucket offsets (module doc)
-    "stump_best_split",          # (e) distinct split-point prefix sums
-    "survival_logrank_test",     # (d) distinct event-time rows
-    "text_oov_rate_by_source",   # (d) per-source rows
-    "text_zipf_fit",             # (e) distinct term ranks (top slice)
-    "trimmed_mean_exact",        # (e) distinct value prefix sums
-    "ts_acf_lags",               # (d) per-day series + lag enum
-    "ts_rolling_slope",          # (d) per-day series
-    "vocab_coverage_cutoff",     # (e) distinct term-frequency ranks
-    "weekly_backlog_curve",      # (d) per-week rollup
-    "text_heaps_law_fit",        # (d) chunk-offset rows (1024x reduced;
-                                 #     recurse the level for more)
+    "abc_xyz_matrix": "(d) per-(part,month) cells",
+    "ann_mrr_eval": "(d) 5-query result lists",
+    "corpus_mix_stats": "(d) lang x source cells",
+    "corpus_temperature_mix": "(d) per-source rows",
+    "corpus_unimax_allocation": "(d) per-language aggregate (5 rows)",
+    "events_daily_pct_change": "(d) per-day rollup",
+    "events_survival_km": "(d) distinct event-day rows (calendar)",
+    "median_exact_twopass": "(d) 2^16-cent bucket counts",
+    "multimodal_bytes_shard_pack": "(d) chunk-count offset rows",
+    "poisson_bootstrap_se": "(d) per-replicate aggregates",
+    "quantile_histogram_sketch": "(d) 256 merged bins",
+    "sampling_neyman_allocation": "(d) per-stratum rows",
+    "sessions_peak_concurrency": "(d) per-second delta rollup",
+    "spearman_rho_ranks": "(e) bound: <=50 distinct l_quantity values "
+    "(TPC-H integer-domain contract); the unbounded price side rides "
+    "global_cumsum",
+    "survival_logrank_test": "(d) distinct event-time rows (calendar)",
+    "text_oov_rate_by_source": "(d) per-source rows",
+    "ts_acf_lags": "(d) per-day series + lag enum",
+    "ts_rolling_slope": "(d) per-day series",
+    "weekly_backlog_curve": "(d) per-week rollup",
+    "text_heaps_law_fit": "(d) chunk-offset rows (1024x reduced; "
+    "recurse the level for more)",
 }
+
+
+def check_spw_audit_wellformed() -> list[str]:
+    """Round-9 audit-metadata rule: every (e) entry must carry an
+    explicit cardinality bound (`bound:`) or name its registered scale
+    twin (`twin:`) — a bare "it's a distinct-value frame" claim is not
+    an audit, because distinct values of a continuous column grow with
+    N (round-8 judge finding: 17,792 distinct scores in 100k rows).
+    Returns a list of violation strings (empty = well-formed)."""
+    bad = []
+    for name, reason in SPW_AGG_BOUNDED.items():
+        if reason.startswith("(e)") and not (
+            "bound:" in reason or "twin:" in reason
+        ):
+            bad.append(
+                f"{name}: (e) audit entry lacks a 'bound:' or 'twin:'"
+            )
+    return bad
 
 #: Categories (f) and (g): fixture-bounded dims and documented
 #: small-data-only forms. These are NOT mechanically verifiable from
@@ -301,7 +343,7 @@ SPW_SMALLDATA = {
                                  #     skyline_price_size_scale
 }
 
-SPW_AUDITED = SPW_AGG_BOUNDED | SPW_SMALLDATA
+SPW_AUDITED = set(SPW_AGG_BOUNDED) | SPW_SMALLDATA
 
 
 def _depth(line: str) -> int:
@@ -440,6 +482,8 @@ def main() -> int:
 
     hard_hits: list[tuple[str, str]] = []
     info_hits: list[tuple[str, str]] = []
+    for bad in check_spw_audit_wellformed():
+        hard_hits.append(("<audit-table>", bad))
     for name, qd in sorted(REGISTRY.items()):
         if name.startswith("stream_"):
             continue

@@ -878,6 +878,114 @@ def test_global_cumsum_matches_window_sum(spark, vals):
     assert got == want
 
 
+@given(vals=st.lists(st.integers(0, 50), min_size=1, max_size=80))
+@settings(**SETTINGS)
+def test_global_cumsum_multi_matches_two_window_sums(spark, vals):
+    """The multi-column form (one range shuffle for N prefix sums) must
+    equal per-column global windows — including a DESC ordering, the
+    PR-curve shape."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flu_data_pipeline_spark.operators.ranking import global_cumsum
+
+    df = spark.createDataFrame(
+        [(v, i, (v * 7 + i) % 11) for i, v in enumerate(vals)],
+        "v long, id long, u long",
+    )
+    order = [F.desc("v"), F.asc("id")]
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["id"]: (r["cv"], r["cu"])
+        for r in df.select(
+            "id",
+            F.sum("v").over(w).alias("cv"),
+            F.sum("u").over(w).alias("cu"),
+        ).collect()
+    }
+    got = {
+        r["id"]: (r["cv"], r["cu"])
+        for r in global_cumsum(df, order, ["v", "u"], ["cv", "cu"])
+        .select("id", "cv", "cu")
+        .collect()
+    }
+    assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(-20, 20), min_size=1, max_size=80),
+    exclusive=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_global_prefix_max_matches_window_max(spark, vals, exclusive):
+    """Distributed running max == the global window MAX, inclusive and
+    exclusive (NULL for the globally first row), across partition
+    boundaries."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flu_data_pipeline_spark.operators.ranking import global_prefix_max
+
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "v long, id long"
+    )
+    hi = -1 if exclusive else Window.currentRow
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, hi)
+    want = {
+        r["id"]: r["pm"]
+        for r in df.select("id", F.max("v").over(w).alias("pm")).collect()
+    }
+    got = {
+        r["id"]: r["pm"]
+        for r in global_prefix_max(
+            df, [F.asc("id")], "v", "pm", exclusive=exclusive
+        )
+        .select("id", "pm")
+        .collect()
+    }
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(0, 9)), min_size=1, max_size=80
+    )
+)
+@settings(**SETTINGS)
+def test_global_first_following_matches_window(spark, vals):
+    """Distributed forward as-of fill == FIRST_VALUE(IGNORE NULLS) over
+    [CURRENT ROW, UNBOUNDED FOLLOWING] — including all-null inputs,
+    leading/trailing null runs, and nulls straddling partition bounds."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flu_data_pipeline_spark.operators.ranking import (
+        global_first_following,
+    )
+
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "v long, id long"
+    )
+    w = Window.orderBy("id").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    want = {
+        r["id"]: r["nx"]
+        for r in df.select(
+            "id", F.first("v", ignorenulls=True).over(w).alias("nx")
+        ).collect()
+    }
+    got = {
+        r["id"]: r["nx"]
+        for r in global_first_following(df, [F.asc("id")], "v", "nx")
+        .select("id", "nx")
+        .collect()
+    }
+    assert got == want
+
+
 # --------------------------------------------------------------------------
 # skyline_2d_scale vs a pure-python skyline (heavy ties across partitions)
 # --------------------------------------------------------------------------

@@ -107,10 +107,24 @@ def test_unrelated_branch_window_not_matched():
 
 
 def test_audit_registries_disjoint_and_unioned():
-    assert not (plan_lint.SPW_AGG_BOUNDED & plan_lint.SPW_SMALLDATA)
+    assert not (set(plan_lint.SPW_AGG_BOUNDED) & plan_lint.SPW_SMALLDATA)
     assert plan_lint.SPW_AUDITED == (
-        plan_lint.SPW_AGG_BOUNDED | plan_lint.SPW_SMALLDATA
+        set(plan_lint.SPW_AGG_BOUNDED) | plan_lint.SPW_SMALLDATA
     )
+
+
+def test_spw_e_entries_carry_bound_or_twin():
+    # round-9 rule: (e) audits must pin a cardinality bound or name a
+    # registered scale twin — and the shipped table must satisfy it.
+    assert plan_lint.check_spw_audit_wellformed() == []
+    # and the checker actually rejects a bare (e) claim
+    saved = dict(plan_lint.SPW_AGG_BOUNDED)
+    try:
+        plan_lint.SPW_AGG_BOUNDED["fake_query"] = "(e) distinct values"
+        assert plan_lint.check_spw_audit_wellformed() != []
+    finally:
+        plan_lint.SPW_AGG_BOUNDED.clear()
+        plan_lint.SPW_AGG_BOUNDED.update(saved)
 
 
 def test_bnlj_scalar_broadcast_verified():

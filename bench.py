@@ -86,6 +86,78 @@ SUITE_CPU_SENSITIVITY = 0.24
 _PROBE_ROWS = 4_000_000_000
 _PROBE_PARTS = 64
 
+#: Canary-arbitration threshold (round 9, mechanizing BASELINE.md's
+#: reading protocol): the frozen canary-16 subtotal ratio vs the most
+#: recent prior reading at the SAME sf. ratio <= 1.15 -> "flat" (any
+#: raw-total movement is load or new work — r8's raw 1.20 read with
+#: canary 1.03 was exactly this); ratio > 1.15 -> "investigate"
+#: (code-cache layout drift or a real regression — read the per-query
+#: table and the decade tables). 1.15 sits above the measured
+#: round-over-round canary noise band (0.95-1.08 across r7/r8
+#: driver/builder/judge runs) and below the smallest smear worth
+#: forensics (the round-4 event was ~1.3x).
+CANARY_FLAT_THRESHOLD = 1.15
+
+_HISTORY_FILE = ".bench_history.jsonl"
+
+
+def canary_readings(root: str, sf) -> list[tuple[str, float]]:
+    """All recoverable frozen-canary ``total_median`` readings at this
+    ``sf``, oldest -> newest: committed driver artifacts BENCH_r{N}.json
+    (their ``parsed`` JSON when present, else a regex pull from the
+    driver's truncated ``tail`` capture), then local
+    ``.bench_history.jsonl`` lines appended by prior bench runs on this
+    machine. Used by the ratio-vs-prev arbitration here and by
+    scripts/close_battery.py's one-line verdict."""
+    import glob
+    import re as _re
+
+    readings: list[tuple[str, float]] = []
+
+    def _art_round(path: str) -> int:
+        m = _re.search(r"BENCH_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else -1
+
+    for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json")),
+                       key=_art_round):
+        try:
+            with open(path) as fh:
+                d = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if d.get("sf") != sf:
+            continue
+        name = os.path.basename(path)
+        parsed = d.get("parsed")
+        if isinstance(parsed, dict) and isinstance(
+            parsed.get("canary"), dict
+        ):
+            tm = parsed["canary"].get("total_median")
+            if isinstance(tm, (int, float)):
+                readings.append((name, float(tm)))
+                continue
+        m = _re.search(r'"canary": (\{[^{}]*\})', d.get("tail", ""))
+        if m:
+            try:
+                tm = json.loads(m.group(1)).get("total_median")
+                if isinstance(tm, (int, float)):
+                    readings.append((f"{name}:tail", float(tm)))
+            except ValueError:
+                pass
+    try:
+        with open(os.path.join(root, _HISTORY_FILE)) as fh:
+            for ln in fh:
+                try:
+                    d = json.loads(ln)
+                except ValueError:
+                    continue
+                tm = d.get("canary_total_median")
+                if d.get("sf") == sf and isinstance(tm, (int, float)):
+                    readings.append((_HISTORY_FILE, float(tm)))
+    except OSError:
+        pass
+    return readings
+
 #: JIT-layout canary (round 8): 16 small queries PINNED at the r7 suite
 #: — this tuple must NEVER grow with the registry. The round-4/round-7
 #: forensics: as the bench suite grows, hundreds of distinct codegen
@@ -197,6 +269,34 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     canary_present = [n for n in _CANARY_QUERIES if n in medians]
+    canary_median = round(sum(medians[n] for n in canary_present), 4)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    repo = os.path.dirname(os.path.abspath(__file__))
+    prior = canary_readings(repo, sf_val)
+    if prior:
+        prev_src, prev_val = prior[-1]
+        ratio = round(canary_median / prev_val, 4) if prev_val else None
+        verdict = (
+            "flat" if ratio is not None and ratio <= CANARY_FLAT_THRESHOLD
+            else "investigate"
+        )
+    else:
+        prev_src, ratio, verdict = None, None, "no-prior"
+    try:  # local reading history (gitignored) — feeds the next ratio
+        with open(os.path.join(repo, _HISTORY_FILE), "a") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "ts": round(time.time(), 1),
+                        "sf": sf_val,
+                        "canary_total_median": canary_median,
+                        "value": total,
+                    }
+                )
+                + "\n"
+            )
+    except OSError:
+        pass
     print(
         json.dumps(
             {
@@ -204,7 +304,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
                 "queries_median": medians,
                 "value_median": round(sum(medians.values()), 4),
                 "canary": {
@@ -212,9 +312,11 @@ def main() -> None:
                     "total_best3": round(
                         sum(timings[n] for n in canary_present), 4
                     ),
-                    "total_median": round(
-                        sum(medians[n] for n in canary_present), 4
-                    ),
+                    "total_median": canary_median,
+                    "ratio_vs_prev": ratio,
+                    "prev_source": prev_src,
+                    "flat_threshold": CANARY_FLAT_THRESHOLD,
+                    "verdict": verdict,
                 },
                 "code_cache_used_mb": _code_cache_used_mb(spark),
                 "calibration": {

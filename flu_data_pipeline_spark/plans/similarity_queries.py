@@ -6144,6 +6144,7 @@ def _pq_cb_sql() -> str:
     "(IVFADC with reranking) and Johnson et al. 2017 (FAISS two-stage "
     "refinement).",
     tags=("similarity", "ann", "llm", "O3", "A10"),
+    bench=True,
 )
 def ann_serving_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flu_data_pipeline_spark.operators.clustering import sqdist
@@ -6335,6 +6336,269 @@ def ann_serving_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("shortlist_size").cast("int").alias("shortlist_size"),
             "nprobe",
             "n_reranked",
+            "n_truth_slots",
+            "n_hit",
+            "recall_at_3",
+        )
+        .orderBy("shortlist_size")
+    )
+
+
+# --- 1-bit binary quantization + Hamming shortlist + exact rerank ----------
+
+_BQ_SIZES = (10, 50, 100, 500)
+_BQ_QLO, _BQ_QHI = 100, 105
+
+#: DuckDB: pack sign bits of dims [k*32+1 .. k*32+32] into one BIGINT
+#: (bit i-1 set when the component is >= 0; 32 bits/word keeps every
+#: value positive, dodging the sign-bit divergence a 64-bit pack risks)
+_BQ_WORD_SQL = (
+    "list_reduce(list_transform(range(1, 33), i -> "
+    "CASE WHEN CAST({v}[{k} * 32 + i] AS DOUBLE) >= 0.0 "
+    "THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END), (x, y) -> x + y)"
+)
+
+
+def _bq_word(vec: Column, k: int) -> Column:
+    """Spark twin of _BQ_WORD_SQL (element_at is 1-based, matching
+    DuckDB list indexing)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(31)),
+        F.lit(0).cast("long"),
+        # F.shiftleft only takes a literal bit count — call the SQL
+        # function directly so the shift amount can be the lambda var
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(vec, (i + F.lit(k * 32 + 1)).cast("int")).cast(
+                "double"
+            )
+            >= 0.0,
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), i.cast("int")
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+@register(
+    "ann_binary_hamming_rerank",
+    oracle=f"""
+    WITH sig AS (
+        SELECT vec_id,
+               {_BQ_WORD_SQL.format(v='embedding', k=0)} AS w0,
+               {_BQ_WORD_SQL.format(v='embedding', k=1)} AS w1
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb
+        FROM embeddings
+        WHERE vec_id >= {_BQ_QLO} AND vec_id < {_BQ_QHI}
+    ),
+    qs AS (
+        SELECT q.query_id, s.w0 AS qw0, s.w1 AS qw1
+        FROM q JOIN sig s ON s.vec_id = q.query_id
+    ),
+    ham AS (
+        SELECT qs.query_id, s.vec_id AS neighbor_id,
+               bit_count(xor(qs.qw0, s.w0))
+             + bit_count(xor(qs.qw1, s.w1)) AS hd
+        FROM qs JOIN sig s ON s.vec_id <> qs.query_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY hd, neighbor_id) AS srn
+        FROM ham
+    ),
+    sz AS (SELECT unnest([{', '.join(str(s) for s in _BQ_SIZES)}])
+               AS shortlist_size),
+    hydr AS (
+        SELECT s.query_id, s.neighbor_id, s.srn,
+               {_cos_sql('q.q_emb', 'e.embedding')} AS cos
+        FROM short s
+        JOIN q ON q.query_id = s.query_id
+        JOIN embeddings e ON e.vec_id = s.neighbor_id
+        WHERE s.srn <= {max(_BQ_SIZES)}
+    ),
+    rer AS (
+        SELECT z.shortlist_size, h.query_id, h.neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY z.shortlist_size, h.query_id
+                   ORDER BY h.cos DESC, h.neighbor_id) AS rrn
+        FROM sz z JOIN hydr h ON h.srn <= z.shortlist_size
+    ),
+    top3 AS (
+        SELECT shortlist_size, query_id, neighbor_id
+        FROM rer WHERE rrn <= 3
+    ),
+    truth AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.query_id
+            ORDER BY {_cos_sql('q.q_emb', 'c.embedding')} DESC, c.vec_id
+        ) <= 3
+    ),
+    joined AS (
+        SELECT z.shortlist_size,
+               CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM sz z
+        CROSS JOIN truth b
+        LEFT JOIN top3 t ON t.shortlist_size = z.shortlist_size
+                        AND t.query_id = b.query_id
+                        AND t.neighbor_id = b.neighbor_id
+    )
+    SELECT 'binary64+rerank' AS code,
+           CAST(shortlist_size AS INT) AS shortlist_size,
+           CAST(COUNT(*) AS BIGINT) AS n_truth_slots,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS recall_at_3
+    FROM joined
+    GROUP BY shortlist_size
+    ORDER BY shortlist_size
+    """,
+    doc="1-bit binary quantization serving: sign-quantize every "
+    "embedding into a 64-bit signature (two 32-bit words packed "
+    "map-side — 32x smaller than float32 at rest), generate the "
+    "candidate shortlist by exact Hamming distance (two XOR+popcount "
+    "int ops per candidate — the cheapest first-pass scan a vector "
+    "store can run; sign-bit agreement is the classic SimHash/"
+    "hyperplane-LSH estimator of ANGULAR closeness, so the truth "
+    "metric is exact cosine), then hydrate ONLY the top-"
+    f"{{{', '.join(str(s) for s in _BQ_SIZES)}}} shortlist through "
+    "one broadcast equi-join and re-rank by exact cosine; recall@3 "
+    "per shortlist size against the exact cosine brute truth. "
+    "Completes the quantization frontier as its fourth code type "
+    "(flat / SQ8 / PQ / binary): binary is the aggressive end — at "
+    "100 TB of float32 vectors the signature table is ~1.5 TB, "
+    "map-side scannable, and the int-only first pass never touches "
+    "a float until the bounded rerank. All shortlist sizes share one "
+    "ranked pass (srn <= max) and one hydration. Signature packing "
+    "uses 32-bit words so every packed value is positive on both "
+    "engines (a 64-bit pack would put bit 63 in the BIGINT sign). "
+    "Cites Charikar 2002 (sign-random-projection LSH) and Jacob et "
+    "al./Guo et al. binary-embedding serving practice.",
+    tags=("similarity", "ann", "llm", "O3", "A10"),
+    bench=True,
+)
+def ann_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id",
+        _bq_word(F.col("embedding"), 0).alias("w0"),
+        _bq_word(F.col("embedding"), 1).alias("w1"),
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= _BQ_QLO) & (F.col("vec_id") < _BQ_QHI)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qs = sig.join(
+        F.broadcast(
+            queries.select(F.col("query_id").alias("vec_id"), "query_id")
+        ),
+        "vec_id",
+    ).select("query_id", F.col("w0").alias("qw0"), F.col("w1").alias("qw1"))
+    ham = (
+        sig.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
+                + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
+            ).alias("hd"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.asc("hd"), F.asc("neighbor_id")
+    )
+    short = (
+        ham.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= max(_BQ_SIZES))
+        .select("query_id", "neighbor_id", "srn")
+        .localCheckpoint(eager=True)
+    )
+    hydr = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+        .join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "srn",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # exact cosine truth (the metric binary signatures approximate)
+    wt = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    truth = (
+        F.broadcast(queries)
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_emb"),
+            ),
+            F.col("query_id") != F.col("neighbor_id"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    sizes = spark.createDataFrame(
+        [(s,) for s in _BQ_SIZES], "shortlist_size int"
+    )
+    wr = Window.partitionBy("shortlist_size", "query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    top3 = (
+        F.broadcast(sizes)
+        .join(hydr, F.col("srn") <= F.col("shortlist_size"))
+        .withColumn("rrn", F.row_number().over(wr))
+        .filter(F.col("rrn") <= 3)
+        .select(
+            F.col("shortlist_size").alias("p_size"),
+            F.col("query_id").alias("p_qid"),
+            F.col("neighbor_id").alias("p_nid"),
+        )
+    )
+    hit = F.col("p_nid").isNotNull()
+    return (
+        F.broadcast(sizes)
+        .crossJoin(truth)
+        .join(
+            top3,
+            (F.col("p_size") == F.col("shortlist_size"))
+            & (F.col("p_qid") == F.col("query_id"))
+            & (F.col("p_nid") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("shortlist_size")
+        .agg(
+            F.lit("binary64+rerank").alias("code"),
+            F.count(F.lit(1)).cast("bigint").alias("n_truth_slots"),
+            F.sum(hit.cast("int")).cast("long").alias("n_hit"),
+            F.round(
+                F.sum(hit.cast("int")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("recall_at_3"),
+        )
+        .select(
+            "code",
+            F.col("shortlist_size").cast("int").alias("shortlist_size"),
             "n_truth_slots",
             "n_hit",
             "recall_at_3",

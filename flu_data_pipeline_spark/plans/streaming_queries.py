@@ -679,3 +679,86 @@ def _register_quality_gate_stream() -> None:
 
 
 _register_quality_gate_stream()
+
+
+def _register_binary_signature_stream() -> None:
+    """Deferred import of the binary-quantization helpers from
+    similarity_queries (same lazy pattern as the semdedup/paragraph
+    twins — keeps the module import graph acyclic)."""
+    from flu_data_pipeline_spark.plans.similarity_queries import (
+        _BQ_WORD_SQL,
+        _bq_word,
+    )
+
+    @register(
+        "stream_binary_signature_ingest_exact",
+        oracle=f"""
+        WITH sig AS (
+            SELECT vec_id,
+                   {_BQ_WORD_SQL.format(v='embedding', k=0)} AS w0,
+                   {_BQ_WORD_SQL.format(v='embedding', k=1)} AS w1
+            FROM embeddings
+        ),
+        d AS (SELECT DISTINCT w0, w1 FROM sig)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_signatures,
+               CAST(SUM(w0) AS BIGINT) AS sum_w0,
+               CAST(SUM(w1) AS BIGINT) AS sum_w1,
+               CAST(MIN(w0) AS BIGINT) AS min_w0,
+               CAST(MAX(w1) AS BIGINT) AS max_w1
+        FROM d
+        """,
+        doc="ann_binary_hamming_rerank's ingest half DRIVEN AS A STREAM "
+        "— the vector-store writer path: embeddings arrive via "
+        "readStream, each micro-batch sign-quantizes map-side into the "
+        "64-bit signature (two 32-bit words, the exact packing the "
+        "serving query scans), and streaming dropDuplicates on the "
+        "signature de-duplicates sign-identical vectors AT INGEST "
+        "(the cheapest near-dup guard a crawl pipeline can run — "
+        "SimHash-style: equal signs = cosine-close with high "
+        "probability). Driven to completion with availableNow and "
+        "hash-compared to the batch DISTINCT-signature summary, so "
+        "the packing arithmetic AND the stateful dedup are pinned "
+        "cross-engine; the summary aggregates only functions of the "
+        "signature SET (count/sums/min/max), deterministic whichever "
+        "physical row the state kept. Scale: state = one 16-byte "
+        "entry per distinct signature within the watermark horizon; "
+        "the map stage is stateless int ops, shuffle carries 16-byte "
+        "keys, never the float payload.",
+        tags=("streaming", "similarity", "dedup", "A8"),
+    )
+    def stream_binary_signature_ingest_exact(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os
+
+        raw_schema = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+        )
+        sigs = stream.select(
+            _bq_word(F.col("embedding"), 0).alias("w0"),
+            _bq_word(F.col("embedding"), 1).alias("w1"),
+        ).dropDuplicates(["w0", "w1"])
+        name = "stream_binary_signature_ingest_sink"
+        q = (
+            sigs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).agg(
+            F.count(F.lit(1)).cast("long").alias("n_signatures"),
+            F.sum("w0").cast("long").alias("sum_w0"),
+            F.sum("w1").cast("long").alias("sum_w1"),
+            F.min("w0").cast("long").alias("min_w0"),
+            F.max("w1").cast("long").alias("max_w1"),
+        )
+
+
+_register_binary_signature_stream()

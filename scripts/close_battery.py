@@ -47,11 +47,40 @@ def main() -> int:
             ("driver_sweep", [sys.executable, "scripts/driver_sweep.py"])
         )
     failed = [label for label, cmd in checks if not run(label, cmd)]
+    canary_verdict_line()
     if failed:
         print(f"CLOSE RED: {', '.join(failed)}")
         return 1
     print("CLOSE GREEN: all gates passed")
     return 0
+
+
+def canary_verdict_line() -> None:
+    """One-line mechanized canary arbitration (round 9 — BASELINE.md's
+    reading protocol as code, not prose): compare the two most recent
+    frozen-canary readings at sf0.1 and print flat / investigate against
+    bench.CANARY_FLAT_THRESHOLD. Informational — load smears are a
+    rerun, not a gate failure; a red gate would train rounds to ignore
+    it under ambient load."""
+    sys.path.insert(0, ROOT)
+    try:
+        import bench
+    except Exception as ex:  # pragma: no cover - import guard only
+        print(f"canary: unavailable ({ex})")
+        return
+    readings = bench.canary_readings(ROOT, 0.1)
+    if len(readings) < 2:
+        print("canary: no-prior (fewer than 2 sf0.1 readings)")
+        return
+    (psrc, pval), (csrc, cval) = readings[-2], readings[-1]
+    ratio = round(cval / pval, 4) if pval else float("nan")
+    verdict = (
+        "flat" if ratio <= bench.CANARY_FLAT_THRESHOLD else "investigate"
+    )
+    print(
+        f"canary: {verdict} — {csrc} {cval:.2f}s vs {psrc} {pval:.2f}s "
+        f"(ratio {ratio}, threshold {bench.CANARY_FLAT_THRESHOLD})"
+    )
 
 
 if __name__ == "__main__":

@@ -119,6 +119,14 @@ TWIN_QUERIES = [
                                   # the fifth decade
     "curation_quality_classifier_train",  # 7 integer-sum GD scans over
                                   # 500k docs, 3-scalar driver state
+    # round-9 additions (VERDICT r8 #4 + the round's new/migrated rows):
+    "embedding_matryoshka_recall",  # exact truth x 3 prefixes (eval)
+    "tokenizer_wordpiece_encode",  # broadcast-piece-map greedy fold
+    "tokenizer_fertility_tri",    # tri-trainer fertility comparison
+    "curation_gate_calibration",  # equi-WIDTH bins + B^3 minimax solve
+    "ann_serving_pq_rerank",      # trained-PQ shortlist -> exact rerank
+    "eval_isotonic_calibration",  # (e)-family migration representative:
+                                  # equi-depth bins via global_cumsum
 ]
 
 

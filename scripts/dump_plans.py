@@ -124,6 +124,12 @@ SHOWCASE = (
     "semdedup_pair_cap_metric",
     "lsh_band_pair_metric",
     "ivf_pruning_files_metric",
+    # round-9: the (e)-family migration's representative plan (global
+    # prefix via range shuffle + partitioned windows), the hydration
+    # metric gate, and the leakproof group split
+    "eval_isotonic_calibration",
+    "pq_rerank_hydration_metric",
+    "sample_group_split_leakproof",
 )
 
 

@@ -2110,3 +2110,146 @@ def dedup_paragraph_cross_source(
             ),
         )
     )
+
+
+@register(
+    "sample_cluster_split_leakproof",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLED_DISTINCT_SQL}, {_SIG_SQL},
+    bands AS (
+{_BANDS_SQL}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, root) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, MIN(root) AS component
+        FROM reach GROUP BY node
+    ),
+    labeled AS (
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS grp,
+               CASE WHEN {hash64_sql('CAST(d.doc_id AS VARCHAR)')} % 100
+                         < 90 THEN 'train' ELSE 'val' END AS naive_split,
+               CASE WHEN {hash64_sql(
+                   'CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)')}
+                         % 100 < 90 THEN 'train' ELSE 'val'
+                    END AS cluster_split
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    naive_leaks AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS leaky_pairs_naive
+        FROM pairs p
+        JOIN labeled a ON a.doc_id = p.id_a
+        JOIN labeled b ON b.doc_id = p.id_b
+        WHERE a.naive_split <> b.naive_split
+    ),
+    cluster_leaks AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS leaky_pairs_clustered
+        FROM pairs p
+        JOIN labeled a ON a.doc_id = p.id_a
+        JOIN labeled b ON b.doc_id = p.id_b
+        WHERE a.cluster_split <> b.cluster_split
+    )
+    SELECT cluster_split AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+           nl.leaky_pairs_naive,
+           cl.leaky_pairs_clustered
+    FROM labeled CROSS JOIN naive_leaks nl CROSS JOIN cluster_leaks cl
+    GROUP BY cluster_split, nl.leaky_pairs_naive, cl.leaky_pairs_clustered
+    ORDER BY split
+    """,
+    doc="NEAR-DUP-cluster-leakproof train/val split — "
+    "sample_group_split_leakproof's group key generalized from the "
+    "exact content fingerprint to the MinHash-LSH connected COMPONENT "
+    "(dedup_components' min-label clusters; singleton docs are their "
+    "own group), which is the actual Lee et al. 2022 deduplicate-then-"
+    "split practice: a val doc whose NEAR-duplicate (not just byte "
+    "twin) sits in train still scores memorization. Splits by the hash "
+    "of the cluster id, so no candidate PAIR can straddle splits — "
+    "leaky_pairs_clustered is 0 by construction (both endpoints of "
+    "every LSH edge share a component, hence a split), oracle-pinned, "
+    "while leaky_pairs_naive counts the LSH edges the per-doc rule "
+    "cuts across the boundary (the measured leak this split exists to "
+    "close). Scale shape: signatures map-side, band-bucket self-join "
+    "for edges, O(log^2 n) min-label rounds for components "
+    "(operators/graph.py), one groupBy for budgets — the split "
+    "assignment itself is a map-side hash of the component id.",
+    tags=("dedup", "sampling", "curation", "llm", "graph", "minhash",
+          "A8", "A10"),
+)
+def sample_cluster_split_leakproof(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flu_data_pipeline_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", NUM_HASHES)
+    pairs = lsh_candidate_pairs(
+        sig, "doc_id", NUM_HASHES, BAND_SIZE
+    ).localCheckpoint(eager=True)
+    cc = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("component")
+    )
+    labeled = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("grp"),
+        )
+        .select(
+            "doc_id",
+            "grp",
+            F.when(
+                hash64(F.col("doc_id").cast("string")) % 100 < 90, "train"
+            )
+            .otherwise("val")
+            .alias("naive_split"),
+            F.when(hash64(F.col("grp").cast("string")) % 100 < 90, "train")
+            .otherwise("val")
+            .alias("cluster_split"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = labeled.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("naive_split").alias("na"),
+        F.col("cluster_split").alias("ca"),
+    )
+    b = labeled.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("naive_split").alias("nb"),
+        F.col("cluster_split").alias("cb"),
+    )
+    edges = pairs.join(a, "id_a").join(b, "id_b")
+    naive_leaks = edges.filter(F.col("na") != F.col("nb")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("leaky_pairs_naive")
+    )
+    cluster_leaks = edges.filter(F.col("ca") != F.col("cb")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("leaky_pairs_clustered")
+    )
+    return (
+        labeled.groupBy(F.col("cluster_split").alias("split"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("grp").cast("bigint").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(naive_leaks))
+        .crossJoin(F.broadcast(cluster_leaks))
+        .orderBy("split")
+    )

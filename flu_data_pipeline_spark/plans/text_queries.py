@@ -5359,7 +5359,11 @@ def tokenizer_vocab_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     "generalizes to the near-dup cluster id (dedup_components) with "
     "the same split rule; the exact-fingerprint form is the "
     "shuffle-free special case (one groupBy on an 8-byte hash, no "
-    "payload movement). Standard practice per Lee et al. 2022 "
+    "payload movement). Companion to split_leakage_audit (which COUNTS "
+    "pairwise leaks under both rules on normalized-text fingerprints): "
+    "this query is the operational form — it EMITS the split a "
+    "training run consumes, with its token budgets and the zero-leak "
+    "certificate attached. Standard practice per Lee et al. 2022 "
     "(deduplicate-then-split) and sklearn GroupShuffleSplit semantics.",
     tags=("text", "sampling", "curation", "llm", "dedup", "A8", "A10"),
 )

@@ -847,3 +847,21 @@ def test_binary_rerank_recall_monotone(spark):
     assert recalls == sorted(recalls)
     for r in rows:
         assert 0.0 <= r["recall_at_3"] <= 1.0
+
+
+def test_group_split_leakproof_conservation(spark):
+    """Both leakproof splits: doc counts conserve the corpus, the
+    grouped/clustered leak is 0 by construction, and group counts
+    per split sum to >= the global group count is impossible — they
+    partition the group set exactly."""
+    rows = _rows(spark, "sample_group_split_leakproof")
+    assert {r["split"] for r in rows} <= {"train", "val"}
+    assert all(r["leaky_groups_grouped"] == 0 for r in rows)
+    total_docs = sum(r["n_docs"] for r in rows)
+    total_groups = sum(r["n_groups"] for r in rows)
+    crows = _rows(spark, "sample_cluster_split_leakproof")
+    assert all(r["leaky_pairs_clustered"] == 0 for r in crows)
+    assert sum(r["n_docs"] for r in crows) == total_docs
+    # cluster groups are coarser-or-equal: clustering can only merge
+    # exact-duplicate groups, never split them
+    assert sum(r["n_groups"] for r in crows) <= total_groups

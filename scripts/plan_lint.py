@@ -128,6 +128,11 @@ BNLJ_AUDITED: dict[str, str] = {
                                  #     query vectors + 4-row size enum,
                                  #     id<>id brute truth; (c) srn <=
                                  #     shortlist_size threshold joins
+    "sample_group_split_leakproof": "a",  # (a) two 1-row leak-count
+                                 #     aggregates crossed onto the
+                                 #     2-row per-split budget frame
+    "sample_cluster_split_leakproof": "a",  # (a) same two 1-row
+                                 #     leak-count aggregate crosses
     # late round-2 stats/curation batch — all (a) 1-row-aggregate
     # broadcasts (totals, bounds, coefficients) or (b) tiny enums:
     "anova_f_groups": "a",  # (a) 1-row grand totals

@@ -146,6 +146,8 @@ TWIN_QUERIES = [
     "ann_serving_pq_rerank",      # trained-PQ shortlist -> exact rerank
     "eval_isotonic_calibration",  # (e)-family migration representative:
                                   # equi-depth bins via global_cumsum
+    "sample_cluster_split_leakproof",  # signatures -> banded pairs ->
+                                  # components -> leakproof split
 ]
 
 

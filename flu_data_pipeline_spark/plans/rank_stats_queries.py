@@ -223,13 +223,12 @@ def spearman_rho_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     qr = li.groupBy(F.col("l_quantity").alias("q")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    # <=50 distinct quantities: a single tiny window is O(distinct), fine.
-    wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
-    qr2 = qr.select(
+    # quantity side through the same two-stage prefix as the price side
+    # (<=50 distinct values makes ANY form cheap; using global_cumsum
+    # here keeps the module's no-single-partition-window claim total)
+    qr2 = _with_cum_before(qr, F.col("q"), "q", "c").select(
         "q",
-        (
-            2 * F.coalesce(F.sum("c").over(wq), F.lit(0)) + F.col("c") + 1
-        ).alias("r2x"),
+        (2 * F.col("cum_before") + F.col("c") + 1).alias("r2x"),
     )
     pr = li.groupBy(F.col("l_extendedprice").alias("p")).agg(
         F.count(F.lit(1)).alias("c")

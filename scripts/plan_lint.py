@@ -275,7 +275,9 @@ BNLJ_AUDITED: dict[str, str] = {
 #: conversion-latency, stump, quantile-normalize, zipf, vocab-cutoff)
 #: was migrated onto operators/ranking.py global_cumsum /
 #: global_prefix_max / global_first_following in round 9 and no longer
-#: produces these sites at all; (f) a fixture-bounded dim the SURVEY W1
+#: produces these sites at all — the category is currently EMPTY
+#: (spearman's <=50-distinct quantity window, the last member, now
+#: rides the same helper); (f) a fixture-bounded dim the SURVEY W1
 #: ban explicitly excepts (39-row flu dims); (g) a documented
 #: small-data-only form whose scale replacement is named in the
 #: docstring (ntile -> percentile edges). A new query tripping this
@@ -303,9 +305,6 @@ SPW_AGG_BOUNDED = {
     "quantile_histogram_sketch": "(d) 256 merged bins",
     "sampling_neyman_allocation": "(d) per-stratum rows",
     "sessions_peak_concurrency": "(d) per-second delta rollup",
-    "spearman_rho_ranks": "(e) bound: <=50 distinct l_quantity values "
-    "(TPC-H integer-domain contract); the unbounded price side rides "
-    "global_cumsum",
     "survival_logrank_test": "(d) distinct event-time rows (calendar)",
     "text_oov_rate_by_source": "(d) per-source rows",
     "ts_acf_lags": "(d) per-day series + lag enum",

@@ -2918,17 +2918,20 @@ _WP_PMAX = 2 ** _WP_MERGES
     wrec AS (
         SELECT word, cnt, 1 AS pos, 0 AS n, '' AS parts FROM wpwords
         UNION ALL
-        SELECT r.word, r.cnt, r.pos + m.l AS pos, r.n + 1 AS n,
-               r.parts || ' ' || substr(r.word, r.pos, CAST(m.l AS INT))
+        SELECT word, cnt, pos + l AS pos, n + 1 AS n,
+               parts || ' ' || substr(word, CAST(pos AS INT), CAST(l AS INT))
                    AS parts
-        FROM wrec r, LATERAL (
-            SELECT COALESCE(MAX(length(v.piece)), 1) AS l
-            FROM vocabp v
-            WHERE length(v.piece) <= length(r.word) - r.pos + 1
-              AND substr(r.word, CAST(r.pos AS INT),
-                         CAST(length(v.piece) AS INT)) = v.piece
-        ) m
-        WHERE r.pos <= length(r.word)
+        FROM (
+            SELECT r.word, r.cnt, r.pos, r.n, r.parts,
+                   COALESCE(MAX(CASE
+                       WHEN length(v.piece) <= length(r.word) - r.pos + 1
+                        AND substr(r.word, CAST(r.pos AS INT),
+                                   CAST(length(v.piece) AS INT)) = v.piece
+                       THEN length(v.piece) END), 1) AS l
+            FROM wrec r LEFT JOIN vocabp v ON TRUE
+            WHERE r.pos <= length(r.word)
+            GROUP BY r.word, r.cnt, r.pos, r.n, r.parts
+        )
     )
     SELECT word, cnt, CAST(n AS INT) AS n_pieces, trim(parts) AS pieces
     FROM wrec WHERE pos > length(word)
@@ -2955,11 +2958,15 @@ def tokenizer_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wp_encode_words(load_table(spark, sf_dir, "documents"))
 
 
-def _wp_encode_words(docs: DataFrame) -> DataFrame:
+def _wp_encode_words(
+    docs: DataFrame, train_docs: DataFrame | None = None
+) -> DataFrame:
     """(word, cnt, n_pieces, pieces): greedy longest-match WordPiece
-    segmentation of the distinct-word table under the trained merges;
-    shared by tokenizer_wordpiece_encode and the tri-fertility table."""
-    _, merges = _wp_train(docs)
+    segmentation of ``docs``'s distinct-word table under merges trained
+    on ``train_docs`` (defaults to ``docs`` — the same-corpus form);
+    shared by tokenizer_wordpiece_encode, the tri-fertility table, and
+    the split-disciplined fertility eval (train-only merges)."""
+    _, merges = _wp_train(train_docs if train_docs is not None else docs)
     prods = merges[0].select(F.concat("x", "y").alias("piece"))
     for m in merges[1:]:
         prods = prods.union(m.select(F.concat("x", "y").alias("piece")))
@@ -3072,15 +3079,18 @@ def _wp_encode_words(docs: DataFrame) -> DataFrame:
     wrec AS (
         SELECT word, 1 AS pos, 0 AS n FROM words
         UNION ALL
-        SELECT r.word, r.pos + m.l AS pos, r.n + 1 AS n
-        FROM wrec r, LATERAL (
-            SELECT COALESCE(MAX(length(v.piece)), 1) AS l
-            FROM vocabp v
-            WHERE length(v.piece) <= length(r.word) - r.pos + 1
-              AND substr(r.word, CAST(r.pos AS INT),
-                         CAST(length(v.piece) AS INT)) = v.piece
-        ) m
-        WHERE r.pos <= length(r.word)
+        SELECT word, pos + l AS pos, n + 1 AS n
+        FROM (
+            SELECT r.word, r.pos, r.n,
+                   COALESCE(MAX(CASE
+                       WHEN length(v.piece) <= length(r.word) - r.pos + 1
+                        AND substr(r.word, CAST(r.pos AS INT),
+                                   CAST(length(v.piece) AS INT)) = v.piece
+                       THEN length(v.piece) END), 1) AS l
+            FROM wrec r LEFT JOIN vocabp v ON TRUE
+            WHERE r.pos <= length(r.word)
+            GROUP BY r.word, r.pos, r.n
+        )
     ),
     bseg AS (
         SELECT word, cnt,
@@ -5408,5 +5418,179 @@ def sample_group_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(naive_leaks))
         .crossJoin(F.broadcast(group_leaks))
+        .orderBy("split")
+    )
+
+
+@register(
+    "tokenizer_split_fertility",
+    oracle=(
+        f"""
+    WITH RECURSIVE labeled AS (
+        SELECT text,
+               CASE WHEN {hash64_sql(
+                   f"CAST({hash64_sql('text')} AS VARCHAR)")} % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents
+    ),
+    wpwords AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS word
+            FROM labeled
+        ) GROUP BY word
+    ),
+    trwords AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS word
+            FROM labeled WHERE split = 'train'
+        ) GROUP BY word
+    ),
+    wv0 AS MATERIALIZED (
+        SELECT word, cnt,
+               array_to_string(regexp_extract_all(word, '.'), ' ') AS seq
+        FROM trwords
+    ),
+    """
+        + ",\n    ".join(
+            _wp_step_sql(f"wv{t - 1}", t) for t in range(1, _WP_MERGES + 1)
+        )
+        + f""",
+    vocabp AS MATERIALIZED (
+        SELECT DISTINCT piece FROM (
+            {" UNION ALL ".join(
+                f"SELECT x || y AS piece FROM wb{t}"
+                for t in range(1, _WP_MERGES + 1)
+            )}
+        )
+    ),
+    wrec AS (
+        SELECT word, cnt, 1 AS pos, 0 AS n, '' AS parts FROM wpwords
+        UNION ALL
+        SELECT word, cnt, pos + l AS pos, n + 1 AS n,
+               parts || ' ' || substr(word, CAST(pos AS INT), CAST(l AS INT))
+                   AS parts
+        FROM (
+            SELECT r.word, r.cnt, r.pos, r.n, r.parts,
+                   COALESCE(MAX(CASE
+                       WHEN length(v.piece) <= length(r.word) - r.pos + 1
+                        AND substr(r.word, CAST(r.pos AS INT),
+                                   CAST(length(v.piece) AS INT)) = v.piece
+                       THEN length(v.piece) END), 1) AS l
+            FROM wrec r LEFT JOIN vocabp v ON TRUE
+            WHERE r.pos <= length(r.word)
+            GROUP BY r.word, r.cnt, r.pos, r.n, r.parts
+        )
+    ),
+    encp AS (
+        SELECT word, CAST(n AS INT) AS n_pieces
+        FROM wrec WHERE pos > length(word)
+    ),
+    persplit AS (
+        SELECT split, word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT split,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS word
+            FROM labeled
+        ) GROUP BY split, word
+    )
+    SELECT p.split,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+           CAST(SUM(p.cnt) AS BIGINT) AS n_occurrences,
+           CAST(SUM(p.cnt * e.n_pieces) AS BIGINT) AS total_pieces,
+           ROUND(CAST(SUM(p.cnt * e.n_pieces) AS DOUBLE) / SUM(p.cnt), 6)
+               AS fertility,
+           CAST(SUM(CASE WHEN t.word IS NULL THEN p.cnt ELSE 0 END)
+                AS BIGINT) AS oov_occurrences,
+           ROUND(CAST(SUM(CASE WHEN t.word IS NULL THEN p.cnt ELSE 0 END)
+                      AS DOUBLE) / SUM(p.cnt), 6) AS oov_occ_share
+    FROM persplit p
+    JOIN encp e ON e.word = p.word
+    LEFT JOIN (SELECT DISTINCT word FROM trwords) t ON t.word = p.word
+    GROUP BY p.split
+    ORDER BY p.split
+    """
+    ),
+    doc="Split-disciplined tokenizer fertility — the generalization-gap "
+    "eval the tri-fertility table cannot see because it trains and "
+    "measures on the same corpus: WordPiece merges are trained ONLY on "
+    "the leakproof train split (the content-fingerprint group rule of "
+    "sample_group_split_leakproof, so no val duplicate contaminated "
+    "training), then the SAME greedy longest-match encoder segments "
+    "both splits' words and fertility (pieces per word occurrence) is "
+    "reported per split beside the val words-never-seen-in-training "
+    "occurrence share. val fertility >= train fertility is the "
+    "expected gap; equality says the corpus' word distribution is "
+    "split-stationary, a data-health read in itself. Scale shape: one "
+    "corpus scan into (split, word, count); training is "
+    "vocabulary-bounded on the train word table; encoding runs once "
+    "per DISTINCT word (broadcast piece map + row-local F.aggregate "
+    "fold — no UDF); the only joins are word-keyed on the vocab-sized "
+    "frames. The DuckDB oracle replays training + the greedy scan as "
+    "the same recursive CTE the wordpiece encoder uses, now seeded "
+    "with train-only counts.",
+    tags=("text", "llm", "tokenizer", "sampling", "eval", "A10"),
+)
+def tokenizer_split_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "text",
+        F.when(
+            hash64(hash64(F.col("text")).cast("string")) % 100 < 90, "train"
+        )
+        .otherwise("val")
+        .alias("split"),
+    )
+    enc = _wp_encode_words(
+        labeled.select("text"),
+        train_docs=labeled.filter(F.col("split") == "train").select("text"),
+    ).select("word", "n_pieces")
+    persplit = (
+        labeled.select(
+            "split",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "word"
+            ),
+        )
+        .groupBy("split", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    trwords = (
+        labeled.filter(F.col("split") == "train")
+        .select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "word"
+            )
+        )
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    oov_occ = F.sum(
+        F.when(F.col("seen").isNull(), F.col("cnt")).otherwise(0)
+    ).cast("bigint")
+    return (
+        persplit.join(enc, "word")
+        .join(trwords, "word", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_words"),
+            F.sum("cnt").cast("bigint").alias("n_occurrences"),
+            F.sum(F.col("cnt") * F.col("n_pieces"))
+            .cast("bigint")
+            .alias("total_pieces"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_pieces")).cast("double")
+                / F.sum("cnt"),
+                6,
+            ).alias("fertility"),
+            oov_occ.alias("oov_occurrences"),
+            F.round(
+                oov_occ.cast("double") / F.sum("cnt"), 6
+            ).alias("oov_occ_share"),
+        )
         .orderBy("split")
     )

@@ -87,36 +87,64 @@ _PROBE_ROWS = 4_000_000_000
 _PROBE_PARTS = 64
 
 #: Canary-arbitration threshold (round 9, mechanizing BASELINE.md's
-#: reading protocol): the frozen canary-16 subtotal ratio vs the most
-#: recent prior reading at the SAME sf. ratio <= 1.15 -> "flat" (any
-#: raw-total movement is load or new work — r8's raw 1.20 read with
-#: canary 1.03 was exactly this); ratio > 1.15 -> "investigate"
-#: (code-cache layout drift or a real regression — read the per-query
-#: table and the decade tables). 1.15 sits above the measured
-#: round-over-round canary noise band (0.95-1.08 across r7/r8
-#: driver/builder/judge runs) and below the smallest smear worth
-#: forensics (the round-4 event was ~1.3x).
+#: reading protocol): the frozen canary-16 subtotal ratio vs each
+#: anchor at the SAME sf. ratio <= 1.15 -> "flat" (any raw-total
+#: movement is load or new work — r8's raw 1.20 read with canary 1.03
+#: was exactly this); ratio > 1.15 -> consult the heavy-4 axis (round
+#: 10, below). 1.15 sits above the measured round-over-round canary
+#: noise band (0.95-1.08 across r7/r8 driver/builder/judge runs) and
+#: below the smallest smear worth forensics (the round-4 event was
+#: ~1.3x).
 CANARY_FLAT_THRESHOLD = 1.15
 
 _HISTORY_FILE = ".bench_history.jsonl"
 
+#: Frozen heavy-query subtotal (round 10 — VERDICT r9 #1): the second
+#: arbitration axis. The canary-16 is deliberately the SMALLEST size
+#: class (the one a JVM code-cache layout smear inflates uniformly);
+#: these four are long-standing multi-second queries whose runtime is
+#: dominated by executor work, which a layout smear does NOT move
+#: (r9 forensics: canary 1.21 vs the r8 artifact while dedup_semdedup
+#: read 1.04x and the semdedup family 0.94-1.11x). canary up + heavy
+#: flat = layout smear; both up = regression-suspect. Frozen like the
+#: canary — must never grow with the registry.
+_HEAVY_QUERIES = (
+    "dedup_semdedup",
+    "semdedup_drop_witnesses",
+    "ann_serving_frontier",
+    "embedding_pca_topk_deflation",
+)
 
-def canary_readings(root: str, sf) -> list[tuple[str, float]]:
-    """All recoverable frozen-canary ``total_median`` readings at this
-    ``sf``, oldest -> newest: committed driver artifacts BENCH_r{N}.json
-    (their ``parsed`` JSON when present, else a regex pull from the
-    driver's truncated ``tail`` capture), then local
-    ``.bench_history.jsonl`` lines appended by prior bench runs on this
-    machine. Used by the ratio-vs-prev arbitration here and by
-    scripts/close_battery.py's one-line verdict."""
+
+def reading_records(root: str, sf) -> list[dict]:
+    """All recoverable prior bench readings at this ``sf``, oldest ->
+    newest, each a dict with ``source``, ``kind`` ("artifact" for a
+    committed driver BENCH_r{N}.json, "history" for a local
+    ``.bench_history.jsonl`` line), ``canary_total_median`` and
+    ``heavy_total_median`` (None when that reading predates the
+    heavy-4 axis and can't be reconstructed). Artifact extraction
+    order: the ``parsed`` JSON when the driver captured it whole, else
+    the truncated ``tail`` (last ~2KB of stdout — the canary/heavy4
+    blocks are printed near the END of the JSON line precisely so they
+    survive this truncation; per-query heavy medians are pulled from
+    the ``queries_median`` fragment via last-match, since the best-of-3
+    ``queries`` dict prints first and medians shadow it)."""
     import glob
     import re as _re
 
-    readings: list[tuple[str, float]] = []
+    records: list[dict] = []
 
     def _art_round(path: str) -> int:
         m = _re.search(r"BENCH_r(\d+)\.json$", path)
         return int(m.group(1)) if m else -1
+
+    def _heavy_from_medians(medians) -> float | None:
+        if not isinstance(medians, dict):
+            return None
+        vals = [medians.get(n) for n in _HEAVY_QUERIES]
+        if all(isinstance(v, (int, float)) for v in vals):
+            return round(sum(float(v) for v in vals), 4)
+        return None
 
     for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json")),
                        key=_art_round):
@@ -129,21 +157,65 @@ def canary_readings(root: str, sf) -> list[tuple[str, float]]:
             continue
         name = os.path.basename(path)
         parsed = d.get("parsed")
-        if isinstance(parsed, dict) and isinstance(
-            parsed.get("canary"), dict
-        ):
-            tm = parsed["canary"].get("total_median")
-            if isinstance(tm, (int, float)):
-                readings.append((name, float(tm)))
-                continue
-        m = _re.search(r'"canary": (\{[^{}]*\})', d.get("tail", ""))
-        if m:
-            try:
-                tm = json.loads(m.group(1)).get("total_median")
+        tail = d.get("tail", "")
+        canary_tm = None
+        heavy_tm = None
+        source = name
+        if isinstance(parsed, dict):
+            if isinstance(parsed.get("canary"), dict):
+                tm = parsed["canary"].get("total_median")
                 if isinstance(tm, (int, float)):
-                    readings.append((f"{name}:tail", float(tm)))
-            except ValueError:
-                pass
+                    canary_tm = float(tm)
+            if isinstance(parsed.get("heavy4"), dict):
+                tm = parsed["heavy4"].get("total_median")
+                if isinstance(tm, (int, float)):
+                    heavy_tm = float(tm)
+            if heavy_tm is None:
+                heavy_tm = _heavy_from_medians(parsed.get("queries_median"))
+        if canary_tm is None:
+            m = _re.search(r'"canary": (\{[^{}]*\})', tail)
+            if m:
+                try:
+                    tm = json.loads(m.group(1)).get("total_median")
+                    if isinstance(tm, (int, float)):
+                        canary_tm = float(tm)
+                        source = f"{name}:tail"
+                except ValueError:
+                    pass
+        if heavy_tm is None and tail:
+            m = _re.search(r'"heavy4": (\{[^{}]*\})', tail)
+            if m:
+                try:
+                    tm = json.loads(m.group(1)).get("total_median")
+                    if isinstance(tm, (int, float)):
+                        heavy_tm = float(tm)
+                except ValueError:
+                    pass
+            if heavy_tm is None:
+                # pre-r10 artifact: reconstruct from whatever per-query
+                # median entries survived in the tail (last match per
+                # name = the queries_median dict, which prints after
+                # the best-of-3 queries dict)
+                vals = []
+                for qn in _HEAVY_QUERIES:
+                    ms = _re.findall(r'"%s": ([0-9.]+)' % _re.escape(qn),
+                                     tail)
+                    if not ms:
+                        vals = None
+                        break
+                    vals.append(float(ms[-1]))
+                if vals is not None:
+                    heavy_tm = round(sum(vals), 4)
+        if canary_tm is None and heavy_tm is None:
+            continue
+        records.append(
+            {
+                "source": source,
+                "kind": "artifact",
+                "canary_total_median": canary_tm,
+                "heavy_total_median": heavy_tm,
+            }
+        )
     try:
         with open(os.path.join(root, _HISTORY_FILE)) as fh:
             for ln in fh:
@@ -151,12 +223,109 @@ def canary_readings(root: str, sf) -> list[tuple[str, float]]:
                     d = json.loads(ln)
                 except ValueError:
                     continue
-                tm = d.get("canary_total_median")
-                if d.get("sf") == sf and isinstance(tm, (int, float)):
-                    readings.append((_HISTORY_FILE, float(tm)))
+                if d.get("sf") != sf:
+                    continue
+                ctm = d.get("canary_total_median")
+                htm = d.get("heavy_total_median")
+                if not isinstance(ctm, (int, float)):
+                    continue
+                records.append(
+                    {
+                        "source": _HISTORY_FILE,
+                        "kind": "history",
+                        "canary_total_median": float(ctm),
+                        "heavy_total_median": float(htm)
+                        if isinstance(htm, (int, float)) else None,
+                    }
+                )
     except OSError:
         pass
-    return readings
+    return records
+
+
+def canary_readings(root: str, sf) -> list[tuple[str, float]]:
+    """Back-compat view of :func:`reading_records`: (source,
+    canary_total_median) pairs, oldest -> newest, canary-bearing
+    records only."""
+    return [
+        (r["source"], r["canary_total_median"])
+        for r in reading_records(root, sf)
+        if r["canary_total_median"] is not None
+    ]
+
+
+def arbitrate(canary_median, heavy_median, prior_records,
+              threshold: float = CANARY_FLAT_THRESHOLD):
+    """Two-axis smear-vs-regression arbitration (round 10 — VERDICT r9
+    #1: the r9 committed verdict read "flat" at 1.046 vs interleaved
+    local history while the same canary read 1.21 vs the committed r8
+    artifact; the saving arbitration lived in prose). Each axis is
+    compared against TWO anchors — the most recent recoverable reading
+    of any kind (``ratio_vs_prev``, catches intra-round drift) and the
+    last committed driver artifact (``ratio_vs_last_round``, immune to
+    history ratcheting). A ratio fires when it exceeds ``threshold``;
+    the verdict is the max over the fired axes:
+
+    - no canary anchor at all           -> "no-prior"
+    - neither canary ratio fires        -> "flat"
+    - canary fires, no heavy anchor     -> "investigate"
+    - canary fires, heavy flat          -> "layout-smear" (JVM
+      code-cache drift: small queries smear uniformly, executor-bound
+      heavy queries hold — rerun or compare decade tables)
+    - canary fires, heavy fires         -> "regression-suspect" (read
+      the per-query table; something real moved)
+
+    Returns ``(verdict, canary_ratios, heavy_ratios)`` where each
+    ratios dict carries ratio_vs_prev / prev_source /
+    ratio_vs_last_round / last_round_source."""
+
+    def _anchors(key):
+        bearing = [r for r in prior_records if r.get(key) is not None]
+        prev = bearing[-1] if bearing else None
+        arts = [r for r in bearing if r["kind"] == "artifact"]
+        last_round = arts[-1] if arts else None
+        return prev, last_round
+
+    def _ratio(cur, rec, key):
+        if cur is None or rec is None or not rec.get(key):
+            return None
+        return round(cur / rec[key], 4)
+
+    c_prev, c_last = _anchors("canary_total_median")
+    h_prev, h_last = _anchors("heavy_total_median")
+    canary_ratios = {
+        "ratio_vs_prev": _ratio(canary_median, c_prev,
+                                "canary_total_median"),
+        "prev_source": c_prev["source"] if c_prev else None,
+        "ratio_vs_last_round": _ratio(canary_median, c_last,
+                                      "canary_total_median"),
+        "last_round_source": c_last["source"] if c_last else None,
+    }
+    heavy_ratios = {
+        "ratio_vs_prev": _ratio(heavy_median, h_prev,
+                                "heavy_total_median"),
+        "prev_source": h_prev["source"] if h_prev else None,
+        "ratio_vs_last_round": _ratio(heavy_median, h_last,
+                                      "heavy_total_median"),
+        "last_round_source": h_last["source"] if h_last else None,
+    }
+    cr = [v for v in (canary_ratios["ratio_vs_prev"],
+                      canary_ratios["ratio_vs_last_round"])
+          if v is not None]
+    hr = [v for v in (heavy_ratios["ratio_vs_prev"],
+                      heavy_ratios["ratio_vs_last_round"])
+          if v is not None]
+    if not cr:
+        verdict = "no-prior"
+    elif max(cr) <= threshold:
+        verdict = "flat"
+    elif not hr:
+        verdict = "investigate"
+    elif max(hr) <= threshold:
+        verdict = "layout-smear"
+    else:
+        verdict = "regression-suspect"
+    return verdict, canary_ratios, heavy_ratios
 
 #: JIT-layout canary (round 8): 16 small queries PINNED at the r7 suite
 #: — this tuple must NEVER grow with the registry. The round-4/round-7
@@ -270,18 +439,17 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     canary_present = [n for n in _CANARY_QUERIES if n in medians]
     canary_median = round(sum(medians[n] for n in canary_present), 4)
+    heavy_present = [n for n in _HEAVY_QUERIES if n in medians]
+    heavy_median = (
+        round(sum(medians[n] for n in heavy_present), 4)
+        if len(heavy_present) == len(_HEAVY_QUERIES) else None
+    )
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     repo = os.path.dirname(os.path.abspath(__file__))
-    prior = canary_readings(repo, sf_val)
-    if prior:
-        prev_src, prev_val = prior[-1]
-        ratio = round(canary_median / prev_val, 4) if prev_val else None
-        verdict = (
-            "flat" if ratio is not None and ratio <= CANARY_FLAT_THRESHOLD
-            else "investigate"
-        )
-    else:
-        prev_src, ratio, verdict = None, None, "no-prior"
+    prior = reading_records(repo, sf_val)
+    verdict, canary_ratios, heavy_ratios = arbitrate(
+        canary_median, heavy_median, prior
+    )
     try:  # local reading history (gitignored) — feeds the next ratio
         with open(os.path.join(repo, _HISTORY_FILE), "a") as fh:
             fh.write(
@@ -290,6 +458,7 @@ def main() -> None:
                         "ts": round(time.time(), 1),
                         "sf": sf_val,
                         "canary_total_median": canary_median,
+                        "heavy_total_median": heavy_median,
                         "value": total,
                     }
                 )
@@ -313,10 +482,19 @@ def main() -> None:
                         sum(timings[n] for n in canary_present), 4
                     ),
                     "total_median": canary_median,
-                    "ratio_vs_prev": ratio,
-                    "prev_source": prev_src,
+                    **canary_ratios,
                     "flat_threshold": CANARY_FLAT_THRESHOLD,
                     "verdict": verdict,
+                },
+                "heavy4": {
+                    "n": len(heavy_present),
+                    "queries": list(_HEAVY_QUERIES),
+                    "total_best3": round(
+                        sum(timings[n] for n in heavy_present), 4
+                    ),
+                    "total_median": heavy_median,
+                    **heavy_ratios,
+                    "flat_threshold": CANARY_FLAT_THRESHOLD,
                 },
                 "code_cache_used_mb": _code_cache_used_mb(spark),
                 "calibration": {

@@ -56,30 +56,43 @@ def main() -> int:
 
 
 def canary_verdict_line() -> None:
-    """One-line mechanized canary arbitration (round 9 — BASELINE.md's
-    reading protocol as code, not prose): compare the two most recent
-    frozen-canary readings at sf0.1 and print flat / investigate against
-    bench.CANARY_FLAT_THRESHOLD. Informational — load smears are a
-    rerun, not a gate failure; a red gate would train rounds to ignore
-    it under ambient load."""
+    """One-line mechanized two-axis arbitration (round 10 — VERDICT r9
+    #1): take the most recent recoverable sf0.1 reading as "current"
+    and run bench.arbitrate against everything before it, so the
+    layout-smear-vs-regression call (frozen canary-16 = smear-sensitive
+    small axis; frozen heavy-4 = executor-bound axis a smear can't
+    move) is printed mechanically against BOTH anchors — the prior
+    reading AND the last committed driver artifact. Informational —
+    load smears are a rerun, not a gate failure; a red gate would train
+    rounds to ignore it under ambient load."""
     sys.path.insert(0, ROOT)
     try:
         import bench
     except Exception as ex:  # pragma: no cover - import guard only
         print(f"canary: unavailable ({ex})")
         return
-    readings = bench.canary_readings(ROOT, 0.1)
-    if len(readings) < 2:
+    records = bench.reading_records(ROOT, 0.1)
+    if len(records) < 2:
         print("canary: no-prior (fewer than 2 sf0.1 readings)")
         return
-    (psrc, pval), (csrc, cval) = readings[-2], readings[-1]
-    ratio = round(cval / pval, 4) if pval else float("nan")
-    verdict = (
-        "flat" if ratio <= bench.CANARY_FLAT_THRESHOLD else "investigate"
+    cur, prior = records[-1], records[:-1]
+    verdict, cr, hr = bench.arbitrate(
+        cur["canary_total_median"], cur["heavy_total_median"], prior
     )
+    def _axis(label, val, ratios):
+        v = f"{val:.2f}s" if val is not None else "n/a"
+        return (
+            f"{label} {v} (vs_prev {ratios['ratio_vs_prev']} "
+            f"[{ratios['prev_source']}], vs_last_round "
+            f"{ratios['ratio_vs_last_round']} "
+            f"[{ratios['last_round_source']}])"
+        )
     print(
-        f"canary: {verdict} — {csrc} {cval:.2f}s vs {psrc} {pval:.2f}s "
-        f"(ratio {ratio}, threshold {bench.CANARY_FLAT_THRESHOLD})"
+        f"canary: {verdict} — current {cur['source']}: "
+        + _axis("canary-16", cur["canary_total_median"], cr)
+        + "; "
+        + _axis("heavy-4", cur["heavy_total_median"], hr)
+        + f"; threshold {bench.CANARY_FLAT_THRESHOLD}"
     )
 
 

@@ -66,3 +66,107 @@ def test_readings_order_by_round_number_not_lexicographic(tmp_path):
 
 def test_readings_empty_dir(tmp_path):
     assert bench.canary_readings(str(tmp_path), 0.1) == []
+
+
+# ---- round 10: two-axis records + arbitration -----------------------
+
+_H = bench._HEAVY_QUERIES  # frozen heavy-4 names
+
+
+def test_records_heavy_from_parsed_medians(tmp_path):
+    # pre-r10 artifact with full parsed JSON: heavy-4 reconstructed by
+    # summing parsed.queries_median
+    medians = {n: 5.0 for n in _H}
+    medians["other"] = 1.0
+    _write(tmp_path / "BENCH_r09.json",
+           {"sf": 0.1,
+            "parsed": {"canary": {"total_median": 5.0},
+                       "queries_median": medians}})
+    (rec,) = bench.reading_records(str(tmp_path), 0.1)
+    assert rec["canary_total_median"] == 5.0
+    assert rec["heavy_total_median"] == 20.0
+    assert rec["kind"] == "artifact"
+
+
+def test_records_heavy_from_truncated_tail_last_match(tmp_path):
+    # pre-r10 artifact, parsed null: heavy medians pulled from the tail
+    # fragment; the best-of-3 queries dict prints FIRST, so the LAST
+    # match per name (the queries_median dict) must win — and the
+    # regex must not cross-match prefixed names like *_scale/_pq
+    tail = (
+        '"%s": 9.9, "%s_scale": 8.8, ' % (_H[0], _H[0])
+        + ", ".join('"%s": 1.0' % n for n in _H)  # best-of-3 dict
+        + ", "
+        + ", ".join('"%s": 2.0' % n for n in _H)  # medians dict (later)
+        + ', "canary": {"n": 16, "total_median": 4.0}'
+    )
+    _write(tmp_path / "BENCH_r08.json",
+           {"sf": 0.1, "parsed": None, "tail": tail})
+    (rec,) = bench.reading_records(str(tmp_path), 0.1)
+    assert rec["canary_total_median"] == 4.0
+    assert rec["heavy_total_median"] == 8.0  # 4 x 2.0, last-match wins
+
+
+def test_records_heavy4_block_beats_reconstruction(tmp_path):
+    # r10+ artifact: the first-class heavy4 block survives in the tail
+    # and takes precedence over per-query reconstruction
+    tail = (
+        '"%s": 1.0, ' % _H[0]
+        + '"canary": {"total_median": 4.0}, '
+        + '"heavy4": {"n": 4, "total_median": 21.5}'
+    )
+    _write(tmp_path / "BENCH_r10.json",
+           {"sf": 0.1, "parsed": None, "tail": tail})
+    (rec,) = bench.reading_records(str(tmp_path), 0.1)
+    assert rec["heavy_total_median"] == 21.5
+
+
+def test_records_history_heavy(tmp_path):
+    with open(tmp_path / ".bench_history.jsonl", "w") as fh:
+        fh.write(json.dumps({"sf": 0.1, "canary_total_median": 5.2,
+                             "heavy_total_median": 20.5}) + "\n")
+        fh.write(json.dumps({"sf": 0.1, "canary_total_median": 5.3}) + "\n")
+    recs = bench.reading_records(str(tmp_path), 0.1)
+    assert [r["heavy_total_median"] for r in recs] == [20.5, None]
+    assert all(r["kind"] == "history" for r in recs)
+
+
+def _recs(*pairs):
+    """(kind, canary, heavy) triples -> records list."""
+    return [
+        {"source": f"{k}{i}", "kind": k,
+         "canary_total_median": c, "heavy_total_median": h}
+        for i, (k, c, h) in enumerate(pairs)
+    ]
+
+
+def test_arbitrate_flat_requires_both_anchors_flat():
+    # the r9 ratchet: flat vs interleaved history but >threshold vs the
+    # last committed artifact must NOT read flat
+    prior = _recs(("artifact", 5.0, 20.0), ("history", 5.8, 20.1))
+    verdict, cr, hr = bench.arbitrate(6.05, 20.2, prior)
+    assert cr["ratio_vs_prev"] == round(6.05 / 5.8, 4)      # 1.04 flat
+    assert cr["ratio_vs_last_round"] == round(6.05 / 5.0, 4)  # 1.21 fires
+    assert verdict == "layout-smear"  # heavy flat on both anchors
+    assert cr["last_round_source"] == "artifact0"
+    assert hr["ratio_vs_last_round"] == round(20.2 / 20.0, 4)
+
+
+def test_arbitrate_verdict_matrix():
+    prior = _recs(("artifact", 5.0, 20.0))
+    assert bench.arbitrate(5.1, 20.1, prior)[0] == "flat"
+    assert bench.arbitrate(6.5, 20.1, prior)[0] == "layout-smear"
+    assert bench.arbitrate(6.5, 25.0, prior)[0] == "regression-suspect"
+    # canary fires but no heavy anchor anywhere -> investigate
+    no_heavy = _recs(("artifact", 5.0, None))
+    assert bench.arbitrate(6.5, 20.0, no_heavy)[0] == "investigate"
+    assert bench.arbitrate(5.0, 20.0, [])[0] == "no-prior"
+
+
+def test_arbitrate_heavy_anchor_skips_heavyless_records():
+    # latest record lacks heavy; the heavy axis must anchor on the most
+    # recent record that HAS one, not read n/a
+    prior = _recs(("artifact", 5.0, 20.0), ("history", 5.1, None))
+    verdict, cr, hr = bench.arbitrate(6.5, 20.4, prior)
+    assert hr["prev_source"] == "artifact0"
+    assert verdict == "layout-smear"

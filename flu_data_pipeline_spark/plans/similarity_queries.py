@@ -4189,6 +4189,19 @@ def ivf_pruning_files_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: and the sq8 row isolates pure quantization loss)
 _FRONTIER_NPROBES = (1, 2, 4, 8)
 
+#: Query set of the SERVING evals (frontier flat/SQ8/PQ, pq+rerank,
+#: binary+rerank, and the hydration gate): vec_id in [_SRV_QLO,
+#: _SRV_QHI). Round 10 (VERDICT r9 #3): widened 5 -> 50 query vectors
+#: — recall@3 over 5 queries = 15 truth slots quantizes every headline
+#: recall to +-0.067, so one neighbor flip moved a frontier cell by 7
+#: points; 50 queries x 3 slots = +-1/150 ~ 0.0067 granularity. Every
+#: per-query cost in these evals is probe/shortlist-bounded, so 10x
+#: queries scales a small stage linearly, not a new asymptote. Starts
+#: at 100 to stay clear of the first-_PQ_K-vectors codebook seeds and
+#: K-means init ids; 150 < the 500-vector sf0.001/sf0.01 corpus.
+_SRV_QLO, _SRV_QHI = 100, 150
+_SRV_NQ = _SRV_QHI - _SRV_QLO
+
 #: Spark-side SQ8 reconstruction (identical arithmetic to
 #: ann_sq8_asymmetric's inline form; expects lo/hi bounds columns in
 #: scope next to `embedding`)
@@ -4215,7 +4228,7 @@ _SQ8_RECON_EXPR = (
     ),
     q AS (
         SELECT vec_id AS query_id, embedding AS q_emb
-        FROM embeddings WHERE vec_id >= 100 AND vec_id < 105
+        FROM embeddings WHERE vec_id >= {_SRV_QLO} AND vec_id < {_SRV_QHI}
     ),
     pr AS (
         SELECT q.query_id, c.cluster AS probe_cluster,
@@ -4319,7 +4332,11 @@ _SQ8_RECON_EXPR = (
     "lower levels price recall against bytes scanned — the "
     "recall/cost frontier that picks (nprobe, code) before a "
     "deployment, generalizing ann_nprobe_sweep (operator-level, flat "
-    "only) to the serving stack. Training, probes, SQ8 "
+    f"only) to the serving stack. Statistical granularity: {_SRV_NQ} "
+    f"query vectors x 3 truth slots = recall quantized to +-1/(3x"
+    f"{_SRV_NQ}) ~ {1.0 / (3 * _SRV_NQ):.4f} per neighbor flip "
+    "(widened from 5 queries/+-0.067, where a single flip moved a "
+    "headline cell 7 points). Training, probes, SQ8 "
     "reconstruction, search, and truth replay exactly in unrolled SQL "
     "(SemDeDup-fidelity-audit precedent: measured quality numbers are "
     "oracle-checked, not asserted). PQ codes keep their own audited "
@@ -4335,7 +4352,7 @@ def ann_serving_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = spark.read.parquet(fact_path)
     cdf = spark.read.parquet(cents_path)
     queries = emb.filter(
-        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+        (F.col("vec_id") >= _SRV_QLO) & (F.col("vec_id") < _SRV_QHI)
     ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -4469,7 +4486,7 @@ def ann_serving_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
         SELECT vec_id AS query_id, embedding AS q_emb
-        FROM embeddings WHERE vec_id >= 100 AND vec_id < 105
+        FROM embeddings WHERE vec_id >= {_SRV_QLO} AND vec_id < {_SRV_QHI}
     ),
     pr AS (
         SELECT q.query_id, c.cluster AS probe_cluster,
@@ -4511,7 +4528,7 @@ def ann_serving_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(FLOOR({_PQ_L2_SQL.format(d=_PQ_D, a='vs.sub', b='c.csub')}
                           * {_PQ_SCALE}) AS BIGINT) AS d9
         FROM vecsub vs JOIN centsub c ON c.j = vs.j
-        WHERE vs.vec_id >= 100 AND vs.vec_id < 105
+        WHERE vs.vec_id >= {_SRV_QLO} AND vs.vec_id < {_SRV_QHI}
     ),
     cand AS (
         SELECT n.nprobe, p.query_id, m.vec_id AS neighbor_id
@@ -4597,7 +4614,7 @@ def ann_serving_frontier_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = spark.read.parquet(fact_path)
     cdf = spark.read.parquet(cents_path)
     queries = emb.filter(
-        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+        (F.col("vec_id") >= _SRV_QLO) & (F.col("vec_id") < _SRV_QHI)
     ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -4658,7 +4675,9 @@ def ann_serving_frontier_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     adc = (
-        vecsub.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+        vecsub.filter(
+            (F.col("vec_id") >= _SRV_QLO) & (F.col("vec_id") < _SRV_QHI)
+        )
         .withColumnRenamed("vec_id", "query_id")
         .join(F.broadcast(centsub), "j")
         .select(
@@ -5996,7 +6015,7 @@ def _pq_cb_sql() -> str:
     ),
     q AS (
         SELECT vec_id AS query_id, embedding AS q_emb
-        FROM embeddings WHERE vec_id >= 100 AND vec_id < 105
+        FROM embeddings WHERE vec_id >= {_SRV_QLO} AND vec_id < {_SRV_QHI}
     ),
     pr AS (
         SELECT q.query_id, c.cluster AS probe_cluster,
@@ -6027,7 +6046,7 @@ def _pq_cb_sql() -> str:
                    d=_PQ_D, a='vs.sub', b='c.csub')}
                           * {_PQ_SCALE}) AS BIGINT) AS d9
         FROM pqsub vs JOIN cb{_PQ_TRAIN_ITERS} c ON c.j = vs.j
-        WHERE vs.vec_id >= 100 AND vs.vec_id < 105
+        WHERE vs.vec_id >= {_SRV_QLO} AND vs.vec_id < {_SRV_QHI}
     ),
     cand AS (
         SELECT p.query_id, m.vec_id AS neighbor_id
@@ -6110,7 +6129,7 @@ def _pq_cb_sql() -> str:
     doc="The missing row of the serving frontier: trained-codebook "
     "PQ-shortlist -> EXACT-rerank two-stage retrieval, the shape every "
     "production PQ deployment ships (ann_serving_frontier_pq honestly "
-    "reports raw untrained PQ-ADC at 0.07-0.13 recall@3 — unusable "
+    "reports raw untrained PQ-ADC at 0.06-0.09 recall@3 — unusable "
     "alone; the standard fix is BOTH halves here: per-subspace Lloyd "
     "codebooks so ADC ranks meaningfully, and treating ADC as a cheap "
     "shortlist generator whose survivors are re-scored against "
@@ -6128,12 +6147,16 @@ def _pq_cb_sql() -> str:
     "Reported per shortlist size so the recall/cost trade is one "
     "table row: rerank cost is shortlist_size full-vector distances "
     "per query (bounded, scale-free) while database vectors stay "
-    "PQ-encoded at rest. Honesty note: the synthetic embeddings are "
+    f"PQ-encoded at rest. Recall granularity +-1/(3x{_SRV_NQ}) = "
+    f"{1.0 / (3 * _SRV_NQ):.4f} ({_SRV_NQ} queries x 3 truth slots). "
+    "Honesty note: the synthetic embeddings are "
     "near-uniform random 64-d vectors — PQ's worst case (distance "
     "concentration), so the sweep deliberately extends to S=500/1000 "
-    "where measured recall@3 reaches 1.0 (sf0.01: S=500; sf0.1: "
-    "S=1000 = rerank 10% of the probed corpus, still 10x cheaper in "
-    "full-vector reads than the flat scan) — the depth knob, "
+    "where measured recall@3 climbs past 0.94 (sf0.1 at 50 queries: "
+    "0.94 at S=500, 0.987 at S=1000 = rerank 10% of the probed "
+    "corpus, still 10x cheaper in full-vector reads than the flat "
+    "scan; the old 5-query table read exactly 1.0 there — the "
+    "quantization the widening was done to remove) — the depth knob, "
     "measured, not asserted. Scale shape: codebook training shuffles "
     "(j, cluster) cells only; candidate generation is probe-pruned "
     "directory scans; ADC scoring shuffles (query, neighbor, code) "
@@ -6154,7 +6177,7 @@ def ann_serving_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = spark.read.parquet(fact_path)
     cdf = spark.read.parquet(cents_path)
     queries = emb.filter(
-        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+        (F.col("vec_id") >= _SRV_QLO) & (F.col("vec_id") < _SRV_QHI)
     ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -6206,7 +6229,9 @@ def ann_serving_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     adc = (
-        vecsub.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+        vecsub.filter(
+            (F.col("vec_id") >= _SRV_QLO) & (F.col("vec_id") < _SRV_QHI)
+        )
         .withColumnRenamed("vec_id", "query_id")
         .join(F.broadcast(cb), "j")
         .select(
@@ -6347,7 +6372,7 @@ def ann_serving_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- 1-bit binary quantization + Hamming shortlist + exact rerank ----------
 
 _BQ_SIZES = (10, 50, 100, 500)
-_BQ_QLO, _BQ_QHI = 100, 105
+_BQ_QLO, _BQ_QHI = _SRV_QLO, _SRV_QHI
 
 #: DuckDB: pack sign bits of dims [k*32+1 .. k*32+32] into one BIGINT
 #: (bit i-1 set when the component is >= 0; 32 bits/word keeps every
@@ -6468,7 +6493,9 @@ def _bq_word(vec: Column, k: int) -> Column:
     "metric is exact cosine), then hydrate ONLY the top-"
     f"{{{', '.join(str(s) for s in _BQ_SIZES)}}} shortlist through "
     "one broadcast equi-join and re-rank by exact cosine; recall@3 "
-    "per shortlist size against the exact cosine brute truth. "
+    "per shortlist size against the exact cosine brute truth "
+    f"({_SRV_NQ} queries x 3 slots: granularity "
+    f"+-{1.0 / (3 * _SRV_NQ):.4f}). "
     "Completes the quantization frontier as its fourth code type "
     "(flat / SQ8 / PQ / binary): binary is the aggressive end — at "
     "100 TB of float32 vectors the signature table is ~1.5 TB, "
@@ -6620,7 +6647,7 @@ def ann_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
         SELECT vec_id AS query_id, embedding AS q_emb
-        FROM embeddings WHERE vec_id >= 100 AND vec_id < 105
+        FROM embeddings WHERE vec_id >= {_SRV_QLO} AND vec_id < {_SRV_QHI}
     ),
     pr AS (
         SELECT q.query_id, c.cluster AS probe_cluster,
@@ -6651,7 +6678,7 @@ def ann_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                    d=_PQ_D, a='vs.sub', b='c.csub')}
                           * {_PQ_SCALE}) AS BIGINT) AS d9
         FROM pqsub vs JOIN cb{_PQ_TRAIN_ITERS} c ON c.j = vs.j
-        WHERE vs.vec_id >= 100 AND vs.vec_id < 105
+        WHERE vs.vec_id >= {_SRV_QLO} AND vs.vec_id < {_SRV_QHI}
     ),
     cand AS (
         SELECT p.query_id, m.vec_id AS neighbor_id
@@ -6676,7 +6703,7 @@ def ann_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY dist9, neighbor_id) AS srn
         FROM scoredq
     )
-    SELECT CAST(5 AS BIGINT) AS n_queries,
+    SELECT CAST({_SRV_NQ} AS BIGINT) AS n_queries,
            CAST(100 AS INT) AS shortlist_cap,
            CAST(COUNT(*) AS BIGINT) AS n_short,
            CAST(COUNT(*) AS BIGINT) AS hydrated_rows_metric,
@@ -6714,7 +6741,7 @@ def pq_rerank_hydration_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = spark.read.parquet(fact_path)
     cdf = spark.read.parquet(cents_path)
     queries = emb.filter(
-        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+        (F.col("vec_id") >= _SRV_QLO) & (F.col("vec_id") < _SRV_QHI)
     ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -6740,7 +6767,9 @@ def pq_rerank_hydration_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "j", F.col("best.c").alias("code"))
     )
     adc = (
-        vecsub.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+        vecsub.filter(
+            (F.col("vec_id") >= _SRV_QLO) & (F.col("vec_id") < _SRV_QHI)
+        )
         .withColumnRenamed("vec_id", "query_id")
         .join(F.broadcast(cb), "j")
         .select(
@@ -6843,7 +6872,7 @@ def pq_rerank_hydration_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return spark.createDataFrame(
         [(
-            5,
+            _SRV_NQ,
             cap,
             n_short,
             hydrated_metric,

@@ -118,13 +118,13 @@ BNLJ_AUDITED: dict[str, str] = {
     "vocab_coverage_cutoff": "ac",  # (a) 1-row corpus total; (c)
                                  #     triangular pid-offset join
                                  #     (global_cumsum multi)
-    "ann_serving_pq_rerank": "bc",  # (b) 5 query vectors / per-query
+    "ann_serving_pq_rerank": "bc",  # (b) 50 query vectors / per-query
                                  #     ADC tables / k centroids / the
                                  #     128-row trained codebook / the
                                  #     5-row size enum, id<>id brute
                                  #     truth; (c) srn <= shortlist_size
                                  #     threshold joins (deliberate)
-    "ann_binary_hamming_rerank": "bc",  # (b) 5 query signatures +
+    "ann_binary_hamming_rerank": "bc",  # (b) 50 query signatures +
                                  #     query vectors + 4-row size enum,
                                  #     id<>id brute truth; (c) srn <=
                                  #     shortlist_size threshold joins
@@ -230,11 +230,11 @@ BNLJ_AUDITED: dict[str, str] = {
                                  #     projection grid (range x range)
     # round-7 additions:
     "ann_serving_frontier": "ab",  # (a) 1-row SQ8 min/max bounds agg;
-                                 #     (b) 5 query vectors + k-row
+                                 #     (b) 50 query vectors + k-row
                                  #     centroid/probe broadcasts,
                                  #     id<>id brute truth
     "ann_serving_frontier_pq": "ab",  # (a) 1-row candidate-count agg;
-                                 #     (b) 5 query vectors + 16x8
+                                 #     (b) 50 query vectors + 16x8
                                  #     codebook/ADC-table broadcasts,
                                  #     id<>id L2 brute truth
     "ann_ingest_drift_recall": "ab",  # (a) 1-row rows-indexed /

@@ -2320,3 +2320,213 @@ def curation_gate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+#: DoReMi-lite mixture-reweighting knobs: one linearized
+#: multiplicative-weights step (eta), uniform smoothing mass (smooth),
+#: and the integer sample budget the quotas apportion.
+_DOREMI_ETA = 10.0
+_DOREMI_SMOOTH = 0.2
+_DOREMI_BUDGET = 100000
+
+
+@register(
+    "curation_doremi_mixture",
+    oracle=(
+        f"""
+    WITH qcfeat AS MATERIALIZED (
+        SELECT source,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               CAST(len(list_filter({_QC_TOKENS},
+                        t -> list_contains({_QC_STOPLIST}, t))) AS DOUBLE)
+                   / len({_QC_TOKENS}) AS x1,
+               (CAST(length(text) AS DOUBLE) / len({_QC_TOKENS})) / 10.0
+                   AS x2
+        FROM documents
+    ),
+    qcn AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM qcfeat),
+    qb0 AS (SELECT CAST(0 AS BIGINT) AS q0, CAST(0 AS BIGINT) AS q1,
+                   CAST(0 AS BIGINT) AS q2),
+    """
+        + ",\n    ".join(
+            _qc_g_sql(t) + ",\n    " + _qc_b_sql(t)
+            for t in range(1, _QC_ITERS + 1)
+        )
+        + f""",
+    scored AS (
+        SELECT source,
+               CAST(floor((0.5 + z / (2.0 * (1.0 + abs(z))))
+                          * 1000000.0 + 0.5) AS BIGINT) AS p_micro
+        FROM (
+            SELECT source,
+                   (b.q0 / 1e9 + b.q1 / 1e9 * x1 + b.q2 / 1e9 * x2) AS z
+            FROM qcfeat, qb{_QC_ITERS} b
+        )
+    ),
+    dom AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(p_micro) AS BIGINT) AS s_micro
+        FROM scored GROUP BY source
+    ),
+    ex AS (
+        SELECT source, n_docs,
+               CAST(s_micro AS DOUBLE) / n_docs
+                   - CAST(SUM(s_micro) OVER () AS DOUBLE)
+                     / SUM(n_docs) OVER () AS excess_micro,
+               CAST(s_micro AS DOUBLE) / n_docs AS mean_micro,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_domains
+        FROM dom
+    ),
+    mw AS (
+        SELECT source, n_docs, excess_micro, mean_micro, n_domains,
+               GREATEST(CAST(0 AS BIGINT),
+                        1000000 + CAST(floor({_DOREMI_ETA}
+                            * excess_micro + 0.5) AS BIGINT)) AS m_micro
+        FROM ex
+    ),
+    wn AS (
+        SELECT source, n_docs, excess_micro, mean_micro, n_domains,
+               CAST(m_micro AS DOUBLE) / SUM(m_micro) OVER () AS w_mw
+        FROM mw
+    ),
+    wf AS (
+        SELECT source, n_docs, excess_micro, mean_micro, w_mw,
+               {1.0 - _DOREMI_SMOOTH} * w_mw
+                   + {_DOREMI_SMOOTH} / n_domains AS w
+        FROM wn
+    ),
+    qt AS (
+        SELECT source, n_docs, excess_micro, mean_micro, w_mw, w,
+               CAST(FLOOR(w * {_DOREMI_BUDGET}) AS BIGINT) AS base_quota,
+               w * {_DOREMI_BUDGET} - FLOOR(w * {_DOREMI_BUDGET}) AS frac
+        FROM wf
+    ),
+    lv AS (SELECT CAST({_DOREMI_BUDGET} - SUM(base_quota) AS BIGINT) AS r
+           FROM qt)
+    SELECT source, n_docs,
+           ROUND(mean_micro / 1000000.0, 6) AS mean_score,
+           ROUND(excess_micro, 3) AS excess_micro,
+           ROUND(w_mw, 6) AS w_mw,
+           ROUND(w, 6) AS w,
+           CAST(base_quota + CASE WHEN ROW_NUMBER()
+                    OVER (ORDER BY frac DESC, source) <= lv.r
+                THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM qt CROSS JOIN lv
+    ORDER BY source
+    """
+    ),
+    doc="DoReMi-lite data-mixture reweighting — the loss-aware mixture "
+    "OPTIMIZER the corpus toolkit lacked (temperature mix / UniMax / "
+    "DSIR / IPF all sample FROM a given mixture; this SETS one): "
+    "re-runs the replay-exact GD proxy fit "
+    "(curation_quality_classifier_train's 6-step integer-quantized "
+    "loop), scores every document with the rational soft-sign squash, "
+    "and derives each domain's EXCESS score vs the uniform corpus "
+    "reference (per-domain mean minus corpus mean — the lite stand-in "
+    "for DoReMi's proxy-vs-reference excess loss, Xie et al. 2023). "
+    "One linearized multiplicative-weights step then reweights the "
+    f"uniform mixture: m_d = 1 + eta*excess_d (eta={_DOREMI_ETA}, the "
+    "w*(1+eta*m) variant of MW — Arora/Hazan/Kale 2012 — chosen over "
+    "exp() because exp drifts in the last ulp between libm and the "
+    "JVM; the linearized step is pure +,*, replay-exact), clamped at "
+    f"0, normalized, and smoothed with {_DOREMI_SMOOTH} uniform mass "
+    "(DoReMi's own safeguard that no domain starves). Quotas come out "
+    f"of a {_DOREMI_BUDGET}-sample budget via the same "
+    "largest-remainder apportionment as corpus_temperature_mix, so "
+    "they sum EXACTLY to the budget. Cross-engine determinism rides "
+    "the house discipline end-to-end: per-doc scores quantize to "
+    "integer micro-units and sum as exact BIGINTs (order-free), the "
+    "MW weight requantizes to integer micro-units (GD/DSIR "
+    "precedent), and every later double derives from those integers "
+    "by identical IEEE ops. Scale shape: scoring is a stateless "
+    "per-row expression under the 3-scalar broadcast weight vector; "
+    "everything after is one groupBy(source) (20 groups) plus "
+    "domain-cardinality window math — nothing corpus-global beyond "
+    "the GD scans already proven flat at sf10 "
+    "(curation_quality_classifier_train r=1.64).",
+    tags=("curation", "llm", "quality", "A10", "W1"),
+)
+def curation_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feat = _qc_features(docs, with_source=True)
+    _, history = _qc_fit(feat.select("y", "x1", "x2"))
+    q = history[-1]
+    b0, b1, b2 = q["q0"] / 1e9, q["q1"] / 1e9, q["q2"] / 1e9
+    z = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+    p = F.lit(0.5) + z / (2.0 * (1.0 + F.abs(z)))
+    dom = (
+        feat.select(
+            "source",
+            F.floor(p * 1000000.0 + 0.5).cast("bigint").alias("p_micro"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("p_micro").cast("bigint").alias("s_micro"),
+        )
+    )
+    w_all = Window.partitionBy()
+    mean_micro = F.col("s_micro").cast("double") / F.col("n_docs")
+    mean_all = (
+        F.sum("s_micro").over(w_all).cast("double")
+        / F.sum("n_docs").over(w_all)
+    )
+    ex = dom.select(
+        "source",
+        "n_docs",
+        (mean_micro - mean_all).alias("excess_micro"),
+        mean_micro.alias("mean_micro"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_domains"),
+    )
+    m_micro = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.lit(1000000)
+        + F.floor(F.lit(_DOREMI_ETA) * F.col("excess_micro") + 0.5),
+    )
+    wn = ex.select(
+        "source",
+        "n_docs",
+        "excess_micro",
+        "mean_micro",
+        "n_domains",
+        (
+            m_micro.cast("double") / F.sum(m_micro).over(w_all)
+        ).alias("w_mw"),
+    )
+    w = (
+        F.lit(1.0 - _DOREMI_SMOOTH) * F.col("w_mw")
+        + F.lit(_DOREMI_SMOOTH) / F.col("n_domains")
+    )
+    qt = wn.select(
+        "source",
+        "n_docs",
+        "excess_micro",
+        "mean_micro",
+        "w_mw",
+        w.alias("w"),
+        F.floor(w * _DOREMI_BUDGET).cast("bigint").alias("base_quota"),
+        (w * _DOREMI_BUDGET - F.floor(w * _DOREMI_BUDGET)).alias("frac"),
+    )
+    leftover = (
+        F.lit(_DOREMI_BUDGET) - F.sum("base_quota").over(w_all)
+    ).cast("bigint")
+    rank = F.row_number().over(
+        Window.orderBy(F.col("frac").desc(), "source")
+    )
+    return (
+        qt.select(
+            "source",
+            "n_docs",
+            F.round(F.col("mean_micro") / 1000000.0, 6).alias("mean_score"),
+            F.round("excess_micro", 3).alias("excess_micro"),
+            F.round("w_mw", 6).alias("w_mw"),
+            F.round("w", 6).alias("w"),
+            (
+                F.col("base_quota")
+                + F.when(rank <= leftover, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("quota"),
+        )
+        .orderBy("source")
+    )

@@ -296,6 +296,8 @@ SPW_AGG_BOUNDED = {
     "ann_mrr_eval": "(d) 5-query result lists",
     "corpus_mix_stats": "(d) lang x source cells",
     "corpus_temperature_mix": "(d) per-source rows",
+    "curation_doremi_mixture": "(d) per-source rows (20 domains; "
+    "windows ride the groupBy(source) aggregate)",
     "corpus_unimax_allocation": "(d) per-language aggregate (5 rows)",
     "events_daily_pct_change": "(d) per-day rollup",
     "events_survival_km": "(d) distinct event-day rows (calendar)",

@@ -148,6 +148,14 @@ TWIN_QUERIES = [
                                   # equi-depth bins via global_cumsum
     "sample_cluster_split_leakproof",  # signatures -> banded pairs ->
                                   # components -> leakproof split
+    # round-10 additions (VERDICT r9 #4: round-9 rows unmeasured at the
+    # fifth decade):
+    "ann_binary_hamming_rerank",  # sign-pack -> XOR+popcount shortlist
+                                  # -> bounded exact-cosine rerank
+    "tokenizer_split_fertility",  # train-split WordPiece -> per-split
+                                  # fertility/OOV (vocab-bounded)
+    "sample_group_split_leakproof",  # exact-fingerprint group split +
+                                  # leak audit
 ]
 
 

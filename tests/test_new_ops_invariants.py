@@ -865,3 +865,27 @@ def test_group_split_leakproof_conservation(spark):
     # cluster groups are coarser-or-equal: clustering can only merge
     # exact-duplicate groups, never split them
     assert sum(r["n_groups"] for r in crows) <= total_groups
+
+
+def test_doremi_mixture_invariants(spark):
+    """VERDICT r9 #6's contract: quotas sum exactly to the budget
+    (largest-remainder, not rounding), the smoothed weights sum to 1,
+    every domain keeps at least part of the uniform smoothing mass
+    (no starvation — DoReMi's own safeguard), and the weight is
+    MONOTONE in the domain's excess score (the multiplicative-weights
+    step must never invert an ordering)."""
+    rows = _rows(spark, "curation_doremi_mixture")
+    assert sum(r["quota"] for r in rows) == 100000
+    assert abs(sum(r["w"] for r in rows) - 1.0) < 1e-6
+    n_dom = len(rows)
+    for r in rows:
+        # smoothing floor: w >= smooth/D even if the MW mass clamps to 0
+        assert r["w"] >= 0.2 / n_dom - 1e-9
+    by_excess = sorted(rows, key=lambda r: r["excess_micro"])
+    ws = [r["w"] for r in by_excess]
+    assert all(a <= b + 1e-9 for a, b in zip(ws, ws[1:]))
+    # same monotonicity for the pre-smoothing MW weights
+    wmw = [r["w_mw"] for r in by_excess]
+    assert all(a <= b + 1e-9 for a, b in zip(wmw, wmw[1:]))
+    # doc counts conserve the corpus (every source appears exactly once)
+    assert len({r["source"] for r in rows}) == len(rows)

@@ -2445,6 +2445,7 @@ _DOREMI_BUDGET = 100000
     "the GD scans already proven flat at sf10 "
     "(curation_quality_classifier_train r=1.64).",
     tags=("curation", "llm", "quality", "A10", "W1"),
+    bench=True,
 )
 def curation_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -2330,9 +2330,12 @@ _DOREMI_SMOOTH = 0.2
 _DOREMI_BUDGET = 100000
 
 
-@register(
-    "curation_doremi_mixture",
-    oracle=(
+def _doremi_quota_cte() -> str:
+    """The full DoReMi-lite chain as a WITH prefix ending in
+    ``quot(source, n_docs, excess_micro, mean_micro, w_mw, w, quota)``
+    — shared by curation_doremi_mixture (reports it) and
+    curation_doremi_apply (materializes it into per-doc pass counts)."""
+    return (
         f"""
     WITH qcfeat AS MATERIALIZED (
         SELECT source,
@@ -2402,16 +2405,29 @@ _DOREMI_BUDGET = 100000
         FROM wf
     ),
     lv AS (SELECT CAST({_DOREMI_BUDGET} - SUM(base_quota) AS BIGINT) AS r
-           FROM qt)
+           FROM qt),
+    quot AS (
+        SELECT source, n_docs, excess_micro, mean_micro, w_mw, w,
+               CAST(base_quota + CASE WHEN ROW_NUMBER()
+                        OVER (ORDER BY frac DESC, source) <= lv.r
+                    THEN 1 ELSE 0 END AS BIGINT) AS quota
+        FROM qt CROSS JOIN lv
+    )"""
+    )
+
+
+@register(
+    "curation_doremi_mixture",
+    oracle=(
+        _doremi_quota_cte()
+        + """
     SELECT source, n_docs,
            ROUND(mean_micro / 1000000.0, 6) AS mean_score,
            ROUND(excess_micro, 3) AS excess_micro,
            ROUND(w_mw, 6) AS w_mw,
            ROUND(w, 6) AS w,
-           CAST(base_quota + CASE WHEN ROW_NUMBER()
-                    OVER (ORDER BY frac DESC, source) <= lv.r
-                THEN 1 ELSE 0 END AS BIGINT) AS quota
-    FROM qt CROSS JOIN lv
+           quota
+    FROM quot
     ORDER BY source
     """
     ),
@@ -2448,6 +2464,25 @@ _DOREMI_BUDGET = 100000
     bench=True,
 )
 def curation_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quot = _doremi_quota_frame(spark, sf_dir)
+    return (
+        quot.select(
+            "source",
+            "n_docs",
+            F.round(F.col("mean_micro") / 1000000.0, 6).alias("mean_score"),
+            F.round("excess_micro", 3).alias("excess_micro"),
+            F.round("w_mw", 6).alias("w_mw"),
+            F.round("w", 6).alias("w"),
+            "quota",
+        )
+        .orderBy("source")
+    )
+
+
+def _doremi_quota_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`_doremi_quota_cte`'s ``quot``: (source,
+    n_docs, excess_micro, mean_micro, w_mw, w, quota) with quota an
+    exact largest-remainder BIGINT."""
     docs = load_table(spark, sf_dir, "documents")
     feat = _qc_features(docs, with_source=True)
     _, history = _qc_fit(feat.select("y", "x1", "x2"))
@@ -2514,20 +2549,126 @@ def curation_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank = F.row_number().over(
         Window.orderBy(F.col("frac").desc(), "source")
     )
+    return qt.select(
+        "source",
+        "n_docs",
+        "excess_micro",
+        "mean_micro",
+        "w_mw",
+        "w",
+        (F.col("base_quota") + F.when(rank <= leftover, 1).otherwise(0))
+        .cast("bigint")
+        .alias("quota"),
+    )
+
+
+@register(
+    "curation_doremi_apply",
+    oracle=(
+        _doremi_quota_cte()
+        + f""",
+    ranked AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {hash64_sql('CAST(doc_id AS VARCHAR)')},
+                            doc_id) AS lrank
+        FROM documents
+    ),
+    alloc AS (
+        SELECT source, n_docs, quota,
+               quota // n_docs AS full_epochs,
+               quota % n_docs AS n_extra
+        FROM quot
+    )
+    SELECT a.source, a.n_docs, a.quota,
+           CAST(a.full_epochs AS BIGINT) AS full_epochs,
+           CAST(a.n_extra AS BIGINT) AS n_extra,
+           CAST(SUM(CASE WHEN r.lrank <= a.n_extra THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_extra_selected,
+           CAST(COALESCE(SUM(CASE WHEN r.lrank <= a.n_extra
+                                  THEN r.doc_id END), 0) AS BIGINT)
+               AS extra_docs_checksum,
+           CAST(a.full_epochs * a.n_docs + a.n_extra AS BIGINT)
+               AS total_passes
+    FROM alloc a JOIN ranked r ON r.source = a.source
+    GROUP BY a.source, a.n_docs, a.quota, a.full_epochs, a.n_extra
+    ORDER BY a.source
+    """
+    ),
+    doc="The DoReMi mixture MATERIALIZED — curation_doremi_mixture sets "
+    "per-domain quotas; this query turns them into the per-document "
+    "pass counts an epoch scheduler actually consumes (the UniMax "
+    "repetition idiom: quota_d = full_epochs_d passes over every doc "
+    "plus ONE extra pass for exactly n_extra_d = quota_d mod n_docs_d "
+    "deterministically-chosen docs). The extra-pass docs are picked by "
+    "portable-hash order WITHIN each domain — but computed WITHOUT a "
+    "per-domain window: domain cardinality is tiny (20) while domain "
+    "SIZE grows with the corpus, so a window partitioned by source is "
+    "20 ever-fatter tasks at 100 TB. Instead the doc rank rides "
+    "operators/ranking.global_rank over the (source, hash, doc_id) "
+    "total order (range shuffle + pid-partitioned windows + the "
+    "one-row-per-partition triangular offset join), and the per-domain "
+    "local rank is global_rank minus the domain's min rank (one 20-row "
+    "broadcast) — the same distributed-prefix discipline as the "
+    "(e)-family migration. Output is the per-domain allocation audit: "
+    "pass conservation is checkable IN-ROW (total_passes = "
+    "full_epochs*n_docs + n_extra = quota) and across rows (sum = "
+    f"{_DOREMI_BUDGET} budget); extra_docs_checksum (sum of selected "
+    "doc_ids) pins that both engines selected the SAME docs, not "
+    "merely the same count. The oracle replays GD fit -> excess -> "
+    "MW -> quotas -> per-domain hash ranking in one composed "
+    "statement (DuckDB's native per-source window IS the semantic "
+    "spec; the Spark side must match it from the distributed form).",
+    tags=("curation", "llm", "quality", "W1", "O3"),
+)
+def curation_doremi_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.operators.ranking import global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    alloc = _doremi_quota_frame(spark, sf_dir).select(
+        "source",
+        "n_docs",
+        "quota",
+        F.expr("quota div n_docs").cast("bigint").alias("full_epochs"),
+        (F.col("quota") % F.col("n_docs")).cast("bigint").alias("n_extra"),
+    )
+    h = hash64(F.col("doc_id").cast("string"))
+    ranked = global_rank(
+        docs.select("source", "doc_id", h.alias("h")),
+        [F.col("source"), F.col("h"), F.col("doc_id")],
+        out_col="grank",
+    )
+    src_off = ranked.groupBy("source").agg(F.min("grank").alias("goff"))
+    local = ranked.join(F.broadcast(src_off), "source").select(
+        "source",
+        "doc_id",
+        (F.col("grank") - F.col("goff") + 1).alias("lrank"),
+    )
+    sel = local.join(F.broadcast(alloc), "source")
+    is_extra = F.col("lrank") <= F.col("n_extra")
     return (
-        qt.select(
-            "source",
-            "n_docs",
-            F.round(F.col("mean_micro") / 1000000.0, 6).alias("mean_score"),
-            F.round("excess_micro", 3).alias("excess_micro"),
-            F.round("w_mw", 6).alias("w_mw"),
-            F.round("w", 6).alias("w"),
-            (
-                F.col("base_quota")
-                + F.when(rank <= leftover, 1).otherwise(0)
+        sel.groupBy("source", "n_docs", "quota", "full_epochs", "n_extra")
+        .agg(
+            F.sum(is_extra.cast("int")).cast("bigint")
+            .alias("n_extra_selected"),
+            F.coalesce(
+                F.sum(F.when(is_extra, F.col("doc_id"))), F.lit(0)
             )
             .cast("bigint")
-            .alias("quota"),
+            .alias("extra_docs_checksum"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "quota",
+            "full_epochs",
+            "n_extra",
+            "n_extra_selected",
+            "extra_docs_checksum",
+            (F.col("full_epochs") * F.col("n_docs") + F.col("n_extra"))
+            .cast("bigint")
+            .alias("total_passes"),
         )
         .orderBy("source")
     )

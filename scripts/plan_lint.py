@@ -115,6 +115,11 @@ BNLJ_AUDITED: dict[str, str] = {
                                  #     (global_prefix_max)
     "text_zipf_fit": "ac",       # (a) 1-row total; (c) triangular
                                  #     pid-offset join (global_rank)
+    "curation_doremi_apply": "ac",  # (a) 1-row total-count broadcast;
+                                 #     (c) triangular pid-offset join
+                                 #     (global_rank for per-domain doc
+                                 #     ranks without a skewed
+                                 #     per-source window)
     "vocab_coverage_cutoff": "ac",  # (a) 1-row corpus total; (c)
                                  #     triangular pid-offset join
                                  #     (global_cumsum multi)
@@ -298,6 +303,9 @@ SPW_AGG_BOUNDED = {
     "corpus_temperature_mix": "(d) per-source rows",
     "curation_doremi_mixture": "(d) per-source rows (20 domains; "
     "windows ride the groupBy(source) aggregate)",
+    "curation_doremi_apply": "(d) per-source rows (the quota rank over "
+    "the 20-row aggregate; the corpus-size doc ranking deliberately "
+    "rides operators/ranking.global_rank, NOT a per-source window)",
     "corpus_unimax_allocation": "(d) per-language aggregate (5 rows)",
     "events_daily_pct_change": "(d) per-day rollup",
     "events_survival_km": "(d) distinct event-day rows (calendar)",

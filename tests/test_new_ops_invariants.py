@@ -889,3 +889,21 @@ def test_doremi_mixture_invariants(spark):
     assert all(a <= b + 1e-9 for a, b in zip(wmw, wmw[1:]))
     # doc counts conserve the corpus (every source appears exactly once)
     assert len({r["source"] for r in rows}) == len(rows)
+
+
+def test_doremi_apply_pass_conservation(spark):
+    """Materialized mixture: per-row total_passes must equal the quota
+    exactly (full_epochs*n_docs + n_extra is an identity of integer
+    division), the extra-pass selection must pick exactly n_extra docs
+    per domain (the distributed per-domain rank agrees with the
+    arithmetic), and the budget is conserved across domains."""
+    rows = _rows(spark, "curation_doremi_apply")
+    assert sum(r["total_passes"] for r in rows) == 100000
+    for r in rows:
+        assert r["total_passes"] == r["quota"]
+        assert r["n_extra_selected"] == r["n_extra"]
+        assert 0 <= r["n_extra"] < r["n_docs"]
+    # quotas must agree with the mixture query's own report
+    mix = {r["source"]: r["quota"]
+           for r in _rows(spark, "curation_doremi_mixture")}
+    assert {r["source"]: r["quota"] for r in rows} == mix

@@ -156,6 +156,9 @@ TWIN_QUERIES = [
                                   # fertility/OOV (vocab-bounded)
     "sample_group_split_leakproof",  # exact-fingerprint group split +
                                   # leak audit
+    "curation_doremi_mixture",    # GD proxy fit -> excess -> MW quotas
+    "curation_doremi_apply",      # quotas -> per-doc pass counts via
+                                  # global_rank (no per-source window)
 ]
 
 

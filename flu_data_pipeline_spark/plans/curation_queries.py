@@ -2483,6 +2483,16 @@ def _doremi_quota_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of :func:`_doremi_quota_cte`'s ``quot``: (source,
     n_docs, excess_micro, mean_micro, w_mw, w, quota) with quota an
     exact largest-remainder BIGINT."""
+    return _doremi_quota_from_dom(_doremi_dom_frame(spark, sf_dir))
+
+
+def _doremi_dom_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain sufficient statistics ``(source, n_docs, s_micro)``
+    of the DoReMi chain: fit the replay-exact GD proxy, score every
+    document to integer micro-units, sum per source. Exact-BIGINT and
+    MERGEABLE — a streaming deployment maintains exactly this frame
+    incrementally (stream_doremi_stats_ingest_exact folds per-batch
+    partials into it and must hash-match the batch chain)."""
     docs = load_table(spark, sf_dir, "documents")
     feat = _qc_features(docs, with_source=True)
     _, history = _qc_fit(feat.select("y", "x1", "x2"))
@@ -2490,7 +2500,7 @@ def _doremi_quota_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     b0, b1, b2 = q["q0"] / 1e9, q["q1"] / 1e9, q["q2"] / 1e9
     z = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
     p = F.lit(0.5) + z / (2.0 * (1.0 + F.abs(z)))
-    dom = (
+    return (
         feat.select(
             "source",
             F.floor(p * 1000000.0 + 0.5).cast("bigint").alias("p_micro"),
@@ -2501,6 +2511,12 @@ def _doremi_quota_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p_micro").cast("bigint").alias("s_micro"),
         )
     )
+
+
+def _doremi_quota_from_dom(dom: DataFrame) -> DataFrame:
+    """The domain-cardinality tail of the DoReMi chain (excess -> MW ->
+    smoothing -> largest-remainder quotas) over a ``(source, n_docs,
+    s_micro)`` frame — shared by the batch queries and the stream twin."""
     w_all = Window.partitionBy()
     mean_micro = F.col("s_micro").cast("double") / F.col("n_docs")
     mean_all = (
@@ -2672,3 +2688,7 @@ def curation_doremi_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: oracle shared with the stream twin (stream_doremi_stats_ingest_exact)
+DOREMI_MIXTURE_ORACLE = REGISTRY["curation_doremi_mixture"].oracle

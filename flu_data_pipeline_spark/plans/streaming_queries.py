@@ -762,3 +762,114 @@ def _register_binary_signature_stream() -> None:
 
 
 _register_binary_signature_stream()
+
+
+def _register_doremi_stream() -> None:
+    """Deferred import of the DoReMi helpers from curation_queries
+    (same lazy pattern as the quality-gate twin)."""
+    from flu_data_pipeline_spark.plans.curation_queries import (
+        DOREMI_MIXTURE_ORACLE,
+        _doremi_quota_from_dom,
+        _qc_features,
+        _qc_fit,
+    )
+
+    @register(
+        "stream_doremi_stats_ingest_exact",
+        oracle=DOREMI_MIXTURE_ORACLE,
+        doc="curation_doremi_mixture's corpus-size input DRIVEN AS A "
+        "STREAM — the mixture-refresh deployment shape: the proxy "
+        "classifier is fit ONCE in batch (frozen 3-scalar weights), "
+        "the document stream is scored per micro-batch through "
+        "foreachBatch, and each batch contributes per-domain "
+        "SUFFICIENT STATISTICS (n_docs, sum of integer micro-unit "
+        "scores) — exact BIGINTs, so the fold across micro-batches is "
+        "associative and order-free, the property the whole house "
+        "integer-quantization discipline buys. The folded 20-row "
+        "frame then re-derives excess -> multiplicative weights -> "
+        "smoothed mixture -> largest-remainder quotas (the identical "
+        "domain-cardinality tail the batch query runs), and the "
+        "emitted table must hash-match curation_doremi_mixture's own "
+        "oracle. This is how a production pipeline keeps its training "
+        "mixture CURRENT: per-domain stats accumulate incrementally "
+        "at ingest (state = one row per domain, bounded), quotas are "
+        "re-read at any time; nothing corpus-global ever recomputes. "
+        "Twelfth exact stream twin.",
+        tags=("streaming", "curation", "llm", "quality"),
+    )
+    def stream_doremi_stats_ingest_exact(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os
+
+        # 1) batch fit (frozen model) — train-offline / ingest-online
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _, history = _qc_fit(_qc_features(docs))
+        q = history[-1]
+        b0, b1, b2 = q["q0"] / 1e9, q["q1"] / 1e9, q["q2"] / 1e9
+
+        # 2) stream: per-batch per-domain sufficient statistics
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        parts: list = []
+
+        def _stats(batch_df: DataFrame, _batch_id: int) -> None:
+            feat = _qc_features(batch_df, with_source=True)
+            z = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+            p = F.lit(0.5) + z / (2.0 * (1.0 + F.abs(z)))
+            parts.extend(
+                feat.select(
+                    "source",
+                    F.floor(p * 1000000.0 + 0.5)
+                    .cast("bigint")
+                    .alias("p_micro"),
+                )
+                .groupBy("source")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                    F.sum("p_micro").cast("bigint").alias("s_micro"),
+                )
+                .collect()
+            )
+
+        qr = (
+            stream.writeStream.foreachBatch(_stats)
+            .trigger(availableNow=True)
+            .start()
+        )
+        qr.awaitTermination()
+
+        # 3) order-free fold of the micro-batch partials (exact BIGINTs)
+        dom = (
+            spark.createDataFrame(
+                parts, "source string, n_docs bigint, s_micro bigint"
+            )
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("s_micro").cast("bigint").alias("s_micro"),
+            )
+        )
+
+        # 4) the identical domain-cardinality tail as the batch query
+        quot = _doremi_quota_from_dom(dom)
+        return (
+            quot.select(
+                "source",
+                "n_docs",
+                F.round(F.col("mean_micro") / 1000000.0, 6).alias(
+                    "mean_score"
+                ),
+                F.round("excess_micro", 3).alias("excess_micro"),
+                F.round("w_mw", 6).alias("w_mw"),
+                F.round("w", 6).alias("w"),
+                "quota",
+            )
+            .orderBy("source")
+        )
+
+
+_register_doremi_stream()

@@ -130,6 +130,9 @@ SHOWCASE = (
     "eval_isotonic_calibration",
     "pq_rerank_hydration_metric",
     "sample_group_split_leakproof",
+    # round-10: the mixture materializer (per-domain doc ranks through
+    # the distributed global_rank prefix, not a per-source window)
+    "curation_doremi_apply",
 )
 
 

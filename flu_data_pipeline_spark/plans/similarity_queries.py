@@ -4416,20 +4416,29 @@ def ann_serving_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pruned = fact.filter(F.col("list_id").isin(ids))
         _assert_partition_pruned(pruned)
+        # SQ8 reconstruction is query-INDEPENDENT: hoist it below the
+        # probe join so the 64-element dequantize runs once per scanned
+        # corpus row, not once per (candidate x query) pair — at 50
+        # queries the pair-level form re-evaluated it up to 50x per row
+        # (round-10; values bit-identical, the oracle still scores per
+        # pair because SQL CTEs have no cost model to care about).
+        pruned_sq8 = pruned.crossJoin(F.broadcast(bounds)).select(
+            "list_id",
+            "vec_id",
+            "embedding",
+            F.expr(_SQ8_RECON_EXPR).alias("emb_sq8"),
+        )
         scored = (
-            pruned.join(
+            pruned_sq8.join(
                 F.broadcast(probes),
                 (F.col("list_id") == F.col("probe_cluster"))
                 & (F.col("vec_id") != F.col("query_id")),
             )
-            .crossJoin(F.broadcast(bounds))
             .select(
                 "query_id",
                 F.col("vec_id").alias("neighbor_id"),
                 cosine(F.col("q_emb"), F.col("embedding")).alias("cos_flat"),
-                cosine(F.col("q_emb"), F.expr(_SQ8_RECON_EXPR)).alias(
-                    "cos_sq8"
-                ),
+                cosine(F.col("q_emb"), F.col("emb_sq8")).alias("cos_sq8"),
             )
             .localCheckpoint(eager=True)
         )

@@ -170,3 +170,15 @@ def test_arbitrate_heavy_anchor_skips_heavyless_records():
     verdict, cr, hr = bench.arbitrate(6.5, 20.4, prior)
     assert hr["prev_source"] == "artifact0"
     assert verdict == "layout-smear"
+
+
+def test_frozen_sets_stay_registered_and_benched():
+    """The instrument dies silently if a frozen member is renamed: a
+    missing canary query shrinks the subtotal (fake speedup), a missing
+    heavy query makes heavy_median None and every verdict degrade to
+    'investigate'. Pin both frozen sets to the live registry."""
+    from flu_data_pipeline_spark.plans import REGISTRY
+
+    for name in bench._CANARY_QUERIES + bench._HEAVY_QUERIES:
+        assert name in REGISTRY, f"frozen bench member {name} unregistered"
+        assert REGISTRY[name].bench, f"frozen bench member {name} unbenched"

@@ -115,6 +115,26 @@ _HEAVY_QUERIES = (
     "embedding_pca_topk_deflation",
 )
 
+#: Heavy-4 cost-basis ledger (round 11 — VERDICT r10 #1): when a
+#: DELIBERATE measurement-cost change lands on a heavy member (r10's
+#: 5->50 query-vector widening pushed the heavy ratio to 1.47 and the
+#: "that's deliberate" arbitration lived only in BASELINE.md prose),
+#: append a new token here with a note. The CURRENT basis is the last
+#: entry; every bench reading emits it (heavy4.heavy_basis, history
+#: lines) and ``arbitrate`` only anchors the heavy axis on readings
+#: whose basis matches — readings predating the field are assumed the
+#: FIRST (legacy) token. Bumping the token therefore resets the heavy
+#: anchor mechanically: ratios read n/a until the first post-change
+#: reading lands, instead of firing forever against a stale cost basis
+#: or being waved off in prose. The canary-16 axis needs no ledger —
+#: its members are frozen sub-second queries whose measured work never
+#: deliberately changes.
+_HEAVY_BASIS_HISTORY = (
+    ("r10-50q", "serving evals widened to 50 query vectors"),
+)
+HEAVY_BASIS = _HEAVY_BASIS_HISTORY[-1][0]
+HEAVY_REANCHOR_NOTE = _HEAVY_BASIS_HISTORY[-1][1]
+
 
 def reading_records(root: str, sf) -> list[dict]:
     """All recoverable prior bench readings at this ``sf``, oldest ->
@@ -122,13 +142,17 @@ def reading_records(root: str, sf) -> list[dict]:
     committed driver BENCH_r{N}.json, "history" for a local
     ``.bench_history.jsonl`` line), ``canary_total_median`` and
     ``heavy_total_median`` (None when that reading predates the
-    heavy-4 axis and can't be reconstructed). Artifact extraction
-    order: the ``parsed`` JSON when the driver captured it whole, else
-    the truncated ``tail`` (last ~2KB of stdout — the canary/heavy4
-    blocks are printed near the END of the JSON line precisely so they
-    survive this truncation; per-query heavy medians are pulled from
-    the ``queries_median`` fragment via last-match, since the best-of-3
-    ``queries`` dict prints first and medians shadow it)."""
+    heavy-4 axis and can't be reconstructed) plus ``heavy_basis`` (the
+    cost-basis token the reading was taken under; None when the reading
+    predates the ledger — treated as the legacy first token). Artifact
+    extraction order: the ``parsed`` JSON when the driver captured it
+    whole, else the truncated ``tail`` (last ~2KB of stdout — the
+    canary/heavy4 blocks are printed near the END of the JSON line
+    precisely so they survive this truncation; per-query heavy medians
+    are pulled ONLY from text after the ``"queries_median"`` marker —
+    if truncation cut that marker off, reconstruction would silently
+    sum best-of-3 values from the ``queries`` dict instead, so a
+    marker-less tail degrades to no-heavy-anchor, ADVICE r10)."""
     import glob
     import re as _re
 
@@ -160,6 +184,7 @@ def reading_records(root: str, sf) -> list[dict]:
         tail = d.get("tail", "")
         canary_tm = None
         heavy_tm = None
+        heavy_basis = None
         source = name
         if isinstance(parsed, dict):
             if isinstance(parsed.get("canary"), dict):
@@ -170,6 +195,9 @@ def reading_records(root: str, sf) -> list[dict]:
                 tm = parsed["heavy4"].get("total_median")
                 if isinstance(tm, (int, float)):
                     heavy_tm = float(tm)
+                hb = parsed["heavy4"].get("heavy_basis")
+                if isinstance(hb, str):
+                    heavy_basis = hb
             if heavy_tm is None:
                 heavy_tm = _heavy_from_medians(parsed.get("queries_median"))
         if canary_tm is None:
@@ -186,26 +214,36 @@ def reading_records(root: str, sf) -> list[dict]:
             m = _re.search(r'"heavy4": (\{[^{}]*\})', tail)
             if m:
                 try:
-                    tm = json.loads(m.group(1)).get("total_median")
+                    blk = json.loads(m.group(1))
+                    tm = blk.get("total_median")
                     if isinstance(tm, (int, float)):
                         heavy_tm = float(tm)
+                    hb = blk.get("heavy_basis")
+                    if isinstance(hb, str):
+                        heavy_basis = hb
                 except ValueError:
                     pass
             if heavy_tm is None:
-                # pre-r10 artifact: reconstruct from whatever per-query
-                # median entries survived in the tail (last match per
-                # name = the queries_median dict, which prints after
-                # the best-of-3 queries dict)
-                vals = []
-                for qn in _HEAVY_QUERIES:
-                    ms = _re.findall(r'"%s": ([0-9.]+)' % _re.escape(qn),
-                                     tail)
-                    if not ms:
-                        vals = None
-                        break
-                    vals.append(float(ms[-1]))
-                if vals is not None:
-                    heavy_tm = round(sum(vals), 4)
+                # pre-r10 artifact: reconstruct from per-query entries
+                # AFTER the '"queries_median"' marker only — the
+                # best-of-3 queries dict prints first, and if the ~2KB
+                # truncation ate the marker, matching anywhere would
+                # silently sum (or mix in) best-of-3 values (ADVICE
+                # r10). No marker -> no heavy anchor from this tail.
+                marker = tail.rfind('"queries_median"')
+                if marker >= 0:
+                    med_tail = tail[marker:]
+                    vals = []
+                    for qn in _HEAVY_QUERIES:
+                        ms = _re.findall(
+                            r'"%s": ([0-9.]+)' % _re.escape(qn), med_tail
+                        )
+                        if not ms:
+                            vals = None
+                            break
+                        vals.append(float(ms[-1]))
+                    if vals is not None:
+                        heavy_tm = round(sum(vals), 4)
         if canary_tm is None and heavy_tm is None:
             continue
         records.append(
@@ -214,6 +252,7 @@ def reading_records(root: str, sf) -> list[dict]:
                 "kind": "artifact",
                 "canary_total_median": canary_tm,
                 "heavy_total_median": heavy_tm,
+                "heavy_basis": heavy_basis,
             }
         )
     try:
@@ -227,15 +266,20 @@ def reading_records(root: str, sf) -> list[dict]:
                     continue
                 ctm = d.get("canary_total_median")
                 htm = d.get("heavy_total_median")
-                if not isinstance(ctm, (int, float)):
+                if not isinstance(ctm, (int, float)) and not isinstance(
+                    htm, (int, float)
+                ):
                     continue
+                hb = d.get("heavy_basis")
                 records.append(
                     {
                         "source": _HISTORY_FILE,
                         "kind": "history",
-                        "canary_total_median": float(ctm),
+                        "canary_total_median": float(ctm)
+                        if isinstance(ctm, (int, float)) else None,
                         "heavy_total_median": float(htm)
                         if isinstance(htm, (int, float)) else None,
+                        "heavy_basis": hb if isinstance(hb, str) else None,
                     }
                 )
     except OSError:
@@ -255,7 +299,8 @@ def canary_readings(root: str, sf) -> list[tuple[str, float]]:
 
 
 def arbitrate(canary_median, heavy_median, prior_records,
-              threshold: float = CANARY_FLAT_THRESHOLD):
+              threshold: float = CANARY_FLAT_THRESHOLD,
+              heavy_basis: str = HEAVY_BASIS):
     """Two-axis smear-vs-regression arbitration (round 10 — VERDICT r9
     #1: the r9 committed verdict read "flat" at 1.046 vs interleaved
     local history while the same canary read 1.21 vs the committed r8
@@ -263,24 +308,40 @@ def arbitrate(canary_median, heavy_median, prior_records,
     compared against TWO anchors — the most recent recoverable reading
     of any kind (``ratio_vs_prev``, catches intra-round drift) and the
     last committed driver artifact (``ratio_vs_last_round``, immune to
-    history ratcheting). A ratio fires when it exceeds ``threshold``;
-    the verdict is the max over the fired axes:
+    history ratcheting). The heavy axis only anchors on readings taken
+    under the SAME cost basis (``heavy_basis``; readings predating the
+    ledger count as the legacy first token) — a deliberate measurement
+    change bumps ``_HEAVY_BASIS_HISTORY`` and the heavy anchor resets
+    mechanically instead of firing against a stale basis (round 11 —
+    VERDICT r10 #1). A ratio fires when it exceeds ``threshold``:
 
-    - no canary anchor at all           -> "no-prior"
-    - neither canary ratio fires        -> "flat"
     - canary fires, no heavy anchor     -> "investigate"
     - canary fires, heavy flat          -> "layout-smear" (JVM
       code-cache drift: small queries smear uniformly, executor-bound
       heavy queries hold — rerun or compare decade tables)
     - canary fires, heavy fires         -> "regression-suspect" (read
       the per-query table; something real moved)
+    - canary flat/absent, heavy fires   -> "heavy-investigate" (round
+      11 — VERDICT r10 #1: a regression confined to the four most
+      expensive queries — exactly where a quadratic lands — previously
+      printed "flat" forever; r10's 1.47 heavy excursion was arbitrated
+      only in prose)
+    - canary flat, heavy flat/absent    -> "flat"
+    - no anchor on either axis          -> "no-prior"
 
     Returns ``(verdict, canary_ratios, heavy_ratios)`` where each
     ratios dict carries ratio_vs_prev / prev_source /
     ratio_vs_last_round / last_round_source."""
 
-    def _anchors(key):
+    legacy = _HEAVY_BASIS_HISTORY[0][0]
+
+    def _anchors(key, basis_required=None):
         bearing = [r for r in prior_records if r.get(key) is not None]
+        if basis_required is not None:
+            bearing = [
+                r for r in bearing
+                if (r.get("heavy_basis") or legacy) == basis_required
+            ]
         prev = bearing[-1] if bearing else None
         arts = [r for r in bearing if r["kind"] == "artifact"]
         last_round = arts[-1] if arts else None
@@ -292,7 +353,8 @@ def arbitrate(canary_median, heavy_median, prior_records,
         return round(cur / rec[key], 4)
 
     c_prev, c_last = _anchors("canary_total_median")
-    h_prev, h_last = _anchors("heavy_total_median")
+    h_prev, h_last = _anchors("heavy_total_median",
+                              basis_required=heavy_basis)
     canary_ratios = {
         "ratio_vs_prev": _ratio(canary_median, c_prev,
                                 "canary_total_median"),
@@ -315,16 +377,19 @@ def arbitrate(canary_median, heavy_median, prior_records,
     hr = [v for v in (heavy_ratios["ratio_vs_prev"],
                       heavy_ratios["ratio_vs_last_round"])
           if v is not None]
-    if not cr:
-        verdict = "no-prior"
-    elif max(cr) <= threshold:
+    if cr and max(cr) > threshold:
+        if not hr:
+            verdict = "investigate"
+        elif max(hr) <= threshold:
+            verdict = "layout-smear"
+        else:
+            verdict = "regression-suspect"
+    elif hr and max(hr) > threshold:
+        verdict = "heavy-investigate"
+    elif cr:
         verdict = "flat"
-    elif not hr:
-        verdict = "investigate"
-    elif max(hr) <= threshold:
-        verdict = "layout-smear"
     else:
-        verdict = "regression-suspect"
+        verdict = "no-prior"
     return verdict, canary_ratios, heavy_ratios
 
 #: JIT-layout canary (round 8): 16 small queries PINNED at the r7 suite
@@ -437,8 +502,16 @@ def main() -> None:
     correction = 1.0 + SUITE_CPU_SENSITIVITY * (load_factor - 1.0)
 
     total = round(sum(timings.values()), 4)
+    # Both frozen subtotals are None unless the FULL frozen set ran: a
+    # bench over a query subset would otherwise write a shrunken
+    # subtotal into the history, anchoring later ratios artificially
+    # low and masking a real regression (ADVICE r10 — the heavy-4 axis
+    # already guarded this; the canary axis now mirrors it).
     canary_present = [n for n in _CANARY_QUERIES if n in medians]
-    canary_median = round(sum(medians[n] for n in canary_present), 4)
+    canary_median = (
+        round(sum(medians[n] for n in canary_present), 4)
+        if len(canary_present) == len(_CANARY_QUERIES) else None
+    )
     heavy_present = [n for n in _HEAVY_QUERIES if n in medians]
     heavy_median = (
         round(sum(medians[n] for n in heavy_present), 4)
@@ -450,22 +523,24 @@ def main() -> None:
     verdict, canary_ratios, heavy_ratios = arbitrate(
         canary_median, heavy_median, prior
     )
-    try:  # local reading history (gitignored) — feeds the next ratio
-        with open(os.path.join(repo, _HISTORY_FILE), "a") as fh:
-            fh.write(
-                json.dumps(
-                    {
-                        "ts": round(time.time(), 1),
-                        "sf": sf_val,
-                        "canary_total_median": canary_median,
-                        "heavy_total_median": heavy_median,
-                        "value": total,
-                    }
+    if canary_median is not None or heavy_median is not None:
+        try:  # local reading history (gitignored) — feeds the next ratio
+            with open(os.path.join(repo, _HISTORY_FILE), "a") as fh:
+                fh.write(
+                    json.dumps(
+                        {
+                            "ts": round(time.time(), 1),
+                            "sf": sf_val,
+                            "canary_total_median": canary_median,
+                            "heavy_total_median": heavy_median,
+                            "heavy_basis": HEAVY_BASIS,
+                            "value": total,
+                        }
+                    )
+                    + "\n"
                 )
-                + "\n"
-            )
-    except OSError:
-        pass
+        except OSError:
+            pass
     print(
         json.dumps(
             {
@@ -495,6 +570,8 @@ def main() -> None:
                     "total_median": heavy_median,
                     **heavy_ratios,
                     "flat_threshold": CANARY_FLAT_THRESHOLD,
+                    "heavy_basis": HEAVY_BASIS,
+                    "heavy_reanchor_note": HEAVY_REANCHOR_NOTE,
                 },
                 "code_cache_used_mb": _code_cache_used_mb(spark),
                 "calibration": {

@@ -75,9 +75,31 @@ def canary_verdict_line() -> None:
     if len(records) < 2:
         print("canary: no-prior (fewer than 2 sf0.1 readings)")
         return
-    cur, prior = records[-1], records[:-1]
+    # "current" = the most recent CANARY-bearing record, not blindly
+    # records[-1]: a heavy-only record (artifact where just the heavy
+    # block was recoverable) would otherwise print canary-16 n/a /
+    # no-prior even though older canary readings exist (ADVICE r10).
+    cur_idx = max(
+        (
+            i
+            for i, r in enumerate(records)
+            if r["canary_total_median"] is not None
+        ),
+        default=len(records) - 1,
+    )
+    cur, prior = records[cur_idx], records[:cur_idx]
+    if not prior:
+        print("canary: no-prior (no reading before the current one)")
+        return
     verdict, cr, hr = bench.arbitrate(
-        cur["canary_total_median"], cur["heavy_total_median"], prior
+        cur["canary_total_median"],
+        cur["heavy_total_median"],
+        prior,
+        # heavy anchors must share the CURRENT reading's cost basis —
+        # a pre-reanchor reading replayed here anchors against its own
+        # basis, not whatever the ledger has moved on to
+        heavy_basis=cur.get("heavy_basis")
+        or bench._HEAVY_BASIS_HISTORY[0][0],
     )
     def _axis(label, val, ratios):
         v = f"{val:.2f}s" if val is not None else "n/a"

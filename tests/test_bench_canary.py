@@ -88,23 +88,40 @@ def test_records_heavy_from_parsed_medians(tmp_path):
     assert rec["kind"] == "artifact"
 
 
-def test_records_heavy_from_truncated_tail_last_match(tmp_path):
-    # pre-r10 artifact, parsed null: heavy medians pulled from the tail
-    # fragment; the best-of-3 queries dict prints FIRST, so the LAST
-    # match per name (the queries_median dict) must win — and the
-    # regex must not cross-match prefixed names like *_scale/_pq
+def test_records_heavy_from_truncated_tail_after_median_marker(tmp_path):
+    # pre-r10 artifact, parsed null: heavy medians pulled ONLY from the
+    # text after the '"queries_median"' marker — the best-of-3 queries
+    # dict prints FIRST and must never feed the reconstruction — and
+    # the regex must not cross-match prefixed names like *_scale/_pq
     tail = (
         '"%s": 9.9, "%s_scale": 8.8, ' % (_H[0], _H[0])
         + ", ".join('"%s": 1.0' % n for n in _H)  # best-of-3 dict
-        + ", "
+        + ', "queries_median": {'
         + ", ".join('"%s": 2.0' % n for n in _H)  # medians dict (later)
+        + '}, "canary": {"n": 16, "total_median": 4.0}'
+    )
+    _write(tmp_path / "BENCH_r08.json",
+           {"sf": 0.1, "parsed": None, "tail": tail})
+    (rec,) = bench.reading_records(str(tmp_path), 0.1)
+    assert rec["canary_total_median"] == 4.0
+    assert rec["heavy_total_median"] == 8.0  # 4 x 2.0, post-marker only
+
+
+def test_records_tail_without_median_marker_degrades_to_no_heavy(
+    tmp_path,
+):
+    # ADVICE r10: if the ~2KB truncation cut between the best-of-3
+    # queries dict and the queries_median fragment, reconstruction must
+    # NOT silently sum best-of-3 values — no marker, no heavy anchor
+    tail = (
+        ", ".join('"%s": 1.0' % n for n in _H)  # best-of-3 values only
         + ', "canary": {"n": 16, "total_median": 4.0}'
     )
     _write(tmp_path / "BENCH_r08.json",
            {"sf": 0.1, "parsed": None, "tail": tail})
     (rec,) = bench.reading_records(str(tmp_path), 0.1)
     assert rec["canary_total_median"] == 4.0
-    assert rec["heavy_total_median"] == 8.0  # 4 x 2.0, last-match wins
+    assert rec["heavy_total_median"] is None
 
 
 def test_records_heavy4_block_beats_reconstruction(tmp_path):
@@ -131,11 +148,19 @@ def test_records_history_heavy(tmp_path):
     assert all(r["kind"] == "history" for r in recs)
 
 
-def _recs(*pairs):
-    """(kind, canary, heavy) triples -> records list."""
+_CUR = object()  # sentinel: "the current ledger basis"
+
+
+def _recs(*pairs, basis=_CUR):
+    """(kind, canary, heavy) triples -> records list. Default basis is
+    the CURRENT ledger token (so the ladder tests stay valid across
+    future re-anchors); pass ``basis=None`` for a record that predates
+    the ledger (assumed legacy first token by ``arbitrate``)."""
+    b = bench.HEAVY_BASIS if basis is _CUR else basis
     return [
         {"source": f"{k}{i}", "kind": k,
-         "canary_total_median": c, "heavy_total_median": h}
+         "canary_total_median": c, "heavy_total_median": h,
+         "heavy_basis": b}
         for i, (k, c, h) in enumerate(pairs)
     ]
 
@@ -161,6 +186,64 @@ def test_arbitrate_verdict_matrix():
     no_heavy = _recs(("artifact", 5.0, None))
     assert bench.arbitrate(6.5, 20.0, no_heavy)[0] == "investigate"
     assert bench.arbitrate(5.0, 20.0, [])[0] == "no-prior"
+
+
+def test_arbitrate_heavy_investigate_when_canary_flat():
+    # round 11 — VERDICT r10 #1: a regression confined to the heavy-4
+    # (canary flat on both anchors) must escalate, not print flat
+    prior = _recs(("artifact", 5.0, 20.0))
+    verdict, cr, hr = bench.arbitrate(5.1, 25.0, prior)
+    assert verdict == "heavy-investigate"
+    assert hr["ratio_vs_last_round"] == 1.25
+    # heavy flat too -> plain flat
+    assert bench.arbitrate(5.1, 20.4, prior)[0] == "flat"
+    # no canary anchor at all but heavy fires -> still escalates
+    heavy_only = _recs(("artifact", None, 20.0))
+    assert bench.arbitrate(None, 25.0, heavy_only)[0] == "heavy-investigate"
+
+
+def test_arbitrate_reanchor_resets_heavy_axis():
+    # round 11 — VERDICT r10 #1: a deliberate cost-basis change (r10's
+    # 5->50 widening pushed heavy to 1.47) is acknowledged by bumping
+    # the ledger token; readings under the OLD basis (or predating the
+    # ledger entirely -> basis None) stop anchoring the heavy axis, so
+    # the verdict degrades to flat/investigate instead of firing
+    # forever against a stale basis
+    old = _recs(("artifact", 5.0, 20.0), basis=None)  # pre-ledger
+    verdict, cr, hr = bench.arbitrate(
+        5.1, 30.0, old, heavy_basis="r11-new-basis"
+    )
+    assert verdict == "flat"  # canary anchors fine; heavy n/a
+    assert hr["ratio_vs_prev"] is None
+    assert hr["prev_source"] is None
+    # same-basis readings resume anchoring
+    fresh = old + _recs(("history", 5.0, 29.5), basis="r11-new-basis")
+    verdict2, _, hr2 = bench.arbitrate(
+        5.1, 30.0, fresh, heavy_basis="r11-new-basis"
+    )
+    assert hr2["ratio_vs_prev"] == round(30.0 / 29.5, 4)
+    assert verdict2 == "flat"
+    # and a pre-ledger record DOES anchor when current basis == legacy
+    legacy_tok = bench._HEAVY_BASIS_HISTORY[0][0]
+    _, _, hr3 = bench.arbitrate(5.1, 30.0, old, heavy_basis=legacy_tok)
+    assert hr3["ratio_vs_prev"] == 1.5
+
+
+def test_records_heavy_basis_from_tail_block_and_history(tmp_path):
+    tail = ('"canary": {"total_median": 4.0}, '
+            '"heavy4": {"n": 4, "total_median": 21.5, '
+            '"heavy_basis": "r11-x"}')
+    _write(tmp_path / "BENCH_r11.json",
+           {"sf": 0.1, "parsed": None, "tail": tail})
+    with open(tmp_path / ".bench_history.jsonl", "w") as fh:
+        # heavy-only line (canary None — subset guard) must be kept
+        fh.write(json.dumps({"sf": 0.1, "canary_total_median": None,
+                             "heavy_total_median": 20.5,
+                             "heavy_basis": "r11-x"}) + "\n")
+    recs = bench.reading_records(str(tmp_path), 0.1)
+    assert [r["heavy_basis"] for r in recs] == ["r11-x", "r11-x"]
+    assert recs[1]["canary_total_median"] is None
+    assert recs[1]["heavy_total_median"] == 20.5
 
 
 def test_arbitrate_heavy_anchor_skips_heavyless_records():

@@ -131,6 +131,10 @@ _HEAVY_QUERIES = (
 #: deliberately changes.
 _HEAVY_BASIS_HISTORY = (
     ("r10-50q", "serving evals widened to 50 query vectors"),
+    ("r11-shared-truth",
+     "serving evals read the persisted fingerprint-cached exact-truth "
+     "artifact (similarity_queries._serving_truth_path) instead of "
+     "each recomputing the |Q|xN brute top-3 in-query"),
 )
 HEAVY_BASIS = _HEAVY_BASIS_HISTORY[-1][0]
 HEAVY_REANCHOR_NOTE = _HEAVY_BASIS_HISTORY[-1][1]

@@ -4202,6 +4202,116 @@ _FRONTIER_NPROBES = (1, 2, 4, 8)
 _SRV_QLO, _SRV_QHI = 100, 150
 _SRV_NQ = _SRV_QHI - _SRV_QLO
 
+
+def _serving_truth_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per embeddings fingerprint) the serving
+    evals' SHARED exact brute-force ground truth: top-3 neighbors per
+    query vector (vec_id in [_SRV_QLO, _SRV_QHI)) under BOTH serving
+    metrics — ``cos`` (exact cosine, the truth of the flat/SQ8/binary
+    code types) and ``l2`` (exact squared L2, the truth of the PQ
+    family, which approximates L2 and must be scored against its own
+    metric). Round 11 (VERDICT r10 #2): ann_serving_frontier,
+    ann_serving_frontier_pq, ann_serving_pq_rerank, and
+    ann_binary_hamming_rerank each independently recomputed this
+    |Q|xN top-3 — at 50 query vectors the dominant term of the
+    heaviest sf10 cells (frontier 108.2 s, r=6.20) bought FOUR times
+    per suite run. The truth is a pure function of the embeddings
+    table and the frozen (query window, k) constants, so it persists
+    next to the IVF layout under the same source-fingerprint
+    invalidation discipline (regenerated testdata -> rebuild;
+    negative-tested in tests/test_plans.py); the fingerprint
+    additionally pins the query window and k so a constant change can
+    never serve a stale truth. Build is ONE |Q|xN pass: both metrics
+    ride the same broadcast-join pair stream and the same
+    partitionBy(query_id) shuffle (two sort orders, one exchange);
+    output is <= |Q| x 3 x 2 rows in one parquet file. Scale shape:
+    identical to the per-query brute stages it replaces — queries
+    broadcast, corpus never shuffled except the |Q|-partition window
+    input — so the cached build costs what ONE serving eval's truth
+    stage used to, and the other three (plus every rerun at an
+    unchanged fingerprint) read ~300 rows."""
+    import os
+
+    from flu_data_pipeline_spark.operators.clustering import sqdist
+    from flu_data_pipeline_spark.plans.layout_queries import (
+        _mark_materialized,
+        _materialized_fresh,
+        _src_fingerprint,
+    )
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    target = os.path.join(repo, ".testdata", "ivf", tag, "serving_truth")
+    fp = (
+        f"{_src_fingerprint(sf_dir, 'embeddings')}"
+        f":q[{_SRV_QLO},{_SRV_QHI}):top3"
+    )
+    if not _materialized_fresh(target, fp):
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(
+            (F.col("vec_id") >= _SRV_QLO) & (F.col("vec_id") < _SRV_QHI)
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        pairs = (
+            F.broadcast(queries)
+            .join(
+                emb.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("c_emb"),
+                ),
+                F.col("query_id") != F.col("neighbor_id"),
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+                sqdist(F.col("q_emb"), F.col("c_emb")).alias("l2"),
+            )
+        )
+        wcos = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("neighbor_id")
+        )
+        wl2 = Window.partitionBy("query_id").orderBy(
+            F.asc("l2"), F.asc("neighbor_id")
+        )
+        ranked = (
+            pairs.withColumn("rn_cos", F.row_number().over(wcos))
+            .withColumn("rn_l2", F.row_number().over(wl2))
+            .filter((F.col("rn_cos") <= 3) | (F.col("rn_l2") <= 3))
+            .localCheckpoint(eager=True)  # <= 300 rows; built once
+        )
+        truth = ranked.filter(F.col("rn_cos") <= 3).select(
+            F.lit("cos").alias("metric"),
+            "query_id",
+            "neighbor_id",
+            F.col("rn_cos").alias("rn"),
+        ).unionAll(
+            ranked.filter(F.col("rn_l2") <= 3).select(
+                F.lit("l2").alias("metric"),
+                "query_id",
+                "neighbor_id",
+                F.col("rn_l2").alias("rn"),
+            )
+        )
+        truth.coalesce(1).write.mode("overwrite").parquet(target)
+        _mark_materialized(target, fp)
+    return target
+
+
+def _serving_truth(spark: SparkSession, sf_dir: str, metric: str) -> DataFrame:
+    """The persisted exact serving truth for one metric ('cos' | 'l2')
+    as (query_id, neighbor_id) — the drop-in replacement for the four
+    serving evals' former in-query brute stages."""
+    return (
+        spark.read.parquet(_serving_truth_path(spark, sf_dir))
+        .filter(F.col("metric") == metric)
+        .select("query_id", "neighbor_id")
+    )
+
 #: Spark-side SQ8 reconstruction (identical arithmetic to
 #: ann_sq8_asymmetric's inline form; expects lo/hi bounds columns in
 #: scope next to `embedding`)
@@ -4356,28 +4466,11 @@ def ann_serving_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    wb = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_raw"), F.asc("neighbor_id")
-    )
-    brute = (
-        F.broadcast(queries)
-        .join(
-            emb.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("embedding").alias("c_emb"),
-            ),
-            F.col("query_id") != F.col("neighbor_id"),
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_raw"),
-        )
-        .withColumn("rn", F.row_number().over(wb))
-        .filter(F.col("rn") <= 3)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
-    )
+    # exact cosine truth from the SHARED persisted artifact (round 11
+    # — VERDICT r10 #2: was an in-query |Q|xN brute stage recomputed
+    # by all four serving evals; same expressions, same tie-breaks,
+    # bit-identical ids — see _serving_truth_path)
+    brute = _serving_truth(spark, sf_dir, "cos")
     bounds = emb.agg(
         *[
             F.min(F.col("embedding")[i].cast("double")).alias(f"lo{i}")
@@ -4628,28 +4721,8 @@ def ann_serving_frontier_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     # exact L2 truth (PQ approximates L2 — same-metric ground truth)
-    wb = Window.partitionBy("query_id").orderBy(
-        F.asc("l2"), F.asc("neighbor_id")
-    )
-    brute = (
-        F.broadcast(queries)
-        .join(
-            emb.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("embedding").alias("c_emb"),
-            ),
-            F.col("query_id") != F.col("neighbor_id"),
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            sqdist(F.col("q_emb"), F.col("c_emb")).alias("l2"),
-        )
-        .withColumn("rn", F.row_number().over(wb))
-        .filter(F.col("rn") <= 3)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
-    )
+    # from the SHARED persisted artifact (VERDICT r10 #2)
+    brute = _serving_truth(spark, sf_dir, "l2")
     # PQ encode (all vectors) + per-query ADC tables
     j_col = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("j")
     vecsub = emb.select("vec_id", "embedding", j_col).select(
@@ -6190,29 +6263,9 @@ def ann_serving_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    # exact L2 truth (the rerank stage shares this metric)
-    wb = Window.partitionBy("query_id").orderBy(
-        F.asc("l2"), F.asc("neighbor_id")
-    )
-    brute = (
-        F.broadcast(queries)
-        .join(
-            emb.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("embedding").alias("c_emb"),
-            ),
-            F.col("query_id") != F.col("neighbor_id"),
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            sqdist(F.col("q_emb"), F.col("c_emb")).alias("l2"),
-        )
-        .withColumn("rn", F.row_number().over(wb))
-        .filter(F.col("rn") <= 3)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
-    )
+    # exact L2 truth (the rerank stage shares this metric) from the
+    # SHARED persisted artifact (VERDICT r10 #2)
+    brute = _serving_truth(spark, sf_dir, "l2")
     # Stage 0: trained per-subspace codebooks; then PQ encode + per-query
     # ADC tables against THEM (ann_serving_frontier_pq's shapes, trained)
     cb = _pq_trained_codebooks(emb)
@@ -6573,28 +6626,9 @@ def ann_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     # exact cosine truth (the metric binary signatures approximate)
-    wt = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
-    )
-    truth = (
-        F.broadcast(queries)
-        .join(
-            emb.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("embedding").alias("c_emb"),
-            ),
-            F.col("query_id") != F.col("neighbor_id"),
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("q_emb"), F.col("c_emb")).alias("cos"),
-        )
-        .withColumn("rn", F.row_number().over(wt))
-        .filter(F.col("rn") <= 3)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
-    )
+    # from the SHARED persisted artifact (VERDICT r10 #2; _BQ_QLO/_QHI
+    # alias _SRV_QLO/_QHI so the window is the same by construction)
+    truth = _serving_truth(spark, sf_dir, "cos")
     sizes = spark.createDataFrame(
         [(s,) for s in _BQ_SIZES], "shortlist_size int"
     )

@@ -449,6 +449,45 @@ def test_ivf_layout_fingerprint_invalidation(spark):
         assert fh.read() != "stale"
 
 
+def test_serving_truth_fingerprint_invalidation(spark):
+    """The persisted shared serving truth (VERDICT r10 #2) must rebuild
+    when its source fingerprint no longer matches (stale corpus ->
+    rebuild) and must NOT rebuild when it matches — same discipline as
+    the IVF layout. Also pins content: both metrics present, exactly 3
+    slots per (metric, query)."""
+    import os
+
+    from flu_data_pipeline_spark.plans.similarity_queries import (
+        _SRV_NQ,
+        _serving_truth_path,
+    )
+    from .conftest import SF_SMOKE
+
+    path = _serving_truth_path(spark, SF_SMOKE)
+    success = os.path.join(path, "_SUCCESS")
+    marker = os.path.join(path, "_SRC_FINGERPRINT")
+    mtime1 = os.stat(success).st_mtime_ns
+    # fresh fingerprint → no rebuild
+    _serving_truth_path(spark, SF_SMOKE)
+    assert os.stat(success).st_mtime_ns == mtime1
+    # corrupt the fingerprint → rebuild
+    with open(marker, "w") as fh:
+        fh.write("stale")
+    _serving_truth_path(spark, SF_SMOKE)
+    assert os.stat(success).st_mtime_ns > mtime1
+    with open(marker) as fh:
+        assert fh.read() != "stale"
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == _SRV_NQ * 3 * 2  # 2 metrics x |Q| x top-3
+    per = {}
+    for r in rows:
+        per.setdefault((r["metric"], r["query_id"]), set()).add(r["rn"])
+    assert set(per) == {
+        (m, q) for m in ("cos", "l2") for q in range(100, 150)
+    }
+    assert all(v == {1, 2, 3} for v in per.values())
+
+
 def test_aqe_coalesce_assertion_has_teeth(spark):
     """aqe_coalesce_shuffle_read must RAISE when AQE partition
     coalescing is disabled, and build cleanly once it is back on."""

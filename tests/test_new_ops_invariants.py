@@ -907,3 +907,40 @@ def test_doremi_apply_pass_conservation(spark):
     mix = {r["source"]: r["quota"]
            for r in _rows(spark, "curation_doremi_mixture")}
     assert {r["source"]: r["quota"] for r in rows} == mix
+
+
+def test_nndescent_recall_monotone_and_graph_bounds(spark):
+    """NN-descent invariants (round 11): per-round recall@k is
+    non-decreasing — each node's new list is the top-k of a SUPERSET
+    of its old list under the total order (d9, neighbor id), and any
+    candidate that displaces a truth member from a top-k list must
+    itself rank above that member, hence be a truth member — so hits
+    can only grow. Candidate volume stays under the rho-sampled bound
+    N x (K+R)^2, and the final graph respects degree <= K with no
+    self-loops."""
+    from flu_data_pipeline_spark.plans.similarity_queries import (
+        _NND_INIT,
+        _NND_K,
+        _NND_RREV,
+    )
+
+    rows = sorted(_rows(spark, "ann_nndescent_knn_graph"),
+                  key=lambda r: r["iter"])
+    assert [r["iter"] for r in rows] == [0, 1, 2]
+    recalls = [r["recall_at_k"] for r in rows]
+    assert recalls == sorted(recalls)
+    hits = [r["n_hit"] for r in rows]
+    assert hits == sorted(hits)
+    n = rows[0]["n_nodes"]
+    for r in rows:
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert r["n_hit"] <= r["n_truth_slots"]
+        assert r["k"] == _NND_K
+    # init candidates bounded by N x INIT; round candidates by the
+    # rho-sampling bound N x (K+R)^2
+    assert rows[0]["n_candidates"] <= n * _NND_INIT
+    for r in rows[1:]:
+        assert r["n_candidates"] <= n * (_NND_K + _NND_RREV) ** 2
+    # refinement must actually help on this corpus (init is random:
+    # anything near-zero would stay near-zero if rounds were no-ops)
+    assert recalls[-1] > recalls[0]

@@ -4305,11 +4305,16 @@ def _serving_truth_path(spark: SparkSession, sf_dir: str) -> str:
 def _serving_truth(spark: SparkSession, sf_dir: str, metric: str) -> DataFrame:
     """The persisted exact serving truth for one metric ('cos' | 'l2')
     as (query_id, neighbor_id) — the drop-in replacement for the four
-    serving evals' former in-query brute stages."""
+    serving evals' former in-query brute stages. Checkpointed eagerly
+    (150 rows) so a consumer that joins it into several plan branches
+    (the frontier references it once per code x nprobe cell) reuses
+    one in-memory frame instead of re-scanning the parquet per
+    branch — the exact plan shape the old in-query brute had."""
     return (
         spark.read.parquet(_serving_truth_path(spark, sf_dir))
         .filter(F.col("metric") == metric)
         .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
 
 #: Spark-side SQ8 reconstruction (identical arithmetic to
@@ -6995,9 +7000,10 @@ def _nnd_round_sql(i: int) -> str:
     )"""
 
 
-@register(
-    "ann_nndescent_knn_graph",
-    oracle=f"""
+#: Shared unrolled CTE chain building the NN-descent graph (init ->
+#: g0 -> g1 -> g2) — prefix of both the construction eval's oracle and
+#: the mutual-pair mining oracle.
+_NND_GRAPH_CTES = f"""
     WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
     init AS (
         SELECT DISTINCT e.vec_id AS u,
@@ -7021,7 +7027,107 @@ def _nnd_round_sql(i: int) -> str:
             FROM s0) WHERE rn <= {_NND_K}
     ),
     {_nnd_round_sql(0)},
-    {_nnd_round_sql(1)},
+    {_nnd_round_sql(1)}"""
+
+
+def _nnd_graphs(
+    emb: DataFrame,
+) -> tuple[list[DataFrame], list[DataFrame], DataFrame]:
+    """Build the NN-descent graph sequence [g0..g_ITERS] (each an
+    eagerly-checkpointed (u, v, d9) frame — the loop reuses each graph
+    several times, and unbounded lineage across rounds recomputes
+    exponentially) plus the per-round candidate frames and the 1-row
+    corpus-cardinality agg. No driver collect anywhere: cardinality
+    rides the plan as a broadcast scalar agg (the oracle's CROSS JOIN
+    nn)."""
+    from flu_data_pipeline_spark.operators.clustering import sqdist
+
+    left = emb.select(
+        F.col("vec_id").alias("u"), F.col("embedding").alias("u_emb")
+    )
+    right = emb.select(
+        F.col("vec_id").alias("v"), F.col("embedding").alias("v_emb")
+    )
+    ncnt = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+
+    def d9(a: Column, b: Column) -> Column:
+        return F.floor(sqdist(a, b) * _PQ_SCALE).cast("long")
+
+    def score(cand: DataFrame) -> DataFrame:
+        """(u, v) pairs -> (u, v, d9) via two key joins into the
+        embedding table (shuffle-bounded by the pair count)."""
+        return (
+            cand.join(left, "u")
+            .join(right, "v")
+            .select("u", "v", d9(F.col("u_emb"), F.col("v_emb")).alias("d9"))
+        )
+
+    wtop = Window.partitionBy("u").orderBy(F.asc("d9"), F.asc("v"))
+
+    def topk(scored: DataFrame) -> DataFrame:
+        return (
+            scored.withColumn("rn", F.row_number().over(wtop))
+            .filter(F.col("rn") <= _NND_K)
+            .select("u", "v", "d9")
+        )
+
+    # deterministic init: affine formula in (node, slot) mod N
+    jcol = F.explode(
+        F.sequence(F.lit(1), F.lit(_NND_INIT))
+    ).alias("j")
+    init = (
+        emb.select(F.col("vec_id").alias("u"), jcol)
+        .crossJoin(F.broadcast(ncnt))
+        .select(
+            "u",
+            (
+                (F.col("u") * 37 + F.col("j") * 101
+                 + F.col("j") * F.col("j") * 13) % F.col("n_nodes")
+            ).alias("v"),
+        )
+        .filter(F.col("v") != F.col("u"))
+        .distinct()
+    )
+    g = topk(score(init)).localCheckpoint(eager=True)
+    cands = [init]
+    graphs = [g]
+    for _ in range(_NND_ITERS):
+        rev = (
+            g.withColumn(
+                "rr",
+                F.row_number().over(
+                    Window.partitionBy("v").orderBy(F.asc("d9"), F.asc("u"))
+                ),
+            )
+            .filter(F.col("rr") <= _NND_RREV)
+            .select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        adj = g.select("u", "v").unionAll(rev).distinct()
+        cand = (
+            adj.join(
+                adj.select(
+                    F.col("u").alias("mid"), F.col("v").alias("w")
+                ),
+                F.col("v") == F.col("mid"),
+            )
+            .filter(F.col("w") != F.col("u"))
+            .select("u", F.col("w").alias("v"))
+            .distinct()
+        )
+        merged = (
+            g.unionAll(score(cand))
+            .groupBy("u", "v")
+            .agg(F.min("d9").alias("d9"))
+        )
+        g = topk(merged).localCheckpoint(eager=True)
+        cands.append(cand)
+        graphs.append(g)
+    return graphs, cands, ncnt
+
+
+@register(
+    "ann_nndescent_knn_graph",
+    oracle=_NND_GRAPH_CTES + f""",
     truth AS (
         SELECT q.vec_id AS u, c.vec_id AS v
         FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
@@ -7101,93 +7207,21 @@ def _nnd_round_sql(i: int) -> str:
     tags=("similarity", "ann", "graph", "llm", "O3", "A10"),
     bench=True,
 )
+
+
 def ann_nndescent_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flu_data_pipeline_spark.operators.clustering import sqdist
 
     emb = load_table(spark, sf_dir, "embeddings")
-    left = emb.select(
-        F.col("vec_id").alias("u"), F.col("embedding").alias("u_emb")
-    )
     right = emb.select(
         F.col("vec_id").alias("v"), F.col("embedding").alias("v_emb")
     )
-    # corpus cardinality rides the plan as a broadcast 1-row agg (the
-    # oracle's CROSS JOIN nn) — no driver collect anywhere in this
-    # builder; every scalar the output needs is a broadcast scalar agg
-    ncnt = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
 
     def d9(a: Column, b: Column) -> Column:
         return F.floor(sqdist(a, b) * _PQ_SCALE).cast("long")
 
-    def score(cand: DataFrame) -> DataFrame:
-        """(u, v) pairs -> (u, v, d9) via two key joins into the
-        embedding table (shuffle-bounded by the pair count)."""
-        return (
-            cand.join(left, "u")
-            .join(right, "v")
-            .select("u", "v", d9(F.col("u_emb"), F.col("v_emb")).alias("d9"))
-        )
-
     wtop = Window.partitionBy("u").orderBy(F.asc("d9"), F.asc("v"))
-
-    def topk(scored: DataFrame) -> DataFrame:
-        return (
-            scored.withColumn("rn", F.row_number().over(wtop))
-            .filter(F.col("rn") <= _NND_K)
-            .select("u", "v", "d9")
-        )
-
-    # deterministic init: affine formula in (node, slot) mod N
-    jcol = F.explode(
-        F.sequence(F.lit(1), F.lit(_NND_INIT))
-    ).alias("j")
-    init = (
-        emb.select(F.col("vec_id").alias("u"), jcol)
-        .crossJoin(F.broadcast(ncnt))
-        .select(
-            "u",
-            (
-                (F.col("u") * 37 + F.col("j") * 101
-                 + F.col("j") * F.col("j") * 13) % F.col("n_nodes")
-            ).alias("v"),
-        )
-        .filter(F.col("v") != F.col("u"))
-        .distinct()
-    )
-    g = topk(score(init)).localCheckpoint(eager=True)
-    cands = [init]
-    graphs = [g]
-    for _ in range(_NND_ITERS):
-        rev = (
-            g.withColumn(
-                "rr",
-                F.row_number().over(
-                    Window.partitionBy("v").orderBy(F.asc("d9"), F.asc("u"))
-                ),
-            )
-            .filter(F.col("rr") <= _NND_RREV)
-            .select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        adj = g.select("u", "v").unionAll(rev).distinct()
-        cand = (
-            adj.join(
-                adj.select(
-                    F.col("u").alias("mid"), F.col("v").alias("w")
-                ),
-                F.col("v") == F.col("mid"),
-            )
-            .filter(F.col("w") != F.col("u"))
-            .select("u", F.col("w").alias("v"))
-            .distinct()
-        )
-        merged = (
-            g.unionAll(score(cand))
-            .groupBy("u", "v")
-            .agg(F.min("d9").alias("d9"))
-        )
-        g = topk(merged).localCheckpoint(eager=True)
-        cands.append(cand)
-        graphs.append(g)
+    graphs, cands, ncnt = _nnd_graphs(emb)
     # exact brute truth on the frozen eval window, same total order
     sample = emb.filter(
         (F.col("vec_id") >= _SRV_QLO) & (F.col("vec_id") < _SRV_QHI)
@@ -7235,3 +7269,138 @@ def ann_nndescent_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = hits if out is None else out.unionAll(hits)
     return out.orderBy("iter")
+
+
+def _nnd_graph_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per embeddings fingerprint) the FINAL
+    NN-descent kNN graph as a (u, v, d9) parquet — the graph is an
+    index artifact like the IVF layout and the serving truth: built
+    once per corpus, consumed by downstream mining/serving queries at
+    read cost. Fingerprint pins the corpus AND the construction
+    constants (K, INIT, R, iters) so a parameter change can never
+    serve a stale graph."""
+    import os
+
+    from flu_data_pipeline_spark.plans.layout_queries import (
+        _mark_materialized,
+        _materialized_fresh,
+        _src_fingerprint,
+    )
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    target = os.path.join(repo, ".testdata", "ivf", tag, "nnd_graph")
+    fp = (
+        f"{_src_fingerprint(sf_dir, 'embeddings')}"
+        f":k{_NND_K}:i{_NND_INIT}:r{_NND_RREV}:t{_NND_ITERS}"
+    )
+    if not _materialized_fresh(target, fp):
+        emb = load_table(spark, sf_dir, "embeddings")
+        graphs, _, _ = _nnd_graphs(emb)
+        graphs[-1].coalesce(1).write.mode("overwrite").parquet(target)
+        _mark_materialized(target, fp)
+    return target
+
+
+@register(
+    "ann_nndescent_mutual_pairs",
+    oracle=_NND_GRAPH_CTES + f""",
+    mut AS (
+        SELECT x.u, x.v
+        FROM g{_NND_ITERS} x JOIN g{_NND_ITERS} y
+          ON y.u = x.v AND y.v = x.u
+        WHERE x.u < x.v
+    ),
+    lab AS (
+        SELECT m.u, m.v,
+               CASE WHEN la.label = lb.label THEN 1 ELSE 0 END AS same
+        FROM mut m
+        JOIN embeddings la ON la.vec_id = m.u
+        JOIN embeddings lb ON lb.vec_id = m.v
+    )
+    SELECT CAST({_NND_K} AS INT) AS k,
+           nn.n AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM g{_NND_ITERS})
+               AS n_graph_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_mutual_pairs,
+           CAST(SUM(same) AS BIGINT) AS n_same_label,
+           ROUND(CAST(SUM(same) AS DOUBLE) / COUNT(*), 6)
+               AS label_agreement
+    FROM lab CROSS JOIN nn
+    GROUP BY nn.n
+    """,
+    doc="Mutual-kNN pair mining off the PERSISTED NN-descent graph — "
+    "the consumer half of the graph family: the constructed kNN graph "
+    "is an index artifact (materialized once per corpus fingerprint "
+    "next to the IVF layout, invalidation-disciplined like the "
+    "serving truth), and this query reads it at artifact cost to mine "
+    "MUTUAL pairs (u in v's list AND v in u's list, u < v) — the "
+    "standard reciprocal-kNN filter that turns a directed kNN graph "
+    "into high-precision candidate pairs for semdedup-style near-dup "
+    "clustering and contrastive-negative mining (reciprocity prunes "
+    "hub-induced asymmetric edges). Reported with the label-agreement "
+    "rate of the mined pairs (the embeddings table's coarse label as "
+    "weak ground truth, the cluster_label_nmi precedent) so pair "
+    "quality is an oracle-checked number, not an assertion. The "
+    "oracle replays graph construction AND mining in one unrolled "
+    "CTE chain (shared verbatim with ann_nndescent_knn_graph's). "
+    "Scale shape: the mining side is one self-equi-join of an N x K "
+    "edge list on (u, v) plus two key joins into the label column — "
+    "linear, shuffle-bounded by the edge count; mutual pairs are "
+    "<= N x K / 2 by construction (invariant-tested).",
+    tags=("similarity", "ann", "graph", "dedup", "llm"),
+)
+def ann_nndescent_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = spark.read.parquet(_nnd_graph_path(spark, sf_dir))
+    emb = load_table(spark, sf_dir, "embeddings")
+    ncnt = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    nedge = g.agg(F.count(F.lit(1)).cast("bigint").alias("n_graph_edges"))
+    rev = g.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    mut = (
+        g.select("u", "v")
+        .join(rev, ["u", "v"])
+        .filter(F.col("u") < F.col("v"))
+    )
+    lab = emb.select("vec_id", "label")
+    same = (
+        mut.join(
+            lab.select(
+                F.col("vec_id").alias("u"), F.col("label").alias("label_u")
+            ),
+            "u",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("v"), F.col("label").alias("label_v")
+            ),
+            "v",
+        )
+        .select(
+            F.when(F.col("label_u") == F.col("label_v"), 1)
+            .otherwise(0)
+            .alias("same")
+        )
+    )
+    return (
+        same.agg(
+            F.lit(_NND_K).cast("int").alias("k"),
+            F.count(F.lit(1)).cast("bigint").alias("n_mutual_pairs"),
+            F.sum("same").cast("bigint").alias("n_same_label"),
+        )
+        .crossJoin(F.broadcast(ncnt))
+        .crossJoin(F.broadcast(nedge))
+        .select(
+            "k",
+            "n_nodes",
+            "n_graph_edges",
+            "n_mutual_pairs",
+            "n_same_label",
+            F.round(
+                F.col("n_same_label").cast("double")
+                / F.col("n_mutual_pairs"),
+                6,
+            ).alias("label_agreement"),
+        )
+    )

@@ -263,6 +263,17 @@ BNLJ_AUDITED: dict[str, str] = {
                                  #     broadcast, qid<>nid condition —
                                  #     same shape as ann_topk_cosine;
                                  #     candidates stream, never cross
+    # round-11 additions — the NN-descent pair:
+    "ann_nndescent_knn_graph": "ab",  # (a) 1-row corpus-cardinality /
+                                 #     candidate-count / truth-slot
+                                 #     aggs crossed onto the per-round
+                                 #     recall rows; (b) 50-node eval
+                                 #     sample broadcast with the u<>v
+                                 #     truth condition
+    "ann_nndescent_mutual_pairs": "a",  # (a) 1-row cardinality +
+                                 #     edge-count aggs crossed onto
+                                 #     the single summary row (mining
+                                 #     joins are equi on (u, v))
 }
 
 

@@ -944,3 +944,17 @@ def test_nndescent_recall_monotone_and_graph_bounds(spark):
     # refinement must actually help on this corpus (init is random:
     # anything near-zero would stay near-zero if rounds were no-ops)
     assert recalls[-1] > recalls[0]
+
+
+def test_nndescent_mutual_pairs_bounds(spark):
+    """Reciprocal-kNN mining invariants: mutual pairs are at most
+    |edges|/2 (each pair consumes two directed edges), edges at most
+    N x K, counts internally consistent, agreement a valid ratio."""
+    from flu_data_pipeline_spark.plans.similarity_queries import _NND_K
+
+    (r,) = _rows(spark, "ann_nndescent_mutual_pairs")
+    assert r["n_graph_edges"] <= r["n_nodes"] * _NND_K
+    assert r["n_mutual_pairs"] <= r["n_graph_edges"] // 2
+    assert 0 <= r["n_same_label"] <= r["n_mutual_pairs"]
+    assert 0.0 <= r["label_agreement"] <= 1.0
+    assert r["n_mutual_pairs"] > 0  # a kNN graph always has reciprocity

@@ -4520,6 +4520,12 @@ def ann_serving_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         # queries the pair-level form re-evaluated it up to 50x per row
         # (round-10; values bit-identical, the oracle still scores per
         # pair because SQL CTEs have no cost model to care about).
+        # ADVICE r10 suggested semi-join-filtering to the probed lists
+        # before dequantizing — already the case: `pruned` is filtered
+        # to EXACTLY this level's probed list ids, and every id is some
+        # query's probe, so each scanned row survives the join (only
+        # the <=|Q| self-pairs are dequantized and dropped). No wasted
+        # work to reclaim.
         pruned_sq8 = pruned.crossJoin(F.broadcast(bounds)).select(
             "list_id",
             "vec_id",

@@ -7410,3 +7410,232 @@ def ann_nndescent_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("label_agreement"),
         )
     )
+
+
+#: Beam width and hop count of the graph-serving walk.
+_NND_BEAM_B = 10
+_NND_BEAM_HOPS = 3
+#: Deterministic entry point: the minimum vec_id (a production graph
+#: index ships a fixed entry, e.g. HNSW's top-layer root).
+_NND_ENTRY = 0
+
+
+def _beam_hop_sql(h: int) -> str:
+    """One unrolled beam-search hop as SQL CTEs: visited{h-1}/beam{h-1}
+    -> visited{h}/beam{h}. Candidates = graph neighbors of the beam;
+    visited accumulates (DISTINCT union); the next beam is the top-B
+    of everything visited under the total order (d9, v)."""
+    return f"""
+    cand{h} AS (
+        SELECT DISTINCT b.query_id, g.v
+        FROM beam{h - 1} b JOIN g{_NND_ITERS} g ON g.u = b.v
+    ),
+    vis{h} AS (
+        SELECT query_id, v FROM visited{h - 1}
+        UNION
+        SELECT query_id, v FROM cand{h}
+    ),
+    visited{h} AS (
+        SELECT w.query_id, w.v,
+               {_nnd_d9_sql('q.embedding', 'e.embedding')} AS d9
+        FROM vis{h} w
+        JOIN embeddings q ON q.vec_id = w.query_id
+        JOIN embeddings e ON e.vec_id = w.v
+    ),
+    beam{h} AS (
+        SELECT query_id, v FROM (
+            SELECT query_id, v, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY d9, v) AS rn
+            FROM visited{h}) WHERE rn <= {_NND_BEAM_B}
+    )"""
+
+
+@register(
+    "ann_nndescent_beam_search",
+    oracle=_NND_GRAPH_CTES + f""",
+    q AS (
+        SELECT vec_id AS query_id FROM embeddings
+        WHERE vec_id >= {_SRV_QLO} AND vec_id < {_SRV_QHI}
+    ),
+    visited0 AS (
+        SELECT q.query_id, CAST({_NND_ENTRY} AS BIGINT) AS v,
+               CAST(0 AS BIGINT) AS d9
+        FROM q
+    ),
+    beam0 AS (SELECT query_id, v FROM visited0),
+    {_beam_hop_sql(1)},
+    {_beam_hop_sql(2)},
+    {_beam_hop_sql(3)},
+    truth AS (
+        SELECT qq.vec_id AS query_id, c.vec_id AS v
+        FROM embeddings qq JOIN embeddings c ON c.vec_id <> qq.vec_id
+        WHERE qq.vec_id >= {_SRV_QLO} AND qq.vec_id < {_SRV_QHI}
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY qq.vec_id
+            ORDER BY {_SQDIST_IVF_SQL.format(
+                v='qq.embedding', c='c.embedding')}, c.vec_id
+        ) <= 3
+    ),
+    hops AS (
+        SELECT 1 AS hop UNION ALL SELECT 2 UNION ALL SELECT 3
+    ),
+    ans AS (
+        SELECT 1 AS hop, query_id, v FROM (
+            SELECT query_id, v, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY d9, v) AS rn
+            FROM visited1 WHERE v <> query_id) WHERE rn <= 3
+        UNION ALL
+        SELECT 2, query_id, v FROM (
+            SELECT query_id, v, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY d9, v) AS rn
+            FROM visited2 WHERE v <> query_id) WHERE rn <= 3
+        UNION ALL
+        SELECT 3, query_id, v FROM (
+            SELECT query_id, v, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY d9, v) AS rn
+            FROM visited3 WHERE v <> query_id) WHERE rn <= 3
+    ),
+    nvis AS (
+        SELECT 1 AS hop, CAST(COUNT(*) AS BIGINT) AS n_visited
+        FROM vis1
+        UNION ALL
+        SELECT 2, CAST(COUNT(*) AS BIGINT) FROM vis2
+        UNION ALL
+        SELECT 3, CAST(COUNT(*) AS BIGINT) FROM vis3
+    ),
+    hits AS (
+        SELECT h.hop,
+               CAST(COUNT(*) AS BIGINT) AS n_truth_slots,
+               CAST(SUM(CASE WHEN a.v IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit
+        FROM hops h
+        CROSS JOIN truth t
+        LEFT JOIN ans a ON a.hop = h.hop AND a.query_id = t.query_id
+                       AND a.v = t.v
+        GROUP BY h.hop
+    )
+    SELECT CAST(h.hop AS INT) AS hop,
+           CAST({_NND_BEAM_B} AS INT) AS beam_width,
+           n.n_visited,
+           h.n_truth_slots,
+           h.n_hit,
+           ROUND(CAST(h.n_hit AS DOUBLE) / h.n_truth_slots, 6)
+               AS recall_at_3
+    FROM hits h JOIN nvis n ON n.hop = h.hop
+    ORDER BY hop
+    """,
+    doc="Graph-index SERVING: greedy beam search over the persisted "
+    "NN-descent kNN graph — the walk primitive HNSW/DiskANN deploy, "
+    "completing the graph family's construction (knn_graph) / mining "
+    "(mutual_pairs) / serving triple. Every query starts at one fixed "
+    f"entry node (vec_id {_NND_ENTRY} — a graph index ships its entry "
+    f"point), then {_NND_BEAM_HOPS} hops of: expand the current "
+    f"beam's graph neighbors, accumulate the visited set, re-rank by "
+    "exact integer-quantized L2 (the graph's own total order), keep "
+    f"the best {_NND_BEAM_B} as the next beam. Per-hop recall@3 vs "
+    "the exact L2 brute truth plus the visited count (the cost axis) "
+    "— the hop sweep prices recall against vertices touched exactly "
+    "like the frontier's nprobe sweep prices it against rows "
+    "scanned. The serving cost is B x K x hops VERTICES PER QUERY — "
+    "independent of corpus size N — which is the whole argument for "
+    "graph serving at 100 TB: the flat/IVF frontier scans rows "
+    "proportional to N/nprobe, the graph walk touches a constant "
+    "few hundred; its decade row should read FLAT while every scan "
+    "row grows. Recall here is honest-low (the synthetic corpus is "
+    "near-uniform random 64-d — distance concentration starves graph "
+    "navigability, and the 2-round NN-descent graph is deliberately "
+    "part-converged; recall climbs with hops exactly as the theory "
+    "says, invariant-tested as non-decreasing since visited sets "
+    "only grow). Graph read from the fingerprint-cached artifact; "
+    "oracle replays construction AND the full walk in one unrolled "
+    "CTE chain. Cites Malkov & Yashunin 2016 (HNSW greedy search), "
+    "Subramanya et al. 2019 (DiskANN beam search).",
+    tags=("similarity", "ann", "graph", "llm", "O3"),
+    bench=True,
+)
+def ann_nndescent_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flu_data_pipeline_spark.operators.clustering import sqdist
+
+    g = spark.read.parquet(_nnd_graph_path(spark, sf_dir)).select("u", "v")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") >= _SRV_QLO) & (F.col("vec_id") < _SRV_QHI)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("v"), F.col("embedding").alias("v_emb")
+    )
+    wbeam = Window.partitionBy("query_id").orderBy(F.asc("d9"), F.asc("v"))
+    # hop 0: every query sits at the fixed entry vertex
+    visited = queries.select(
+        "query_id", F.lit(_NND_ENTRY).cast("long").alias("v")
+    )
+    beam = visited
+    out = None
+    for hop in range(1, _NND_BEAM_HOPS + 1):
+        cand = (
+            beam.join(g, beam["v"] == g["u"])
+            .select("query_id", g["v"])
+            .distinct()
+        )
+        vis = visited.unionAll(cand).distinct()
+        scored = (
+            vis.join(corpus, "v")
+            .join(F.broadcast(queries), "query_id")
+            .select(
+                "query_id",
+                "v",
+                F.floor(sqdist(F.col("q_emb"), F.col("v_emb")) * _PQ_SCALE)
+                .cast("long")
+                .alias("d9"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        beam = (
+            scored.withColumn("rn", F.row_number().over(wbeam))
+            .filter(F.col("rn") <= _NND_BEAM_B)
+            .select("query_id", "v")
+        )
+        visited = scored.select("query_id", "v")
+        nvis = vis.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_visited")
+        )
+        ans = (
+            scored.filter(F.col("v") != F.col("query_id"))
+            .withColumn("rn", F.row_number().over(wbeam))
+            .filter(F.col("rn") <= 3)
+            .select(
+                F.col("query_id").alias("a_qid"), F.col("v").alias("a_v")
+            )
+        )
+        truth = _serving_truth(spark, sf_dir, "l2")
+        hit = F.col("a_v").isNotNull()
+        row = (
+            truth.join(
+                ans,
+                (F.col("query_id") == F.col("a_qid"))
+                & (F.col("neighbor_id") == F.col("a_v")),
+                "left",
+            )
+            .agg(
+                F.lit(hop).cast("int").alias("hop"),
+                F.lit(_NND_BEAM_B).cast("int").alias("beam_width"),
+                F.count(F.lit(1)).cast("bigint").alias("n_truth_slots"),
+                F.sum(hit.cast("int")).cast("long").alias("n_hit"),
+            )
+            .crossJoin(F.broadcast(nvis))
+            .select(
+                "hop",
+                "beam_width",
+                "n_visited",
+                "n_truth_slots",
+                "n_hit",
+                F.round(
+                    F.col("n_hit").cast("double") / F.col("n_truth_slots"),
+                    6,
+                ).alias("recall_at_3"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("hop")

@@ -274,6 +274,11 @@ BNLJ_AUDITED: dict[str, str] = {
                                  #     edge-count aggs crossed onto
                                  #     the single summary row (mining
                                  #     joins are equi on (u, v))
+    "ann_nndescent_beam_search": "a",  # (a) 1-row visited-count agg
+                                 #     crossed onto each per-hop recall
+                                 #     row (walk joins are equi on
+                                 #     vertex ids; truth/query
+                                 #     broadcasts are equi-keyed)
 }
 
 

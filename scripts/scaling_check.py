@@ -166,6 +166,11 @@ TWIN_QUERIES = [
     "pq_rerank_hydration_metric",  # executed hydration bound at scale
     "ann_nndescent_knn_graph",    # NN-descent rounds, rho-sampled
                                   # (K+R)^2-bounded local join
+    "ann_nndescent_beam_search",  # graph-serving walk: budget is
+                                  # B*K*hops per query, N-independent
+                                  # — the twin of the construction row
+                                  # (build grows linearly, serving
+                                  # should read FLAT)
 ]
 
 
@@ -200,6 +205,7 @@ def main() -> None:
         # preceding cell) read 1.8x.
         from flu_data_pipeline_spark.plans.similarity_queries import (
             _ivf_layout_path,
+            _nnd_graph_path,
             _serving_truth_path,
         )
         from flu_data_pipeline_spark.plans.text_queries import (
@@ -217,6 +223,11 @@ def main() -> None:
             # read by every serving row) — pre-materialize so the
             # cells measure steady-state serving
             _serving_truth_path(spark, d)
+            # ... and the NN-descent graph index the beam-search row
+            # serves from (one-time build, the construction row above
+            # measures it; the serving cell must read the steady
+            # state)
+            _nnd_graph_path(spark, d)
         # Best-of-2 everywhere except the brute semdedup twin at sf10:
         # its single run is ~11 min of pure N*k join (noise <<1%), and
         # the row exists to MEASURE that asymptote, not to tune it.

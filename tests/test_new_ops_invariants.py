@@ -958,3 +958,28 @@ def test_nndescent_mutual_pairs_bounds(spark):
     assert 0 <= r["n_same_label"] <= r["n_mutual_pairs"]
     assert 0.0 <= r["label_agreement"] <= 1.0
     assert r["n_mutual_pairs"] > 0  # a kNN graph always has reciprocity
+
+
+def test_nndescent_beam_search_monotone_and_bounded(spark):
+    """Graph-serving walk invariants: the visited set only grows, so
+    per-hop recall/hits are non-decreasing (top-3 of a superset under
+    the same total order); visited is bounded by the N-INDEPENDENT
+    walk budget |Q| x (1 + B*K*hop) — the whole point of graph
+    serving at scale."""
+    from flu_data_pipeline_spark.plans.similarity_queries import (
+        _NND_BEAM_B,
+        _NND_K,
+        _SRV_NQ,
+    )
+
+    rows = sorted(_rows(spark, "ann_nndescent_beam_search"),
+                  key=lambda r: r["hop"])
+    assert [r["hop"] for r in rows] == [1, 2, 3]
+    assert [r["n_hit"] for r in rows] == sorted(r["n_hit"] for r in rows)
+    vis = [r["n_visited"] for r in rows]
+    assert vis == sorted(vis)
+    for r in rows:
+        assert r["n_visited"] <= _SRV_NQ * (
+            1 + _NND_BEAM_B * _NND_K * r["hop"]
+        )
+        assert 0.0 <= r["recall_at_3"] <= 1.0

@@ -1471,12 +1471,21 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # carry the 16-byte content hash through the dedup shuffle, not the
     # document text — the window partitions by content identity either
-    # way, and text never leaves the map side
-    gated = toks.join(gate, "doc_id").select(
-        "doc_id",
-        "source",
-        F.md5("text").alias("content_md5"),
-        F.size("t").cast("long").alias("n_tokens"),
+    # way, and text never leaves the map side. Eagerly checkpoint the
+    # thin per-doc frame (r11, guide §2.4): the funnel report references
+    # it via THREE downstream branches (gate flag, dedup rank, sample
+    # rank) and without the checkpoint each branch re-ran the full
+    # tokenize + bigram-gate pipeline — 4 rows/doc of recompute for a
+    # ~30-byte/doc frame.
+    gated = (
+        toks.join(gate, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("content_md5"),
+            F.size("t").cast("long").alias("n_tokens"),
+        )
+        .localCheckpoint(eager=True)
     )
     w_dedup = Window.partitionBy("content_md5").orderBy("doc_id")
     deduped = (

@@ -7038,6 +7038,7 @@ _NND_GRAPH_CTES = f"""
 
 def _nnd_graphs(
     emb: DataFrame,
+    keep_cands: bool = False,
 ) -> tuple[list[DataFrame], list[DataFrame], DataFrame]:
     """Build the NN-descent graph sequence [g0..g_ITERS] (each an
     eagerly-checkpointed (u, v, d9) frame — the loop reuses each graph
@@ -7045,7 +7046,23 @@ def _nnd_graphs(
     exponentially) plus the per-round candidate frames and the 1-row
     corpus-cardinality agg. No driver collect anywhere: cardinality
     rides the plan as a broadcast scalar agg (the oracle's CROSS JOIN
-    nn)."""
+    nn).
+
+    ``keep_cands=True`` additionally eager-checkpoints each candidate
+    frame: the construction eval reads every candidate set TWICE (once
+    scored into the next graph, once counted for the report's cost
+    axis), and without the checkpoint the count re-runs the full
+    adjacency self-join subtree — measured 2.6 s of pure recompute and
+    ~50 extra Exchanges in the final plan at sf0.1 (r11, guide §2.4).
+    Callers that never read the candidates (mutual-pair mining, the
+    persisted-graph build) keep the default and pay nothing.
+
+    The scoring joins and the candidate self-join carry SHUFFLE_HASH
+    hints: every one of these joins keys on vec_id whose per-partition
+    build side is corpus/P — bounded at any scale by the partition
+    count — and sort-merge's two per-join sorts are pure overhead on
+    top (guide §3.1; measured at sf0.1: score 1.47 -> 0.94 s, candidate
+    self-join 1.05 -> 0.68 s, hash-identical output)."""
     from flu_data_pipeline_spark.operators.clustering import sqdist
 
     left = emb.select(
@@ -7063,8 +7080,8 @@ def _nnd_graphs(
         """(u, v) pairs -> (u, v, d9) via two key joins into the
         embedding table (shuffle-bounded by the pair count)."""
         return (
-            cand.join(left, "u")
-            .join(right, "v")
+            cand.join(left.hint("shuffle_hash"), "u")
+            .join(right.hint("shuffle_hash"), "v")
             .select("u", "v", d9(F.col("u_emb"), F.col("v_emb")).alias("d9"))
         )
 
@@ -7094,6 +7111,8 @@ def _nnd_graphs(
         .filter(F.col("v") != F.col("u"))
         .distinct()
     )
+    if keep_cands:
+        init = init.localCheckpoint(eager=True)
     g = topk(score(init)).localCheckpoint(eager=True)
     cands = [init]
     graphs = [g]
@@ -7113,13 +7132,15 @@ def _nnd_graphs(
             adj.join(
                 adj.select(
                     F.col("u").alias("mid"), F.col("v").alias("w")
-                ),
+                ).hint("shuffle_hash"),
                 F.col("v") == F.col("mid"),
             )
             .filter(F.col("w") != F.col("u"))
             .select("u", F.col("w").alias("v"))
             .distinct()
         )
+        if keep_cands:
+            cand = cand.localCheckpoint(eager=True)
         merged = (
             g.unionAll(score(cand))
             .groupBy("u", "v")
@@ -7227,7 +7248,7 @@ def ann_nndescent_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.floor(sqdist(a, b) * _PQ_SCALE).cast("long")
 
     wtop = Window.partitionBy("u").orderBy(F.asc("d9"), F.asc("v"))
-    graphs, cands, ncnt = _nnd_graphs(emb)
+    graphs, cands, ncnt = _nnd_graphs(emb, keep_cands=True)
     # exact brute truth on the frozen eval window, same total order
     sample = emb.filter(
         (F.col("vec_id") >= _SRV_QLO) & (F.col("vec_id") < _SRV_QHI)
@@ -7244,37 +7265,55 @@ def ann_nndescent_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     slots = truth.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_truth_slots")
     )
-    out = None
-    for it, gi in enumerate(graphs):
-        ncand = cands[it].agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_candidates")
-        )
-        hits = (
-            F.broadcast(truth)
-            .join(gi, ["u", "v"])
-            .agg(
-                F.lit(it).cast("int").alias("iter"),
-                F.lit(_NND_K).cast("int").alias("k"),
-                F.count(F.lit(1)).cast("bigint").alias("n_hit"),
+
+    # Single-pass report assembly (r11, guide §2.4): tag each
+    # checkpointed graph/candidate frame with its round and aggregate
+    # ONCE per family instead of building a per-round agg + 3
+    # broadcast crossjoins — same rows, but the final job reads only
+    # checkpoints (the per-round form re-ran the full candidate
+    # subtrees for the counts and carried 82 Exchanges at sf0.1).
+    def _tagged(frames: list[DataFrame]) -> DataFrame:
+        out = None
+        for it, fr in enumerate(frames):
+            t = fr.select(
+                F.lit(it).cast("int").alias("iter"), "u", "v"
             )
-            .crossJoin(F.broadcast(ncnt))
-            .crossJoin(F.broadcast(ncand))
-            .crossJoin(F.broadcast(slots))
-            .select(
-                "iter",
-                "k",
-                "n_nodes",
-                "n_candidates",
-                "n_truth_slots",
-                "n_hit",
-                F.round(
-                    F.col("n_hit").cast("double") / F.col("n_truth_slots"),
-                    6,
-                ).alias("recall_at_k"),
-            )
+            out = t if out is None else out.unionAll(t)
+        return out
+
+    ncand = _tagged(cands).groupBy("iter").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    hits = (
+        _tagged(graphs)
+        .join(F.broadcast(truth), ["u", "v"])
+        .groupBy("iter")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    return (
+        ncand.join(hits, "iter", "left")
+        .crossJoin(F.broadcast(ncnt))
+        .crossJoin(F.broadcast(slots))
+        .select(
+            "iter",
+            F.lit(_NND_K).cast("int").alias("k"),
+            "n_nodes",
+            "n_candidates",
+            "n_truth_slots",
+            # left join so a (theoretical) zero-hit round still reports
+            # its row, exactly as the old always-one-row agg did
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("bigint")).alias(
+                "n_hit"
+            ),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0).cast("bigint"))
+                .cast("double")
+                / F.col("n_truth_slots"),
+                6,
+            ).alias("recall_at_k"),
         )
-        out = hits if out is None else out.unionAll(hits)
-    return out.orderBy("iter")
+        .orderBy("iter")
+    )
 
 
 def _nnd_graph_path(spark: SparkSession, sf_dir: str) -> str:

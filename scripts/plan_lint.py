@@ -274,11 +274,19 @@ BNLJ_AUDITED: dict[str, str] = {
                                  #     edge-count aggs crossed onto
                                  #     the single summary row (mining
                                  #     joins are equi on (u, v))
-    "ann_nndescent_beam_search": "a",  # (a) 1-row visited-count agg
+    "ann_nndescent_beam_search": "ab",  # (a) 1-row visited-count agg
                                  #     crossed onto each per-hop recall
-                                 #     row (walk joins are equi on
-                                 #     vertex ids; truth/query
-                                 #     broadcasts are equi-keyed)
+                                 #     row; (b) hop-1's candidate join:
+                                 #     the entry beam's vertex id is a
+                                 #     LITERAL (the graph's fixed entry
+                                 #     point), so Catalyst constant-
+                                 #     folds the equi key into the
+                                 #     graph scan's filter (u = entry)
+                                 #     and plans queries x that slice
+                                 #     as a BNLJ — broadcast side <= K
+                                 #     rows by the graph's per-node
+                                 #     top-K cap. Later hops keep real
+                                 #     equi keys.
 }
 
 

@@ -53,28 +53,46 @@ def centroid_df(spark: SparkSession, centroids: list[list[float]]):
 
 
 def assign_best(
-    df: DataFrame, vec_col: str, id_col: str, centroids: list[list[float]]
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    keep_vec: bool = False,
 ) -> DataFrame:
-    """(id, cluster, dist) of the nearest centroid per row. Ties go to the
-    lowest cluster index: min over struct(dist, cluster) is lexicographic,
-    identical to the oracle's ``ORDER BY dist, cluster`` pick."""
+    """(id, cluster, dist[, vec]) of the nearest centroid per row. Ties
+    go to the lowest cluster index: min over struct(dist, cluster) is
+    lexicographic, identical to the oracle's ``ORDER BY dist, cluster``
+    pick. ``keep_vec`` rides the input vector through the aggregation
+    (it cannot affect the argmin — (dist, cluster) is unique within an
+    id's group) so callers avoid re-joining ``df`` on the id: the
+    partial-aggregating min already shrinks the shuffle to one row per
+    id per map partition, so carrying the vector costs the same bytes
+    the re-join would shuffle anyway, minus the join (r11, guide §2.4 —
+    same shape twolevel_assign has used since round 9)."""
     spark = df.sparkSession
     cdf = centroid_df(spark, centroids)
+    fields = [F.col("dist"), F.col("cluster")]
+    if keep_vec:
+        fields.append(F.col(vec_col).alias("v"))
+    out = [
+        id_col,
+        F.col("best.cluster").alias("cluster"),
+        F.col("best.dist").alias("dist"),
+    ]
+    if keep_vec:
+        out.append(F.col("best.v").alias(vec_col))
     return (
         df.select(id_col, vec_col)
         .join(F.broadcast(cdf))
         .select(
             id_col,
             "cluster",
+            vec_col,
             sqdist(F.col(vec_col), F.col("c")).alias("dist"),
         )
         .groupBy(id_col)
-        .agg(F.min(F.struct("dist", "cluster")).alias("best"))
-        .select(
-            id_col,
-            F.col("best.cluster").alias("cluster"),
-            F.col("best.dist").alias("dist"),
-        )
+        .agg(F.min(F.struct(*fields)).alias("best"))
+        .select(*out)
     )
 
 
@@ -129,9 +147,20 @@ def kmeans_fit(
         )
     k = len(centroids)  # actual count (init_every mode derives it from data)
     for _ in range(iters):
-        best = assign_best(df, vec_col, id_col, centroids)
+        # mean update (r11, guide §2.4): the assignment carries the
+        # vector through its partial-aggregating argmin (keep_vec), so
+        # the old re-join of df on the id (a second shuffle of the
+        # vectors + a sort-merge join per iteration) is gone. The
+        # per-dim averages stay in the posexplode + groupBy(cluster,
+        # dim) shape: a measured A/B showed the "dim parallel
+        # aggregates in one groupBy" alternative 2.2x SLOWER here
+        # (2.37 s vs 1.10 s per pass at sf0.1 — wide-agg codegen falls
+        # off a cliff), the opposite of what it does for
+        # twolevel_assign's k-row fine-centroid frame. Addend sets per
+        # (cluster, dim) are unchanged, so the round_dp rounding
+        # yields the same centroids.
         new = (
-            df.join(best.select(id_col, "cluster"), id_col)
+            assign_best(df, vec_col, id_col, centroids, keep_vec=True)
             .select("cluster", F.posexplode(vec_col).alias("dim", "x"))
             .groupBy("cluster", "dim")
             .agg(F.round(F.avg(F.col("x").cast("double")), round_dp).alias("av"))

@@ -694,16 +694,14 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "embedding", "vec_id",
         iters=_KMEANS_ITERS, init_every=_SEMDEDUP_INIT_EVERY,
     )
+    # r11 (guide §2.4): keep_vec carries the embedding through the
+    # assignment's partial agg (no re-join of emb on the id), and the
+    # eager checkpoint stops the THREE downstream references (x side,
+    # y side, final left join) from re-running the assignment.
     d = (
-        assign_best(emb, "embedding", "vec_id", cents)
-        .join(
-            emb.select(
-                "vec_id",
-                "embedding",
-                norm(F.col("embedding")).alias("nrm"),
-            ),
-            "vec_id",
-        )
+        assign_best(emb, "embedding", "vec_id", cents, keep_vec=True)
+        .withColumn("nrm", norm(F.col("embedding")))
+        .localCheckpoint(eager=True)
     )
     # Pin pair-join parallelism: tiny bytes, quadratic pairs — AQE
     # would coalesce to one partition and run the join single-task
@@ -958,12 +956,11 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_fit(emb, "embedding", "vec_id", k=_KMEANS_K, iters=_KMEANS_ITERS)
-    assigned = (
-        assign_best(emb, "embedding", "vec_id", cents)
-        .select("vec_id", "cluster")
-        .join(emb.select("vec_id", "embedding"), "vec_id")
-        .select("vec_id", "embedding", F.col("cluster").alias("cluster_id"))
-    )
+    # r11 (guide §2.4): keep_vec rides the embedding through the
+    # assignment instead of re-joining emb on the id
+    assigned = assign_best(
+        emb, "embedding", "vec_id", cents, keep_vec=True
+    ).select("vec_id", "embedding", F.col("cluster").alias("cluster_id"))
     cdf = centroid_df(spark, cents)
     wprobe = Window.partitionBy("query_id").orderBy(F.asc("cdist"), F.asc("cluster"))
     probes = (
@@ -2615,9 +2612,7 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_fit(emb, "embedding", "vec_id", k=_KMEANS_K, iters=_KMEANS_ITERS)
     assigned = (
-        assign_best(emb, "embedding", "vec_id", cents)
-        .select("vec_id", "cluster")
-        .join(emb.select("vec_id", "embedding"), "vec_id")
+        assign_best(emb, "embedding", "vec_id", cents, keep_vec=True)
         .select("vec_id", "embedding", F.col("cluster").alias("cluster_id"))
         .localCheckpoint(eager=True)
     )
@@ -3004,10 +2999,8 @@ def _ivf_layout_path(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             "overwrite"
         ).parquet(cpath)
         (
-            assign_best(emb, "embedding", "vec_id", cents)
-            .select("vec_id", F.col("cluster").alias("list_id"))
-            .join(emb, "vec_id")
-            .select("vec_id", "embedding", "list_id")
+            assign_best(emb, "embedding", "vec_id", cents, keep_vec=True)
+            .select("vec_id", "embedding", F.col("cluster").alias("list_id"))
             .repartition("list_id")
             .write.mode("overwrite")
             .partitionBy("list_id")
@@ -4488,7 +4481,11 @@ def ann_serving_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.array(*[F.col(f"lo{i}") for i in range(64)]).alias("lo"),
         F.array(*[F.col(f"hi{i}") for i in range(64)]).alias("hi"),
-    )
+        # r11 (guide §2.4): the SQ8 codec bounds are query- and
+        # level-independent; without the checkpoint every nprobe
+        # level's scoring job re-ran this 128-aggregate full-corpus
+        # pass (~0.67 s x 4 of the 11 s total at sf0.1)
+    ).localCheckpoint(eager=True)
     wprobe = Window.partitionBy("query_id").orderBy(
         F.asc("cdist"), F.asc("cluster")
     )
@@ -4829,7 +4826,14 @@ def ann_serving_frontier_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("d9").cast("long").alias("dist9"))
             .localCheckpoint(eager=True)
         )
-        ncand = cand.agg(
+        # r11 (guide §2.4): count the checkpointed scored frame instead
+        # of re-running the pruned scan + probe join. Exactly one
+        # scored group per candidate pair: (query_id, neighbor_id) is
+        # unique in cand (a vector lives in one list; probes are unique
+        # per level), codes has exactly M rows per vector, and the ADC
+        # table carries every (query, j, code) cell — the joins can
+        # neither drop nor duplicate a candidate.
+        ncand = scored.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_candidates")
         )
         wtop = Window.partitionBy("query_id").orderBy(
@@ -5021,6 +5025,9 @@ def ann_ingest_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, "embedding", "vec_id", k=_KMEANS_K, iters=_KMEANS_ITERS
     )
     cdf = centroid_df(spark, cents)
+    # NOT keep_vec (r11): a measured A/B showed carrying the embedding
+    # through the argmin agg buffer 2 s slower here than this join —
+    # which the planner executes as a broadcast of emb at bench scale.
     idx_pre = (
         assign_best(base, "embedding", "vec_id", cents)
         .select("vec_id", "cluster")
@@ -6045,10 +6052,17 @@ def _pq_trained_codebooks(emb: DataFrame) -> DataFrame:
                 F.transform("pairs", lambda p: p["av"]).alias("nc"),
             )
         )
-        cb = cb.join(F.broadcast(means), ["j", "cluster"], "left").select(
-            "j", "cluster", F.coalesce("nc", "csub").alias("csub")
+        cb = (
+            cb.join(F.broadcast(means), ["j", "cluster"], "left")
+            .select("j", "cluster", F.coalesce("nc", "csub").alias("csub"))
+            # per-generation eager checkpoint (r11, guide §2.4): each
+            # iteration's asg/means otherwise compound into ONE deep
+            # plan whose analysis + nested broadcast stages dominated —
+            # measured 3.7 s for the whole train; the checkpoint is 128
+            # rows
+            .localCheckpoint(eager=True)
         )
-    return cb.localCheckpoint(eager=True)
+    return cb
 
 
 def _pq_cb_sql() -> str:
@@ -7637,7 +7651,12 @@ def ann_nndescent_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "v")
         )
         visited = scored.select("query_id", "v")
-        nvis = vis.agg(
+        # r11 (guide §2.4): count the checkpointed scored frame instead
+        # of re-running the hop's expand+distinct subtree — scored is
+        # vis joined 1:1 into corpus and queries (both joins are
+        # key-complete: every visited vertex exists in the corpus,
+        # every query_id in queries), so the counts are equal.
+        nvis = scored.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_visited")
         )
         ans = (

@@ -1911,10 +1911,15 @@ def _bpe_train(docs: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
             .groupBy(F.col("u.a").alias("x"), F.col("u.b").alias("y"))
             .agg(F.sum("cnt").cast("bigint").alias("c"))
         )
+        # lazy checkpoint (r11, guide §2.4): the eager form ran a
+        # separate blocking job per round just to pick the argmax pair;
+        # lazily the next vocab rewrite's eager checkpoint materializes
+        # it in the same job (one job per merge round instead of two)
+        # while the merge-table output still reads the materialized RDD.
         best = (
             pairs.orderBy(F.desc("c"), F.asc("x"), F.asc("y"))
             .limit(1)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         merges.append(best.withColumn("merge_rank", F.lit(t)))
         padded = F.concat(
@@ -4827,7 +4832,7 @@ _SHARD_CHARS = 16_384
 
 def _cleaned_corpus_paths(
     spark: SparkSession, sf_dir: str, base_dir: str | None = None
-) -> tuple[str, str, int]:
+) -> tuple[str, str, int, DataFrame]:
     """Materialize the CLEANED corpus (removal-plan surgery applied) as
     a source-partitioned parquet table plus its shard-plan manifest,
     once per source fingerprint; EVERY call finishes with an idempotent
@@ -4861,8 +4866,15 @@ def _cleaned_corpus_paths(
     manifest = os.path.join(base, "manifest")
 
     docs = load_table(spark, sf_dir, "documents")
-    spans = _removal_plan_frame(docs).select(
-        "doc_id", "span_start", "span_end"
+    # lazy checkpoint (r11, guide §2.4): the span-mining plan feeds the
+    # idempotence replay's cleaned frame AND the caller's independent
+    # removed-chars reconciliation scan; without it both evaluated the
+    # full winnowing/span pipeline from scratch. Returned to the caller
+    # so corpus_cleaned_write_pipeline reads the same materialization.
+    spans = (
+        _removal_plan_frame(docs)
+        .select("doc_id", "span_start", "span_end", "bytes_removed")
+        .localCheckpoint(eager=False)
     )
     cleaned = (
         _cleaned_text_frame(docs, spans)
@@ -4933,7 +4945,7 @@ def _cleaned_corpus_paths(
     rerun_appended = idempotent_append(
         spark, cleaned, corpus, ("doc_id",), partition_cols=("source",)
     )
-    return corpus, manifest, rerun_appended
+    return corpus, manifest, rerun_appended, spans
 
 
 @register(
@@ -4999,7 +5011,7 @@ def corpus_cleaned_write_pipeline(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    corpus, manifest, rerun = _cleaned_corpus_paths(spark, sf_dir)
+    corpus, manifest, rerun, spans = _cleaned_corpus_paths(spark, sf_dir)
     if rerun != 0:
         raise AssertionError(
             f"idempotent replay appended {rerun} rows — the cleaned-"
@@ -5015,9 +5027,12 @@ def corpus_cleaned_write_pipeline(
         F.count(F.lit(1)).cast("bigint").alias("docs_expected"),
         F.sum(F.length("text")).cast("bigint").alias("orig_chars_total"),
     )
+    # r11 (guide §2.4): read the replay's checkpointed spans instead of
+    # re-mining the removal plan — the reconciliation stays an
+    # independent derivation (spans vs the stored table's chars), just
+    # without paying the span pipeline twice per invocation.
     removed = (
-        _removal_plan_frame(docs)
-        .join(docs.select("doc_id", "source"), "doc_id")
+        spans.join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(F.sum("bytes_removed").cast("bigint").alias("removed"))
     )

@@ -732,7 +732,7 @@ def test_cleaned_corpus_pipeline_runtime(spark, tmp_path):
     )
 
     base = str(tmp_path / "cleaned")
-    corpus, manifest, rerun = _cleaned_corpus_paths(
+    corpus, manifest, rerun, _ = _cleaned_corpus_paths(
         spark, SF_SMOKE, base_dir=base
     )
     # first invocation: built + replayed; replay must append nothing
@@ -750,12 +750,12 @@ def test_cleaned_corpus_pipeline_runtime(spark, tmp_path):
     assert man.count() == docs.count()
     assert man.agg(F.min("shard_id")).first()[0] == 0
     # second invocation on the SAME fingerprint: no rebuild, still 0
-    _, _, rerun2 = _cleaned_corpus_paths(spark, SF_SMOKE, base_dir=base)
+    _, _, rerun2, _ = _cleaned_corpus_paths(spark, SF_SMOKE, base_dir=base)
     assert rerun2 == 0
     assert back.count() == docs.count()
     # stale fingerprint forces a rebuild (never serve a stale corpus)
     with open(os.path.join(corpus, "_SRC_FINGERPRINT"), "w") as fh:
         fh.write("stale")
-    _, _, rerun3 = _cleaned_corpus_paths(spark, SF_SMOKE, base_dir=base)
+    _, _, rerun3, _ = _cleaned_corpus_paths(spark, SF_SMOKE, base_dir=base)
     assert rerun3 == 0
     assert spark.read.parquet(corpus).count() == docs.count()

@@ -450,27 +450,38 @@ def twolevel_kmeans_assigned(
         asg = twolevel_assign(
             df, vec_col, id_col, fine, coarse, nprobe, keep_vec=True
         )
-        # per-dim averages as dim parallel aggregates in ONE groupBy —
-        # no posexplode (the exploded form shuffles N·dim rows per
-        # iteration; this shuffles N rows and emits k_f). Addend sets
-        # match the oracle's per-(cluster, dim) AVG; the round_dp
-        # rounding quashes ulp-level sum-order differences, same as
+        # per-dim averages via posexplode + groupBy(cluster, dim),
+        # rebuilt into arrays natively (r11). This REPLACES the "dim
+        # parallel aggregates in one groupBy" form used through r10: a
+        # measured A/B inside the full fit showed the wide-agg form
+        # 1.7x slower end to end (7.3 s vs 4.3 s at sf0.1, identical
+        # assignments) — codegen falls off a cliff at `dim` aggregate
+        # expressions. The old shape's "N rows vs N*dim rows" shuffle
+        # argument does not survive partial aggregation: BOTH forms
+        # reduce map-side to per-(cluster[, dim]) partials, so the
+        # shuffle is k_f-bounded either way. Addend sets match the
+        # oracle's per-(cluster, dim) AVG; the round_dp rounding
+        # quashes ulp-level sum-order differences, same as
         # kmeans_fit's contract.
         upd = (
-            asg.groupBy("cluster")
+            asg.select(
+                "cluster", F.posexplode(vec_col).alias("i", "x")
+            )
+            .groupBy("cluster", "i")
             .agg(
-                *[
-                    F.round(
-                        F.avg(F.col(vec_col)[i].cast("double")), round_dp
-                    ).alias(f"_a{i}")
-                    for i in range(dim)
-                ]
+                F.round(
+                    F.avg(F.col("x").cast("double")), round_dp
+                ).alias("av")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("i", "av"))
+                ).alias("pairs")
             )
             .select(
                 "cluster",
-                F.array(*[F.col(f"_a{i}") for i in range(dim)]).alias(
-                    "nc"
-                ),
+                F.transform("pairs", lambda p: p["av"]).alias("nc"),
             )
         )
         fine = (

@@ -42,6 +42,18 @@ ENGINE_RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.python.filterPushdown.enabled": "true",
     # Broadcast only truly small build sides (see get_spark rationale).
     "spark.sql.autoBroadcastJoinThreshold": str(2 * 1024 * 1024),
+    # Let AQE rewrite a sort-merge join to a shuffled-hash join at
+    # runtime when EVERY post-shuffle partition is under this bound
+    # (default 0 = never). The decision is made from actual partition
+    # bytes, so it is scale-adaptive by construction: partitions above
+    # the bound keep sort-merge, and the bound itself is a per-task
+    # build-side memory promise (64 MiB) independent of corpus size —
+    # the guide-§3.1 middle ground between broadcast and SMJ. Measured
+    # at sf0.1 (r11): join-heavy set -9% (q7 -27%, q18 -16%), zero
+    # regressions, self-proving plan queries (DPP, bucketed-no-shuffle)
+    # unaffected.
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold":
+        str(64 * 1024 * 1024),
     # InferFiltersFromGenerate pushes full generator expressions below
     # repartitions into the scan (measured 17x on HOF-heavy explodes).
     "spark.sql.optimizer.excludedRules":
@@ -134,6 +146,12 @@ def get_spark(
         # runtime join re-selection can still upgrade a shuffle join whose
         # post-filter build side turns out tiny.
         .config("spark.sql.autoBroadcastJoinThreshold", str(2 * 1024 * 1024))
+        # AQE SMJ->SHJ rewrite from ACTUAL post-shuffle partition sizes
+        # (see ENGINE_RUNTIME_CONFS for the rationale + measurements)
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         # InferFiltersFromGenerate synthesizes size(<explode input>)>0 /
         # isnotnull filters; predicate pushdown then substitutes the FULL
         # generator expression and pushes it below repartitions to the

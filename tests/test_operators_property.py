@@ -351,6 +351,38 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert all(r["cluster"] == 0 and r["dist"] == 0.0 for r in got)
 
 
+def test_assign_best_keep_vec_identical_and_carries_vector(spark):
+    """r11: ``keep_vec=True`` must change NOTHING about the assignment
+    — (id, cluster, dist) identical to the plain form — and must carry
+    each row's own input vector through the argmin aggregation (the
+    vector is a trailing struct field; (dist, cluster) is unique within
+    an id's group so it can never participate in the comparison)."""
+    from flu_data_pipeline_spark.operators.clustering import assign_best
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [1.0, 0.5]),
+        (2, [9.0, 9.0]),
+        (3, [8.5, 9.5]),
+        (4, [5.0, 5.0]),  # equidistant-ish: exercises the tie-break
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[0.0, 0.0], [9.0, 9.0], [5.0, 5.0], [5.0, 5.0]]  # 2,3 tie
+    plain = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in assign_best(df, "embedding", "vec_id", cents).collect()
+    }
+    kept = assign_best(
+        df, "embedding", "vec_id", cents, keep_vec=True
+    ).collect()
+    assert {r["vec_id"]: (r["cluster"], r["dist"]) for r in kept} == plain
+    by_id = dict(rows)
+    for r in kept:
+        assert list(r["embedding"]) == by_id[r["vec_id"]]
+    # the equidistant row must break the centroid tie to the LOWER index
+    assert plain[4][0] == 2
+
+
 # --------------------------------------------------------------------------
 # pagerank vs a pure-Python reference
 # --------------------------------------------------------------------------

@@ -62,6 +62,31 @@ def _cos_sql(a: str, b: str) -> str:
     return f"({d} / ({na} * {nb}))"
 
 
+def _overlap(*thunks):
+    """Run independent Spark driver actions concurrently and return
+    their results in call order (guide §2.6 — overlap independent
+    jobs). The multi-phase serving evals chain several MUTUALLY
+    INDEPENDENT blocking driver actions (eager localCheckpoints, probe
+    collects) that otherwise serialize on the driver while the cluster
+    idles between them; submitting them from a small thread pool lets
+    the scheduler back-fill executors freed by one job's stragglers
+    with the next job's tasks. Each thunk runs the exact job it ran
+    sequentially — same plan, same shuffles, same results — only the
+    wall-clock overlap changes, so oracle hashes are untouched by
+    construction. Spark's scheduler is explicitly designed for
+    concurrent jobs from driver threads (FIFO: earlier submissions get
+    resources first, later ones back-fill). Exceptions propagate to
+    the caller exactly as in the sequential form (the first failing
+    thunk's error raises at its position's result())."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 @register(
     "ann_topk_cosine",
     oracle=f"""
@@ -4295,19 +4320,26 @@ def _serving_truth_path(spark: SparkSession, sf_dir: str) -> str:
     return target
 
 
-def _serving_truth(spark: SparkSession, sf_dir: str, metric: str) -> DataFrame:
+def _serving_truth(
+    spark: SparkSession, sf_dir: str, metric: str, eager: bool = True
+) -> DataFrame:
     """The persisted exact serving truth for one metric ('cos' | 'l2')
     as (query_id, neighbor_id) — the drop-in replacement for the four
-    serving evals' former in-query brute stages. Checkpointed eagerly
-    (150 rows) so a consumer that joins it into several plan branches
-    (the frontier references it once per code x nprobe cell) reuses
-    one in-memory frame instead of re-scanning the parquet per
-    branch — the exact plan shape the old in-query brute had."""
+    serving evals' former in-query brute stages. Checkpointed (150
+    rows) so a consumer that joins it into several plan branches (the
+    frontier references it once per code x nprobe cell) reuses one
+    in-memory frame instead of re-scanning the parquet per branch —
+    the exact plan shape the old in-query brute had. ``eager=False``
+    keeps that reuse but materializes inside the first consuming job
+    instead of as a separate blocking driver action — the right mode
+    for consumers that reference the truth in exactly one final-job
+    branch (pq_rerank, binary rerank), where the eager form was a pure
+    job barrier (r11 wave 2, guide §2.6/§5)."""
     return (
         spark.read.parquet(_serving_truth_path(spark, sf_dir))
         .filter(F.col("metric") == metric)
         .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=eager)
     )
 
 #: Spark-side SQ8 reconstruction (identical arithmetic to
@@ -4468,40 +4500,49 @@ def ann_serving_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — VERDICT r10 #2: was an in-query |Q|xN brute stage recomputed
     # by all four serving evals; same expressions, same tie-breaks,
     # bit-identical ids — see _serving_truth_path)
-    brute = _serving_truth(spark, sf_dir, "cos")
-    bounds = emb.agg(
-        *[
-            F.min(F.col("embedding")[i].cast("double")).alias(f"lo{i}")
-            for i in range(64)
-        ],
-        *[
-            F.max(F.col("embedding")[i].cast("double")).alias(f"hi{i}")
-            for i in range(64)
-        ],
-    ).select(
-        F.array(*[F.col(f"lo{i}") for i in range(64)]).alias("lo"),
-        F.array(*[F.col(f"hi{i}") for i in range(64)]).alias("hi"),
-        # r11 (guide §2.4): the SQ8 codec bounds are query- and
-        # level-independent; without the checkpoint every nprobe
-        # level's scoring job re-ran this 128-aggregate full-corpus
-        # pass (~0.67 s x 4 of the 11 s total at sf0.1)
-    ).localCheckpoint(eager=True)
-    wprobe = Window.partitionBy("query_id").orderBy(
-        F.asc("cdist"), F.asc("cluster")
-    )
-    ranked = (
-        queries.join(F.broadcast(cdf))
-        .select(
-            "query_id",
-            "q_emb",
-            "cluster",
-            sqdist(F.col("q_emb"), F.col("c")).alias("cdist"),
+    def _brute():
+        return _serving_truth(spark, sf_dir, "cos")
+
+    def _bounds():
+        return emb.agg(
+            *[
+                F.min(F.col("embedding")[i].cast("double")).alias(f"lo{i}")
+                for i in range(64)
+            ],
+            *[
+                F.max(F.col("embedding")[i].cast("double")).alias(f"hi{i}")
+                for i in range(64)
+            ],
+        ).select(
+            F.array(*[F.col(f"lo{i}") for i in range(64)]).alias("lo"),
+            F.array(*[F.col(f"hi{i}") for i in range(64)]).alias("hi"),
+            # r11 (guide §2.4): the SQ8 codec bounds are query- and
+            # level-independent; without the checkpoint every nprobe
+            # level's scoring job re-ran this 128-aggregate full-corpus
+            # pass (~0.67 s x 4 of the 11 s total at sf0.1)
+        ).localCheckpoint(eager=True)
+
+    def _ranked():
+        wprobe = Window.partitionBy("query_id").orderBy(
+            F.asc("cdist"), F.asc("cluster")
         )
-        .withColumn("prn", F.row_number().over(wprobe))
-        .localCheckpoint(eager=True)
-    )
-    out = None
-    for p in _FRONTIER_NPROBES:
+        return (
+            queries.join(F.broadcast(cdf))
+            .select(
+                "query_id",
+                "q_emb",
+                "cluster",
+                sqdist(F.col("q_emb"), F.col("c")).alias("cdist"),
+            )
+            .withColumn("prn", F.row_number().over(wprobe))
+            .localCheckpoint(eager=True)
+        )
+
+    # r11 wave 2 (guide §2.6): truth read, SQ8 bounds, and probe
+    # ranking are mutually independent blocking jobs — overlap them.
+    brute, bounds, ranked = _overlap(_brute, _bounds, _ranked)
+
+    def _level(p: int) -> DataFrame:
         probes = ranked.filter(F.col("prn") <= p).select(
             "query_id", "q_emb", F.col("cluster").alias("probe_cluster")
         )
@@ -4529,7 +4570,7 @@ def ann_serving_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             F.expr(_SQ8_RECON_EXPR).alias("emb_sq8"),
         )
-        scored = (
+        return (
             pruned_sq8.join(
                 F.broadcast(probes),
                 (F.col("list_id") == F.col("probe_cluster"))
@@ -4543,6 +4584,19 @@ def ann_serving_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+
+    # r11 wave 2 (guide §2.6): the nprobe levels are independent of
+    # one another — each reads only the upfront checkpoints (ranked,
+    # bounds) and its own directory-pruned scan. Running the four
+    # (collect + scored-checkpoint) pairs concurrently changes no
+    # per-level plan, scan, or assertion — only their wall-clock
+    # overlap (the per-level PartitionFilters assert still runs and
+    # still fails the query loudly).
+    scored_levels = _overlap(
+        *[lambda p=p: _level(p) for p in _FRONTIER_NPROBES]
+    )
+    out = None
+    for p, scored in zip(_FRONTIER_NPROBES, scored_levels):
         ncand = scored.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_candidates")
         )
@@ -4730,7 +4784,9 @@ def ann_serving_frontier_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact L2 truth (PQ approximates L2 — same-metric ground truth)
     # from the SHARED persisted artifact (VERDICT r10 #2)
-    brute = _serving_truth(spark, sf_dir, "l2")
+    def _brute():
+        return _serving_truth(spark, sf_dir, "l2")
+
     # PQ encode (all vectors) + per-query ADC tables
     j_col = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("j")
     vecsub = emb.select("vec_id", "embedding", j_col).select(
@@ -4749,52 +4805,65 @@ def ann_serving_frontier_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    codes = (
-        vecsub.join(F.broadcast(centsub), "j")
-        .select(
-            "vec_id",
-            "j",
-            F.struct(
-                _l2sq(F.col("sub"), F.col("csub")).alias("d"),
-                F.col("cent_id").alias("c"),
-            ).alias("dc"),
+
+    # codes/adc are read by EVERY level's scoring job — eager (inside
+    # the overlap below) so one materialization serves all four levels
+    # without the lazy form's racy first-use inside concurrent jobs.
+    def _codes():
+        return (
+            vecsub.join(F.broadcast(centsub), "j")
+            .select(
+                "vec_id",
+                "j",
+                F.struct(
+                    _l2sq(F.col("sub"), F.col("csub")).alias("d"),
+                    F.col("cent_id").alias("c"),
+                ).alias("dc"),
+            )
+            .groupBy("vec_id", "j")
+            .agg(F.min("dc").alias("best"))
+            .select("vec_id", "j", F.col("best.c").alias("code"))
+            .localCheckpoint(eager=True)
         )
-        .groupBy("vec_id", "j")
-        .agg(F.min("dc").alias("best"))
-        .select("vec_id", "j", F.col("best.c").alias("code"))
-        .localCheckpoint(eager=False)
-    )
-    adc = (
-        vecsub.filter(
-            (F.col("vec_id") >= _SRV_QLO) & (F.col("vec_id") < _SRV_QHI)
+
+    def _adc():
+        return (
+            vecsub.filter(
+                (F.col("vec_id") >= _SRV_QLO) & (F.col("vec_id") < _SRV_QHI)
+            )
+            .withColumnRenamed("vec_id", "query_id")
+            .join(F.broadcast(centsub), "j")
+            .select(
+                "query_id",
+                "j",
+                "cent_id",
+                F.floor(_l2sq(F.col("sub"), F.col("csub")) * _PQ_SCALE)
+                .cast("long")
+                .alias("d9"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .withColumnRenamed("vec_id", "query_id")
-        .join(F.broadcast(centsub), "j")
-        .select(
-            "query_id",
-            "j",
-            "cent_id",
-            F.floor(_l2sq(F.col("sub"), F.col("csub")) * _PQ_SCALE)
-            .cast("long")
-            .alias("d9"),
+
+    def _ranked():
+        wprobe = Window.partitionBy("query_id").orderBy(
+            F.asc("cdist"), F.asc("cluster")
         )
-        .localCheckpoint(eager=False)
-    )
-    wprobe = Window.partitionBy("query_id").orderBy(
-        F.asc("cdist"), F.asc("cluster")
-    )
-    ranked = (
-        queries.join(F.broadcast(cdf))
-        .select(
-            "query_id",
-            "cluster",
-            sqdist(F.col("q_emb"), F.col("c")).alias("cdist"),
+        return (
+            queries.join(F.broadcast(cdf))
+            .select(
+                "query_id",
+                "cluster",
+                sqdist(F.col("q_emb"), F.col("c")).alias("cdist"),
+            )
+            .withColumn("prn", F.row_number().over(wprobe))
+            .localCheckpoint(eager=True)
         )
-        .withColumn("prn", F.row_number().over(wprobe))
-        .localCheckpoint(eager=True)
-    )
-    out = None
-    for p in _FRONTIER_NPROBES:
+
+    # r11 wave 2 (guide §2.6): truth read, corpus PQ-encode, ADC
+    # tables, and probe ranking are mutually independent — overlap.
+    brute, codes, adc, ranked = _overlap(_brute, _codes, _adc, _ranked)
+
+    def _level(p: int) -> DataFrame:
         probes = ranked.filter(F.col("prn") <= p).select(
             "query_id", F.col("cluster").alias("probe_cluster")
         )
@@ -4814,7 +4883,7 @@ def ann_serving_frontier_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             adc.withColumnRenamed("query_id", "a_qid")
             .withColumnRenamed("j", "a_j")
         )
-        scored = (
+        return (
             cand.join(codes, F.col("neighbor_id") == F.col("vec_id"))
             .join(
                 F.broadcast(adc_r),
@@ -4826,6 +4895,16 @@ def ann_serving_frontier_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("d9").cast("long").alias("dist9"))
             .localCheckpoint(eager=True)
         )
+
+    # r11 wave 2 (guide §2.6): the four nprobe levels read only the
+    # upfront checkpoints + their own directory-pruned scans — run the
+    # (collect + scored-checkpoint) pairs concurrently; per-level
+    # plans, scans, and the PartitionFilters assert are unchanged.
+    scored_levels = _overlap(
+        *[lambda p=p: _level(p) for p in _FRONTIER_NPROBES]
+    )
+    out = None
+    for p, scored in zip(_FRONTIER_NPROBES, scored_levels):
         # r11 (guide §2.4): count the checkpointed scored frame instead
         # of re-running the pruned scan + probe join. Exactly one
         # scored group per candidate pair: (query_id, neighbor_id) is
@@ -5025,23 +5104,6 @@ def ann_ingest_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, "embedding", "vec_id", k=_KMEANS_K, iters=_KMEANS_ITERS
     )
     cdf = centroid_df(spark, cents)
-    # NOT keep_vec (r11): a measured A/B showed carrying the embedding
-    # through the argmin agg buffer 2 s slower here than this join —
-    # which the planner executes as a broadcast of emb at bench scale.
-    idx_pre = (
-        assign_best(base, "embedding", "vec_id", cents)
-        .select("vec_id", "cluster")
-        .join(emb, "vec_id")
-        .select("vec_id", "cluster", "embedding")
-        .localCheckpoint(eager=True)
-    )
-    idx_new = (
-        assign_best(emb.filter(is_new), "embedding", "vec_id", cents)
-        .select("vec_id", "cluster")
-        .join(emb, "vec_id")
-        .select("vec_id", "cluster", "embedding")
-    )
-    idx_post = idx_pre.unionByName(idx_new).localCheckpoint(eager=True)
     queries = emb.filter(
         (F.col("vec_id") >= 100)
         & (F.col("vec_id") < 107)
@@ -5052,19 +5114,46 @@ def ann_ingest_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     wprobe = Window.partitionBy("query_id").orderBy(
         F.asc("cdist"), F.asc("cluster")
     )
-    probes = (
-        queries.join(F.broadcast(cdf))
-        .select(
-            "query_id",
-            "q_emb",
-            "cluster",
-            sqdist(F.col("q_emb"), F.col("c")).alias("cdist"),
+
+    # NOT keep_vec (r11): a measured A/B showed carrying the embedding
+    # through the argmin agg buffer 2 s slower here than this join —
+    # which the planner executes as a broadcast of emb at bench scale.
+    def _idx_pre():
+        return (
+            assign_best(base, "embedding", "vec_id", cents)
+            .select("vec_id", "cluster")
+            .join(emb, "vec_id")
+            .select("vec_id", "cluster", "embedding")
+            .localCheckpoint(eager=True)
         )
-        .withColumn("prn", F.row_number().over(wprobe))
-        .filter(F.col("prn") <= 2)
-        .select("query_id", "q_emb", F.col("cluster").alias("probe_cluster"))
-        .localCheckpoint(eager=True)
+
+    def _probes():
+        return (
+            queries.join(F.broadcast(cdf))
+            .select(
+                "query_id",
+                "q_emb",
+                "cluster",
+                sqdist(F.col("q_emb"), F.col("c")).alias("cdist"),
+            )
+            .withColumn("prn", F.row_number().over(wprobe))
+            .filter(F.col("prn") <= 2)
+            .select(
+                "query_id", "q_emb", F.col("cluster").alias("probe_cluster")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    # r11 wave 2 (guide §2.6): the base-index build and the probe
+    # ranking depend only on the trained centroids — overlap them.
+    idx_pre, probes = _overlap(_idx_pre, _probes)
+    idx_new = (
+        assign_best(emb.filter(is_new), "embedding", "vec_id", cents)
+        .select("vec_id", "cluster")
+        .join(emb, "vec_id")
+        .select("vec_id", "cluster", "embedding")
     )
+    idx_post = idx_pre.unionByName(idx_new).localCheckpoint(eager=True)
     wtop = Window.partitionBy("query_id").orderBy(
         F.desc("cos_raw"), F.asc("neighbor_id")
     )
@@ -5089,13 +5178,8 @@ def ann_ingest_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id")
         )
 
-    out = None
-    for phase, idx, corpus in (
-        ("post", idx_post, emb),
-        ("pre", idx_pre, base),
-    ):
-        truth = truth_over(corpus).localCheckpoint(eager=True)
-        scored = (
+    def _scored_for(idx: DataFrame) -> DataFrame:
+        return (
             F.broadcast(probes)
             .join(
                 idx,
@@ -5109,6 +5193,22 @@ def ann_ingest_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+
+    # r11 wave 2 (guide §2.6): the two phases' candidate-scoring jobs
+    # and the two phases' truth builds are four mutually independent
+    # blocking checkpoints (each reads only its checkpointed index /
+    # corpus + the checkpointed probes) — overlap all four.
+    scored_post, scored_pre, truth_post, truth_pre = _overlap(
+        lambda: _scored_for(idx_post),
+        lambda: _scored_for(idx_pre),
+        lambda: truth_over(emb).localCheckpoint(eager=True),
+        lambda: truth_over(base).localCheckpoint(eager=True),
+    )
+    out = None
+    for phase, idx, truth, scored in (
+        ("post", idx_post, truth_post, scored_post),
+        ("pre", idx_pre, truth_pre, scored_pre),
+    ):
         stats = idx.agg(
             F.count(F.lit(1)).cast("bigint").alias("rows_indexed")
         ).crossJoin(
@@ -6289,11 +6389,43 @@ def ann_serving_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     # exact L2 truth (the rerank stage shares this metric) from the
-    # SHARED persisted artifact (VERDICT r10 #2)
-    brute = _serving_truth(spark, sf_dir, "l2")
+    # SHARED persisted artifact (VERDICT r10 #2). eager=False: the
+    # truth is referenced by exactly one branch of the final job, so
+    # the eager form was a pure job barrier (r11 wave 2).
+    brute = _serving_truth(spark, sf_dir, "l2", eager=False)
+
     # Stage 0: trained per-subspace codebooks; then PQ encode + per-query
     # ADC tables against THEM (ann_serving_frontier_pq's shapes, trained)
-    cb = _pq_trained_codebooks(emb)
+    # — the codebook Lloyd chain (two blocking checkpoint jobs) is
+    # independent of the coarse-probe ranking + collect below, so the
+    # two run overlapped (r11 wave 2, guide §2.6).
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.asc("cdist"), F.asc("cluster")
+    )
+
+    def _probes_and_ids():
+        probes = (
+            queries.join(F.broadcast(cdf))
+            .select(
+                "query_id",
+                "cluster",
+                sqdist(F.col("q_emb"), F.col("c")).alias("cdist"),
+            )
+            .withColumn("prn", F.row_number().over(wprobe))
+            .filter(F.col("prn") <= _RERANK_NPROBE)
+            .select("query_id", F.col("cluster").alias("probe_cluster"))
+        )
+        ids = sorted(
+            {
+                r["probe_cluster"]
+                for r in probes.select("probe_cluster").collect()
+            }
+        )
+        return probes, ids
+
+    cb, (probes, ids) = _overlap(
+        lambda: _pq_trained_codebooks(emb), _probes_and_ids
+    )
     j_col = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("j")
     vecsub = emb.select("vec_id", "embedding", j_col).select(
         "vec_id",
@@ -6331,23 +6463,6 @@ def ann_serving_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    wprobe = Window.partitionBy("query_id").orderBy(
-        F.asc("cdist"), F.asc("cluster")
-    )
-    probes = (
-        queries.join(F.broadcast(cdf))
-        .select(
-            "query_id",
-            "cluster",
-            sqdist(F.col("q_emb"), F.col("c")).alias("cdist"),
-        )
-        .withColumn("prn", F.row_number().over(wprobe))
-        .filter(F.col("prn") <= _RERANK_NPROBE)
-        .select("query_id", F.col("cluster").alias("probe_cluster"))
-    )
-    ids = sorted(
-        {r["probe_cluster"] for r in probes.select("probe_cluster").collect()}
-    )
     pruned = fact.select("vec_id", "list_id").filter(
         F.col("list_id").isin(ids)
     )
@@ -6379,7 +6494,12 @@ def ann_serving_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("srn", F.row_number().over(wshort))
         .filter(F.col("srn") <= max(_RERANK_SIZES))
         .select("query_id", "neighbor_id", "srn")
-        .localCheckpoint(eager=True)
+        # eager=False (r11 wave 2): the shortlist feeds exactly one
+        # consumer (the hydration below, itself eagerly checkpointed),
+        # so the eager form was a pure job barrier; measured A/B vs
+        # eager was a wash at sf0.1 (med 6.45 vs 6.59) — lazy kept for
+        # the one-fewer-driver-barrier shape (guide §2.6/§5).
+        .localCheckpoint(eager=False)
     )
     # Stage 2: hydrate ONLY the shortlist (one broadcast equi-join into
     # the full-precision table) and re-rank by exact L2.
@@ -6629,6 +6749,13 @@ def ann_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = Window.partitionBy("query_id").orderBy(
         F.asc("hd"), F.asc("neighbor_id")
     )
+    # (r11 wave 2 tried lazy checkpoints here — short/hydr/truth are
+    # each single-use, so the eager jobs looked like pure barriers.
+    # Measured A/B REGRESSED +55% median at sf0.1: folding everything
+    # into one deep final job makes AQE re-optimize a large compound
+    # plan stage by stage, which costs more than the three small jobs'
+    # fixed overhead — the same deep-plan cliff _pq_trained_codebooks
+    # documents. Kept eager; recorded so it isn't re-tried.)
     short = (
         ham.withColumn("srn", F.row_number().over(ws))
         .filter(F.col("srn") <= max(_BQ_SIZES))
@@ -6652,8 +6779,11 @@ def ann_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact cosine truth (the metric binary signatures approximate)
     # from the SHARED persisted artifact (VERDICT r10 #2; _BQ_QLO/_QHI
-    # alias _SRV_QLO/_QHI so the window is the same by construction)
-    truth = _serving_truth(spark, sf_dir, "cos")
+    # alias _SRV_QLO/_QHI so the window is the same by construction);
+    # eager=False — referenced once, in the final job, and the tiny
+    # 150-row parquet read folds into it without the deep-plan cost
+    # the short/hydr lazy experiment hit (measured separately below).
+    truth = _serving_truth(spark, sf_dir, "cos", eager=False)
     sizes = spark.createDataFrame(
         [(s,) for s in _BQ_SIZES], "shortlist_size int"
     )
@@ -7263,7 +7393,14 @@ def ann_nndescent_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wtop = Window.partitionBy("u").orderBy(F.asc("d9"), F.asc("v"))
     graphs, cands, ncnt = _nnd_graphs(emb, keep_cands=True)
-    # exact brute truth on the frozen eval window, same total order
+    # exact brute truth on the frozen eval window, same total order.
+    # (r11 wave 2 tried overlapping this checkpoint with the NN-descent
+    # chain per guide §2.6 — measured A/B REGRESSED ~+1.5 s median at
+    # sf0.1: the truth job's short tasks interleave with every chain
+    # stage and the added scheduling contention exceeds the one hidden
+    # job. Overlap pays when it removes several sequential barriers of
+    # comparable size — the frontier levels — not one small job against
+    # a long chain. Kept sequential; recorded so it isn't re-tried.)
     sample = emb.filter(
         (F.col("vec_id") >= _SRV_QLO) & (F.col("vec_id") < _SRV_QHI)
     ).select(F.col("vec_id").alias("u"), F.col("embedding").alias("u_emb"))
@@ -7620,6 +7757,11 @@ def ann_nndescent_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("v"), F.col("embedding").alias("v_emb")
     )
     wbeam = Window.partitionBy("query_id").orderBy(F.asc("d9"), F.asc("v"))
+    # r11 wave 2 (guide §2.4): the exact truth is hop-independent —
+    # hoisted out of the hop loop (it was re-read AND re-checkpointed
+    # per hop: one redundant blocking job per hop for the same 150
+    # rows). Eager, because every hop's report row references it.
+    truth = _serving_truth(spark, sf_dir, "l2")
     # hop 0: every query sits at the fixed entry vertex
     visited = queries.select(
         "query_id", F.lit(_NND_ENTRY).cast("long").alias("v")
@@ -7667,7 +7809,6 @@ def ann_nndescent_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("query_id").alias("a_qid"), F.col("v").alias("a_v")
             )
         )
-        truth = _serving_truth(spark, sf_dir, "l2")
         hit = F.col("a_v").isNotNull()
         row = (
             truth.join(

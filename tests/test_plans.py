@@ -488,6 +488,36 @@ def test_serving_truth_fingerprint_invalidation(spark):
     assert all(v == {1, 2, 3} for v in per.values())
 
 
+def test_overlap_order_and_error_propagation():
+    """_overlap (r11 wave 2, guide §2.6) must return thunk results in
+    CALL order regardless of completion order (the serving evals zip
+    level results back to their nprobe constants positionally), and a
+    failing thunk's exception must reach the caller exactly as in the
+    sequential form (the PartitionFilters assert relies on this to
+    keep failing queries loudly)."""
+    import time as _time
+
+    import pytest
+
+    from flu_data_pipeline_spark.plans.similarity_queries import _overlap
+
+    def slow():
+        _time.sleep(0.2)
+        return "slow"
+
+    def fast():
+        return "fast"
+
+    assert _overlap(slow, fast) == ["slow", "fast"]
+    assert _overlap(fast) == ["fast"]
+
+    def boom():
+        raise AssertionError("partition pruning did not engage")
+
+    with pytest.raises(AssertionError, match="partition pruning"):
+        _overlap(fast, boom, slow)
+
+
 def test_aqe_coalesce_assertion_has_teeth(spark):
     """aqe_coalesce_shuffle_read must RAISE when AQE partition
     coalescing is disabled, and build cleanly once it is back on."""

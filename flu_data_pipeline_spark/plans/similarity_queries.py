@@ -6051,6 +6051,15 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = F.broadcast(q).join(c, F.col("qid") != F.col("nid"))
 
+    # (r11 wave 3 negative result, measured and REVERTED: computing all
+    # 4 cosine columns in one pass over a lazily-checkpointed scored
+    # frame read consistently ~15% SLOWER at sf0.1 in interleaved A/Bs
+    # — the 4 rankings share only the corpus SCAN, not compute (each
+    # branch's cosine is over a different prefix), and the |Q|xN scored
+    # checkpoint materializes ~20x the corpus bytes while the original
+    # branches run concurrently as independent stages of the one final
+    # job. The per-branch scan+join shape is the right one at scale
+    # too: N-row scans x4 < 20N-row materialization.)
     def topk(d: int | None) -> DataFrame:
         if d is None:
             qa, ca = F.col("qe"), F.col("ce")

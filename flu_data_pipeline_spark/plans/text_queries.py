@@ -1108,15 +1108,25 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = all_toks.filter(F.size("toks") >= 2)
     # bigram stream: one row per adjacent token pair, built map-side from
     # the materialized token array (no self-join on positions)
-    pairs = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(toks) - 2), "
-                "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
-            )
-        ).alias("bg"),
-    ).select("doc_id", "bg.w1", "bg.w2")
+    pairs = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+        # r11 wave 3 (guide §2.4): the bigram stream feeds THREE
+        # consumers (unigram counts, bigram counts, the scoring join) —
+        # un-checkpointed, the scan+tokenize+explode subtree is planned
+        # and executed once per consumer. Lazy checkpoint: one
+        # materialization inside the first job that uses it, no extra
+        # driver barrier.
+        .localCheckpoint(eager=False)
+    )
     unigram = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("uc"))
     bigram = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
     vocab = all_toks.select(F.explode("toks").alias("w")).agg(
@@ -2314,7 +2324,14 @@ def _uni_train(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
             _uni_viterbi_pieces(words, vocab)
             .groupBy("piece")
             .agg(F.sum("cnt").cast("bigint").alias("vc"))
-            .localCheckpoint(eager=True)
+            # eager=False (r11 wave 3, guide §2.4): counts feeds the
+            # round's vocab checkpoint (and, in the final round, the
+            # caller's output job) — the eager form was one extra
+            # blocking driver job per EM round; lazy materializes it
+            # inside the vocab checkpoint's job, halving the round's
+            # barriers (the text_bpe_train_merges per-round-argmax
+            # pattern).
+            .localCheckpoint(eager=False)
         )
         sm = vocab.select("piece").join(counts, "piece", "left").select(
             "piece",

@@ -2873,7 +2873,13 @@ def _wp_train(docs: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
             )
             .limit(1)
             .select("x", "y", "c", "cx", "cy")
-            .localCheckpoint(eager=True)
+            # eager=False (r11 wave 3): the round's vocab rewrite is
+            # eagerly checkpointed right below and materializes this
+            # 1-row argmax in the same job — the eager form was a
+            # separate blocking job per merge round just to pick one
+            # row (the text_bpe_train_merges fix, applied to its
+            # WordPiece sibling).
+            .localCheckpoint(eager=False)
         )
         merges.append(best.withColumn("merge_rank", F.lit(t)))
         padded = F.concat(
@@ -4816,8 +4822,17 @@ _REMOVAL_APPLY_CTES = f"""
 )
 def text_dedup_removal_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    spans = _removal_plan_frame(docs).select(
-        "doc_id", "span_start", "span_end"
+    spans = (
+        _removal_plan_frame(docs)
+        .select("doc_id", "span_start", "span_end")
+        # r11 wave 3 (guide §2.4): the span frame feeds FOUR consumers
+        # (gaps_mid, gaps_tail, the no-span anti-join inside
+        # _cleaned_text_frame, and the n_spans stats below) — without
+        # the checkpoint the whole tokenize+chunk+dedup-window mining
+        # pipeline is planned and executed once per consumer. Lazy:
+        # materialized inside the final job, no extra barrier (the
+        # _cleaned_corpus_paths fix, applied to the verify query).
+        .localCheckpoint(eager=False)
     )
     cleaned = _cleaned_text_frame(docs, spans)
     stats = spans.groupBy("doc_id").agg(

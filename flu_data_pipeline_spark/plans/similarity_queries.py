@@ -6129,7 +6129,7 @@ def _pq_trained_codebooks(emb: DataFrame) -> DataFrame:
             "sub", lambda x: F.round(x.cast("double"), 6)
         ).alias("csub"),
     )
-    for _ in range(_PQ_TRAIN_ITERS):
+    for _it in range(_PQ_TRAIN_ITERS):
         asg = (
             sub.join(F.broadcast(cb), "j")
             .select(
@@ -6164,12 +6164,17 @@ def _pq_trained_codebooks(emb: DataFrame) -> DataFrame:
         cb = (
             cb.join(F.broadcast(means), ["j", "cluster"], "left")
             .select("j", "cluster", F.coalesce("nc", "csub").alias("csub"))
-            # per-generation eager checkpoint (r11, guide §2.4): each
+            # per-generation checkpoint (r11, guide §2.4): each
             # iteration's asg/means otherwise compound into ONE deep
             # plan whose analysis + nested broadcast stages dominated —
             # measured 3.7 s for the whole train; the checkpoint is 128
-            # rows
-            .localCheckpoint(eager=True)
+            # rows. Wave 3: only the FINAL generation is eager — the
+            # lazy intermediate generations still truncate lineage but
+            # materialize inside the final generation's job, so the
+            # train is ONE blocking job instead of one per iteration
+            # (and the pq_rerank overlap thunk still drives all the
+            # work, because the last checkpoint remains eager).
+            .localCheckpoint(eager=(_it == _PQ_TRAIN_ITERS - 1))
         )
     return cb
 
@@ -7208,7 +7213,11 @@ def _nnd_graphs(
     adjacency self-join subtree — measured 2.6 s of pure recompute and
     ~50 extra Exchanges in the final plan at sf0.1 (r11, guide §2.4).
     Callers that never read the candidates (mutual-pair mining, the
-    persisted-graph build) keep the default and pay nothing.
+    persisted-graph build) keep the default and pay nothing. (r11
+    wave 3: the EAGER form was re-A/B-ed against lazy checkpoints —
+    lazy folds the cand self-join into each generation's adaptive
+    plan and measured ~5% SLOWER at sf0.1, the deep-plan replanning
+    cliff; keep eager.)
 
     The scoring joins and the candidate self-join carry SHUFFLE_HASH
     hints: every one of these joins keys on vec_id whose per-partition

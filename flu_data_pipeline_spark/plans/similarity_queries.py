@@ -5583,7 +5583,7 @@ def _semdedup_chunk_of() -> Column:
 
 
 def _semdedup_base_index(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, defer_kept: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame, int]:
     """(kept, fine, coarse, npart): the FROZEN served state of
     incremental SemDeDup — two-level base fit (model returned for
@@ -5619,9 +5619,15 @@ def _semdedup_base_index(
         .select(F.col("vid_x").alias("vec_id"))
         .distinct()
     )
-    kept = dbase.join(bdrops, "vec_id", "left_anti").localCheckpoint(
-        eager=False
-    )
+    kept = dbase.join(bdrops, "vec_id", "left_anti")
+    # ``defer_kept``: hand back the UNCHECKPOINTED plan so the caller
+    # can materialize it concurrently with an independent job (the
+    # incremental refresh overlaps it with the frozen-model batch
+    # assignment — r12, guide §2.6). Default keeps the checkpoint here
+    # (the streaming twin and any sequential caller still get the
+    # shared materialization they rely on).
+    if not defer_kept:
+        kept = kept.localCheckpoint(eager=False)
     return kept, fine, coarse, npart
 
 
@@ -5632,19 +5638,32 @@ def _semdedup_incremental_frames(
     batch assigned under the FROZEN (fine, coarse) model — used by
     dedup_semdedup_incremental and its executed-metric gate. Mirrors
     _SEMDEDUP_INCR_CHAIN CTE by CTE."""
-    kept, fine, coarse, npart = _semdedup_base_index(spark, sf_dir)
+    kept_plan, fine, coarse, npart = _semdedup_base_index(
+        spark, sf_dir, defer_kept=True
+    )
     emb = load_table(spark, sf_dir, "embeddings")
     is_new = (F.col("vec_id") % _INGEST_MOD) == _INGEST_REM
     # Frozen-quantizer batch assignment: the SAME final (fine, coarse)
     # model the base fit produced — no refitting on refresh.
-    asgnew = (
+    asgnew_plan = (
         twolevel_assign(
             emb.filter(is_new), "embedding", "vec_id",
             fine, coarse, nprobe=2, keep_vec=True,
         )
         .withColumn("nrm", norm(F.col("embedding")))
         .withColumn("chunk", _semdedup_chunk_of())
-        .localCheckpoint(eager=False)
+    )
+    # r12 (VERDICT r11 #2, guide §2.6): the base dominance pass (kept)
+    # and the frozen-model batch assignment (asgnew) are independent
+    # given the materialized fit — both read only dbase/fine/coarse —
+    # but their localCheckpoint calls serialized on the driver (each
+    # blocks through its plan's AQE stage materializations: profiled
+    # 0.98 s/5 jobs + 0.43 s/8 jobs back-to-back at sf0.1). Overlap
+    # them: same plans, same shuffles, same results — only the
+    # wall-clock overlap changes, exactly the wave-2 frontier shape.
+    kept, asgnew = _overlap(
+        lambda: kept_plan.localCheckpoint(eager=False),
+        lambda: asgnew_plan.localCheckpoint(eager=False),
     )
     return kept, asgnew, npart
 

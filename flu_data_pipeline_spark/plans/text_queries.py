@@ -1119,16 +1119,28 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bg"),
         )
         .select("doc_id", "bg.w1", "bg.w2")
-        # r11 wave 3 (guide §2.4): the bigram stream feeds THREE
-        # consumers (unigram counts, bigram counts, the scoring join) —
-        # un-checkpointed, the scan+tokenize+explode subtree is planned
-        # and executed once per consumer. Lazy checkpoint: one
-        # materialization inside the first job that uses it, no extra
-        # driver barrier.
+    )
+    # r12 (ADVICE r11 #1, guide §2.3/§5): r11 wave 3 lazily checkpointed
+    # the raw PAIRS stream (3 consumers -> 1 execution), but that
+    # materializes ~one (doc_id, w1, w2) row per corpus token to
+    # executor storage — bytes that DWARF the corpus at large sf (the
+    # matryoshka negative's exact failure mode). Checkpoint the MODEL
+    # TABLE instead: the bigram counts are bigram-cardinality (vocab-
+    # bounded, not corpus-bounded), and the unigram counts are derivable
+    # from them EXACTLY — uc(w1) = SUM_w2 bc(w1, w2), integer math, the
+    # same number pairs.groupBy(w1).count() produced (unigram counts
+    # use bigram-history occurrences by construction). The scoring join
+    # re-scans the corpus once for its pairs side: two corpus scans
+    # total (model build + scoring) with a model-sized materialization,
+    # vs one scan with a corpus-dwarfing one. Cluster caveat noted in
+    # OPTIMIZATION_r12.md: localCheckpoint truncates lineage to
+    # ephemeral executor storage (ADVICE r11 #3).
+    bigram = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("bc"))
         .localCheckpoint(eager=False)
     )
-    unigram = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("uc"))
-    bigram = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    unigram = bigram.groupBy("w1").agg(F.sum("bc").alias("uc"))
     vocab = all_toks.select(F.explode("toks").alias("w")).agg(
         F.countDistinct("w").alias("v")
     )
@@ -1149,6 +1161,13 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("avg_logprob"),
         )
+        # the per-doc score table is doc-cardinality (3 skinny columns
+        # per doc — scale-safe to hold, unlike the token stream), and
+        # curation_ccnet_ppl_buckets' global-ntile references it more
+        # than once — without this, each reference re-runs the full
+        # corpus scan+tokenize+score chain (measured: ccnet 1.6 -> 4.0 s
+        # at sf0.1 when only the model table was checkpointed).
+        .localCheckpoint(eager=False)
     )
     return scored
 

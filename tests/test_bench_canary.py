@@ -188,6 +188,46 @@ def test_arbitrate_verdict_matrix():
     assert bench.arbitrate(5.0, 20.0, [])[0] == "no-prior"
 
 
+def test_arbitrate_ambient_latency_suspect():
+    # round 12 — VERDICT r11 #3: both axes fire, but the reading's own
+    # per-action latency probe is elevated -> the mechanized verdict
+    # blames the box, not the code (the r11 contamination signature:
+    # canary 1.46x on 16 code-unchanged queries while load_factor read
+    # 0.96 — the CPU probe can't see scheduler/IO latency).
+    prior = _recs(("artifact", 5.0, 20.0))
+    assert (
+        bench.arbitrate(6.5, 25.0, prior, latency_factor=1.5)[0]
+        == "ambient-latency-suspect"
+    )
+    # latency flat (or probe absent) -> plain regression-suspect
+    assert (
+        bench.arbitrate(6.5, 25.0, prior, latency_factor=1.1)[0]
+        == "regression-suspect"
+    )
+    assert bench.arbitrate(6.5, 25.0, prior)[0] == "regression-suspect"
+    # elevated latency must NOT rewrite the other rungs: heavy-flat is
+    # still a layout-smear call, both-flat still flat, heavy-only still
+    # escalates (a heavy-confined quadratic is not a latency artifact)
+    assert (
+        bench.arbitrate(6.5, 20.1, prior, latency_factor=1.5)[0]
+        == "layout-smear"
+    )
+    assert bench.arbitrate(5.1, 20.1, prior, latency_factor=1.5)[0] == "flat"
+    assert (
+        bench.arbitrate(5.1, 25.0, prior, latency_factor=1.5)[0]
+        == "heavy-investigate"
+    )
+
+
+def test_bench_sidecar_roundtrip(tmp_path):
+    # round 12 — VERDICT r11 #4: the JSON line survives stdout-tail
+    # truncation via the bench_last.json sidecar
+    line = json.dumps({"metric": "m", "value": 1.0, "queries": {}})
+    bench._write_sidecar(str(tmp_path), line)
+    with open(tmp_path / "bench_last.json") as fh:
+        assert json.loads(fh.read()) == json.loads(line)
+
+
 def test_arbitrate_heavy_investigate_when_canary_flat():
     # round 11 — VERDICT r10 #1: a regression confined to the heavy-4
     # (canary flat on both anchors) must escalate, not print flat

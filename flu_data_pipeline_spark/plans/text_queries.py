@@ -1105,16 +1105,23 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     on cross-engine-identical values."""
     docs = load_table(spark, sf_dir, "documents")
     all_toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
-    toks = all_toks.filter(F.size("toks") >= 2)
     # bigram stream: one row per adjacent token pair, built map-side from
-    # the materialized token array (no self-join on positions)
+    # the materialized token array (no self-join on positions). The
+    # >= 2-token guard lives INSIDE the generator expression (explode
+    # drops empty arrays — identical rows to the old
+    # `.filter(F.size("toks") >= 2)`) because the explicit filter was
+    # predicate-pushed through the tokenize projection into the scan as
+    # a DataFilter, re-running the regex tokenize per row at the scan
+    # (r12, the text_hashed_embedding_projection finding).
     pairs = (
-        toks.select(
+        all_toks.select(
             "doc_id",
             F.explode(
                 F.expr(
+                    "CASE WHEN size(toks) >= 2 THEN "
                     "transform(sequence(0, size(toks) - 2), "
-                    "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+                    "i -> struct(toks[i] AS w1, toks[i + 1] AS w2)) "
+                    "ELSE array() END"
                 )
             ).alias("bg"),
         )
@@ -4451,14 +4458,25 @@ def _hashed_embedding_longform(
     shared by text_hashed_embedding_projection (emits it) and
     text_e2e_semantic_neighbors (searches over it)."""
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    # r12 (guide §1.2/§6): the old `.filter(F.size("t") >= 2)` was
+    # predicate-pushed THROUGH the tokenize projection into the scan as
+    # a DataFilter, so every document paid the regex tokenize TWICE —
+    # once at the scan filter, once in the Generate's input projection
+    # (the expression analogue of the guide-§4.4 UDF duplication;
+    # verified in the executed plan's `DataFilters:
+    # [size(split(lower(trim(text))...) >= 2]`). Folding the guard into
+    # the generator expression (explode drops empty arrays, so docs
+    # with < 2 tokens emit exactly zero bigrams, same as the filter)
+    # leaves ONE tokenize per row and an empty scan DataFilters list.
     fx = (
-        toks.filter(F.size("t") >= 2)
-        .select(
+        toks.select(
             "doc_id",
             F.explode(
                 F.expr(
+                    "CASE WHEN size(t) >= 2 THEN "
                     "transform(sequence(1, size(t) - 1), "
-                    "s -> concat(t[s - 1], ' ', t[s]))"
+                    "s -> concat(t[s - 1], ' ', t[s])) "
+                    "ELSE array() END"
                 )
             ).alias("bg"),
         )
